@@ -1,0 +1,426 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.sql
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational coverage: scans, filters, projections, hash/sort
+  * aggregations, inner/semi/anti/outer joins, correlated and scalar
+  * subqueries, HAVING, CASE, IN/BETWEEN/LIKE.
+  *
+  * The reference app has **no** relational operators (SURVEY.md §2.6 —
+  * complete-read claim); this module is the north-star gap-fill, built
+  * entirely from declarative `DataFrame` ops so Catalyst gets predicate
+  * pushdown, column pruning, join selection, and whole-stage codegen.
+  *
+  * Scale posture (100 TB): every join keys on the natural distribution keys
+  * (orderkey/custkey/partkey); fixed-cardinality dims (`region` 5 rows,
+  * `nation` 25 rows) are explicitly `broadcast()`; everything else is left
+  * to AQE, which at real scale flips sort-merge → broadcast when a filtered
+  * side fits, and splits skewed partitions.
+  *
+  * All float aggregation goes through [[Det]]: money sums are accumulated
+  * as exact decimals (order-independent, so results are identical no matter
+  * how many partitions the 100 TB plan splits into) and rounding uses the
+  * same IEEE expression in both engines.
+  */
+object RelationalQueries {
+
+  private val revExpr = "l_extendedprice * (1 - l_discount)"
+  private def revCol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "q01_pricing_summary",
+      "TPC-H Q1: multi-aggregate pricing summary by returnflag/linestatus",
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${s2("l_quantity")} AS sum_qty,
+        |       ${s2("l_extendedprice")} AS sum_base_price,
+        |       ${s2(revExpr)} AS sum_disc_price,
+        |       ${s2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        |       ${a4("l_quantity")} AS avg_qty,
+        |       ${a4("l_extendedprice")} AS avg_price,
+        |       ${a4("l_discount")} AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2000-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum2(revCol).as("sum_disc_price"),
+          dsum2(revCol * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg4(col("l_quantity")).as("avg_qty"),
+          davg4(col("l_extendedprice")).as("avg_price"),
+          davg4(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    sql(
+      "q02_filter_project",
+      "selective filter + computed projection (parquet pushdown path)",
+      """SELECT l_orderkey, l_linenumber,
+        |       floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount >= 0.08
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45 && col("l_discount") >= 0.08 &&
+          col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01'"))
+        .select(col("l_orderkey"), col("l_linenumber"), r2(revCol).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    sql(
+      "q03_shipping_priority",
+      "TPC-H Q3: 3-way join, revenue per order, deterministic top 10",
+      s"""SELECT o.o_orderkey,
+        |       ${s2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+        |       o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""") { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01'"))
+      val l = Tables.lineitem(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum2(revCol).as("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+
+    sql(
+      "q04_order_priority",
+      "TPC-H Q4: EXISTS semi-join, count by order priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01'"))
+      val l = Tables.lineitem(s, dir)
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    sql(
+      "q05_local_supplier_volume",
+      "TPC-H Q5: 6-way join through region dim (broadcast), revenue per nation",
+      s"""SELECT n.n_name,
+        |       ${s2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""") { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum2(revCol).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    sql(
+      "q06_forecast_revenue",
+      "TPC-H Q6: single-row filtered aggregate (full pushdown)",
+      s"""SELECT ${s2("l_extendedprice * l_discount")} AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01'") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(dsum2(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    sql(
+      "q07_volume_shipping",
+      "TPC-H Q7: nation-pair revenue by ship year (two nation dims aliased)",
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+        |       ${s2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        |FROM customer c
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""") { (s, dir) =>
+      val n1 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      Tables.customer(s, dir)
+        .join(n1, col("c_nationkey") === col("c_nkey"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("s_nkey"))
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01'"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(dsum2(revCol).as("revenue"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    },
+
+    sql(
+      "q09_product_profit",
+      "TPC-H Q9-shaped: profit proxy by supplier nation × year (exact decimal sum absorbs the +/- cancellation)",
+      s"""SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |       ${s2("l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity")} AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY n.n_name, order_year
+        |ORDER BY n.n_name, order_year""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").like("%widget%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(dsum2(revCol - lit(0.1) * col("p_retailprice") * col("l_quantity")).as("profit"))
+        .orderBy("n_name", "order_year")
+    },
+
+    sql(
+      "q10_returned_items",
+      "TPC-H Q10: returned-item revenue per customer, deterministic top 20",
+      s"""SELECT c.c_custkey, c.c_name,
+        |       ${s2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+        |       floor((c.c_acctbal) * 100 + 0.5) / 100 AS c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""") { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum2(revCol).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          r2(col("c_acctbal")).as("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    sql(
+      "q12_priority_mix",
+      "conditional aggregation (CASE inside SUM) by order year",
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
+        |       ${a2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished_price
+        |FROM orders
+        |GROUP BY order_year
+        |ORDER BY order_year""") { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          sum(when(high, 1).otherwise(0)).cast("long").as("high_count"),
+          sum(when(!high, 1).otherwise(0)).cast("long").as("low_count"),
+          davg2(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("avg_finished_price"))
+        .orderBy("order_year")
+    },
+
+    sql(
+      "q13_customer_distribution",
+      "TPC-H Q13: left outer join + double aggregation (count distribution)",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""") { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    sql(
+      "q14_promo_revenue",
+      "TPC-H Q14: ratio of conditional to total aggregate (join + CASE)",
+      s"""SELECT floor((100.0 * ${sraw("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+        |             / ${sraw("l.l_extendedprice * (1 - l.l_discount)")}) * 10000 + 0.5) / 10000 AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-07-01'"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(r4(lit(100.0) * dsum(when(col("p_type") === "PROMO", revCol).otherwise(0)) / dsum(revCol))
+          .as("promo_revenue_pct"))
+    },
+
+    sql(
+      "q15_top_supplier",
+      "TPC-H Q15: max-of-aggregate via scalar subquery over a derived view",
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         ${s2("l_extendedprice * (1 - l_discount)")} AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""") { (s, dir) =>
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum2(revCol).as("total_revenue"))
+      val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+      Tables.supplier(s, dir)
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    sql(
+      "q17_small_quantity",
+      "TPC-H Q17: correlated subquery (per-part avg) as aggregate-then-join",
+      s"""SELECT floor((${sraw("l.l_extendedprice")} / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""") { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((lit(0.5) * avg("l_quantity")).as("half_avg_qty"))
+      l.join(Tables.part(s, dir).filter(col("p_brand") === "Brand#13"),
+          col("p_partkey") === col("l_partkey"))
+        .join(avgQty, col("ap_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg(r2(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    sql(
+      "q18_large_orders",
+      "TPC-H Q18: HAVING on grouped sum, join back to dimensions",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       floor((o.o_totalprice) * 100 + 0.5) / 100 AS o_totalprice,
+        |       floor((t.sum_qty) * 100 + 0.5) / 100 AS sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) t
+        |JOIN orders o ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""") { (s, dir) =>
+      // l_quantity is integer-valued, so a double sum is already exact.
+      val t = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      t.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          r2(col("o_totalprice")).as("o_totalprice"),
+          r2(col("sum_qty")).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(50)
+    },
+
+    sql(
+      "q19_discounted_revenue",
+      "TPC-H Q19: disjunctive multi-predicate join (OR of conjunction groups)",
+      s"""SELECT ${s2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
+        |   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)""") { (s, dir) =>
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(10, 30) && col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(dsum2(revCol).as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    sql(
+      "q22_acctbal_opportunity",
+      "TPC-H Q22-shaped: scalar subquery threshold + anti join, per nation",
+      s"""SELECT c.c_nationkey, count(*) AS numcust,
+        |       ${s2("c.c_acctbal")} AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""") { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      // threshold avg: double avg over the full column — the comparison is
+      // strict-inequality against well-separated values, not a hash target.
+      val threshold = c.filter(col("c_acctbal") > 0.0).agg(avg("c_acctbal").as("avg_bal"))
+      val recentOrders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '2000-01-01'"))
+      c.join(broadcast(threshold))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recentOrders, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }
+  )
+}
