@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.{rowsOnly, sql}
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event analytics over the `events` table — the batch
+  * analogues of the streaming operator set (SURVEY.md §7 M3). Each query's
+  * streaming twin (windowed agg over `MemoryStream`, watermarks, dedup
+  * within watermark) is exercised in the streaming ScalaTest suite; the
+  * batch forms here carry the DuckDB oracle.
+  *
+  * Event time is `timestamp_ntz` (see [[graft.sources.Tables.events]] for
+  * the nanosecond-parquet handling); all bucketing is done with arithmetic
+  * both engines evaluate identically.
+  */
+object EventQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "q60_tumbling_window",
+      "tumbling 1-hour event-time window: count + exact value sum per type",
+      s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       ${s2("value")} AS sum_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    sql(
+      "q61_sliding_window",
+      "sliding window (10 min width, 5 min slide) via Spark window(); oracle derives the two covering starts arithmetically",
+      """SELECT window_start, count(*) AS n_events
+        |FROM (SELECT unnest([make_timestamp(b), make_timestamp(b - 300000000)]) AS window_start
+        |      FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000 AS b
+        |            FROM events))
+        |GROUP BY window_start
+        |ORDER BY window_start""") { (s, dir) =>
+      Tables.events(s, dir)
+        .select(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .groupBy(col("w.start").as("window_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("window_start")
+    },
+
+    sql(
+      "q62_sessionization",
+      "batch sessionization: 30-min inactivity gap → session ids via window cumsum",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+        |       floor((count(*) * 1.0 / count(DISTINCT session_id)) * 10000 + 0.5) / 10000 AS events_per_session
+        |FROM sessions
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp"))) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wc))
+        .groupBy("user_id")
+        .agg(countDistinct("session_id").as("n_sessions"),
+          r4(count(lit(1)) * lit(1.0) / countDistinct("session_id")).as("events_per_session"))
+        .orderBy("user_id")
+    },
+
+    sql(
+      "q63_event_dedup",
+      "exact dedup on (user, type, minute bucket) — batch twin of dropDuplicatesWithinWatermark",
+      """SELECT user_id, count(*) AS n_raw,
+        |       CAST(count(DISTINCT (event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS n_deduped
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("event_type"), date_trunc("minute", col("ts"))).as("n_deduped"))
+        .orderBy("user_id")
+    },
+
+    sql(
+      "q64_event_type_share",
+      "per-user event-type share via count / window total",
+      """SELECT user_id, event_type, n,
+        |       floor((n * 1.0 / sum(n) OVER (PARTITION BY user_id)) * 1000000 + 0.5) / 1000000 AS share
+        |FROM (SELECT user_id, event_type, count(*) AS n
+        |      FROM events GROUP BY user_id, event_type)
+        |ORDER BY user_id, event_type""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", r6(col("n") * lit(1.0) / sum(col("n")).over(w)))
+        .orderBy("user_id", "event_type")
+    },
+
+    sql(
+      "q65_top_purchasers",
+      "filtered aggregate + deterministic top-5 by exact purchase value",
+      s"""SELECT user_id, ${s2("value")} AS purchase_value, count(*) AS n_purchases
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY purchase_value DESC, user_id
+        |LIMIT 5""") { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(dsum2(col("value")).as("purchase_value"), count(lit(1)).as("n_purchases"))
+        .orderBy(desc("purchase_value"), col("user_id"))
+        .limit(5)
+    },
+
+    sql(
+      "q66_json_props",
+      "semi-structured JSON column: extract, cast, bucket, aggregate",
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_bucket,
+        |       count(*) AS n, ${a4("value")} AS avg_value
+        |FROM events
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket""") { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k_bucket",
+          floor(get_json_object(col("props"), "$.k").cast("long") / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"),
+          r4(dsum(col("value")) / count(col("value"))).as("avg_value"))
+        .orderBy("k_bucket")
+    },
+
+    sql(
+      "q67_first_last_event",
+      "argmin/argmax by event time via row_number windows",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_asc,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+        |  FROM events)
+        |SELECT f.user_id, f.event_type AS first_type, l.event_type AS last_type
+        |FROM (SELECT user_id, event_type FROM ranked WHERE rn_asc = 1) f
+        |JOIN (SELECT user_id, event_type FROM ranked WHERE rn_desc = 1) l USING (user_id)
+        |ORDER BY user_id""") { (s, dir) =>
+      val asc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dsc = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val ranked = Tables.events(s, dir)
+        .withColumn("rn_asc", row_number().over(asc))
+        .withColumn("rn_desc", row_number().over(dsc))
+      val first = ranked.filter(col("rn_asc") === 1).select(col("user_id"), col("event_type").as("first_type"))
+      val last = ranked.filter(col("rn_desc") === 1).select(col("user_id"), col("event_type").as("last_type"))
+      first.join(last, Seq("user_id")).orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.sql
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/analytic functions, grouping sets, and set operations —
+  * SURVEY.md §2.6 gap-fill ("no window functions, no set operations" in the
+  * reference).
+  *
+  * Scale posture: every window here is partitioned by a high-cardinality key
+  * (custkey), so state is distributed; the one global window (ntile over all
+  * orders) is documented as a single-ordered operation — at 100 TB the same
+  * question is answered with approx_percentile instead (see q33 doc).
+  *
+  * Running sums inside window frames accumulate in frame order, which both
+  * engines share — but we still sum decimals, so frame evaluation strategy
+  * (DuckDB segment trees vs Spark streaming frames) cannot shift a cent.
+  */
+object WindowQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "q30_topk_per_group",
+      "row_number window: top-3 orders per customer, unique tie-break",
+      """SELECT c_custkey, o_orderkey, rnk,
+        |       floor((o_totalprice) * 100 + 0.5) / 100 AS o_totalprice
+        |FROM (SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY c_custkey, rnk""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("rnk"),
+          r2(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("c_custkey", "rnk")
+    },
+
+    sql(
+      "q31_running_total",
+      "cumulative window frame: running spend per customer over order time",
+      """SELECT o_custkey, o_orderkey,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(24,6)))
+        |                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100 + 0.5) / 100
+        |         AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          r2(sum(col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double")))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    sql(
+      "q32_order_gaps",
+      "lag window: days between consecutive orders per customer",
+      """SELECT o_custkey, o_orderkey,
+        |       date_diff('day',
+        |         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |         CAST(o_orderdate AS DATE)) AS gap_days
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long"))
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    sql(
+      "q33_price_deciles",
+      "global ntile window: order-price deciles (at 100 TB this becomes approx_percentile; exact global ordering kept here for the oracle)",
+      s"""SELECT decile, count(*) AS n_orders,
+        |       floor((min(o_totalprice)) * 100 + 0.5) / 100 AS min_price,
+        |       floor((max(o_totalprice)) * 100 + 0.5) / 100 AS max_price,
+        |       ${s2("o_totalprice")} AS sum_price
+        |FROM (SELECT o_totalprice,
+        |             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY decile
+        |ORDER BY decile""") { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          r2(min("o_totalprice")).as("min_price"),
+          r2(max("o_totalprice")).as("max_price"),
+          dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("decile")
+    },
+
+    sql(
+      "q34_rollup",
+      "ROLLUP grouping sets with subtotals and grand total",
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${s2("l_quantity")} AS sum_qty, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    sql(
+      "q35_cube",
+      "CUBE grouping sets with grouping() indicators",
+      s"""SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       ${s2("l_extendedprice")} AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), dsum2(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid").cast("long").as("gid"),
+          col("sum_price"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    sql(
+      "q36_set_ops",
+      "UNION / INTERSECT / EXCEPT over customer key sets",
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_acctbal > 4000.0)
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 4000.0).select("c_custkey")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()
+      val m = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+      a.union(b).distinct().intersect(f).except(m).orderBy("c_custkey")
+    },
+
+    sql(
+      "q37_percentiles",
+      "exact continuous percentiles of account balance per market segment",
+      """SELECT c_mktsegment,
+        |       floor((quantile_cont(c_acctbal, 0.5)) * 10000 + 0.5) / 10000 AS median_bal,
+        |       floor((quantile_cont(c_acctbal, 0.9)) * 10000 + 0.5) / 10000 AS p90_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""") { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          r4(expr("percentile(c_acctbal, 0.5)")).as("median_bal"),
+          r4(expr("percentile(c_acctbal, 0.9)")).as("p90_bal"))
+        .orderBy("c_mktsegment")
+    }
+  )
+}
