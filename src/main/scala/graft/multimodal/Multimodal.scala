@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north star): media payloads travel as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * resize / frame-sample run as partition-wise batch transforms.
+  *
+  * The container has no image/audio codecs, so `decode` below is a
+  * clearly-marked deterministic STUB (byte statistics instead of pixel
+  * decoding) — but everything Spark-side is production-shaped: schema,
+  * `Dataset[T]` encoders, `mapPartitions` batch iteration (one decoder init
+  * per partition, the same shape a JNI/FFmpeg decoder needs), and explode
+  * for frame sampling. Swapping the stub for a real codec changes no plan.
+  */
+object Multimodal {
+
+  /** A media payload: opaque bytes + typed metadata. */
+  final case class MediaBlob(
+      doc_id: Long,
+      media_type: String, // image | audio | video
+      data: Array[Byte],
+      meta_lang: String,
+      meta_source: String)
+
+  /** Fixed-width features extracted from a payload. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      mean_byte: Double,
+      feature: Array[Float])
+
+  /** One sampled "frame" of a video payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  val FeatureDim = 16
+
+  /** documents → media blobs: text bytes stand in for encoded media; the
+    * media type cycles deterministically so every branch is exercised.
+    */
+  def packBlobs(spark: SparkSession, docs: DataFrame): Dataset[MediaBlob] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(lit(Array("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("data"),
+        col("lang").as("meta_lang"),
+        col("source").as("meta_source"))
+      .as[MediaBlob]
+  }
+
+  /** STUB decoder: real deployments decode pixels/samples here (this
+    * container ships no codecs); the stand-in derives deterministic byte
+    * statistics and a fixed-width "embedding" by bucket-averaging — the
+    * Spark contract (partition-batched, one init per partition, fixed
+    * output schema) is the real thing.
+    */
+  def decodeFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder init would go here (e.g. native lib handle)
+      it.map { b =>
+        val bytes = b.data
+        val n = bytes.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+        val feat = new Array[Float](FeatureDim)
+        if (n > 0) {
+          val bucket = math.max(1, n / FeatureDim)
+          var f = 0
+          while (f < FeatureDim) {
+            var s = 0L
+            var c = 0
+            var j = f * bucket
+            while (j < math.min(n, (f + 1) * bucket)) { s += bytes(j) & 0xff; c += 1; j += 1 }
+            feat(f) = if (c == 0) 0f else s.toFloat / c
+            f += 1
+          }
+        }
+        MediaFeatures(b.doc_id, b.media_type, n.toLong, if (n == 0) 0.0 else sum.toDouble / n, feat)
+      }
+    }
+  }
+
+  /** Frame sampling STUB: slices the payload into `stride`-byte "frames"
+    * and keeps every `every`-th one — the explode shape of real video
+    * frame sampling.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int = 64, every: Int = 2): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.filter(_.media_type == "video").flatMap { b =>
+      b.data.grouped(stride).zipWithIndex.collect {
+        case (chunk, idx) if idx % every == 0 => Frame(b.doc_id, idx, chunk)
+      }
+    }
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.{rowsOnly, sql}
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the north-star
+  * dedup suite: exact (hash group-by), MinHash+LSH banding, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup shuffles once on the 128-bit content hash — never on the
+  *     raw text;
+  *   - MinHash signatures are computed map-side with direct token hashing
+  *     (no vocabulary); only band keys shuffle, and candidate verification
+  *     touches just the colliding pairs;
+  *   - the dictionary-based MinHash twin (d03) exists because its pure
+  *     arithmetic is DuckDB-checkable — the production path is d04's;
+  *   - blocked pair generation (same `source` / same `label`) stands in for
+  *     the banding/bucketing that bounds pair counts at scale.
+  */
+object DedupQueries {
+
+  private def toks = TextFunctions.tokens(col("text"))
+
+  /** Word n-grams as strings; empty array when the doc is too short. */
+  private def ngrams(t: org.apache.spark.sql.Column, n: Int) =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  // Fixed MinHash permutation constants, shared by the Spark impl and the
+  // generated DuckDB oracle of d03.
+  private val P = 2147483647L
+  private val As = Seq(1103L, 12289L, 52361L, 75377L, 9419L, 31847L, 60689L, 81919L)
+  private val Bs = Seq(12345L, 98765L, 54321L, 13579L, 24680L, 86420L, 11111L, 77777L)
+
+  /** Production near-dup path: MinHash(k=16) → LSH bands(8×2) → exact
+    * Jaccard verification of colliding pairs.
+    */
+  def lshNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // 3-gram shingles, not unigram token sets: with a small vocabulary every
+    // document shares nearly all unigrams, so only shingle sets separate
+    // near-duplicates from unrelated docs.
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("tokset"))
+    // k=32, 16 bands × 2 rows: P(candidate | j=0.5) ≈ 0.99, so recall at the
+    // 0.5 threshold is near-exact while unrelated pairs (j ≈ 0.02 on
+    // shingles) almost never collide.
+    val sigs = docs.withColumn("sig", HashFunctions.minhashSignature(col("tokset"), 32))
+    val banded = sigs
+      .select(col("doc_id"), col("tokset"),
+        explode(HashFunctions.bandKeys(col("sig"), bands = 16, rowsPerBand = 2)).as("b"))
+      .select(col("doc_id"), col("tokset"), col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("id_a"), col("tokset").as("ts_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("id_b"), col("tokset").as("ts_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ts_a", "ts_b").distinct()
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact all-pairs Jaccard over a block — the oracle/recall reference for
+    * the LSH path (ScalaTest asserts lshNearDups ⊇ these pairs).
+    */
+  def exactNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("tokset"))
+    val a = docs.select(col("doc_id").as("id_a"), col("tokset").as("ts_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("tokset").as("ts_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "d01_exact_dedup",
+      "exact dedup via content-hash group-by: keep lowest doc_id per text",
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""") { (s, dir) =>
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "d02_ngram_jaccard",
+      "word-3-gram Jaccard similarity between consecutive documents",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       floor((length(list_filter(a.grams, x -> list_contains(b.grams, x))) * 1.0
+        |              / (length(a.grams) + length(b.grams)
+        |                 - length(list_filter(a.grams, x -> list_contains(b.grams, x))))) * 10000 + 0.5) / 10000
+        |         AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""") { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+        .select(col("id_a"), col("id_b"),
+          r4(col("inter") * lit(1.0) / (size(col("g_a")) + size(col("g_b")) - col("inter"))).as("jaccard"))
+        .orderBy("id_a")
+    },
+
+    sql(
+      "d03_minhash_signature",
+      "MinHash signatures (dictionary-arithmetic twin; DuckDB-checkable)",
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+        |          FROM (SELECT DISTINCT tok FROM toks)),
+        |ids AS (SELECT doc_id, list(tok_id) AS ids
+        |        FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+        |SELECT doc_id,
+        |${As.zip(Bs).zipWithIndex.map { case ((a, bc), j) =>
+           s"       list_min(list_transform(ids, t -> ($a * t + $bc) % $P)) AS h$j" }.mkString(",\n")}
+        |FROM ids
+        |ORDER BY doc_id""") { (s, dir) =>
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      val vocab = tokens.select("tok").distinct()
+        .withColumn("tok_id", row_number().over(Window.orderBy("tok")).cast("long") - 1)
+      val ids = tokens.join(broadcast(vocab), "tok")
+        .groupBy("doc_id").agg(collect_list("tok_id").as("ids"))
+      ids.select(col("doc_id") +: As.zip(Bs).zipWithIndex.map { case ((a, bc), j) =>
+          array_min(transform(col("ids"), t => (t * a + bc) % P)).as(s"h$j")
+        }: _*)
+        .orderBy("doc_id")
+    },
+
+    rowsOnly(
+      "d04_lsh_near_dups",
+      "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified; recall vs exact pairs asserted in ScalaTest")(
+      (s, dir) => lshNearDups(s, dir)),
+
+    rowsOnly(
+      "d05_simhash_pairs",
+      "SimHash-over-shingles fingerprints: prefix-blocked pairs within Hamming distance 16")(
+      (s, dir) => {
+        // Block on the top simhash byte: near-identical fingerprints share
+        // high bits with overwhelming probability, so the quadratic pair
+        // space shrinks to per-block joins (the simhash analogue of LSH
+        // banding; multi-table blocking would push recall higher at scale).
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), HashFunctions.simhash64(array_distinct(ngrams(toks, 3))).as("sh"))
+          .withColumn("blk", shiftright(col("sh"), 56))
+        val a = docs.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, "blk")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+          .filter(col("hamming") <= 16)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      }),
+
+    rowsOnly(
+      "d07_rolling_fingerprint",
+      "order-sensitive rolling-hash fingerprint per document (exact-sequence identity)")(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.functions.HashFunctions.rollingHash(toks).as("fp"))
+          .orderBy("doc_id")
+      }),
+
+    sql(
+      "d06_embedding_sim_pairs",
+      "embedding-cosine near-dup candidates within label blocks (threshold 0.3)",
+      s"""SELECT id_a, id_b, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |             ${cosineSql("a.embedding", "b.embedding")} AS sim
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE sim > 0.3
+        |ORDER BY id_a, id_b""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      a.join(b, "label")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", cosineSim(col("e_a"), col("e_b")))
+        .filter(col("sim") > 0.3)
+        .select(col("id_a"), col("id_b"), r6(col("sim")).as("sim"))
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.{rowsOnly, sql}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payload metadata, stubbed decode /
+  * feature extraction (see [[graft.multimodal.Multimodal]]), frame
+  * sampling, and the documents × embeddings struct-column join.
+  */
+object MultimodalQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "m01_binary_metadata",
+      "binary payload column: byte length + SHA-256 content address",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS content_sha
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("byte_len"),
+          sha2(col("text").cast("binary"), 256).as("content_sha"))
+        .orderBy("doc_id")
+    },
+
+    rowsOnly(
+      "m02_decode_features",
+      "partition-batched media decode (stubbed codec) → fixed-width features")(
+      (s, dir) => {
+        val feats = Multimodal.decodeFeatures(
+          Multimodal.packBlobs(s, Tables.documents(s, dir)))
+        feats.toDF()
+          .select(col("doc_id"), col("media_type"), col("byte_len"),
+            r4(col("mean_byte")).as("mean_byte"),
+            r4(element_at(col("feature"), 1).cast("double")).as("f0"))
+          .orderBy("doc_id")
+      }),
+
+    rowsOnly(
+      "m03_frame_sampling",
+      "video frame sampling: payload → exploded frame rows")(
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          Multimodal.packBlobs(s, Tables.documents(s, dir)))
+        frames.toDF()
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy("doc_id", "frame_idx")
+      }),
+
+    sql(
+      "m04_multimodal_join",
+      "documents × embeddings as one multimodal struct column, filtered + aggregated",
+      s"""SELECT label, count(*) AS n,
+        |       ${a4("n_chars")} AS avg_chars,
+        |       floor((CAST(sum(CAST(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS DECIMAL(24,6))) AS DOUBLE)
+        |              / count(*)) * 10000 + 0.5) / 10000 AS avg_sq_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.lang = 'en'
+        |GROUP BY label
+        |ORDER BY label""") { (s, dir) =>
+      import graft.functions.VectorFunctions._
+      val doc = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      doc.join(emb, col("doc_id") === col("vec_id"))
+        .select(struct(col("text"), col("lang"), col("n_chars"), col("embedding"), col("label")).as("media"))
+        .filter(col("media.lang") === "en")
+        .groupBy(col("media.label").as("label"))
+        .agg(count(lit(1)).as("n"),
+          davg4(col("media.n_chars")).as("avg_chars"),
+          r4(dsum(dotProduct(col("media.embedding"), col("media.embedding"))) / count(lit(1))).as("avg_sq_norm"))
+        .orderBy("label")
+    }
+  )
+}

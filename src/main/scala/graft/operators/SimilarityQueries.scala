@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.{rowsOnly, sql}
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star operator).
+  *
+  * Three tiers, in the shape a 100 TB deployment uses them:
+  *   - `s01` brute-force exact top-k for a bounded query set — the
+  *     correctness oracle. The query side is tiny and broadcast, so the scan
+  *     side streams once with no shuffle; cost is O(|Q|·N) codegen'd cosine
+  *     evaluations.
+  *   - `s03` IVF: cluster centroids (here: label means, i.e. one Lloyd
+  *     assignment step), nprobe=2 — candidates shrink ~5×; the candidate
+  *     join is keyed on cluster id, so at scale it's a co-partitioned join
+  *     instead of a cross join.
+  *   - `s04` random-hyperplane LSH, 4 tables × 8 bits — candidate
+  *     generation is a pure hash-bucket equi-join (shuffle on 8-bit keys),
+  *     no distance computation until the rerank step.
+  * Recall of the approximate tiers vs `s01` is asserted in ScalaTest.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NQueries = 10
+
+  /** exact top-k: query set broadcast against the full collection. */
+  def knnBrute(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Per-label elementwise mean vectors, rebuilt as array<float> columns. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg("v").as("mv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
+        .cast("array<float>").as("centroid"))
+
+  /** IVF search: assign every vector to its nearest centroid once (the
+    * index build), then probe the query's 2 nearest cells.
+    */
+  def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = broadcast(labelCentroids(s, dir)
+      .select(col("label").as("cent_id"), col("centroid")))
+
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))
+    val assigned = e.crossJoin(cents)
+      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("arnk", row_number().over(assignW))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cent_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `tables` × `bits` planes of dim 64. */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+  }
+
+  /** sign-bit signature of `emb` for one LSH table. */
+  private def signature(emb: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotProduct(emb, lit(p)) >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH search: candidates = union over tables of same-bucket vectors,
+    * reranked by exact cosine. Bucket join is an equi-join on
+    * (table, signature) — at 100 TB this is the only shuffle.
+    */
+  def knnLsh(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries,
+      tables: Int = 4, bits: Int = 8): DataFrame = {
+    val planes = hyperplanes(tables, bits)
+    val e = Tables.embeddings(s, dir)
+
+    def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(Seq(col(idCol), col(embCol)) ++ planes.zipWithIndex.map { case (p, t) =>
+        signature(col(embCol), p).as(s"sig_$t")
+      }: _*)
+
+    val base = bucketed(e, "vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.t").as("t"), col("b.sig").as("sig"))
+
+    val q = bucketed(e.filter(col("vec_id") < nq), "vec_id", "embedding")
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb")
+      .select(col("q_id"), col("q_emb"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
+      .select(col("q_id"), col("q_emb"), col("b.t").as("t"), col("b.sig").as("sig"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+    q.join(base, Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      .distinct()  // a pair can collide in several tables
+      .select(col("q_id"), col("neighbor_id"), cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "s01_knn_bruteforce",
+      "exact cosine top-5 neighbors for 10 query vectors (codegen'd Catalyst expression)",
+      s"""SELECT q_id, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT q_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |                   ${cosineSql("q.embedding", "e.embedding")} AS sim
+        |            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |            WHERE q.vec_id < $NQueries))
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) => knnBrute(s, dir) },
+
+    sql(
+      "s02_embedding_norms",
+      "per-label embedding statistics via dot-product expression",
+      s"""SELECT label, count(*) AS n,
+        |       floor((CAST(sum(CAST(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS DECIMAL(24,6))) AS DOUBLE)
+        |              / count(*)) * 10000 + 0.5) / 10000 AS avg_sq_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""") { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          r4(dsum(dotProduct(col("embedding"), col("embedding"))) / count(lit(1))).as("avg_sq_norm"))
+        .orderBy("label")
+    },
+
+    rowsOnly(
+      "s03_knn_ivf",
+      "IVF approximate nearest neighbors (nprobe=2); recall vs s01 asserted in ScalaTest")(
+      (s, dir) => knnIvf(s, dir)),
+
+    rowsOnly(
+      "s04_knn_lsh",
+      "random-hyperplane LSH ANN (4 tables x 8 bits); recall vs s01 asserted in ScalaTest")(
+      (s, dir) => knnLsh(s, dir))
+  )
+}

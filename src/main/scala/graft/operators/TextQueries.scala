@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.sql
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import graft.operators.Det._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the north-star
+  * LLM-data-pipeline surface (language ID, quality scoring, token counting,
+  * fingerprinting, n-gram profiles). All expression-only (no UDFs): at
+  * 100 TB these are embarrassingly parallel map-side pipelines whose only
+  * shuffles are the final small aggregations.
+  */
+object TextQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "t01_token_stats",
+      "per-document token statistics from whitespace tokenization",
+      """SELECT doc_id,
+        |       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |       floor(((length(text) - length(string_split(text, ' ')) + 1) * 1.0
+        |              / length(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+          r4((length(col("text")) - size(toks) + 1) * lit(1.0) / size(toks)).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "t02_token_frequency",
+      "corpus-wide token frequency: explode + aggregate, deterministic top 20",
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 20""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok"))
+        .limit(20)
+    },
+
+    sql(
+      "t03_language_id",
+      "dictionary language-ID heuristic vs labeled lang (confusion counts)",
+      s"""SELECT lang, ${TextFunctions.langIdSql("text")} AS lang_pred, count(*) AS n
+        |FROM documents
+        |GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    sql(
+      "t04_quality_score",
+      "document quality features: type-token ratio, short-token fraction, composite score",
+      """SELECT doc_id, n_chars,
+        |       floor((ttr) * 10000 + 0.5) / 10000 AS ttr,
+        |       floor((short_frac) * 10000 + 0.5) / 10000 AS short_frac,
+        |       floor((0.5 * ttr + 0.5 * (1 - short_frac)) * 10000 + 0.5) / 10000 AS quality
+        |FROM (SELECT doc_id, n_chars,
+        |             length(list_distinct(string_split(text, ' '))) * 1.0
+        |               / length(string_split(text, ' ')) AS ttr,
+        |             length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) * 1.0
+        |               / length(string_split(text, ' ')) AS short_frac
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("ttr"),
+          (size(filter(toks, t => length(t) <= 2)) * lit(1.0) / size(toks)).as("short_frac"))
+        .select(col("doc_id"), col("n_chars"), r4(col("ttr")).as("ttr"),
+          r4(col("short_frac")).as("short_frac"),
+          r4(lit(0.5) * col("ttr") + lit(0.5) * (lit(1) - col("short_frac"))).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "t05_fingerprint_dups",
+      "md5 document fingerprinting → exact-duplicate groups",
+      """SELECT md5(text) AS fp, count(*) AS n_docs,
+        |       min(doc_id) AS keeper, max(doc_id) AS last_dup
+        |FROM documents
+        |GROUP BY fp
+        |HAVING count(*) > 1
+        |ORDER BY fp""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"), max("doc_id").as("last_dup"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    },
+
+    sql(
+      "t06_word_bigrams",
+      "word-bigram profile: positional n-gram construction, deterministic top 20",
+      """SELECT bigram, count(*) AS n
+        |FROM (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+        |                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |      FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 20""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(toks.as("t"))
+        .select(explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(20)
+    },
+
+    sql(
+      "t07_lang_length_stats",
+      "per-language corpus statistics incl. exact median length",
+      """SELECT lang, count(*) AS n_docs,
+        |       floor((sum(n_chars) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS avg_chars,
+        |       floor((quantile_cont(n_chars, 0.5)) * 10000 + 0.5) / 10000 AS median_chars,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          r4(sum("n_chars") * lit(1.0) / count(lit(1))).as("avg_chars"),
+          r4(expr("percentile(n_chars, 0.5)")).as("median_chars"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"))
+        .orderBy("lang")
+    }
+  )
+}
