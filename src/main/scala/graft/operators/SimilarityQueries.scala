@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   *     side streams once with no shuffle; cost is O(|Q|·N) codegen'd cosine
   *     evaluations.
   *   - `s03` IVF: cluster centroids (here: label means, i.e. one Lloyd
-  *     assignment step), nprobe=2 — candidates shrink ~5×; the candidate
-  *     join is keyed on cluster id, so at scale it's a co-partitioned join
-  *     instead of a cross join.
-  *   - `s04` random-hyperplane LSH, 4 tables × 8 bits — candidate
-  *     generation is a pure hash-bucket equi-join (shuffle on 8-bit keys),
-  *     no distance computation until the rerank step.
+  *     assignment step), nprobe=4 of 10 cells — candidates shrink ~2.5×;
+  *     the candidate join is keyed on cluster id, so at scale it's a
+  *     co-partitioned join instead of a cross join.
+  *   - `s04` random-hyperplane LSH, 8 tables × 4 bits — candidate
+  *     generation is a pure hash-bucket equi-join, no distance computation
+  *     until the rerank step. The fixture's embeddings are near-random
+  *     (top-neighbor cosine ≈ 0.4 ⇒ per-bit agreement only ≈ 0.63), so
+  *     table/bit counts are tuned for recall over pruning; with real
+  *     embedding clusters the same operator prunes far harder.
   * Recall of the approximate tiers vs `s01` is asserted in ScalaTest.
   */
 object SimilarityQueries {
@@ -59,7 +62,7 @@ object SimilarityQueries {
   /** IVF search: assign every vector to its nearest centroid once (the
     * index build), then probe the query's 2 nearest cells.
     */
-  def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 2): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cents = broadcast(labelCentroids(s, dir)
       .select(col("label").as("cent_id"), col("centroid")))
@@ -108,7 +111,7 @@ object SimilarityQueries {
     * (table, signature) — at 100 TB this is the only shuffle.
     */
   def knnLsh(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries,
-      tables: Int = 4, bits: Int = 8): DataFrame = {
+      tables: Int = 8, bits: Int = 4): DataFrame = {
     val planes = hyperplanes(tables, bits)
     val e = Tables.embeddings(s, dir)
 

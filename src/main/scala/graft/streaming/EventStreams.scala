@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operator set over event streams (SURVEY.md §7 M3): watermarked
+  * tumbling/sliding/session windows, in-watermark dedup, and arbitrary
+  * stateful sessionization via `flatMapGroupsWithState`.
+  *
+  * Every operator here has a batch twin in
+  * [[graft.operators.EventQueries]]; the streaming test suite replays the
+  * events fixture through `MemoryStream` and asserts stream == batch.
+  *
+  * Scale posture: state is keyed by (window, type) or user_id — both
+  * high-cardinality, shuffle-partitioned keys; watermarks bound state size;
+  * at 100 TB the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`) keeps per-executor
+  * state off-heap.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling 1-hour window counts (streaming twin of q60). */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Sliding 10-minute/5-minute window counts (streaming twin of q61). */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Built-in session windows with a 30-minute gap. */
+  def sessionCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Exactly-once-per-key dedup bounded by the watermark (streaming twin of
+    * q63's minute-bucket dedup; state is evicted as the watermark passes).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the escape
+    * hatch when session logic outgrows `session_window` (reference has no
+    * stateful ops at all; this is the M3/M4 pattern-setter). Emits one
+    * summary per user when the group times out (test path: on stream end).
+    */
+  def statefulSessions(spark: SparkSession, events: Dataset[Event],
+      gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long, Long)]) =>
+          // state = (lastTsMicros, nSessions, nEvents)
+          var (lastTs, nSessions, nEvents) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime * 1000
+            if (lastTs == Long.MinValue || t - lastTs > gapMicros) nSessions += 1
+            nEvents += 1
+            lastTs = t
+          }
+          state.update((lastTs, nSessions, nEvents))
+          Iterator(SessionSummary(user, nSessions, nEvents))
+      }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Stream transport abstraction (SURVEY.md §7 M2).
+  *
+  * The engine's pipelines are written against this trait so the same query
+  * runs over: (a) an in-memory stream in tests, (b) a directory of files
+  * (this zero-egress environment's stand-in for a stream), or (c) a real
+  * Kinesis stream via the Structured Streaming Kinesis connector when its
+  * jar is on the classpath. Swapping transports changes no operator code —
+  * the reference, by contrast, reimplements its whole pipeline three times
+  * for three SDK clients (KinesisSync/KinesisAsync/KinesisV1Async).
+  */
+trait StreamIO {
+  /** Unbounded envelope-schema DataFrame (readStream). */
+  def read(spark: SparkSession): DataFrame
+
+  /** Start writing an envelope-schema stream; 2 s processing-time trigger
+    * reproduces the reference's job cadence (`App.java:18`).
+    */
+  def write(envelope: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery
+}
+
+/** Directory-backed stream: each micro-batch lands as JSON files; readers
+  * tail the directory. This is the CI-friendly transport — semantically a
+  * single-shard, TRIM_HORIZON stream with durable replay.
+  */
+final class FileStreamIO(dir: String) extends StreamIO {
+  import Envelope.schema
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16) // per-trigger read cap, the S3/K-consumer fetch-limit analogue
+      .json(dir)
+
+  override def write(envelope: DataFrame, checkpoint: String, trigger: Trigger): StreamingQuery =
+    envelope.writeStream
+      .format("json")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}
+
+/** Kinesis transport configuration (reference: `Config.java:4-9` — stream
+  * `java-test-stream`, region `us-east-2`, default-profile credentials).
+  *
+  * The Structured Streaming Kinesis connector (`spark-sql-kinesis` /
+  * `aws-kinesis` data source) is not on this environment's classpath
+  * (zero-egress build), so [[read]]/[[write]] raise a descriptive error if
+  * invoked; the option mapping below is the complete wiring a deployment
+  * needs. Unlike the reference's consumers, the connector reads **all**
+  * shards and checkpoints offsets — both deliberate fixes of reference
+  * quirks (SURVEY.md §2.1, §3.4).
+  */
+final case class KinesisStreamIO(
+    streamName: String = "java-test-stream",
+    region: String = "us-east-2",
+    startingPosition: String = "TRIM_HORIZON" // reference: KinesisSync.java:96
+) extends StreamIO {
+
+  private val format = "aws-kinesis"
+
+  def sourceOptions: Map[String, String] = Map(
+    "kinesis.streamName" -> streamName,
+    "kinesis.region" -> region,
+    "kinesis.consumerType" -> "GetRecords",
+    "kinesis.startingPosition" -> startingPosition,
+    // fetch cap per poll mirrors the reference's getRecords limit(1000)
+    // (KinesisSync.java:110) as a per-shard per-trigger bound:
+    "kinesis.maxFetchRecordsPerShard" -> "1000"
+  )
+
+  def sinkOptions: Map[String, String] = Map(
+    "kinesis.streamName" -> streamName,
+    "kinesis.region" -> region,
+    // partition key column = tickerSymbol (KinesisSync.java:158)
+    "kinesis.partitionKey" -> "partitionKey"
+  )
+
+  private def unavailable = throw new UnsupportedOperationException(
+    s"Kinesis connector ('$format') jar is not on the classpath in this " +
+      "environment; deploy with the Spark Structured Streaming Kinesis " +
+      "connector to activate this transport. Use FileStreamIO/memory for local runs.")
+
+  override def read(spark: SparkSession): DataFrame = {
+    if (spark.conf.getOption("graft.kinesis.enabled").isEmpty) unavailable
+    spark.readStream.format(format).options(sourceOptions).load()
+  }
+
+  override def write(envelope: DataFrame, checkpoint: String, trigger: Trigger): StreamingQuery =
+    unavailable
+}
+
+/** Control-plane verbs (L1-L4: create/validate/describe/delete) behind a
+  * backend interface. The local backend realizes them over a directory —
+  * enough to exercise lifecycle logic (validation failure, idempotent
+  * create, teardown) in tests; a Kinesis backend implements the same verbs
+  * with the AWS SDK (create with shardCount, wait for ACTIVE, delete).
+  * Divergence from the reference: validation failure raises instead of
+  * `System.exit(1)` (`KinesisSync.java:181`) so the engine stays testable.
+  */
+trait StreamAdmin {
+  def create(name: String): Unit
+  def validate(name: String): Boolean
+  def describe(name: String): Seq[String] // shard ids
+  def delete(name: String): Unit
+}
+
+final class LocalStreamAdmin(root: java.nio.file.Path, shards: Int = Envelope.DefaultShards) extends StreamAdmin {
+  import java.nio.file.Files
+
+  private def dir(name: String) = root.resolve(name)
+
+  override def create(name: String): Unit = {
+    val d = dir(name)
+    Files.createDirectories(d)
+    (0 until shards).foreach(i => Files.createDirectories(d.resolve(f"shardId-$i%012d")))
+    Files.write(d.resolve("_STATUS"), "ACTIVE".getBytes)
+  }
+
+  override def validate(name: String): Boolean =
+    Files.exists(dir(name).resolve("_STATUS")) &&
+      new String(Files.readAllBytes(dir(name).resolve("_STATUS"))) == "ACTIVE"
+
+  override def describe(name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = dir(name)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("shardId-")).toSeq.sorted
+  }
+
+  override def delete(name: String): Unit = {
+    val d = dir(name)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.model.StockTrade
+import graft.sources.TradeSource
+import graft.streaming.Envelope
+import org.apache.spark.sql.functions._
+
+/** Wire-format fidelity: JSON round trip (C1+C2) and the reference's
+  * permissive decode semantics (`StockTrade.java:17,77-78`).
+  */
+class CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("to_json → from_json round trip is the identity on trades") {
+    val trades = TradeSource.trades(spark, 2000, partitions = 4)
+    val back = Envelope.decode(Envelope.encode(trades.toDF()))
+      .select("tickerSymbol", "tradeType", "price", "quantity", "id")
+      .as[StockTrade]
+    assert(back.collect().sortBy(_.id).toSeq == trades.collect().sortBy(_.id).toSeq)
+  }
+
+  test("unknown JSON fields are ignored (FAIL_ON_UNKNOWN_PROPERTIES=false)") {
+    val json = """{"tickerSymbol":"AAPL","tradeType":"BUY","price":1.5,"quantity":2,"id":9,"mystery":"x"}"""
+    val row = Seq(json).toDF("data")
+      .select(from_json(col("data"), StockTrade.schema).as("t")).select("t.*")
+      .as[StockTrade].head()
+    assert(row == StockTrade("AAPL", "BUY", 1.5, 2, 9))
+  }
+
+  test("garbage payload decodes to nulls, not an error (StockTrade.java:77-78)") {
+    val rows = Seq("not json at all").toDF("data")
+      .select(from_json(col("data"), StockTrade.schema).as("t")).select("t.*")
+      .collect()
+    assert(rows.length == 1 && rows.head.toSeq.forall(_ == null))
+  }
+
+  test("envelope carries key=ticker and stable shard assignment") {
+    val env = Envelope.encode(TradeSource.trades(spark, 500).toDF())
+    val bad = env.filter(col("partitionKey").isNull || !col("shardId").startsWith("shardId-")).count()
+    assert(bad == 0)
+    // same key → same shard
+    val shardsPerKey = env.groupBy("partitionKey")
+      .agg(countDistinct("shardId").as("n")).filter(col("n") > 1).count()
+    assert(shardsPerKey == 0)
+  }
+
+  test("consumer log line matches the reference format (KinesisSync.java:119-122)") {
+    val env = Envelope.encode(TradeSource.trades(spark, 1).toDF())
+    val line = env.select(Envelope.consumerLogLine.as("l")).as[String].head()
+    assert(line.matches("Seq No: \\d+ - \\{.*\\}"))
+  }
+}

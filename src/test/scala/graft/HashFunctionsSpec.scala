@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{HashFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Properties of the custom Catalyst expressions: simhash locality,
+  * rolling-hash order sensitivity, cosine correctness vs a plain Scala
+  * computation, and interpreted-vs-codegen agreement.
+  */
+class HashFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def simhashOf(tokens: Seq[String]): Long =
+    Seq(Tuple1(tokens)).toDF("t").select(HashFunctions.simhash64(col("t"))).head().getLong(0)
+
+  test("simhash: near-identical token sets land at small Hamming distance, unrelated far") {
+    val base = (1 to 120).map(i => s"tok$i")
+    val nearDup = base.updated(5, "CHANGED").updated(50, "ALSO")
+    val unrelated = (1 to 120).map(i => s"other$i")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hb, hn, hu) = (simhashOf(base), simhashOf(nearDup), simhashOf(unrelated))
+    assert(ham(hb, hn) <= 12, s"near-dup hamming ${ham(hb, hn)}")
+    assert(ham(hb, hu) >= 20, s"unrelated hamming ${ham(hb, hu)}")
+  }
+
+  test("rolling hash is order-sensitive; simhash is order-insensitive") {
+    val t = Seq("a", "b", "c", "d")
+    def roll(ts: Seq[String]) =
+      Seq(Tuple1(ts)).toDF("t").select(HashFunctions.rollingHash(col("t"))).head().getLong(0)
+    assert(roll(t) != roll(t.reverse))
+    assert(simhashOf(t) == simhashOf(t.reverse))
+  }
+
+  test("cosine expression matches plain Scala computation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    def d(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val want = d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    assert(math.abs(got - want) < 1e-15)
+  }
+
+  test("expressions agree between codegen and interpreted eval") {
+    val df = Seq((Seq("x", "y", "z"), Array(1f, 2f, 3f))).toDF("toks", "vec")
+    val withCodegen = df.select(
+      HashFunctions.simhash64(col("toks")), HashFunctions.rollingHash(col("toks")),
+      VectorFunctions.cosineSim(col("vec"), col("vec"))).head()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(
+        HashFunctions.simhash64(col("toks")), HashFunctions.rollingHash(col("toks")),
+        VectorFunctions.cosineSim(col("vec"), col("vec"))).head()
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("minhash signature: more similar sets share more signature positions") {
+    val base = (1 to 100).map(i => s"g$i")
+    val near = base.drop(5) ++ Seq("n1", "n2", "n3", "n4", "n5")
+    val far = (1 to 100).map(i => s"z$i")
+    val df = Seq(("base", base), ("near", near), ("far", far)).toDF("k", "toks")
+      .select(col("k"), HashFunctions.minhashSignature(col("toks"), 32).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs("base"), sigs("near")) > agree(sigs("base"), sigs("far")))
+    assert(agree(sigs("base"), sigs("near")) >= 16) // j≈0.9 → E[agree]≈29/32
+  }
+}

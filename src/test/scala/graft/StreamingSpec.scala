@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Tables, TradeSource}
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming E2E (SURVEY.md §5.3): file-transport trade pipeline, memory-
+  * stream event operators vs their batch twins, watermark dedup, stateful
+  * sessions, and the control-plane lifecycle.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("trade pipeline: produce to transport, consume, per-ticker stats match batch") {
+    val dir = tmp("graft-stream")
+    val trades = TradeSource.trades(spark, 5000, partitions = 4)
+    // produce one micro-batch worth of data through the file transport
+    Envelope.encode(trades.toDF()).write.json(s"$dir/data")
+
+    val io = new FileStreamIO(s"$dir/data")
+    val q = TradePipeline.consume(spark, io, "trade_stats",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("trade_stats")
+      .groupBy("tickerSymbol").agg(sum("n_trades").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = trades.groupBy("tickerSymbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  private def eventStream() = {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+      .collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[EventStreams.Event](spark)
+    ms.addData(events.toSeq)
+    (ms, events)
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    val (ms, events) = eventStream()
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("tumbling").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumbling")
+      .groupBy("window_start", "event_type").agg(max("n_events").as("n_events"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val batch = events.toSeq.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type")).count()
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups (user,type,minute) within bound") {
+    val (ms, events) = eventStream()
+    val q = EventStreams.dedupWithinWatermark(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamedCount = spark.table("dedup").count()
+    val batchDistinct = events.toSeq.toDF()
+      .select(col("user_id"), col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .distinct().count()
+    // the watermark can only re-admit keys whose state was evicted, so
+    // streamed ∈ [distinct, raw]; on this fixture (30 days ≫ 1h watermark,
+    // data arrives ordered) it should equal the exact distinct count
+    assert(streamedCount == batchDistinct)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch sessionization (q62)") {
+    val (ms, _) = eventStream()
+    val q = EventStreams.statefulSessions(spark, ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q62_sessionization")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("session_window groups events by 30-minute gaps") {
+    val (ms, events) = eventStream()
+    val q = EventStreams.sessionCounts(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("swindows").start()
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("swindows").agg(sum("n_events")).head().getLong(0)
+    assert(total == events.length)
+  }
+
+  test("stream lifecycle: create → validate → describe → delete (L1-L4)") {
+    val admin = new LocalStreamAdmin(Files.createTempDirectory("graft-admin"))
+    assert(!admin.validate("s1"))
+    admin.create("s1")
+    assert(admin.validate("s1"))
+    assert(admin.describe("s1").size == Envelope.DefaultShards)
+    admin.delete("s1")
+    assert(!admin.validate("s1") && admin.describe("s1").isEmpty)
+  }
+
+  test("Kinesis transport declares its wiring but refuses to run without the connector") {
+    val k = KinesisStreamIO()
+    assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
+    assert(k.sourceOptions("kinesis.region") == "us-east-2")
+    assert(k.sourceOptions("kinesis.startingPosition") == "TRIM_HORIZON")
+    assert(k.sinkOptions("kinesis.partitionKey") == "partitionKey")
+    intercept[UnsupportedOperationException](k.read(spark))
+  }
+}
