@@ -50,6 +50,129 @@ object HashOps {
     out
   }
 
+  /** fnv1a of the n-gram starting at `from` (tokens joined by 0x1f). */
+  private def shingleHash(arr: ArrayData, from: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var g = 0
+    while (g < n) {
+      if (g > 0) { h ^= 0x1fL; h *= 0x100000001b3L }
+      val bytes = arr.getUTF8String(from + g).getBytes
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      g += 1
+    }
+    h
+  }
+
+  /** xxhash-style avalanche finalizer used to derive per-permutation
+    * hashes from one base shingle hash (the "one permutation" trick).
+    */
+  private def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Fused k-permutation MinHash over word n-gram shingles: one pass, no
+    * intermediate shingle arrays, no interpreted lambdas. Duplicate
+    * shingles cannot change a min, so no dedup pass is needed.
+    */
+  def shingleMinHash(arr: ArrayData, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nTok = arr.numElements()
+    var p = 0
+    while (p <= nTok - n) {
+      val base = shingleHash(arr, p, n)
+      var j = 0
+      while (j < k) {
+        val h = mix(base ^ (j * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** MinHash signature → LSH band keys in one kernel: band b's key mixes
+    * its `rows` consecutive signature entries. Returned directly (rather
+    * than composing `xxhash64` over `sig[i]` columns) because Catalyst's
+    * projection collapse would inline the signature expression once per
+    * band, recomputing it `bands`× per row.
+    */
+  def shingleMinHashBands(arr: ArrayData, k: Int, n: Int, bands: Int, rows: Int): Array[Long] = {
+    val sig = shingleMinHash(arr, k, n)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        h = mix(h ^ sig(b * rows + r))
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
+  /** Fused SimHash64 over word n-gram shingles (one pass). */
+  def shingleSimHash(arr: ArrayData, n: Int): Long = {
+    val counts = new Array[Int](64)
+    val nTok = arr.numElements()
+    var p = 0
+    while (p <= nTok - n) {
+      val h = shingleHash(arr, p, n)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      p += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingle strings in one kernel (vs the interpreted
+    * `transform(sequence(...)) + array_distinct` pipeline).
+    */
+  def shingleStrings(arr: ArrayData, n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val nTok = arr.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    var p = 0
+    while (p <= nTok - n) {
+      val sb = new java.lang.StringBuilder()
+      var g = 0
+      while (g < n) {
+        if (g > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(p + g).toString)
+        g += 1
+      }
+      seen.add(sb.toString)
+      p += 1
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); i += 1 }
+    out
+  }
+
   /** Order-sensitive polynomial rolling hash over tokens (wrapping i64). */
   def rollingHash(arr: ArrayData): Long = {
     var h = 0L
@@ -90,6 +213,98 @@ case class SimHash64(child: Expression) extends TokenArrayHash {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused shingle MinHash expression: array<string> tokens → array<long>
+  * signature. The kernel runs as one compiled method call per row, so the
+  * whole signature computation stays inside the codegen'd stage — unlike a
+  * `transform(sequence(...))` pipeline, where Spark's higher-order lambdas
+  * evaluate interpreted per element.
+  */
+case class ShingleMinHash(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  override def prettyName: String = "shingle_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleMinHash(v.asInstanceOf[ArrayData], k, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.shingleMinHash($c, $k, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shingle MinHash + LSH banding fused into one expression: tokens →
+  * array<long> of band keys (index = band id). See
+  * [[HashOps.shingleMinHashBands]] for why banding is not composed from
+  * column-level `xxhash64` over signature items.
+  */
+case class ShingleMinHashBands(child: Expression, k: Int, n: Int, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "shingle_minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleMinHashBands(v.asInstanceOf[ArrayData], k, n, bands, rows))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.shingleMinHashBands($c, $k, $n, $bands, $rows))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct shingle strings as a fused expression (array<string> →
+  * array<string>); used where exact shingle sets are needed (Jaccard
+  * verification) without paying interpreted higher-order-function costs.
+  */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "shingle_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleStrings(v.asInstanceOf[ArrayData], n).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.shingleStrings($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused shingle SimHash expression (see [[ShingleMinHash]] for why). */
+case class ShingleSimHash(child: Expression, n: Int) extends TokenArrayHash {
+  override def prettyName: String = "shingle_simhash"
+  override protected def kernel: String = "" // unused, doGenCode overridden
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.shingleSimHash(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleSimHash($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-sensitive rolling-hash fingerprint (exact-sequence identity). */
 case class RollingHash(child: Expression) extends TokenArrayHash {
   override def prettyName: String = "rolling_hash"
@@ -103,6 +318,22 @@ object HashFunctions {
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def rollingHash(tokens: Column): Column = Bridge.column(RollingHash(Bridge.expression(tokens)))
+
+  /** Fused shingle MinHash (see [[ShingleMinHash]]). */
+  def shingleMinHash(tokens: Column, k: Int, n: Int): Column =
+    Bridge.column(ShingleMinHash(Bridge.expression(tokens), k, n))
+
+  /** Fused shingle SimHash (see [[ShingleSimHash]]). */
+  def shingleSimHash(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleSimHash(Bridge.expression(tokens), n))
+
+  /** Fused shingle MinHash → LSH band keys (see [[ShingleMinHashBands]]). */
+  def shingleMinHashBands(tokens: Column, k: Int, n: Int, bands: Int, rows: Int): Column =
+    Bridge.column(ShingleMinHashBands(Bridge.expression(tokens), k, n, bands, rows))
+
+  /** Distinct shingle strings (see [[ShingleStrings]]). */
+  def shingleStrings(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(tokens), n))
 
   /** k-permutation MinHash signature (array<long>) over a token array.
     *

@@ -29,13 +29,6 @@ object DedupQueries {
 
   private def toks = TextFunctions.tokens(col("text"))
 
-  /** Word n-grams as strings; empty array when the doc is too short. */
-  private def ngrams(t: org.apache.spark.sql.Column, n: Int) =
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-
   // Fixed MinHash permutation constants, shared by the Spark impl and the
   // generated DuckDB oracle of d03.
   private val P = 2147483647L
@@ -48,22 +41,28 @@ object DedupQueries {
   def lshNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // 3-gram shingles, not unigram token sets: with a small vocabulary every
     // document shares nearly all unigrams, so only shingle sets separate
-    // near-duplicates from unrelated docs.
+    // near-duplicates from unrelated docs. The fused ShingleMinHash
+    // expression computes shingling + 32 permutations in one codegen'd
+    // kernel; k=32 as 16 bands × 2 rows gives P(candidate | j=0.5) ≈ 0.99,
+    // while unrelated pairs (j ≈ 0.02 on shingles) almost never collide.
+    //
+    // The banding join carries only (band, key, doc_id) — shingle sets are
+    // re-joined afterwards for just the candidate pairs, so the one shuffle
+    // here moves 24 bytes/row, not 128-element string arrays.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("tokset"))
-    // k=32, 16 bands × 2 rows: P(candidate | j=0.5) ≈ 0.99, so recall at the
-    // 0.5 threshold is near-exact while unrelated pairs (j ≈ 0.02 on
-    // shingles) almost never collide.
-    val sigs = docs.withColumn("sig", HashFunctions.minhashSignature(col("tokset"), 32))
-    val banded = sigs
-      .select(col("doc_id"), col("tokset"),
-        explode(HashFunctions.bandKeys(col("sig"), bands = 16, rowsPerBand = 2)).as("b"))
-      .select(col("doc_id"), col("tokset"), col("b.band").as("band"), col("b.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("id_a"), col("tokset").as("ts_a"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("id_b"), col("tokset").as("ts_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ts_a", "ts_b").distinct()
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
+          .as(Seq("band", "key")))
+    val candidates = banded
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("tokset"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
@@ -77,7 +76,7 @@ object DedupQueries {
     */
   def exactNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("tokset"))
+      .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("tokset"))
     val a = docs.select(col("doc_id").as("id_a"), col("tokset").as("ts_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("tokset").as("ts_b"))
     a.crossJoin(b)
@@ -124,7 +123,7 @@ object DedupQueries {
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""") { (s, dir) =>
       val g = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(ngrams(toks, 3)).as("grams"))
+        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("grams"))
       val a = g.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
@@ -173,7 +172,7 @@ object DedupQueries {
         // space shrinks to per-block joins (the simhash analogue of LSH
         // banding; multi-table blocking would push recall higher at scale).
         val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), HashFunctions.simhash64(array_distinct(ngrams(toks, 3))).as("sh"))
+          .select(col("doc_id"), HashFunctions.shingleSimHash(toks, 3).as("sh"))
           .withColumn("blk", shiftright(col("sh"), 56))
         val a = docs.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
