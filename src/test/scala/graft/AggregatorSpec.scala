@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Aggregators
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Accuracy / invariants for the custom-aggregate surface, plus SQL-path
+  * registration through GraftExtensions.
+  */
+class AggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopK aggregator == window-function top-k") {
+    val top2 = udaf(new Aggregators.TopK(2))
+    val got = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(top2(col("o_totalprice")).as("tops"))
+      .select(col("o_custkey"), element_at(col("tops"), 1).as("t1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(max("o_totalprice").as("t1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("HLL approx_count_distinct within 5% of exact") {
+    val df = Tables.lineitem(spark, sf0001)
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct("l_orderkey").as("exact")).head()
+    val (approx, exact) = (df.getLong(0), df.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile median within 2% of exact percentile") {
+    val df = Tables.orders(spark, sf0001)
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),
+        expr("percentile(o_totalprice, 0.5)").as("exact")).head()
+    assert(math.abs(df.getDouble(0) - df.getDouble(1)) / df.getDouble(1) < 0.02)
+  }
+
+  test("reservoir sample has size k and draws from the group domain") {
+    val sample = udaf(new Aggregators.ReservoirSample(k = 5, seed = 1L))
+    val rows = Tables.customer(spark, sf0001)
+      .groupBy("c_mktsegment").agg(sample(col("c_custkey")).as("s"))
+      .collect()
+    val keys = Tables.customer(spark, sf0001).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val s = r.getSeq[Long](1)
+      assert(s.size == 5 && s.toSet.subsetOf(keys))
+    }
+  }
+
+  test("GraftExtensions registers SQL functions (cosine_sim, shingle_simhash)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force base session/context creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[8]")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      val sim = s2.sql(
+        "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+      assert(s2.sql("SELECT shingle_simhash(array('a','b','c'), 2)").head().getLong(0) != 0L)
+      assert(s2.sql("SELECT size(shingle_minhash(array('a','b','c'), 8, 2))").head().getInt(0) == 8)
+      assert(s2.sql("SELECT rolling_hash(array('a','b')) <> rolling_hash(array('b','a'))").head().getBoolean(0))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
