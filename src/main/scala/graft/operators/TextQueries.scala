@@ -130,6 +130,23 @@ object TextQueries {
     },
 
     sql(
+      "t08_bpe_token_count",
+      "BPE-ish subword token counting via regex segmentation",
+      """SELECT doc_id,
+        |       CAST(length(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords,
+        |       CAST(length(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("n_subwords"),
+          size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+            .cast("long").as("n_vowel_runs"))
+        .orderBy("doc_id")
+    },
+
+    sql(
       "t07_lang_length_stats",
       "per-language corpus statistics incl. exact median length",
       """SELECT lang, count(*) AS n_docs,

@@ -23,9 +23,11 @@ class StreamingSpec extends SparkSpec {
     Envelope.encode(trades.toDF()).write.json(s"$dir/data")
 
     val io = new FileStreamIO(s"$dir/data")
+    val listener = Observability.attachProgressLogger(spark) // O4 telemetry path
     val q = TradePipeline.consume(spark, io, "trade_stats",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination(120000)
+    spark.streams.removeListener(listener)
 
     val streamed = spark.table("trade_stats")
       .groupBy("tickerSymbol").agg(sum("n_trades").as("n"))
