@@ -154,6 +154,27 @@ object EventQueries {
     },
 
     sql(
+      "q68_asof_attribution",
+      "as-of join (operator Spark lacks; composed union+window form): each purchase attributed to the latest prior click",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.backward(purchases, clicks, key = "user_id",
+          leftTs = "ts", rightTs = "ts", tieBreak = "event_id")
+        .select(col("left.event_id").as("purchase_id"),
+          col("right.event_id").as("click_id"),
+          (unix_micros(col("left.ts").cast("timestamp")) -
+            unix_micros(col("right.ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    sql(
       "q67_first_last_event",
       "argmin/argmax by event time via row_number windows",
       """WITH ranked AS (

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -57,6 +57,35 @@ object EventStreams {
       .withColumn("minute_bucket", date_trunc("minute", col("ts")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
+
+  /** Watermarked stream-stream interval join: purchases matched to clicks
+    * by the same user within the preceding hour. Both sides carry
+    * watermarks so join state is evicted as event time advances — the
+    * bounded-state form of stream-stream equi-joins (SURVEY.md §2.6
+    * gap-fill; the 100 TB posture is "watermark everything or state grows
+    * without bound").
+    */
+  def purchaseClickJoin(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
+  /** Stream-static join: the streaming side enriched from a broadcastable
+    * dimension (here ticker → mean price, mirroring the reference's
+    * generator dictionary as a dim table).
+    */
+  def enrichTrades(trades: DataFrame, dim: DataFrame): DataFrame =
+    trades.join(org.apache.spark.sql.functions.broadcast(dim), Seq("tickerSymbol"), "left")
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
     * hatch when session logic outgrows `session_window` (reference has no

@@ -102,6 +102,33 @@ class StreamingSpec extends SparkSpec {
     assert(total == events.length)
   }
 
+  test("watermarked stream-stream join == batch interval join") {
+    val (ms, events) = eventStream()
+    val q = EventStreams.purchaseClickJoin(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    q.processAllAvailable(); q.stop()
+
+    val batchEvents = events.toSeq.toDF()
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val batchCount = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
+    assert(spark.table("ssjoin").count() == batchCount)
+  }
+
+  test("stream-static join enriches trades from the broadcast ticker dim") {
+    import graft.model.TradeGenerator
+    val dim = TradeGenerator.StockPrices.toDF("tickerSymbol", "mean_price")
+    val trades = TradeSource.trades(spark, 1000).toDF()
+    val enriched = EventStreams.enrichTrades(trades, dim)
+    assert(enriched.filter(col("mean_price").isNull).count() == 0)
+    // price stays within ±20% of the joined dim mean — the generator's contract
+    assert(enriched.filter(col("price") > col("mean_price") * 1.2 + 0.01 ||
+      col("price") < col("mean_price") * 0.8 - 0.01).count() == 0)
+  }
+
   test("stream lifecycle: create → validate → describe → delete (L1-L4)") {
     val admin = new LocalStreamAdmin(Files.createTempDirectory("graft-admin"))
     assert(!admin.validate("s1"))
