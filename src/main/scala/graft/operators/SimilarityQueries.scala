@@ -173,6 +173,30 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
+    sql(
+      "s05_zipwith_cosine",
+      "builtin higher-order-function cosine (zip_with + aggregate) — the pure-composition twin of the codegen'd expression",
+      s"""SELECT vec_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT vec_id, ${cosineSql("embedding", "embedding")} AS sim
+        |      FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id""") { (s, dir) =>
+      // zip_with multiplies elementwise; aggregate() folds left-to-right in
+      // doubles — the same accumulation order as the custom expression and
+      // the DuckDB formula. Kept as coverage of Spark's HOF surface; the
+      // custom expression exists because HOF lambdas evaluate interpreted.
+      def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          (dotHof(col("embedding"), col("embedding")) /
+            (sqrt(dotHof(col("embedding"), col("embedding"))) *
+              sqrt(dotHof(col("embedding"), col("embedding"))))).as("sim"))
+        .select(col("vec_id"), r6(col("sim")).as("sim"))
+        .orderBy("vec_id")
+    },
+
     rowsOnly(
       "s03_knn_ivf",
       "IVF approximate nearest neighbors (nprobe=2); recall vs s01 asserted in ScalaTest")(

@@ -147,6 +147,22 @@ object TextQueries {
     },
 
     sql(
+      "t09_edit_distance",
+      "Levenshtein edit distance between consecutive documents' heads",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val a = d.select(col("doc_id").as("id_a"), substring(col("text"), 1, 40).as("h_a"))
+      val b = d.select(col("doc_id").as("id_b"), substring(col("text"), 1, 40).as("h_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("h_a"), col("h_b")).cast("long").as("edit_dist"))
+        .orderBy("id_a")
+    },
+
+    sql(
       "t07_lang_length_stats",
       "per-language corpus statistics incl. exact median length",
       """SELECT lang, count(*) AS n_docs,

@@ -156,6 +156,44 @@ object WindowQueries {
     },
 
     sql(
+      "q50_pivot",
+      "pivot: event-type counts as columns per user (relational transpose)",
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    sql(
+      "q51_unpivot",
+      "unpivot/melt: wide per-flag sums back to long form",
+      """SELECT l_returnflag, metric, floor((value) * 100 + 0.5) / 100 AS value
+        |FROM (SELECT l_returnflag,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS qty,
+        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS price
+        |      FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR metric IN (qty, price))
+        |ORDER BY l_returnflag, metric""") { (s, dir) =>
+      graft.sources.Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("qty"), dsum(col("l_extendedprice")).as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")), "metric", "value")
+        .select(col("l_returnflag"), col("metric"), r2(col("value")).as("value"))
+        .orderBy("l_returnflag", "metric")
+    },
+
+    sql(
       "q37_percentiles",
       "exact continuous percentiles of account balance per market segment",
       """SELECT c_mktsegment,
