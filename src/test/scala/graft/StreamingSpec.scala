@@ -102,6 +102,62 @@ class StreamingSpec extends SparkSpec {
     assert(total == events.length)
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import java.sql.Timestamp
+    val ms = MemoryStream[EventStreams.Event](spark)
+    def ev(id: Long, t: String) =
+      EventStreams.Event(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("late").start()
+
+    // batch 1: events in hour 10, then hour 12 → watermark advances to 11:50,
+    // closing (and emitting) the hour-10 window
+    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    // batch 3: a late hour-10 event, far behind the watermark → dropped
+    ms.addData(ev(4, "2024-01-01 10:45:00"))
+    q.processAllAvailable()
+    // advance far enough to also close the hour-12 window
+    ms.addData(ev(5, "2024-01-01 14:00:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("late")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 10:00:00") == 2, s"late event must NOT be counted: $rows")
+    assert(rows("2024-01-01 12:00:00") == 1)
+  }
+
+  test("streaming global top-k via foreachBatch (unsupported as a pure streaming sort)") {
+    val ms = MemoryStream[EventStreams.Event](spark)
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+    ms.addData(events.toSeq)
+
+    val topk = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch global sort+limit is legal inside foreachBatch
+        topk ++= batch.orderBy(desc("value"), col("event_id")).limit(3)
+          .select("event_id", "value").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val want = events.sortBy(e => (-e.value, e.event_id)).take(3).map(e => (e.event_id, e.value))
+    assert(topk.sortBy(t => (-t._2, t._1)).take(3).toSeq == want.toSeq)
+  }
+
   test("watermarked stream-stream join == batch interval join") {
     val (ms, events) = eventStream()
     val q = EventStreams.purchaseClickJoin(ms.toDF())
