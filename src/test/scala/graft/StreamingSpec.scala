@@ -26,8 +26,8 @@ class StreamingSpec extends SparkSpec {
     val listener = Observability.attachProgressLogger(spark) // O4 telemetry path
     val q = TradePipeline.consume(spark, io, "trade_stats",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    q.awaitTermination(120000)
-    spark.streams.removeListener(listener)
+    try assert(q.awaitTermination(120000), "trade pipeline did not finish in time")
+    finally { q.stop(); spark.streams.removeListener(listener) }
 
     val streamed = spark.table("trade_stats")
       .groupBy("tickerSymbol").agg(sum("n_trades").as("n"))
@@ -104,43 +104,41 @@ class StreamingSpec extends SparkSpec {
 
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.sql.Timestamp
+    import java.time.Instant
+    // explicit UTC instants: immune to the JVM default timezone (the
+    // session timezone is UTC, Timestamp.valueOf would parse in JVM-local)
+    def utc(t: String) = Timestamp.from(Instant.parse(t))
     val ms = MemoryStream[EventStreams.Event](spark)
-    def ev(id: Long, t: String) =
-      EventStreams.Event(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    def ev(id: Long, t: String) = EventStreams.Event(id, utc(t), 1L, "click", 1.0)
     val agg = ms.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
     val q = agg.writeStream.outputMode("append").format("memory").queryName("late").start()
 
-    // batch 1: events in hour 10, then hour 12 → watermark advances to 11:50,
-    // closing (and emitting) the hour-10 window
-    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
-    q.processAllAvailable()
-    ms.addData(ev(3, "2024-01-01 12:00:00"))
-    q.processAllAvailable()
-    // batch 3: a late hour-10 event, far behind the watermark → dropped
-    ms.addData(ev(4, "2024-01-01 10:45:00"))
-    q.processAllAvailable()
-    // advance far enough to also close the hour-12 window
-    ms.addData(ev(5, "2024-01-01 14:00:00"))
-    q.processAllAvailable()
-    q.stop()
+    try {
+      // batch 1: events in hour 10, then hour 12 → watermark advances to
+      // 11:50, closing (and emitting) the hour-10 window
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:30:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01T12:00:00Z"))
+      q.processAllAvailable()
+      // batch 3: a late hour-10 event, far behind the watermark → dropped
+      ms.addData(ev(4, "2024-01-01T10:45:00Z"))
+      q.processAllAvailable()
+      // advance far enough to also close the hour-12 window
+      ms.addData(ev(5, "2024-01-01T14:00:00Z"))
+      q.processAllAvailable()
+    } finally q.stop()
 
     val rows = spark.table("late")
-      .select(col("window.start").cast("string"), col("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rows("2024-01-01 10:00:00") == 2, s"late event must NOT be counted: $rows")
-    assert(rows("2024-01-01 12:00:00") == 1)
+      .select(col("window.start"), col("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows(utc("2024-01-01T10:00:00Z")) == 2, s"late event must NOT be counted: $rows")
+    assert(rows(utc("2024-01-01T12:00:00Z")) == 1)
   }
 
   test("streaming global top-k via foreachBatch (unsupported as a pure streaming sort)") {
-    val ms = MemoryStream[EventStreams.Event](spark)
-    val events = Tables.events(spark, sf0001)
-      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[EventStreams.Event].collect()
-    ms.addData(events.toSeq)
-
+    val (ms, events) = eventStream()
     val topk = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val q = ms.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -152,7 +150,8 @@ class StreamingSpec extends SparkSpec {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "top-k query did not finish in time")
+    finally q.stop()
 
     val want = events.sortBy(e => (-e.value, e.event_id)).take(3).map(e => (e.event_id, e.value))
     assert(topk.sortBy(t => (-t._2, t._1)).take(3).toSeq == want.toSeq)
