@@ -32,42 +32,45 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
 
-  /** Seeded reservoir sample of k longs per group (Vitter's algorithm R,
-    * adapted to distributed merge: merged reservoirs are re-subsampled
-    * weighted by their observed counts). State is O(k) regardless of group
-    * size. Deterministic per (partition layout, seed).
+  /** Seeded uniform sample of k longs per group, implemented as **bottom-k
+    * priority sampling**: every value gets a deterministic pseudo-random
+    * priority, and the sample is the k values with the smallest
+    * priorities. Unlike classic reservoir merging (which needs careful
+    * count-weighting), bottom-k merges *exactly* — the k smallest of a
+    * union are computable from each side's k smallest — so the aggregate
+    * is associative, commutative, and independent of partition layout for
+    * distinct inputs. State is O(k).
+    *
+    * Caveat: duplicate input values share a priority, so the sample is
+    * uniform over *distinct* values; feed unique keys (its intended use).
     */
-  final case class Reservoir(sample: Array[Long], seen: Long)
+  final case class Reservoir(priorities: Array[Long], values: Array[Long])
 
   final class ReservoirSample(k: Int, seed: Long) extends Aggregator[Long, Reservoir, Array[Long]] {
-    private def rng(a: Long, b: Long): Long = {
-      var h = a * 0x9e3779b97f4a7c15L + b + seed
+    private def priority(v: Long): Long = {
+      var h = v * 0x9e3779b97f4a7c15L + seed
       h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
       h & Long.MaxValue
     }
 
-    override def zero: Reservoir = Reservoir(Array.empty, 0L)
+    override def zero: Reservoir = Reservoir(Array.empty, Array.empty)
 
-    override def reduce(r: Reservoir, v: Long): Reservoir =
-      if (r.sample.length < k) Reservoir(r.sample :+ v, r.seen + 1)
-      else {
-        val j = rng(v, r.seen) % (r.seen + 1)
-        if (j < k) { val s = r.sample.clone(); s(j.toInt) = v; Reservoir(s, r.seen + 1) }
-        else Reservoir(r.sample, r.seen + 1)
-      }
-
-    override def merge(a: Reservoir, b: Reservoir): Reservoir = {
-      val total = a.seen + b.seen
-      if (total <= k) Reservoir(a.sample ++ b.sample, total)
-      else {
-        // weighted subsample of the union, proportional to seen counts
-        val pool = a.sample ++ b.sample
-        val picked = pool.indices.sortBy(i => rng(pool(i), i)).take(k).map(pool).toArray
-        Reservoir(picked, total)
-      }
+    private def bottomK(pairs: Array[(Long, Long)]): Reservoir = {
+      val kept = pairs.sortBy(_._1).take(k)
+      Reservoir(kept.map(_._1), kept.map(_._2))
     }
 
-    override def finish(r: Reservoir): Array[Long] = r.sample.sorted
+    override def reduce(r: Reservoir, v: Long): Reservoir = {
+      val p = priority(v)
+      if (r.values.length < k) bottomK(r.priorities.zip(r.values) :+ (p, v))
+      else if (p < r.priorities.last) bottomK(r.priorities.zip(r.values) :+ (p, v))
+      else r
+    }
+
+    override def merge(a: Reservoir, b: Reservoir): Reservoir =
+      bottomK(a.priorities.zip(a.values) ++ b.priorities.zip(b.values))
+
+    override def finish(r: Reservoir): Array[Long] = r.values.sorted
 
     override def bufferEncoder: Encoder[Reservoir] = Encoders.product[Reservoir]
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

@@ -50,13 +50,18 @@ object HashOps {
     out
   }
 
-  /** fnv1a of the n-gram starting at `from` (tokens joined by 0x1f). */
+  private val EmptyBytes = Array.emptyByteArray
+
+  /** fnv1a of the n-gram starting at `from` (tokens joined by 0x1f).
+    * Null tokens hash like empty strings (array<string> columns may carry
+    * containsNull=true).
+    */
   private def shingleHash(arr: ArrayData, from: Int, n: Int): Long = {
     var h = 0xcbf29ce484222325L
     var g = 0
     while (g < n) {
       if (g > 0) { h ^= 0x1fL; h *= 0x100000001b3L }
-      val bytes = arr.getUTF8String(from + g).getBytes
+      val bytes = if (arr.isNullAt(from + g)) EmptyBytes else arr.getUTF8String(from + g).getBytes
       var i = 0
       while (i < bytes.length) {
         h ^= (bytes(i) & 0xffL)
@@ -160,7 +165,7 @@ object HashOps {
       var g = 0
       while (g < n) {
         if (g > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(p + g).toString)
+        if (!arr.isNullAt(p + g)) sb.append(arr.getUTF8String(p + g).toString)
         g += 1
       }
       seen.add(sb.toString)
@@ -247,6 +252,8 @@ case class ShingleMinHash(child: Expression, k: Int, n: Int) extends UnaryExpres
   */
 case class ShingleMinHashBands(child: Expression, k: Int, n: Int, bands: Int, rows: Int)
     extends UnaryExpression {
+  require(bands * rows <= k,
+    s"bands*rows (${bands * rows}) must not exceed signature length k ($k)")
   override def prettyName: String = "shingle_minhash_bands"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -75,7 +75,10 @@ object Multimodal {
             var s = 0L
             var c = 0
             var j = f * bucket
-            while (j < math.min(n, (f + 1) * bucket)) { s += bytes(j) & 0xff; c += 1; j += 1 }
+            // the final bucket extends to n so trailing bytes (when n is
+            // not a multiple of FeatureDim) still influence the features
+            val end = if (f == FeatureDim - 1) n else math.min(n, (f + 1) * bucket)
+            while (j < end) { s += bytes(j) & 0xff; c += 1; j += 1 }
             feat(f) = if (c == 0) 0f else s.toFloat / c
             f += 1
           }

@@ -35,7 +35,7 @@ object DedupQueries {
   private val As = Seq(1103L, 12289L, 52361L, 75377L, 9419L, 31847L, 60689L, 81919L)
   private val Bs = Seq(12345L, 98765L, 54321L, 13579L, 24680L, 86420L, 11111L, 77777L)
 
-  /** Production near-dup path: MinHash(k=16) → LSH bands(8×2) → exact
+  /** Production near-dup path: MinHash(k=32) → LSH bands(16×2) → exact
     * Jaccard verification of colliding pairs.
     */
   def lshNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {

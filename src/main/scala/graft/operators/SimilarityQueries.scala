@@ -60,7 +60,7 @@ object SimilarityQueries {
         .cast("array<float>").as("centroid"))
 
   /** IVF search: assign every vector to its nearest centroid once (the
-    * index build), then probe the query's 2 nearest cells.
+    * index build), then probe the query's `nprobe` nearest cells.
     */
   def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -199,12 +199,12 @@ object SimilarityQueries {
 
     rowsOnly(
       "s03_knn_ivf",
-      "IVF approximate nearest neighbors (nprobe=2); recall vs s01 asserted in ScalaTest")(
+      "IVF approximate nearest neighbors (nprobe=4 of 10 cells); recall vs s01 asserted in ScalaTest")(
       (s, dir) => knnIvf(s, dir)),
 
     rowsOnly(
       "s04_knn_lsh",
-      "random-hyperplane LSH ANN (4 tables x 8 bits); recall vs s01 asserted in ScalaTest")(
+      "random-hyperplane LSH ANN (8 tables x 4 bits); recall vs s01 asserted in ScalaTest")(
       (s, dir) => knnLsh(s, dir))
   )
 }

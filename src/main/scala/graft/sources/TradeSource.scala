@@ -31,7 +31,14 @@ object TradeSource {
     }
   }
 
-  /** Streaming trades at the reference's production rate (S1+S2). */
+  /** Streaming trades at the reference's production rate (S1+S2).
+    *
+    * Each row's generator is seeded from the rate source's monotone
+    * `value` (splitmix-style), NOT per-partition: a per-partition seed
+    * would restart the PRNG sequence every micro-batch, replaying the
+    * same trade prefix each trigger. Per-row derivation makes the stream
+    * deterministic in the row index and independent of batch boundaries.
+    */
   def tradeStream(spark: SparkSession, rowsPerSecond: Int = 10, seed: Long = 42L): Dataset[StockTrade] = {
     import spark.implicits._
     spark.readStream
@@ -40,9 +47,10 @@ object TradeSource {
       .load()
       .select(col("value"))
       .as[Long]
-      .mapPartitions { it =>
-        val gen = new TradeGenerator(seed + TaskContext.getPartitionId())
-        it.map(i => gen.next().copy(id = i + 1))
+      .map { i =>
+        var h = (i + 1) * 0x9e3779b97f4a7c15L + seed
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        new TradeGenerator(h).next().copy(id = i + 1)
       }
   }
 }

@@ -89,8 +89,11 @@ object EventStreams {
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
     * hatch when session logic outgrows `session_window` (reference has no
-    * stateful ops at all; this is the M3/M4 pattern-setter). Emits one
-    * summary per user when the group times out (test path: on stream end).
+    * stateful ops at all; this is the M3/M4 pattern-setter). Emits the
+    * *running* cumulative summary for each user present in a micro-batch;
+    * downstream consumers keep the latest row per user (the tests take
+    * `max(n_sessions)`). A production variant would configure an event-time
+    * timeout and emit only on session close.
     */
   def statefulSessions(spark: SparkSession, events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionSummary] = {

@@ -133,15 +133,19 @@ final class LocalStreamAdmin(root: java.nio.file.Path, shards: Int = Envelope.De
     import scala.jdk.CollectionConverters._
     val d = dir(name)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("shardId-")).toSeq.sorted
+    else scala.util.Using.resource(Files.list(d)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("shardId-")).toSeq.sorted
+    }
   }
 
   override def delete(name: String): Unit = {
     val d = dir(name)
     if (Files.exists(d)) {
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(d)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
   }
 }
