@@ -20,6 +20,20 @@ object TradeQueries {
 
   val all: Seq[GraftQuery] = Seq(
     rowsOnly(
+      "tr00_pipeline_throughput",
+      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md)")(
+      (s, dir) => {
+        // 1M trades for the sf0.1 bench; a lighter volume for the
+        // correctness pass (its output is scale-independent: 25 tickers)
+        val n = if (dir.endsWith("0.1")) 1000000L else 100000L
+        val trades = TradeSource.trades(s, n).toDF()
+        val decoded = graft.streaming.Envelope.decode(graft.streaming.Envelope.encode(trades))
+        graft.streaming.TradePipeline.tickerStats(decoded, window_ = "10 seconds")
+          .select(col("tickerSymbol"), col("n_trades"), col("sum_qty"),
+            r2(col("vwap")).as("vwap"))
+      }),
+
+    rowsOnly(
       "tr01_trade_stats",
       "per-ticker stats over the seeded distributed generator (S1 reproduction)")(
       (s, dir) => {
