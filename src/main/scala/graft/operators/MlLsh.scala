@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.sources.Tables
+import graft.operators.Det.r6
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed ANN (SURVEY.md §4.2: "wrap MLlib; no custom
+  * SparkStrategy") — the library alternative to the hand-rolled
+  * hyperplane LSH in [[SimilarityQueries]].
+  *
+  * `BucketedRandomProjectionLSH` hashes by quantized random projections
+  * (Euclidean LSH); `approxNearestNeighbors` probes the fitted model per
+  * query. Embeddings are near-unit-norm, so Euclidean neighbors ≈ cosine
+  * neighbors — the recall cross-check against the exact cosine baseline
+  * lives in ScalaTest. Seeded, so results are reproducible.
+  */
+object MlLsh {
+
+  def knn(s: SparkSession, dir: String, k: Int = 5, nq: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      .setBucketLength(2.0)
+      .setNumHashTables(8)
+      .setSeed(42L)
+    val model = lsh.fit(e)
+    val hashed = model.transform(e)
+
+    // approxSimilarityJoin of the query subset against the collection:
+    // bucket-join on hash tables, then exact re-rank of candidates —
+    // the same candidate-generation shape as the hand-rolled LSH.
+    val q = hashed.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("features").as("q_f"), col("hashes").as("q_h"))
+    val joined = model.approxSimilarityJoin(
+        q.withColumnRenamed("q_id", "vec_id").withColumnRenamed("q_f", "features")
+          .withColumnRenamed("q_h", "hashes"),
+        hashed, threshold = 100.0, distCol = "dist")
+      .select(col("datasetA.vec_id").as("q_id"), col("datasetB.vec_id").as("neighbor_id"),
+        col("dist"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("neighbor_id"))
+    joined
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("dist")).as("dist"))
+      .orderBy("q_id", "rnk")
+  }
+}

@@ -205,6 +205,11 @@ object SimilarityQueries {
     rowsOnly(
       "s04_knn_lsh",
       "random-hyperplane LSH ANN (8 tables x 4 bits); recall vs s01 asserted in ScalaTest")(
-      (s, dir) => knnLsh(s, dir))
+      (s, dir) => knnLsh(s, dir)),
+
+    rowsOnly(
+      "s06_knn_mllib_lsh",
+      "MLlib BucketedRandomProjectionLSH ANN (library path); recall vs s01 asserted in ScalaTest")(
+      (s, dir) => MlLsh.knn(s, dir))
   )
 }

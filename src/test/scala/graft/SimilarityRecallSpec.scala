@@ -36,6 +36,11 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"LSH recall $r")
   }
 
+  test("MLlib BucketedRandomProjectionLSH recall@5 ≥ 0.5 vs exact cosine baseline") {
+    val r = recall(neighborSets(graft.operators.MlLsh.knn(spark, sf0001)))
+    assert(r >= 0.5, s"MLlib LSH recall $r")
+  }
+
   test("MinHash+LSH near-dup pairs == exact 3-gram-Jaccard pairs (full recall at j≥0.5)") {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
