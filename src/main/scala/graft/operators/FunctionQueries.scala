@@ -146,6 +146,41 @@ object FunctionQueries {
     },
 
     sql(
+      "q52_statistics",
+      "statistical aggregates (variance/stddev/correlation) from exact decimal co-moments — the shared-formula form both engines evaluate identically",
+      """SELECT l_returnflag, n,
+        |       floor((sqrt((n * sxx - sx * sx) / (n * (n - 1)))) * 10000 + 0.5) / 10000 AS stddev_qty,
+        |       floor(((n * sxy - sx * sy) / (n * (n - 1))) * 10000 + 0.5) / 10000 AS covar_qty_disc,
+        |       floor(((n * sxy - sx * sy)
+        |              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000 + 0.5) / 1000000 AS corr_qty_disc
+        |FROM (SELECT l_returnflag, count(*) AS n,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+        |             CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+        |             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+        |             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+        |             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          r4(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * (col("n") - 1))))
+            .as("stddev_qty"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy")) / (col("n") * (col("n") - 1)))
+            .as("covar_qty_disc"),
+          Det.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    sql(
       "q49_pattern_filter",
       "LIKE / regexp / IN / BETWEEN predicate combinations",
       """SELECT p_partkey, p_name, p_type, p_size

@@ -37,6 +37,20 @@ class AggregatorSpec extends SparkSpec {
     assert(math.abs(df.getDouble(0) - df.getDouble(1)) / df.getDouble(1) < 0.02)
   }
 
+  test("co-moment statistics query matches Spark's builtin corr/stddev") {
+    val got = SparkEntry.queries("q52_statistics")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val want = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_discount")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (k, (sd, c)) =>
+      assert(math.abs(sd - want(k)._1) < 1e-3, s"stddev $k: $sd vs ${want(k)._1}")
+      assert(math.abs(c - want(k)._2) < 1e-4, s"corr $k: $c vs ${want(k)._2}")
+    }
+  }
+
   test("reservoir sample has size k and draws from the group domain") {
     val sample = udaf(new Aggregators.ReservoirSample(k = 5, seed = 1L))
     val rows = Tables.customer(spark, sf0001)
