@@ -174,6 +174,23 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    rowsOnly(
+      "q69_map_columns",
+      "MapType columns: per-user event-type→count map built, carried, and read back (equivalence with the pivot form asserted in ScalaTest)")(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("type_counts"))
+          .select(col("user_id"),
+            map_keys(col("type_counts")).as("types"),
+            element_at(col("type_counts"), "click").as("clicks"),
+            size(col("type_counts")).cast("long").as("n_types"))
+          .orderBy("user_id")
+      }),
+
     sql(
       "q67_first_last_event",
       "argmin/argmax by event time via row_number windows",

@@ -51,6 +51,16 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("map-column query agrees with the pivot form") {
+    val fromMap = SparkEntry.queries("q69_map_columns")(spark, sf0001)
+      .select("user_id", "clicks")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
+    val fromPivot = SparkEntry.queries("q50_pivot")(spark, sf0001)
+      .select("user_id", "click")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromMap == fromPivot)
+  }
+
   test("reservoir sample has size k and draws from the group domain") {
     val sample = udaf(new Aggregators.ReservoirSample(k = 5, seed = 1L))
     val rows = Tables.customer(spark, sf0001)
