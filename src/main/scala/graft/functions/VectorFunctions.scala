@@ -35,21 +35,29 @@ abstract class FloatVectorBinary extends BinaryExpression {
   }
 }
 
-/** dot(a, b) with double accumulation. */
+/** dot(a, b) with double accumulation. NULL on mismatched lengths — a
+  * silent common-prefix product would mask ragged/corrupt embedding rows
+  * with plausible-but-wrong similarities (DuckDB's list_dot_product
+  * errors on mismatch; null keeps the engine total-function but visible).
+  */
 case class DotProduct(left: Expression, right: Expression) extends FloatVectorBinary {
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      dot
     }
-    dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -71,27 +83,33 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), one fused pass. */
+/** cosine(a, b) = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), one fused pass.
+  * NULL on mismatched lengths (see [[DotProduct]]).
+  */
 case class CosineSimilarity(left: Expression, right: Expression) extends FloatVectorBinary {
   override def prettyName: String = "cosine_similarity"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
-      dot += xv * yv
-      na += xv * xv
-      nb += yv * yv
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv
+        na += xv * xv
+        nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -104,14 +122,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -50,16 +50,26 @@ object DedupQueries {
     // re-joined afterwards for just the candidate pairs, so the one shuffle
     // here moves 24 bytes/row, not 128-element string arrays.
     val docs = Tables.documents(s, dir)
+    // persist band keys: the self-join would otherwise evaluate the fused
+    // minhash kernel (the dominant map-side cost) once per join leg —
+    // Spark has no cross-branch common-subexpression reuse. 24 bytes/row.
     val banded = docs
       .select(col("doc_id"),
         posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
           .as(Seq("band", "key")))
+      .persist()
     val candidates = banded
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("doc_id") < col("id_b"))
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("tokset"))
+      .persist()
+    // shingle sets only for documents appearing in some candidate pair, so
+    // the exact-Jaccard verification cost scales with candidates, not corpus
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val sets = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("tokset"))
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")), "id_b")

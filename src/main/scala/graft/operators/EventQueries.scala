@@ -56,7 +56,7 @@ object EventQueries {
       "q62_sessionization",
       "batch sessionization: 30-min inactivity gap → session ids via window cumsum",
       """WITH flagged AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
         |              THEN 1 ELSE 0 END AS new_session
@@ -64,7 +64,7 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
@@ -73,7 +73,9 @@ object EventQueries {
         |GROUP BY user_id
         |ORDER BY user_id""") { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tie-break: duplicate (user, ts) rows would otherwise sort
+      // in engine-chosen order and shift session ids by one between engines
+      val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -159,7 +161,13 @@ object EventQueries {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  -- dedup concurrent clicks to the max event_id: ASOF leaves the
+        |  -- pick among equal timestamps unspecified, the engine tie-breaks
+        |  -- deterministically, so the oracle must too
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                              ORDER BY event_id DESC) AS rn
+        |                 FROM events WHERE event_type = 'click') WHERE rn = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""") { (s, dir) =>
       val ev = Tables.events(s, dir)

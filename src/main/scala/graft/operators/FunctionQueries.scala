@@ -106,7 +106,7 @@ object FunctionQueries {
       s"""SELECT l_returnflag,
         |       CAST(count(*) - count(nullif(l_discount, 0.0)) AS BIGINT) AS n_zero_disc,
         |       ${a4("nullif(l_discount, 0.0)")} AS avg_nonzero_disc,
-        |       floor((avg(coalesce(nullif(l_discount, 0.0), 0.05))) * 10000 + 0.5) / 10000 AS avg_imputed_disc
+        |       ${a4("coalesce(nullif(l_discount, 0.0), 0.05)")} AS avg_imputed_disc
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""") { (s, dir) =>
@@ -116,7 +116,7 @@ object FunctionQueries {
         .agg(
           (count(lit(1)) - count(nz)).cast("long").as("n_zero_disc"),
           davg4(nz).as("avg_nonzero_disc"),
-          r4(dsum(coalesce(nz, lit(0.05))) / count(lit(1))).as("avg_imputed_disc"))
+          davg4(coalesce(nz, lit(0.05))).as("avg_imputed_disc"))
         .orderBy("l_returnflag")
     },
 

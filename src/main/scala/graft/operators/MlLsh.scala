@@ -35,12 +35,8 @@ object MlLsh {
     // approxSimilarityJoin of the query subset against the collection:
     // bucket-join on hash tables, then exact re-rank of candidates —
     // the same candidate-generation shape as the hand-rolled LSH.
-    val q = hashed.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("features").as("q_f"), col("hashes").as("q_h"))
     val joined = model.approxSimilarityJoin(
-        q.withColumnRenamed("q_id", "vec_id").withColumnRenamed("q_f", "features")
-          .withColumnRenamed("q_h", "hashes"),
-        hashed, threshold = 100.0, distCol = "dist")
+        hashed.filter(col("vec_id") < nq), hashed, threshold = 100.0, distCol = "dist")
       .select(col("datasetA.vec_id").as("q_id"), col("datasetB.vec_id").as("neighbor_id"),
         col("dist"))
       .filter(col("q_id") =!= col("neighbor_id"))

@@ -170,8 +170,8 @@ object WindowQueries {
       graft.sources.Tables.events(s, dir)
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(coalesce(count(lit(1)), lit(0L)))
-        .na.fill(0L)
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent pivot cells surface as nulls outside the agg
         .orderBy("user_id")
     },
 
