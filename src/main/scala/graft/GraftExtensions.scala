@@ -46,10 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ShingleMinHash(args.head, foldableInt(args(1)), foldableInt(args(2)))))
   }
 
-  private def foldableInt(e: Expression): Int =
+  private def foldableInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal integer argument, got non-foldable $e")
     e.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
     }
+  }
 }

@@ -12,15 +12,34 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
-  /** Top-k largest doubles per group; O(k) state, O(log k)-ish updates.
-    * Buffer is a sorted (ascending) array of at most k elements.
+  /** Top-k largest doubles per group; O(k) state, binary-search insertion
+    * (O(log k) search + O(k) shift, no re-sort). Buffer is a sorted
+    * (ascending) array of at most k elements.
     */
   final class TopK(k: Int) extends Aggregator[Double, Array[Double], Array[Double]] {
     override def zero: Array[Double] = Array.empty
 
+    private def insertSorted(buf: Array[Double], v: Double, dropSmallest: Boolean): Array[Double] = {
+      val search = java.util.Arrays.binarySearch(buf, v)
+      val pos = if (search >= 0) search else -(search + 1)
+      if (dropSmallest) {
+        // overwrite slot 0 by shifting [1, pos) left, then place v at pos-1
+        val out = buf.clone()
+        if (pos > 1) System.arraycopy(buf, 1, out, 0, pos - 1)
+        out(math.max(pos - 1, 0)) = v
+        out
+      } else {
+        val out = new Array[Double](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, pos)
+        out(pos) = v
+        System.arraycopy(buf, pos, out, pos + 1, buf.length - pos)
+        out
+      }
+    }
+
     override def reduce(buf: Array[Double], v: Double): Array[Double] =
-      if (buf.length < k) (buf :+ v).sorted
-      else if (v > buf(0)) { val b = buf.clone(); b(0) = v; b.sorted }
+      if (buf.length < k) insertSorted(buf, v, dropSmallest = false)
+      else if (v > buf(0)) insertSorted(buf, v, dropSmallest = true)
       else buf
 
     override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
@@ -56,7 +75,9 @@ object Aggregators {
     override def zero: Reservoir = Reservoir(Array.empty, Array.empty)
 
     private def bottomK(pairs: Array[(Long, Long)]): Reservoir = {
-      val kept = pairs.sortBy(_._1).take(k)
+      // distinct first: duplicate values share a (priority, value) pair and
+      // must occupy at most one sample slot (uniform over distinct values)
+      val kept = pairs.distinct.sortBy(_._1).take(k)
       Reservoir(kept.map(_._1), kept.map(_._2))
     }
 

@@ -227,6 +227,10 @@ case class SimHash64(child: Expression) extends TokenArrayHash {
 case class ShingleMinHash(child: Expression, k: Int, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // docs shorter than one shingle have NO signature (null), rather than a
+  // degenerate all-MaxValue signature that would make every short doc a
+  // mutual near-duplicate downstream
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -234,13 +238,21 @@ case class ShingleMinHash(child: Expression, k: Int, n: Int) extends UnaryExpres
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      HashOps.shingleMinHash(v.asInstanceOf[ArrayData], k, n))
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < n) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(HashOps.shingleMinHash(arr, k, n))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.shingleMinHash($c, $k, $n))")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() < $n) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.HashOps.shingleMinHash($c, $k, $n));
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -263,14 +275,24 @@ case class ShingleMinHashBands(child: Expression, k: Int, n: Int, bands: Int, ro
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      HashOps.shingleMinHashBands(v.asInstanceOf[ArrayData], k, n, bands, rows))
+  override def nullable: Boolean = true // null for docs shorter than one shingle
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < n) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleMinHashBands(arr, k, n, bands, rows))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.HashOps.shingleMinHashBands($c, $k, $n, $bands, $rows))")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() < $n) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.HashOps.shingleMinHashBands($c, $k, $n, $bands, $rows));
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -301,14 +323,24 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Fused shingle SimHash expression (see [[ShingleMinHash]] for why). */
+/** Fused shingle SimHash expression (see [[ShingleMinHash]] for why).
+  * Null for docs shorter than one shingle (a constant 0L fingerprint would
+  * make all short docs mutual near-duplicates).
+  */
 case class ShingleSimHash(child: Expression, n: Int) extends TokenArrayHash {
   override def prettyName: String = "shingle_simhash"
+  override def nullable: Boolean = true
   override protected def kernel: String = "" // unused, doGenCode overridden
-  override protected def nullSafeEval(v: Any): Any =
-    HashOps.shingleSimHash(v.asInstanceOf[ArrayData], n)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < n) null else HashOps.shingleSimHash(arr, n)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleSimHash($c, $n)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() < $n) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.HashOps.shingleSimHash($c, $n); }
+       """.stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -342,23 +374,13 @@ object HashFunctions {
   def shingleStrings(tokens: Column, n: Int): Column =
     Bridge.column(ShingleStrings(Bridge.expression(tokens), n))
 
-  /** k-permutation MinHash signature (array<long>) over a token array.
-    *
-    * Scale path: hashes tokens directly (`xxhash64(token, perm)`), no
-    * vocabulary dictionary, so it runs map-side over any corpus size; the
-    * banding join in [[graft.operators.DedupQueries]] is the only shuffle.
+  /** k-permutation MinHash signature (array<long>) over a token array,
+    * composed from builtins — kept as the reference form the fused
+    * [[ShingleMinHash]] expression is validated against (see
+    * HashFunctionsSpec); production paths use the fused expressions.
     */
   def minhashSignature(tokens: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(tokens, t => xxhash64(t, lit(i))))
-    }: _*)
-
-  /** LSH band keys for a minhash signature: `bands` hashes of `rowsPerBand`
-    * consecutive signature entries each.
-    */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r)): _*).as("key"))
     }: _*)
 }

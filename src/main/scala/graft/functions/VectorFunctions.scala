@@ -53,6 +53,7 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
       var dot = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // null elements propagate
         dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -71,8 +72,9 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i); }
          |  }
          |  ${ev.value} = $dot;
          |}
@@ -101,6 +103,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
       var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // null elements propagate
         val xv = x.getFloat(i).toDouble
         val yv = y.getFloat(i).toDouble
         dot += xv * yv
@@ -127,10 +130,13 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xv = (double) $a.getFloat($i);
-         |    double $yv = (double) $b.getFloat($i);
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double $xv = (double) $a.getFloat($i);
+         |      double $yv = (double) $b.getFloat($i);
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
          |  }
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}

@@ -29,6 +29,12 @@ object Tables {
     * and convert to `timestamp_ntz` (session TZ is UTC, matching the naive
     * nanosecond timestamps DuckDB sees), truncating ns → µs exactly like
     * DuckDB's `CAST(ts AS TIMESTAMP)`.
+    *
+    * Deliberate session-level side effect: `nanosAsLong` is an SQLConf, not
+    * a per-reader option, so this flips it for the whole session. In this
+    * engine `events` is the only nano-timestamped input, and the flag is
+    * harmless for non-nano reads; a mixed-precision deployment would set it
+    * at session build and convert each nano column explicitly as done here.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

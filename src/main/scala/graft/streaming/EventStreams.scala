@@ -92,8 +92,14 @@ object EventStreams {
     * stateful ops at all; this is the M3/M4 pattern-setter). Emits the
     * *running* cumulative summary for each user present in a micro-batch;
     * downstream consumers keep the latest row per user (the tests take
-    * `max(n_sessions)`). A production variant would configure an event-time
-    * timeout and emit only on session close.
+    * `max(n_sessions)`).
+    *
+    * Ordering contract: events are sorted within a batch; an event arriving
+    * in a LATER batch with an earlier timestamp than the user's frontier is
+    * **dropped** (watermark-style at-most-once attribution) — folding it in
+    * would regress `lastTs` and split sessions that the ordered stream
+    * would have merged. Per-user state is three longs; a production variant
+    * adds an event-time timeout to emit and evict closed sessions.
     */
   def statefulSessions(spark: SparkSession, events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionSummary] = {
@@ -107,9 +113,11 @@ object EventStreams {
           var (lastTs, nSessions, nEvents) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime * 1000
-            if (lastTs == Long.MinValue || t - lastTs > gapMicros) nSessions += 1
-            nEvents += 1
-            lastTs = t
+            if (t >= lastTs || lastTs == Long.MinValue) { // late events dropped
+              if (lastTs == Long.MinValue || t - lastTs > gapMicros) nSessions += 1
+              nEvents += 1
+              lastTs = t
+            }
           }
           state.update((lastTs, nSessions, nEvents))
           Iterator(SessionSummary(user, nSessions, nEvents))

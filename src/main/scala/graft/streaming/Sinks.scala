@@ -19,9 +19,10 @@ object Sinks {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write
+          // writer-scoped: does NOT flip the session-global overwrite mode
+          .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .partitionBy("batch_id")
           .parquet(path)

@@ -87,15 +87,26 @@ final case class KinesisStreamIO(
   private def unavailable = throw new UnsupportedOperationException(
     s"Kinesis connector ('$format') jar is not on the classpath in this " +
       "environment; deploy with the Spark Structured Streaming Kinesis " +
-      "connector to activate this transport. Use FileStreamIO/memory for local runs.")
+      "connector and set graft.kinesis.enabled=true to activate this " +
+      "transport. Use FileStreamIO/memory for local runs.")
+
+  private def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.kinesis.enabled").contains("true")
 
   override def read(spark: SparkSession): DataFrame = {
-    if (spark.conf.getOption("graft.kinesis.enabled").isEmpty) unavailable
+    if (!enabled(spark)) unavailable
     spark.readStream.format(format).options(sourceOptions).load()
   }
 
-  override def write(envelope: DataFrame, checkpoint: String, trigger: Trigger): StreamingQuery =
-    unavailable
+  override def write(envelope: DataFrame, checkpoint: String, trigger: Trigger): StreamingQuery = {
+    if (!enabled(envelope.sparkSession)) unavailable
+    envelope.writeStream
+      .format(format)
+      .options(sinkOptions)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }
 
 /** Control-plane verbs (L1-L4: create/validate/describe/delete) behind a
