@@ -1,18 +1,46 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Per-round benchmark: times every registry query at the target scale
-  * factor and emits ONE JSON line for the driver
+  * factor and emits ONE compact JSON line for the driver
   * (`{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`).
   *
-  * Queries run in registry order; each is materialized with a count().
+  * Emission contract: the driver captures only the LAST ~2000 characters
+  * of stdout, so the final line must stay well under that. The full
+  * per-query map (79+ entries ≈ 2.4 KB) cannot fit — it goes to
+  * `BENCH_DETAIL.json` in the working directory; the final line carries
+  * the total plus a fixed headline subset.
+  *
+  * Materialization is a `noop`-format write, not `count()`: under a count
+  * Catalyst prunes every unreferenced column, so projection-only queries
+  * (t01, t08, q48, ...) would skip the very expressions being benchmarked,
+  * and `EliminateSorts` would drop final orderBys. The noop sink consumes
+  * every row and column at full width and writes nothing.
+  *
   * Session settings mirror the 100 TB posture scaled to one host:
   * shuffle partitions = cores (not 200), AQE on (runtime join re-planning
   * + skew splitting), broadcast threshold left at default so AQE's
   * runtime stats decide.
   */
 object Bench {
+
+  /** Representative queries for the compact final line: one per module
+    * (relational agg/join, window, event, text, dedup production path,
+    * similarity exact+approx, multimodal, custom aggregate, trade
+    * pipeline headline).
+    */
+  private val Headline = Seq(
+    "q01_pricing_summary", "q05_local_supplier_volume", "q09_product_profit",
+    "q31_running_total", "q60_tumbling_window", "q68_asof_attribution",
+    "t03_language_id", "t10_tfidf", "d01_exact_dedup", "d04_lsh_near_dups",
+    "s01_knn_bruteforce", "s04_knn_lsh", "m04_multimodal_join",
+    "a01_topk_aggregator", "tr00_pipeline_throughput")
+
+  private def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,18 +53,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pay one-time session costs (codegen compiler init, parquet footer
-    // reads, shuffle service spin-up) before any query is timed.
+    // reads, shuffle service spin-up, noop-sink classloading) before any
+    // query is timed.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def json(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    Files.writeString(Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${json(results)},"sf":"$sfDir"}""")
+    val head = results.filter { case (k, _) => Headline.contains(k) }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -182,22 +182,34 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
-    rowsOnly(
+    sql(
       "q69_map_columns",
-      "MapType columns: per-user event-type→count map built, carried, and read back (equivalence with the pivot form asserted in ScalaTest)")(
-      (s, dir) => {
-        Tables.events(s, dir)
-          .groupBy("user_id", "event_type")
-          .agg(count(lit(1)).as("n"))
-          .groupBy("user_id")
-          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
-            .as("type_counts"))
-          .select(col("user_id"),
-            map_keys(col("type_counts")).as("types"),
-            element_at(col("type_counts"), "click").as("clicks"),
-            size(col("type_counts")).cast("long").as("n_types"))
-          .orderBy("user_id")
-      }),
+      "MapType columns: per-user event-type→count map built, carried, and read back (map projected to hashable scalars for the oracle; pivot equivalence also asserted in ScalaTest)",
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |       max(CASE WHEN event_type = 'click' THEN n END) AS clicks,
+        |       count(*) AS n_types
+        |FROM counts
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"))
+        .select(col("user_id"),
+          // map_keys over a sorted-entry map is already sorted; the CSV
+          // projection keeps the driver's pandas hash-compare happy (a raw
+          // array<string> column is unhashable on the pandas side)
+          concat_ws(",", map_keys(col("type_counts"))).as("types"),
+          element_at(col("type_counts"), "click").as("clicks"),
+          size(col("type_counts")).cast("long").as("n_types"))
+        .orderBy("user_id")
+    },
 
     sql(
       "q67_first_last_event",

@@ -5,6 +5,7 @@ import graft.GraftQuery.sql
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the north-star
@@ -180,6 +181,46 @@ object TextQueries {
           min("n_chars").cast("long").as("min_chars"),
           max("n_chars").cast("long").as("max_chars"))
         .orderBy("lang")
+    },
+
+    sql(
+      "t10_tfidf",
+      "tf-idf: term frequency × log(N/df) via two aggregations + join; top-3 terms per doc by integer-only rank (tf desc, df asc, term)",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         floor((tf * ln(n_docs * 1.0 / df)) * 10000 + 0.5) / 10000 AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tf DESC, df ASC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, term, tf, df, tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""") { (s, dir) =>
+      // Both aggregations shuffle on `term`-bearing keys only; the doc
+      // count joins in as a broadcast single row and idf is computed
+      // map-side. Ranking uses integer columns only (tf, df, term) so the
+      // top-3 cut is engine-independent; the float tfidf value is carried
+      // but never compared.
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", r4(col("tf") * log(col("n_docs") * lit(1.0) / col("df"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rn")
     }
   )
 }
