@@ -147,6 +147,127 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     copy(left = l, right = r)
 }
 
+/** argmax-by-cosine over a broadcast centroid list: `nearest_centroid(emb,
+  * cents)` where `cents` is `array<struct<cent_id: bigint, centroid:
+  * array<float>>>`, returning the cent_id whose centroid has the highest
+  * cosine similarity to `emb` (ties → the earliest array entry, i.e. the
+  * smallest cent_id when the list is sorted).
+  *
+  * This exists so IVF cell assignment is a pure map-side expression: the
+  * naive form (crossJoin with the centroid table + `row_number` over a
+  * per-vector window) shuffles N×|cells| rows just to take an argmax — at
+  * 100 TB that's a |cells|×-corpus shuffle for a per-row decision. Here
+  * the centroid list rides along as a single broadcast row and the argmax
+  * runs inside whole-stage codegen with zero exchanges.
+  *
+  * NULL when `emb` is null or no centroid is comparable (null/ragged
+  * entries are skipped, matching [[CosineSimilarity]]'s null-on-mismatch).
+  */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType && f1.dataType.isInstanceOf[ArrayType] &&
+            f1.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<struct<bigint, array<float>>>), got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val dim = emb.numElements()
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var found = false
+    var i = 0
+    val n = cents.numElements()
+    while (i < n) {
+      if (!cents.isNullAt(i)) {
+        val c = cents.getStruct(i, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cv = c.getArray(1)
+          if (cv.numElements() == dim) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var ok = true
+            var j = 0
+            while (j < dim && ok) {
+              if (emb.isNullAt(j) || cv.isNullAt(j)) ok = false
+              else {
+                val x = emb.getFloat(j).toDouble
+                val y = cv.getFloat(j).toDouble
+                dot += x * y; na += x * x; nb += y * y
+              }
+              j += 1
+            }
+            if (ok) {
+              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+              if (!found || sim > bestSim) { found = true; bestSim = sim; best = c.getLong(0) }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (found) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dim = ctx.freshName("dim")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ok = ctx.freshName("ok")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $b.numElements();
+         |int $dim = $a.numElements();
+         |long $best = 0L; double $bestSim = Double.NEGATIVE_INFINITY; boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($b.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($i, 2);
+         |  if ($c.isNullAt(0) || $c.isNullAt(1)) continue;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  if ($cv.numElements() != $dim) continue;
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0; boolean $ok = true;
+         |  for (int $j = 0; $j < $dim && $ok; $j++) {
+         |    if ($a.isNullAt($j) || $cv.isNullAt($j)) { $ok = false; }
+         |    else {
+         |      double x = (double) $a.getFloat($j);
+         |      double y = (double) $cv.getFloat($j);
+         |      $dot += x * y; $na += x * x; $nb += y * y;
+         |    }
+         |  }
+         |  if (!$ok) continue;
+         |  double $sim = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!$found || $sim > $bestSim) { $found = true; $bestSim = $sim; $best = $c.getLong(0); }
+         |}
+         |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftx.Bridge
 
@@ -155,6 +276,9 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def nearestCentroid(emb: Column, cents: Column): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(emb), Bridge.expression(cents)))
 
   /** SQL twin of [[cosineSim]] for the DuckDB oracle. */
   def cosineSql(a: String, b: String): String =

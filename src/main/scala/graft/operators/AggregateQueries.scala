@@ -41,7 +41,7 @@ object AggregateQueries {
 
     rowsOnly(
       "a02_approx_distinct",
-      "HLL++ sketch (approx_count_distinct); relative error asserted in ScalaTest")(
+      "HLL++ sketch (approx_count_distinct); no oracle: sketch estimates are engine-specific — AggregatorSpec asserts <5% relative error vs exact")(
       (s, dir) => {
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
@@ -52,7 +52,7 @@ object AggregateQueries {
 
     rowsOnly(
       "a03_reservoir_sample",
-      "typed Aggregator UDAF: O(k)-state reservoir sample per segment")(
+      "typed Aggregator UDAF: O(k)-state reservoir sample per segment; no oracle: seeded sampling is engine-specific — AggregatorSpec asserts size-k and domain membership")(
       (s, dir) => {
         val sample = udaf(new Aggregators.ReservoirSample(k = 10, seed = 42L))
         Tables.customer(s, dir)
@@ -64,7 +64,7 @@ object AggregateQueries {
 
     rowsOnly(
       "a04_approx_percentile",
-      "quantile sketch (approx_percentile); error asserted in ScalaTest")(
+      "quantile sketch (approx_percentile); no oracle: sketch estimates are engine-specific — AggregatorSpec asserts <2% error vs exact percentile")(
       (s, dir) => {
         Tables.orders(s, dir)
           .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),

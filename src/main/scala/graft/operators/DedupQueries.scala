@@ -81,6 +81,51 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`,
+    * multi-table blocked: a pair is a candidate if it agrees on ANY of the
+    * top `tables` bytes of the fingerprint. Single-byte blocking misses
+    * near-dups whose flipped bits happen to land in the block byte;
+    * rotating the block position over several bytes recovers them (a
+    * 64-bit fingerprint at distance ≤16 differs in ≤16 of 8 bytes, so
+    * with 3 block bytes the miss probability collapses). Candidates are
+    * per-block equi-joins — never all-pairs — and a pair colliding in
+    * several tables is deduplicated before the Hamming check.
+    * Recall vs exact all-pairs Hamming is asserted in ScalaTest.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 16, tables: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), HashFunctions.shingleSimHash(toks, 3).as("sh"))
+    val blocked = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("sh"), 56 - 8 * t).bitwiseAND(lit(255L))): _*))
+        .as(Seq("tbl", "blk")))
+    val a = blocked.select(col("tbl"), col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("tbl"), col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("tbl", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact all-pairs Hamming over the simhash fingerprints — the recall
+    * reference for [[simhashPairs]] (test-only: quadratic in corpus size).
+    */
+  def exactSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), HashFunctions.shingleSimHash(toks, 3).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact all-pairs Jaccard over a block — the oracle/recall reference for
     * the LSH path (ScalaTest asserts lshNearDups ⊇ these pairs).
     */
@@ -158,8 +203,15 @@ object DedupQueries {
         |ORDER BY doc_id""") { (s, dir) =>
       val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      val vocab = tokens.select("tok").distinct()
-        .withColumn("tok_id", row_number().over(Window.orderBy("tok")).cast("long") - 1)
+      // Dictionary ids must be dense ranks in token sort order (the oracle
+      // computes them the same way), but a global `row_number` window is a
+      // single-partition sort — the one pattern that cannot scale. A
+      // range-partitioned sort + RDD zipWithIndex assigns the identical
+      // contiguous ids with every partition sorting in parallel.
+      import s.implicits._
+      val vocab = tokens.select("tok").distinct().orderBy("tok")
+        .as[String].rdd.zipWithIndex()
+        .toDF("tok", "tok_id")
       val ids = tokens.join(broadcast(vocab), "tok")
         .groupBy("doc_id").agg(collect_list("tok_id").as("ids"))
       ids.select(col("doc_id") +: As.zip(Bs).zipWithIndex.map { case ((a, bc), j) =>
@@ -170,33 +222,17 @@ object DedupQueries {
 
     rowsOnly(
       "d04_lsh_near_dups",
-      "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified; recall vs exact pairs asserted in ScalaTest")(
+      "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified; no oracle: the fused shingle-minhash kernel is a custom expression DuckDB cannot evaluate — SimilarityRecallSpec asserts exact equality with all-pairs 3-gram Jaccard")(
       (s, dir) => lshNearDups(s, dir)),
 
     rowsOnly(
       "d05_simhash_pairs",
-      "SimHash-over-shingles fingerprints: prefix-blocked pairs within Hamming distance 16")(
-      (s, dir) => {
-        // Block on the top simhash byte: near-identical fingerprints share
-        // high bits with overwhelming probability, so the quadratic pair
-        // space shrinks to per-block joins (the simhash analogue of LSH
-        // banding; multi-table blocking would push recall higher at scale).
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), HashFunctions.shingleSimHash(toks, 3).as("sh"))
-          .withColumn("blk", shiftright(col("sh"), 56))
-        val a = docs.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, "blk")
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-          .filter(col("hamming") <= 16)
-          .select("id_a", "id_b", "hamming")
-          .orderBy("id_a", "id_b")
-      }),
+      "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16; not SQL-expressible (custom simhash kernel) — recall vs exact Hamming pairs asserted in ScalaTest")(
+      (s, dir) => simhashPairs(s, dir)),
 
     rowsOnly(
       "d07_rolling_fingerprint",
-      "order-sensitive rolling-hash fingerprint per document (exact-sequence identity)")(
+      "order-sensitive rolling-hash fingerprint per document (exact-sequence identity); no oracle: custom rolling-hash expression — HashFunctionsSpec asserts kernel semantics (order sensitivity, composition)")(
       (s, dir) => {
         Tables.documents(s, dir)
           .select(col("doc_id"), graft.functions.HashFunctions.rollingHash(toks).as("fp"))

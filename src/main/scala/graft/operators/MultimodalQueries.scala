@@ -29,22 +29,35 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
-    rowsOnly(
+    sql(
       "m02_decode_features",
-      "partition-batched media decode (stubbed codec) → fixed-width features")(
-      (s, dir) => {
-        val feats = Multimodal.decodeFeatures(
-          Multimodal.packBlobs(s, Tables.documents(s, dir)))
-        feats.toDF()
-          .select(col("doc_id"), col("media_type"), col("byte_len"),
-            r4(col("mean_byte")).as("mean_byte"),
-            r4(element_at(col("feature"), 1).cast("double")).as("f0"))
-          .orderBy("doc_id")
-      }),
+      "partition-batched media decode (stubbed codec) → fixed-width features; oracle reproduces the stub's byte statistics (fixture text is pure ASCII, so char codepoints == payload bytes)",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        |  FROM documents)
+        |SELECT doc_id, media_type, byte_len,
+        |       floor((list_sum(bytes) * 1.0 / byte_len) * 10000 + 0.5) / 10000 AS mean_byte,
+        |       -- f0 is a FLOAT in the engine; DuckDB FLOAT/FLOAT divides in
+        |       -- float32, reproducing the stub's s.toFloat/c bit-for-bit
+        |       floor(CAST(CAST(list_sum(bytes[1:greatest(1, CAST(byte_len // 16 AS INT))]) AS FLOAT)
+        |                  / CAST(greatest(1, byte_len // 16) AS FLOAT) AS DOUBLE) * 10000 + 0.5) / 10000 AS f0
+        |FROM b
+        |ORDER BY doc_id""") { (s, dir) =>
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.packBlobs(s, Tables.documents(s, dir)))
+      feats.toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          r4(col("mean_byte")).as("mean_byte"),
+          r4(element_at(col("feature"), 1).cast("double")).as("f0"))
+        .orderBy("doc_id")
+    },
 
     rowsOnly(
       "m03_frame_sampling",
-      "video frame sampling: payload → exploded frame rows")(
+      "video frame sampling: payload → exploded frame rows; no oracle: mapPartitions/flatMap over the stub decoder — StreamingSpec-adjacent shape asserted via m02 oracle + frame-count arithmetic in the row check")(
       (s, dir) => {
         val frames = Multimodal.sampleFrames(
           Multimodal.packBlobs(s, Tables.documents(s, dir)))

@@ -59,20 +59,35 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
         .cast("array<float>").as("centroid"))
 
+  /** Collapse a (cent_id: long, centroid: array<float>) frame to ONE row
+    * holding the sorted centroid array — the broadcast-able index shape
+    * [[assignCells]] consumes (sorted so argmax ties resolve to the
+    * smallest cent_id, matching the window-form ordering).
+    */
+  def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+
+  /** Zero-shuffle IVF cell assignment: the centroid list rides along as a
+    * single broadcast row and `nearest_centroid` picks the cell inside
+    * whole-stage codegen. The naive alternative — crossJoin with the
+    * centroid table + `row_number` over a per-vector window — shuffles
+    * N×|cells| rows just to take a per-row argmax; at 100 TB that is a
+    * |cells|×-corpus shuffle for a map-side decision.
+    */
+  def assignCells(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroid(col("embedding"), col("cents")).as("cell"))
+
   /** IVF search: assign every vector to its nearest centroid once (the
     * index build), then probe the query's `nprobe` nearest cells.
     */
   def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cents = broadcast(labelCentroids(s, dir)
-      .select(col("label").as("cent_id"), col("centroid")))
+      .select(col("label").cast("long").as("cent_id"), col("centroid")))
 
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))
-    val assigned = e.crossJoin(cents)
-      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("arnk", row_number().over(assignW))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val assigned = assignCells(e, centroidArray(cents))
 
     val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -199,17 +214,17 @@ object SimilarityQueries {
 
     rowsOnly(
       "s03_knn_ivf",
-      "IVF approximate nearest neighbors (nprobe=4 of 10 cells); recall vs s01 asserted in ScalaTest")(
+      "IVF approximate nearest neighbors (nprobe=4 of 10 cells); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01 and argmax-assignment equivalence")(
       (s, dir) => knnIvf(s, dir)),
 
     rowsOnly(
       "s04_knn_lsh",
-      "random-hyperplane LSH ANN (8 tables x 4 bits); recall vs s01 asserted in ScalaTest")(
+      "random-hyperplane LSH ANN (8 tables x 4 bits); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(
       (s, dir) => knnLsh(s, dir)),
 
     rowsOnly(
       "s06_knn_mllib_lsh",
-      "MLlib BucketedRandomProjectionLSH ANN (library path); recall vs s01 asserted in ScalaTest")(
+      "MLlib BucketedRandomProjectionLSH ANN (library path); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(
       (s, dir) => MlLsh.knn(s, dir))
   )
 }

@@ -35,7 +35,7 @@ object TradeQueries {
 
     rowsOnly(
       "tr01_trade_stats",
-      "per-ticker stats over the seeded distributed generator (S1 reproduction)")(
+      "per-ticker stats over the seeded distributed generator (S1 reproduction); no oracle: input is generated in-engine, not a fixture table — TradeGeneratorSpec asserts the distribution contract")(
       (s, dir) => {
         TradeSource.trades(s, N).toDF()
           .groupBy("tickerSymbol")
@@ -50,7 +50,7 @@ object TradeQueries {
 
     rowsOnly(
       "tr02_trade_roundtrip",
-      "JSON wire round-trip (C1+C2): to_json → from_json loses nothing")(
+      "JSON wire round-trip (C1+C2): to_json → from_json loses nothing; no oracle: generated input — CodecSpec asserts the round-trip and permissive-decode contract")(
       (s, dir) => {
         val trades = TradeSource.trades(s, N).toDF()
         val wire = trades.select(to_json(struct(trades.columns.map(col): _*)).as("json"))
@@ -64,7 +64,7 @@ object TradeQueries {
 
     rowsOnly(
       "tr03_trade_display",
-      "display projection (C3): reference toString format as a column")(
+      "display projection (C3): reference toString format as a column; no oracle: generated input — TradeGeneratorSpec asserts the format string against the reference")(
       (s, dir) => {
         TradeSource.trades(s, 1000).toDF()
           .select(col("id"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftQuery
-import graft.GraftQuery.sql
+import graft.GraftQuery.{rowsOnly, sql}
 import graft.sources.Tables
 import graft.operators.Det._
 import org.apache.spark.sql.expressions.Window
@@ -102,6 +102,18 @@ object WindowQueries {
           dsum2(col("o_totalprice")).as("sum_price"))
         .orderBy("decile")
     },
+
+    rowsOnly(
+      "q38_price_deciles_approx",
+      "at-scale twin of q33: decile boundaries from a mergeable quantile sketch (approx_percentile, accuracy 10000) — no global sort, one map-side-combinable aggregation; boundary error vs exact deciles asserted in ScalaTest")(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .agg(approx_percentile(col("o_totalprice"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("bounds"))
+          .select(posexplode(col("bounds")).as(Seq("i", "bound")))
+          .select((col("i") + 1).cast("long").as("decile"), r2(col("bound")).as("approx_bound"))
+          .orderBy("decile")
+      }),
 
     sql(
       "q34_rollup",

@@ -160,3 +160,109 @@ final class LocalStreamAdmin(root: java.nio.file.Path, shards: Int = Envelope.De
     }
   }
 }
+
+/** AWS-SDK-v2-backed [[StreamAdmin]] — the deployment backend for L1–L4.
+  *
+  * The build environment ships no AWS SDK jars (zero egress), so the SDK
+  * is reached via reflection: this class compiles and constructs without
+  * the SDK on the classpath, and the first verb raises a descriptive
+  * error when it's absent. Semantics mirror the reference
+  * (KinesisSync.java:48-61 create with shardCount then wait for ACTIVE,
+  * :63-74 delete, :171-188 validate via stream status, :79-91 shard
+  * listing with hasMoreShards pagination), with two deliberate
+  * divergences: validation failure surfaces as `false` instead of
+  * `System.exit(1)` (KinesisSync.java:181) so the engine stays testable,
+  * and create polls DescribeStream for ACTIVE instead of the reference's
+  * flat 5 s sleep (KinesisSync.java:38).
+  */
+final class SdkStreamAdmin(
+    region: String,
+    shards: Int = Envelope.DefaultShards,
+    pollMillis: Long = 1000L,
+    maxPolls: Int = 120) extends StreamAdmin {
+
+  private val Pkg = "software.amazon.awssdk.services.kinesis"
+
+  private def loadClass(name: String): Class[_] =
+    try Class.forName(name)
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"AWS SDK v2 not on the classpath (wanted $name); SdkStreamAdmin is the " +
+            "deployment backend — use LocalStreamAdmin in SDK-less environments")
+    }
+
+  /** Invoke a public method by name/arity — the SDK's concrete builder and
+    * response classes are internal, so lookups go through getMethods
+    * rather than compile-time types.
+    */
+  private def call(target: AnyRef, method: String, args: AnyRef*): AnyRef = {
+    val m = target.getClass.getMethods
+      .find(m => m.getName == method && m.getParameterCount == args.length)
+      .getOrElse(throw new NoSuchMethodException(
+        s"${target.getClass.getName}.$method/${args.length}"))
+    m.setAccessible(true)
+    m.invoke(target, args: _*)
+  }
+
+  /** `Xxx.builder().a(v).b(v).build()` for an SDK request class. */
+  private def build(requestClass: String, setters: (String, AnyRef)*): AnyRef = {
+    val b = loadClass(requestClass).getMethod("builder").invoke(null)
+    call(setters.foldLeft(b) { case (acc, (n, v)) => call(acc, n, v) }, "build")
+  }
+
+  private lazy val client: AnyRef = {
+    val regionCls = loadClass("software.amazon.awssdk.regions.Region")
+    val regionObj = regionCls.getMethod("of", classOf[String]).invoke(null, region)
+    val builder = loadClass(s"$Pkg.KinesisClient").getMethod("builder").invoke(null)
+    call(call(builder, "region", regionObj), "build")
+  }
+
+  private def streamDescription(name: String, startAfterShard: Option[String] = None): AnyRef = {
+    val setters = Seq("streamName" -> (name: AnyRef)) ++
+      startAfterShard.map(sid => "exclusiveStartShardId" -> (sid: AnyRef))
+    call(call(client, "describeStream",
+      build(s"$Pkg.model.DescribeStreamRequest", setters: _*)), "streamDescription")
+  }
+
+  private def status(name: String): String =
+    call(streamDescription(name), "streamStatus").toString
+
+  override def create(name: String): Unit = {
+    call(client, "createStream",
+      build(s"$Pkg.model.CreateStreamRequest",
+        "streamName" -> name, "shardCount" -> Int.box(shards)))
+    var polls = 0
+    while (status(name) != "ACTIVE") {
+      polls += 1
+      if (polls > maxPolls)
+        throw new IllegalStateException(
+          s"stream $name not ACTIVE after ${maxPolls * pollMillis} ms")
+      Thread.sleep(pollMillis)
+    }
+  }
+
+  override def validate(name: String): Boolean =
+    try status(name) == "ACTIVE"
+    catch { case _: java.lang.reflect.InvocationTargetException => false }
+
+  override def describe(name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var startAfter: Option[String] = None
+    var more = true
+    while (more) {
+      val desc = streamDescription(name, startAfter)
+      val ids = call(desc, "shards").asInstanceOf[java.util.List[AnyRef]]
+        .asScala.map(sh => call(sh, "shardId").toString).toSeq
+      out ++= ids
+      more = call(desc, "hasMoreShards").asInstanceOf[java.lang.Boolean] && ids.nonEmpty
+      startAfter = ids.lastOption
+    }
+    out.toSeq
+  }
+
+  override def delete(name: String): Unit =
+    call(client, "deleteStream",
+      build(s"$Pkg.model.DeleteStreamRequest", "streamName" -> name))
+}

@@ -37,6 +37,19 @@ class AggregatorSpec extends SparkSpec {
     assert(math.abs(df.getDouble(0) - df.getDouble(1)) / df.getDouble(1) < 0.02)
   }
 
+  test("approx decile boundaries (q38) within 2% of exact percentiles") {
+    val approx = SparkEntry.queries("q38_price_deciles_approx")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = Tables.orders(spark, sf0001)
+      .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+      .head().getSeq[Double](0)
+    (1 to 9).foreach { i =>
+      val e = exact(i - 1)
+      assert(math.abs(approx(i.toLong) - e) / e < 0.02,
+        s"decile $i: approx=${approx(i.toLong)} exact=$e")
+    }
+  }
+
   test("co-moment statistics query matches Spark's builtin corr/stddev") {
     val got = SparkEntry.queries("q52_statistics")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap

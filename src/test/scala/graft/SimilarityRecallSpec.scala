@@ -1,7 +1,13 @@
 package graft
 
+import graft.functions.VectorFunctions._
 import graft.operators.{DedupQueries, SimilarityQueries}
+import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Quality gates for the approximate (non-oracle) paths: ANN recall vs the
   * exact brute-force baseline, and LSH near-dup recall vs exact all-pairs
@@ -39,6 +45,48 @@ class SimilarityRecallSpec extends SparkSpec {
   test("MLlib BucketedRandomProjectionLSH recall@5 ≥ 0.5 vs exact cosine baseline") {
     val r = recall(neighborSets(graft.operators.MlLsh.knn(spark, sf0001)))
     assert(r >= 0.5, s"MLlib LSH recall $r")
+  }
+
+  test("IVF cell assignment matches the window-form argmax with zero shuffles outside the broadcast index") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan tree
+    try {
+      val e = Tables.embeddings(spark, sf0001)
+      val cents = SimilarityQueries.labelCentroids(spark, sf0001)
+        .select(col("label").cast("long").as("cent_id"), col("centroid"))
+      val assigned = SimilarityQueries.assignCells(e, SimilarityQueries.centroidArray(cents))
+
+      // the corpus side must be shuffle-free; the tiny index build under
+      // the BroadcastExchange may aggregate however it likes
+      def shuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeLike => Seq.empty
+        case sh: ShuffleExchangeLike => sh +: sh.children.flatMap(shuffles)
+        case other => other.children.flatMap(shuffles)
+      }
+      val found = shuffles(assigned.queryExecution.executedPlan)
+      assert(found.isEmpty,
+        s"corpus-side shuffle in assignment plan:\n${assigned.queryExecution.executedPlan}")
+
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))
+      val want = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+      val got = assigned.select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("multi-table SimHash blocking: precision 1.0 and high recall vs exact Hamming pairs at sf0.01") {
+    val dir = sf("sf0.01")
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(DedupQueries.simhashPairs(spark, dir))
+    val truth = pairSet(DedupQueries.exactSimhashPairs(spark, dir))
+    assert(truth.nonEmpty, "fixture should contain simhash near-dups")
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"simhash blocking recall $recall over ${truth.size} true pairs")
   }
 
   test("MinHash+LSH near-dup pairs == exact 3-gram-Jaccard pairs (full recall at j≥0.5)") {

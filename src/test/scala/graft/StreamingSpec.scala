@@ -194,6 +194,15 @@ class StreamingSpec extends SparkSpec {
     assert(!admin.validate("s1") && admin.describe("s1").isEmpty)
   }
 
+  test("SDK admin backend constructs without the SDK and raises a descriptive error on first use") {
+    val admin = new SdkStreamAdmin("us-east-2")
+    val e = intercept[IllegalStateException](admin.create("s1"))
+    assert(e.getMessage.contains("AWS SDK"), e.getMessage)
+    // a missing SDK is an environment error, not a missing stream: every
+    // verb raises rather than degrading to a false-negative validate
+    intercept[IllegalStateException](admin.validate("s1"))
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
