@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Per-round benchmark: times every registry query at the target scale
@@ -53,16 +54,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pay one-time session costs (codegen compiler init, parquet footer
-    // reads, shuffle service spin-up, noop-sink classloading) before any
-    // query is timed.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+    // reads, shuffle service spin-up, noop-sink classloading) AND first-
+    // touch JIT of the hot expression families (decimal aggregation,
+    // window functions, JSON codec, typed generation) before any query is
+    // timed — otherwise several seconds of Janino/JIT warmup land in
+    // whichever query first exercises each path.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(50000)
+      li.groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity").cast("decimal(24,6)")).cast("double").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      li.withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+      val trades = graft.sources.TradeSource.trades(spark, 50000L).toDF()
+      graft.streaming.Envelope.decode(graft.streaming.Envelope.encode(trades))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries that persist() intermediates (d04's band keys) would
+      // otherwise leak cached blocks into every later query's GC budget;
+      // each query is timed standalone, so drop caches between them
+      spark.catalog.clearCache()
+      q.name -> elapsed
     }
     val total = results.map(_._2).sum
     def json(entries: Seq[(String, Double)]): String =
