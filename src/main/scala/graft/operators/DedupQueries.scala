@@ -126,6 +126,58 @@ object DedupQueries {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over the embedding-cosine near-dup graph (d06's
+    * edge set): every document labeled with the smallest doc_id in its
+    * duplicate cluster — the step that turns pairwise near-dup hits into
+    * keep/drop decisions in a curation pipeline.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint. Each round is
+    * one equi-join (edges × labels) + one map-side-combinable min
+    * aggregation, so a round costs O(|E|) shuffled rows and the loop runs
+    * `diameter` rounds — the driver only ever sees a per-round change
+    * count, never node data. At 100 TB the same loop shape is used by the
+    * large-star/small-star formulation, which contracts the diameter to
+    * O(log n) rounds; plain propagation is kept here because the fixture
+    * graphs are shallow and the per-round plan is identical.
+    */
+  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.3,
+      maxIters: Int = 20): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val pairs = a.join(b, "label")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineSim(col("e_a"), col("e_b")) > threshold)
+      .select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("u", "v")
+      .persist()
+    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .select(col("u").as("node"), col("lbl"))
+        .union(labels)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact all-pairs Jaccard over a block — the oracle/recall reference for
     * the LSH path (ScalaTest asserts lshNearDups ⊇ these pairs).
     */
@@ -238,6 +290,26 @@ object DedupQueries {
           .select(col("doc_id"), graft.functions.HashFunctions.rollingHash(toks).as("fp"))
           .orderBy("doc_id")
       }),
+
+    sql(
+      "d08_dup_clusters",
+      "connected components over the embedding-cosine near-dup graph: doc_id → smallest doc_id in its duplicate cluster (iterative min-label propagation; oracle = DuckDB recursive CTE)",
+      s"""WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+        |  WHERE r.lbl < e.u)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""") { (s, dir) => dupClusters(s, dir) },
 
     sql(
       "d06_embedding_sim_pairs",

@@ -221,6 +221,47 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select("doc_id", "rn", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", "rn")
+    },
+
+    sql(
+      "p01_curation_pipeline",
+      "end-to-end curation: language filter → quality gate (rounded so the cut is engine-independent) → exact dedup keep-lowest → token accounting; the composed LLM-training-data path",
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |         length(string_split(text, ' ')) AS n_tokens,
+        |         length(list_distinct(string_split(text, ' '))) * 1.0
+        |           / length(string_split(text, ' ')) AS ttr,
+        |         length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) * 1.0
+        |           / length(string_split(text, ' ')) AS short_frac
+        |  FROM documents WHERE lang = 'en'),
+        |gated AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         floor((0.5 * ttr + 0.5 * (1 - short_frac)) * 10000 + 0.5) / 10000 AS quality
+        |  FROM scored),
+        |deduped AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM gated WHERE quality >= 0.55)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+        |FROM deduped WHERE rn = 1
+        |ORDER BY doc_id""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("ttr"),
+          (size(filter(toks, t => length(t) <= 2)) * lit(1.0) / size(toks)).as("short_frac"))
+        // the quality gate compares the ROUNDED score: both engines round
+        // to the same 4dp grid first, so a boundary document cannot pass
+        // in one dialect and fail in the other on a ulp difference
+        .withColumn("quality", r4(lit(0.5) * col("ttr") + lit(0.5) * (lit(1) - col("short_frac"))))
+        .filter(col("quality") >= 0.55)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
     }
   )
 }

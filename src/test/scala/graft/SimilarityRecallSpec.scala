@@ -89,6 +89,20 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash blocking recall $recall over ${truth.size} true pairs")
   }
 
+  test("dup clusters agree with the pairwise near-dup graph") {
+    val pairs = SparkEntry.queries("d06_embedding_sim_pairs")(spark, sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.dupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl is not labeled by its min member")
+    }
+  }
+
   test("MinHash+LSH near-dup pairs == exact 3-gram-Jaccard pairs (full recall at j≥0.5)") {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
