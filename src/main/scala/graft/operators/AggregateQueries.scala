@@ -63,6 +63,19 @@ object AggregateQueries {
       }),
 
     rowsOnly(
+      "a05_stratified_sample",
+      "seeded stratified sampling (sampleBy on c_mktsegment, per-stratum fractions) — the train/eval split primitive; no oracle: Bernoulli draws depend on engine RNG and partition layout — AggregatorSpec asserts per-stratum rates and same-session determinism")(
+      (s, dir) => {
+        val fractions = Map(
+          "AUTOMOBILE" -> 0.5, "BUILDING" -> 0.25, "FURNITURE" -> 0.1,
+          "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.02)
+        Tables.customer(s, dir)
+          .stat.sampleBy("c_mktsegment", fractions, seed = 42L)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("c_mktsegment")
+      }),
+
+    rowsOnly(
       "a04_approx_percentile",
       "quantile sketch (approx_percentile); no oracle: sketch estimates are engine-specific — AggregatorSpec asserts <2% error vs exact percentile")(
       (s, dir) => {

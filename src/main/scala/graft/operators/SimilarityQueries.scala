@@ -109,6 +109,50 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Lloyd-style k-means over the embedding corpus, cosine assignment:
+    * the E-step is the zero-shuffle [[assignCells]] argmax (centroids ride
+    * along as one broadcast row), the M-step is one posexplode +
+    * two-level mean aggregation — so an iteration costs one corpus scan
+    * plus a dim×k-sized shuffle, never a corpus-sized one. Init is
+    * deterministic (the k lowest vec_ids). Each iteration's centroid
+    * frame is persisted and materialized so the lineage stays flat
+    * (k rows — the "action" is k-row-sized, not a corpus collect).
+    *
+    * This is the index-build step IVF (s03) presupposes; s03 keeps
+    * label-mean centroids because its recall oracle is tuned to them.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centroid"))
+      .persist()
+    cents.count()
+    for (_ <- 1 to iters) {
+      val next = assignCells(e, centroidArray(cents))
+        .select(col("cell").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos").agg(avg("v").as("mv"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
+          .cast("array<float>").as("centroid"))
+        .persist()
+      next.count()
+      cents.unpersist()
+      cents = next
+    }
+    cents
+  }
+
+  /** Mean cosine of every vector to its assigned centroid — the objective
+    * the recall/quality spec tracks across iterations.
+    */
+  def kmeansObjective(s: SparkSession, dir: String, cents: DataFrame): Double = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    assignCells(e, centroidArray(cents))
+      .join(cents.select(col("cent_id").as("cell"), col("centroid")), "cell")
+      .agg(avg(cosineSim(col("embedding"), col("centroid"))))
+      .head().getDouble(0)
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes of dim 64. */
   private def hyperplanes(tables: Int, bits: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)
@@ -221,6 +265,17 @@ object SimilarityQueries {
       "s04_knn_lsh",
       "random-hyperplane LSH ANN (8 tables x 4 bits); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(
       (s, dir) => knnLsh(s, dir)),
+
+    rowsOnly(
+      "s07_kmeans_centroids",
+      "Lloyd k-means index build (3 iterations; cosine E-step is the zero-shuffle nearest_centroid argmax, M-step a dim x k mean); no oracle: iterative float means are accumulation-order-specific — SimilarityRecallSpec asserts the objective improves over the deterministic init")(
+      (s, dir) => {
+        val cents = kmeansCentroids(s, dir)
+        assignCells(Tables.embeddings(s, dir), centroidArray(cents))
+          .groupBy("cell").agg(count(lit(1)).as("n_members"))
+          .select(col("cell").as("cent_id"), col("n_members"))
+          .orderBy("cent_id")
+      }),
 
     rowsOnly(
       "s06_knn_mllib_lsh",

@@ -224,6 +224,45 @@ object TextQueries {
     },
 
     sql(
+      "t11_quality_rules",
+      "rule-based quality flags (token-length band, type-token ratio, document length, symbol scan) with per-combination counts; thresholds compare 4dp-rounded values so the cut is engine-independent",
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |         floor(((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0
+        |                / length(text)) * 10000 + 0.5) / 10000 AS symbol_frac,
+        |         floor(((length(text) - length(string_split(text, ' ')) + 1) * 1.0
+        |                / length(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS mean_tok_len,
+        |         floor((length(list_distinct(string_split(text, ' '))) * 1.0
+        |                / length(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS ttr,
+        |         length(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT CAST(symbol_frac <= 0.05 AS INT) AS symbol_ok,
+        |       CAST(mean_tok_len <= 4.5 AS INT) AS len_ok,
+        |       CAST(ttr >= 0.46 AS INT) AS ttr_ok,
+        |       CAST(n_tokens >= 56 AS INT) AS long_doc,
+        |       count(*) AS n
+        |FROM feats
+        |GROUP BY symbol_ok, len_ok, ttr_ok, long_doc
+        |ORDER BY symbol_ok, len_ok, ttr_ok, long_doc""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          r4((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * lit(1.0)
+            / length(col("text"))).as("symbol_frac"),
+          r4((length(col("text")) - size(toks) + 1) * lit(1.0) / size(toks)).as("mean_tok_len"),
+          r4(size(array_distinct(toks)) * lit(1.0) / size(toks)).as("ttr"),
+          size(toks).as("n_tokens"))
+        .select(
+          (col("symbol_frac") <= 0.05).cast("int").as("symbol_ok"),
+          (col("mean_tok_len") <= 4.5).cast("int").as("len_ok"),
+          (col("ttr") >= 0.46).cast("int").as("ttr_ok"),
+          (col("n_tokens") >= 56).cast("int").as("long_doc"))
+        .groupBy("symbol_ok", "len_ok", "ttr_ok", "long_doc")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("symbol_ok", "len_ok", "ttr_ok", "long_doc")
+    },
+
+    sql(
       "p01_curation_pipeline",
       "end-to-end curation: language filter → quality gate (rounded so the cut is engine-independent) → exact dedup keep-lowest → token accounting; the composed LLM-training-data path",
       """WITH scored AS (

@@ -50,6 +50,25 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample hits per-stratum rates and is deterministic in-session") {
+    val dir = sf("sf0.01")
+    val fractions = Map(
+      "AUTOMOBILE" -> 0.5, "BUILDING" -> 0.25, "FURNITURE" -> 0.1,
+      "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.02)
+    def run() = SparkEntry.queries("a05_stratified_sample")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got == run(), "same seed + same session must resample identically")
+    val totals = Tables.customer(spark, dir)
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (seg, f) =>
+      val rate = got.getOrElse(seg, 0L).toDouble / totals(seg)
+      // ±5 percentage points ≈ >6σ for ~1000-row strata at these fractions
+      assert(math.abs(rate - f) < 0.05, s"$seg sampled at $rate, wanted ≈ $f")
+    }
+  }
+
   test("co-moment statistics query matches Spark's builtin corr/stddev") {
     val got = SparkEntry.queries("q52_statistics")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap

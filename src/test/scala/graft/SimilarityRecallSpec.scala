@@ -89,6 +89,14 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash blocking recall $recall over ${truth.size} true pairs")
   }
 
+  test("k-means improves the mean assigned cosine over its deterministic init") {
+    val o0 = SimilarityQueries.kmeansObjective(spark, sf0001,
+      SimilarityQueries.kmeansCentroids(spark, sf0001, iters = 0))
+    val o3 = SimilarityQueries.kmeansObjective(spark, sf0001,
+      SimilarityQueries.kmeansCentroids(spark, sf0001, iters = 3))
+    assert(o3 > o0, s"3-iteration objective $o3 should beat init objective $o0")
+  }
+
   test("dup clusters agree with the pairwise near-dup graph") {
     val pairs = SparkEntry.queries("d06_embedding_sim_pairs")(spark, sf0001)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
