@@ -212,6 +212,78 @@ object EventQueries {
     },
 
     sql(
+      "q70_range_join",
+      "banded range join (operator Spark lacks; bucketed equi-join form): ALL clicks in the 5 minutes before each purchase, aggregated — contrast q68's as-of (latest only)",
+      """SELECT p.event_id AS purchase_id,
+        |       count(c.event_id) AS n_clicks_5m,
+        |       max(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) AS max_gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        |GROUP BY p.event_id
+        |ORDER BY purchase_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val w = 5L * 60 * 1000000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts").cast("timestamp")).as("cts"))
+      val matched = RangeJoin.preceding(purchases, clicks,
+          key = "user_id", leftTsUs = "pts", rightTsUs = "cts", windowUs = w)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks_5m"),
+          max(col("pts") - col("cts")).as("max_gap_us"))
+      purchases.select("purchase_id")
+        .join(matched, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_clicks_5m"), lit(0L)).as("n_clicks_5m"),
+          col("max_gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    sql(
+      "q71_gap_fill",
+      "time-spine gap filling: hourly spine per user over their active range, zero-filled counts + running total (the resampling primitive time-series features need)",
+      """WITH bounds AS (
+        |  SELECT user_id,
+        |         date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+        |         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n
+        |  FROM events GROUP BY user_id, hour)
+        |SELECT s.user_id, s.hour,
+        |       coalesce(n, 0) AS n_events,
+        |       CAST(sum(coalesce(n, 0)) OVER (PARTITION BY s.user_id ORDER BY s.hour) AS BIGINT)
+        |         AS cum_events
+        |FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hour = o.hour
+        |ORDER BY s.user_id, s.hour""") { (s, dir) =>
+      // The spine explodes from a per-user (t0, t1) pair — O(users) input
+      // rows fan out map-side, so no shuffle grows with the spine; the
+      // left join and the running total shuffle on user_id only.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts").cast("timestamp")).as("hour"))
+      val bounds = ev.groupBy("user_id")
+        .agg(min("hour").as("t0"), max("hour").as("t1"))
+      val spine = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("hour"))
+      val obs = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      spine.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .withColumn("cum_events", sum("n_events").over(w))
+        .orderBy("user_id", "hour")
+    },
+
+    sql(
       "q67_first_last_event",
       "argmin/argmax by event time via row_number windows",
       """WITH ranked AS (
