@@ -96,4 +96,35 @@ object Aggregators {
     override def bufferEncoder: Encoder[Reservoir] = Encoders.product[Reservoir]
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
+
+  /** Bloom filter over long keys — the semi-join-reduction build side.
+    * State is a fixed `numBits/64`-word bitset (e.g. 2 KB at 2^14 bits)
+    * regardless of input size; merge is a word-wise OR, so partial
+    * aggregation combines map-side and the final bitset is independent of
+    * partition layout. Hash family lives in [[BloomOps]], shared with the
+    * probe expression [[BloomMightContain]] so false negatives are
+    * impossible by construction.
+    */
+  final class BloomFilter(numBits: Int, numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be a positive multiple of 64")
+
+    override def zero: Array[Long] = new Array[Long](numBits >>> 6)
+
+    override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+      BloomOps.setBits(buf, key, numBits, numHashes)
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -131,14 +131,15 @@ object DedupQueries {
     * duplicate cluster — the step that turns pairwise near-dup hits into
     * keep/drop decisions in a curation pipeline.
     *
-    * Algorithm: iterative min-label propagation to fixpoint. Each round is
-    * one equi-join (edges × labels) + one map-side-combinable min
-    * aggregation, so a round costs O(|E|) shuffled rows and the loop runs
-    * `diameter` rounds — the driver only ever sees a per-round change
-    * count, never node data. At 100 TB the same loop shape is used by the
-    * large-star/small-star formulation, which contracts the diameter to
-    * O(log n) rounds; plain propagation is kept here because the fixture
-    * graphs are shallow and the per-round plan is identical.
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * takes the min over (a) neighbors' labels — one equi-join on the edge
+    * list — and (b) the label's own label (`lbl(lbl(node))`) — one
+    * self-join on the label frame. (a) alone needs `diameter` rounds
+    * (a 20-round cap failed on the sf0.1 graph's long chains); (b) halves
+    * the remaining depth every round, so the loop converges in
+    * O(log diameter) rounds. Every round shuffles O(|E| + |V|) rows with
+    * map-side-combinable mins; the driver only ever sees a per-round
+    * change count, never node data.
     */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.3,
       maxIters: Int = 20): DataFrame = {
@@ -153,21 +154,31 @@ object DedupQueries {
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("u", "v")
       .persist()
-    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl")).persist()
+    // localCheckpoint (eager) rather than persist: persist caches data but
+    // leaves the logical plan nested, so an iterative loop re-embeds the
+    // whole previous plan every round — plan size (and analysis time)
+    // grows exponentially with iterations. Checkpointing truncates the
+    // lineage to the materialized result, keeping every round's plan flat.
+    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = edges
+      val viaEdges = edges
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .select(col("u").as("node"), col("lbl"))
+      val viaJump = labels.select(col("node"), col("lbl").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("lbl")), "mid")
+        .select(col("node"), col("lbl"))
+      val next = viaEdges
+        .union(viaJump)
         .union(labels)
         .groupBy("node").agg(min("lbl").as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), "node")
         .filter(col("n.lbl") =!= col("o.lbl"))
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

@@ -421,6 +421,33 @@ object RelationalQueries {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_nationkey")
+    },
+
+    sql(
+      "q72_bloom_semi_join",
+      "bloom-filter semi-join reduction: a 16 KB bitset (custom Aggregator, word-OR merge) broadcast prunes the fact side before the exact join — at 100 TB the dim's raw key set may exceed the broadcast budget while its bloom never does; false positives are removed by the exact join, so the result is exact and oracle-checkable",
+      s"""SELECT l.l_returnflag, count(*) AS n_lines, ${s2("l.l_extendedprice")} AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""") { (s, dir) =>
+      import graft.functions.{Aggregators, BloomOps}
+      val NumBits = 1 << 17
+      val NumHashes = 5
+      val bloom = udaf(new Aggregators.BloomFilter(NumBits, NumHashes))
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      val bits = broadcast(bigOrders.agg(bloom(col("o_orderkey")).as("bits")))
+      val pruned = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .crossJoin(bits)
+        .filter(BloomOps.bloomMightContain(col("bits"), col("l_orderkey"), NumBits, NumHashes))
+        .drop("bits")
+      pruned.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), dsum2(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }

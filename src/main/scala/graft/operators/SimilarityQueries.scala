@@ -115,8 +115,9 @@ object SimilarityQueries {
     * two-level mean aggregation — so an iteration costs one corpus scan
     * plus a dim×k-sized shuffle, never a corpus-sized one. Init is
     * deterministic (the k lowest vec_ids). Each iteration's centroid
-    * frame is persisted and materialized so the lineage stays flat
-    * (k rows — the "action" is k-row-sized, not a corpus collect).
+    * frame is eagerly localCheckpoint'ed so the lineage stays flat —
+    * persist alone would re-embed every previous iteration's plan
+    * (k rows — the materialization is k-row-sized, not a corpus collect).
     *
     * This is the index-build step IVF (s03) presupposes; s03 keeps
     * label-mean centroids because its recall oracle is tuned to them.
@@ -125,19 +126,15 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centroid"))
-      .persist()
-    cents.count()
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val next = assignCells(e, centroidArray(cents))
+      cents = assignCells(e, centroidArray(cents))
         .select(col("cell").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos").agg(avg("v").as("mv"))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
           .cast("array<float>").as("centroid"))
-        .persist()
-      next.count()
-      cents.unpersist()
-      cents = next
+        .localCheckpoint(true)
     }
     cents
   }

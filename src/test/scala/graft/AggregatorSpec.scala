@@ -50,6 +50,30 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: zero false negatives, low false-positive rate") {
+    import graft.functions.{Aggregators, BloomOps}
+    val NumBits = 1 << 14
+    val NumHashes = 5
+    val bloom = udaf(new Aggregators.BloomFilter(NumBits, NumHashes))
+    val keys = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val bits = keys.agg(bloom(col("o_orderkey")).as("bits"))
+    val probed = Tables.orders(spark, sf0001).select("o_orderkey")
+      .crossJoin(broadcast(bits))
+      .withColumn("hit",
+        BloomOps.bloomMightContain(col("bits"), col("o_orderkey"), NumBits, NumHashes))
+      .select("o_orderkey", "hit")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val truth = keys.collect().map(_.getLong(0)).toSet
+    assert(truth.nonEmpty)
+    probed.filter(kv => truth(kv._1)).foreach { case (k, hit) =>
+      assert(hit, s"false negative for key $k")
+    }
+    val negatives = probed.filterNot(kv => truth(kv._1))
+    val fpr = negatives.count(_._2).toDouble / negatives.length
+    assert(fpr < 0.05, s"false-positive rate $fpr")
+  }
+
   test("stratified sample hits per-stratum rates and is deterministic in-session") {
     val dir = sf("sf0.01")
     val fractions = Map(
