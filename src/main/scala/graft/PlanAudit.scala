@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for representative queries plus automated checks
+  * for the properties the 100 TB posture depends on: parquet filter
+  * pushdown, pruned read schemas, broadcast joins on dims, and no
+  * unbounded cartesian products. Run: `sbt "runMain graft.PlanAudit"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false") // stable plan text
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val targets = Seq(
+      "q01_pricing_summary", "q02_filter_project", "q05_local_supplier_volume",
+      "q70_range_join", "q72_bloom_semi_join", "t10_tfidf", "d04_lsh_near_dups",
+      "p01_curation_pipeline")
+    targets.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val flags = Seq(
+        "PushedFilters: [" -> plan.contains("PushedFilters: ["),
+        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "WholeStageCodegen" -> plan.contains("*(")) // toString marks WSCG spans as *(n)
+      println(s"== $name :: ${flags.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+      if (args.contains("--full")) println(plan)
+    }
+    // hard checks
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    val q02 = plan("q02_filter_project")
+    assert(q02.contains("PushedFilters: [IsNotNull"), s"q02 filters not pushed:\n$q02")
+    val q05 = plan("q05_local_supplier_volume")
+    assert(q05.contains("BroadcastHashJoin"), "q05 dims not broadcast")
+    val q70 = plan("q70_range_join")
+    assert(!q70.contains("CartesianProduct"), "q70 went cartesian")
+    assert(!q70.contains("BroadcastNestedLoopJoin"), "q70 range join fell back to NLJ")
+    val t10 = plan("t10_tfidf")
+    assert(t10.contains("BroadcastHashJoin") || t10.contains("BroadcastNestedLoopJoin"),
+      "t10 doc-count not broadcast")
+    assert(targets.forall(plan(_).contains("*(")), "a target query lost whole-stage codegen")
+    println("PLAN AUDIT OK")
+    spark.stop()
+  }
+}
