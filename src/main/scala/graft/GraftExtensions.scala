@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_minhash"),
       info("shingle_minhash", "shingle_minhash(tokens, k, n) - MinHash signature over word n-grams"),
       (args: Seq[Expression]) => ShingleMinHash(args.head, foldableInt(args(1)), foldableInt(args(2)))))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(emb, cents) - id of the centroid (array<struct<cent_id,centroid>>) with highest cosine to emb"),
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bits, key, numBits, numHashes) - probe a bloom bitset built by the BloomFilter aggregator"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1),
+        foldableInt(args(2)), foldableInt(args(3)))))
   }
 
   private def foldableInt(e: Expression): Int = {

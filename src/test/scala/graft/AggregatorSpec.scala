@@ -145,6 +145,15 @@ class AggregatorSpec extends SparkSpec {
       assert(s2.sql("SELECT shingle_simhash(array('a','b','c'), 2)").head().getLong(0) != 0L)
       assert(s2.sql("SELECT size(shingle_minhash(array('a','b','c'), 8, 2))").head().getInt(0) == 8)
       assert(s2.sql("SELECT rolling_hash(array('a','b')) <> rolling_hash(array('b','a'))").head().getBoolean(0))
+      assert(s2.sql(
+        "SELECT nearest_centroid(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(struct(CAST(7 AS BIGINT) AS cent_id, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS centroid), " +
+          "      struct(CAST(9 AS BIGINT) AS cent_id, array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)) AS centroid)))")
+        .head().getLong(0) == 7L)
+      // a key set on the build side must probe true: bit-identical hash family
+      assert(s2.sql(
+        "SELECT NOT bloom_might_contain(array(CAST(0 AS BIGINT)), CAST(42 AS BIGINT), 64, 3)")
+        .head().getBoolean(0), "empty bitset must reject every key")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
