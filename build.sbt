@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g left the bench
   // GC-bound on the 1M-row generated-pipeline queries (host has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~90 benchmarked queries generate enough Janino classes to fill the
+  // default 240m code cache, after which the JIT stops compiling and
+  // late-registry row-loop-heavy queries run interpreted
+  "-XX:ReservedCodeCacheSize=512m",
 )
