@@ -156,6 +156,27 @@ object EventQueries {
     },
 
     sql(
+      "q73_variant_extract",
+      "Spark 4 VARIANT type for semi-structured data: parse_json once into a variant column, typed variant_get extraction, aggregate — the open-schema path where a fixed from_json schema can't be declared up front",
+      """SELECT event_type, count(*) AS n,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"),
+          max("k").as("max_k"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    sql(
       "q68_asof_attribution",
       "as-of join (operator Spark lacks; composed union+window form): each purchase attributed to the latest prior click",
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operator set over event streams (SURVEY.md §7 M3): watermarked
   * tumbling/sliding/session windows, in-watermark dedup, and arbitrary
@@ -86,6 +87,38 @@ object EventStreams {
     */
   def enrichTrades(trades: DataFrame, dim: DataFrame): DataFrame =
     trades.join(org.apache.spark.sql.functions.broadcast(dim), Seq("tickerSymbol"), "left")
+
+  /** Per-user running event counter on the Spark 4 `transformWithState`
+    * API — named state slots with per-slot encoders, TTL support, and
+    * timers; the successor to `flatMapGroupsWithState` for arbitrary
+    * state. Emits the running total for each user present in a
+    * micro-batch (Update mode); state is one long per user. Requires the
+    * RocksDB state store provider (the API's backing contract — also the
+    * 100 TB deployment setting, since per-executor state lives off-heap).
+    */
+  final class RunningCountProcessor extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((user, n))
+    }
+  }
+
+  /** Streaming twin of `events.groupBy(user_id).count()` via
+    * [[RunningCountProcessor]].
+    */
+  def runningCounts(spark: SparkSession, events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
     * hatch when session logic outgrows `session_window` (reference has no

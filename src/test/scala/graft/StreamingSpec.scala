@@ -93,6 +93,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState running counts == batch per-user counts") {
+    // the transformWithState API is backed by the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ms, events) = eventStream()
+      val q = EventStreams.runningCounts(spark, ms.toDS())
+        .toDF("user_id", "n")
+        .writeStream.outputMode("update").format("memory").queryName("twscounts").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("twscounts")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window groups events by 30-minute gaps") {
     val (ms, events) = eventStream()
     val q = EventStreams.sessionCounts(ms.toDF())
