@@ -133,13 +133,18 @@ object DedupQueries {
     *
     * Algorithm: min-label propagation with pointer jumping. Each round
     * takes the min over (a) neighbors' labels — one equi-join on the edge
-    * list — and (b) the label's own label (`lbl(lbl(node))`) — one
-    * self-join on the label frame. (a) alone needs `diameter` rounds
-    * (a 20-round cap failed on the sf0.1 graph's long chains); (b) halves
-    * the remaining depth every round, so the loop converges in
-    * O(log diameter) rounds. Every round shuffles O(|E| + |V|) rows with
-    * map-side-combinable mins; the driver only ever sees a per-round
-    * change count, never node data.
+    * list — and (b) the label's own label (`lbl(lbl(node))`) — a
+    * self-join on the label frame, applied twice per round. (a) alone
+    * needs `diameter` rounds (a 20-round cap failed on the sf0.1 graph's
+    * long chains); each jump halves the remaining depth, so two jumps per
+    * round converge in ~log₄(diameter) rounds. Every round shuffles
+    * O(|E| + |V|) rows with map-side-combinable mins. Convergence is
+    * detected by the strictly-decreasing label sum going flat — one tiny
+    * aggregate over the checkpointed frame instead of a per-round join
+    * (labels only ever decrease, so sum-unchanged ⇔ nothing changed; at
+    * node counts where n·maxId could overflow a long, sum as
+    * DECIMAL(38,0)). The driver only ever sees that scalar, never node
+    * data.
     */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.3,
       maxIters: Int = 20): DataFrame = {
@@ -161,26 +166,31 @@ object DedupQueries {
     // lineage to the materialized result, keeping every round's plan flat.
     var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
       .localCheckpoint(true)
+    def jump(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      l.select(col("node"), col("lbl").as("mid"))
+        .join(l.select(col("node").as("mid"), col("lbl")), "mid")
+        .select(col("node"), col("lbl"))
+    def labelSum(l: org.apache.spark.sql.DataFrame): Long =
+      l.agg(sum("lbl")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaEdges = edges
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .select(col("u").as("node"), col("lbl"))
-      val viaJump = labels.select(col("node"), col("lbl").as("mid"))
-        .join(labels.select(col("node").as("mid"), col("lbl")), "mid")
-        .select(col("node"), col("lbl"))
-      val next = viaEdges
-        .union(viaJump)
+      val once = viaEdges
+        .union(jump(labels))
         .union(labels)
         .groupBy("node").agg(min("lbl").as("lbl"))
+      val next = jump(once)
+        .union(once)
+        .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist()
