@@ -136,8 +136,11 @@ object DedupQueries {
     * list — and (b) the label's own label (`lbl(lbl(node))`) — a
     * self-join on the label frame, applied twice per round. (a) alone
     * needs `diameter` rounds (a 20-round cap failed on the sf0.1 graph's
-    * long chains); each jump halves the remaining depth, so two jumps per
-    * round converge in ~log₄(diameter) rounds. Every round shuffles
+    * long chains); the jump halves the remaining depth every round, so
+    * the loop converges in O(log diameter) rounds. (A double-jump variant
+    * measured slower: the intermediate frame feeds two plan branches and
+    * is recomputed per branch, doubling the per-round edge join.)
+    * Every round shuffles
     * O(|E| + |V|) rows with map-side-combinable mins. Convergence is
     * detected by the strictly-decreasing label sum going flat — one tiny
     * aggregate over the checkpointed frame instead of a per-round join
@@ -179,12 +182,9 @@ object DedupQueries {
       val viaEdges = edges
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .select(col("u").as("node"), col("lbl"))
-      val once = viaEdges
+      val next = viaEdges
         .union(jump(labels))
         .union(labels)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-      val next = jump(once)
-        .union(once)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
