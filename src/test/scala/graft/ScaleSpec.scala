@@ -33,6 +33,39 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-sized thresholds: the default 256 MB skew cutoff never
+      // fires on test data; the MECHANISM under test is the same one that
+      // fires at production sizes with production defaults
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carries ~95% of the left side
+      val left = spark.range(0, 400000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 101).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 101).select(col("id").as("k"), (col("id") * 2).as("r"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS dataset's QueryExecution (count() would
+      // plan a separate aggregate QE and leave joined's plan un-finalized)
+      assert(joined.collect().length == 400000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("idempotent sink: replaying a batch overwrites, not duplicates") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-sink").toString
