@@ -424,6 +424,32 @@ object RelationalQueries {
     },
 
     sql(
+      "q74_schema_evolution_union",
+      "schema-evolution union: an old-schema batch and a new-schema batch (extra column) combine via unionByName(allowMissingColumns) — missing columns null-fill, then aggregate over the merged view",
+      s"""WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+        |       count(*) AS n, ${s2("o_totalprice")} AS total
+        |FROM u GROUP BY priority
+        |ORDER BY priority""") { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cut = expr("TIMESTAMP_NTZ '1997-01-01'")
+      val v1 = orders.filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice")
+      val v2 = orders.filter(col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+        .orderBy("priority")
+    },
+
+    sql(
       "q72_bloom_semi_join",
       "bloom-filter semi-join reduction: a 16 KB bitset (custom Aggregator, word-OR merge) broadcast prunes the fact side before the exact join — at 100 TB the dim's raw key set may exceed the broadcast budget while its bloom never does; false positives are removed by the exact join, so the result is exact and oracle-checkable",
       s"""SELECT l.l_returnflag, count(*) AS n_lines, ${s2("l.l_extendedprice")} AS revenue
