@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.slf4j.LoggerFactory
 
 /** Observability (reference O4/O5, SURVEY.md §2.5): the reference wraps
@@ -35,5 +37,47 @@ object Observability {
     }
     spark.streams.addListener(listener)
     listener
+  }
+
+  /** Batch counterpart of the progress logger: one line per completed
+    * action with wall time and scan volume, from the executed plan's own
+    * metrics (no extra instrumentation in query code — semantics
+    * untouched, telemetry only). The last event is kept on the listener
+    * so tests and harnesses can assert on it.
+    */
+  final class BatchMetricsListener extends QueryExecutionListener {
+    @volatile var lastSuccess: Option[(String, Long, Long)] = None // (fn, wallNs, rowsProcessed)
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are leaf
+      // nodes whose real plan hangs off a field, so a plain collect sees
+      // nothing — descend through them explicitly. Row counts also live on
+      // different nodes per plan shape (columnar scans count on
+      // ColumnarToRow), so sum across every node carrying the metric.
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val rows = allNodes(qe.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .sum
+      lastSuccess = Some((funcName, durationNs, rows))
+      log.info(s"batch query ok: fn=$funcName wallMs=${durationNs / 1000000} rowsProcessed=$rows")
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+      log.warn(s"batch query failed: fn=$funcName", error)
+  }
+
+  /** Register a [[BatchMetricsListener]]; returns it for assertion /
+    * deregistration (`spark.listenerManager.unregister`).
+    */
+  def attachBatchMetricsLogger(spark: SparkSession): BatchMetricsListener = {
+    val l = new BatchMetricsListener
+    spark.listenerManager.register(l)
+    l
   }
 }

@@ -93,6 +93,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("batch metrics listener records wall time and scan volume") {
+    val l = Observability.attachBatchMetricsLogger(spark)
+    try {
+      SparkEntry.queries("q02_filter_project")(spark, sf0001).collect()
+      // listener callbacks fire asynchronously after the action returns
+      val deadline = System.nanoTime() + 10000000000L
+      while (l.lastSuccess.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val (fn, wallNs, rows) = l.lastSuccess.getOrElse(fail("no batch metrics recorded"))
+      assert(fn == "collect")
+      assert(wallNs > 0)
+      assert(rows > 0, "row-volume metrics missing from the executed plan")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("transformWithState running counts == batch per-user counts") {
     // the transformWithState API is backed by the RocksDB state store
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
