@@ -23,9 +23,12 @@ object PlanAudit {
       "q01_pricing_summary", "q02_filter_project", "q05_local_supplier_volume",
       "q70_range_join", "q72_bloom_semi_join", "t10_tfidf", "d04_lsh_near_dups",
       "p01_curation_pipeline")
+    // plan each target once — planning is the expensive step here
+    val plans: Map[String, String] = targets.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    }.toMap
     targets.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = plans(name)
       val flags = Seq(
         "PushedFilters: [" -> plan.contains("PushedFilters: ["),
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
@@ -34,21 +37,16 @@ object PlanAudit {
       println(s"== $name :: ${flags.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
       if (args.contains("--full")) println(plan)
     }
-    // hard checks
-    def plan(name: String): String =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
-
-    val q02 = plan("q02_filter_project")
-    assert(q02.contains("PushedFilters: [IsNotNull"), s"q02 filters not pushed:\n$q02")
-    val q05 = plan("q05_local_supplier_volume")
-    assert(q05.contains("BroadcastHashJoin"), "q05 dims not broadcast")
-    val q70 = plan("q70_range_join")
-    assert(!q70.contains("CartesianProduct"), "q70 went cartesian")
-    assert(!q70.contains("BroadcastNestedLoopJoin"), "q70 range join fell back to NLJ")
-    val t10 = plan("t10_tfidf")
-    assert(t10.contains("BroadcastHashJoin") || t10.contains("BroadcastNestedLoopJoin"),
-      "t10 doc-count not broadcast")
-    assert(targets.forall(plan(_).contains("*(")), "a target query lost whole-stage codegen")
+    assert(plans("q02_filter_project").contains("PushedFilters: [IsNotNull"),
+      s"q02 filters not pushed:\n${plans("q02_filter_project")}")
+    assert(plans("q05_local_supplier_volume").contains("BroadcastHashJoin"),
+      "q05 dims not broadcast")
+    assert(!plans("q70_range_join").contains("CartesianProduct"), "q70 went cartesian")
+    assert(!plans("q70_range_join").contains("BroadcastNestedLoopJoin"),
+      "q70 range join fell back to NLJ")
+    assert(plans("t10_tfidf").contains("BroadcastHashJoin") ||
+      plans("t10_tfidf").contains("BroadcastNestedLoopJoin"), "t10 doc-count not broadcast")
+    assert(targets.forall(plans(_).contains("*(")), "a target query lost whole-stage codegen")
     println("PLAN AUDIT OK")
     spark.stop()
   }

@@ -79,6 +79,12 @@ object BloomOps {
     * generated code of [[BloomMightContain]].
     */
   def mightContain(words: ArrayData, key: Long, numBits: Int, numHashes: Int): Boolean = {
+    // the expression is SQL-exposed, so an inconsistent numBits must fail
+    // loudly rather than read past the bitset (UnsafeArrayData would
+    // silently return adjacent row memory as membership bits)
+    require(words.numElements().toLong * 64 >= numBits,
+      s"bloom bitset has ${words.numElements()} words (${words.numElements() * 64} bits) " +
+        s"but numBits=$numBits")
     val h1 = mix(key)
     val h2 = mix(h1) | 1L
     var i = 0

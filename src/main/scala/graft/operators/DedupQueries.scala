@@ -133,21 +133,24 @@ object DedupQueries {
     *
     * Algorithm: min-label propagation with pointer jumping. Each round
     * takes the min over (a) neighbors' labels — one equi-join on the edge
-    * list — and (b) the label's own label (`lbl(lbl(node))`) — a
-    * self-join on the label frame, applied twice per round. (a) alone
-    * needs `diameter` rounds (a 20-round cap failed on the sf0.1 graph's
-    * long chains); the jump halves the remaining depth every round, so
-    * the loop converges in O(log diameter) rounds. (A double-jump variant
-    * measured slower: the intermediate frame feeds two plan branches and
-    * is recomputed per branch, doubling the per-round edge join.)
-    * Every round shuffles
-    * O(|E| + |V|) rows with map-side-combinable mins. Convergence is
-    * detected by the strictly-decreasing label sum going flat — one tiny
-    * aggregate over the checkpointed frame instead of a per-round join
-    * (labels only ever decrease, so sum-unchanged ⇔ nothing changed; at
-    * node counts where n·maxId could overflow a long, sum as
-    * DECIMAL(38,0)). The driver only ever sees that scalar, never node
-    * data.
+    * list — and (b) the label's own label (`lbl(lbl(node))`) — one
+    * self-join on the label frame. (a) alone needs `diameter` rounds
+    * (a 20-round cap failed on the sf0.1 graph's long chains); (b) halves
+    * the remaining depth every round, so the loop converges in
+    * O(log diameter) rounds. (A double-jump-per-round variant measured
+    * slower: its intermediate frame feeds two plan branches and is
+    * recomputed per branch, doubling the per-round edge join.) Every
+    * round shuffles O(|E| + |V|) rows with map-side-combinable mins.
+    * Convergence is detected by the strictly-decreasing label sum going
+    * flat — one tiny aggregate instead of a per-round join (labels only
+    * ever decrease, so sum-unchanged ⇔ nothing changed; this long sum is
+    * exact while n·maxId < 2^63 — beyond that, widen the sum to
+    * DECIMAL(38,0) before trusting it). The driver only ever sees that
+    * scalar, never node data. Each round's result is materialized on an
+    * explicitly persisted row RDD (plan lineage truncated via
+    * createDataFrame) and the previous round's blocks are unpersisted —
+    * localCheckpoint would leak every round's blocks until GC, since
+    * `spark.catalog.clearCache` does not cover RDD-level storage.
     */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.3,
       maxIters: Int = 20): DataFrame = {
@@ -162,13 +165,18 @@ object DedupQueries {
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("u", "v")
       .persist()
-    // localCheckpoint (eager) rather than persist: persist caches data but
-    // leaves the logical plan nested, so an iterative loop re-embeds the
-    // whole previous plan every round — plan size (and analysis time)
-    // grows exponentially with iterations. Checkpointing truncates the
-    // lineage to the materialized result, keeping every round's plan flat.
-    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
-      .localCheckpoint(true)
+    // Materializing each round on an explicitly persisted row RDD (lineage
+    // truncated via createDataFrame) keeps the plan flat — plain persist
+    // re-embeds the whole previous plan every round and analysis time
+    // grows exponentially — while letting the previous round's blocks be
+    // unpersisted immediately instead of leaking until GC.
+    def materialize(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist()
+      (s.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      e.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
     def jump(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       l.select(col("node"), col("lbl").as("mid"))
         .join(l.select(col("node").as("mid"), col("lbl")), "mid")
@@ -182,13 +190,14 @@ object DedupQueries {
       val viaEdges = edges
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .select(col("u").as("node"), col("lbl"))
-      val next = viaEdges
+      val (next, nextRdd) = materialize(viaEdges
         .union(jump(labels))
         .union(labels)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min("lbl").as("lbl")))
       val nextSum = labelSum(next)
+      labelsRdd.unpersist()
       labels = next
+      labelsRdd = nextRdd
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1

@@ -227,7 +227,10 @@ object EventQueries {
           // projection keeps the driver's pandas hash-compare happy (a raw
           // array<string> column is unhashable on the pandas side)
           concat_ws(",", map_keys(col("type_counts"))).as("types"),
-          element_at(col("type_counts"), "click").as("clicks"),
+          // try_element_at, not element_at: under ANSI mode a user with no
+          // click events would otherwise throw MAP_KEY_DOES_NOT_EXIST;
+          // NULL matches the oracle's max(CASE ...) semantics
+          try_element_at(col("type_counts"), lit("click")).as("clicks"),
           size(col("type_counts")).cast("long").as("n_types"))
         .orderBy("user_id")
     },

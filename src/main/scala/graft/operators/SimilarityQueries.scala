@@ -49,15 +49,21 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
-  /** Per-label elementwise mean vectors, rebuilt as array<float> columns. */
-  def labelCentroids(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
+  /** Elementwise mean vectors per `keyCol`, rebuilt as array<float>
+    * columns — shared by the label-mean index (s03) and the k-means
+    * M-step (s07) so centroid assembly can never diverge between them.
+    */
+  private def meanCentroids(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(keyCol, "pos")
       .agg(avg("v").as("mv"))
-      .groupBy("label")
+      .groupBy(keyCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
         .cast("array<float>").as("centroid"))
+
+  /** Per-label elementwise mean vectors, rebuilt as array<float> columns. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    meanCentroids(Tables.embeddings(s, dir), "label")
 
   /** Collapse a (cent_id: long, centroid: array<float>) frame to ONE row
     * holding the sorted centroid array — the broadcast-able index shape
@@ -128,12 +134,10 @@ object SimilarityQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      cents = assignCells(e, centroidArray(cents))
-        .select(col("cell").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cent_id", "pos").agg(avg("v").as("mv"))
-        .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))), x => x.getField("mv"))
-          .cast("array<float>").as("centroid"))
+      cents = meanCentroids(
+          assignCells(e, centroidArray(cents))
+            .select(col("cell").as("cent_id"), col("embedding")),
+          "cent_id")
         .localCheckpoint(true)
     }
     cents

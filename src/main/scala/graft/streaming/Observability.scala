@@ -46,26 +46,26 @@ object Observability {
     * so tests and harnesses can assert on it.
     */
   final class BatchMetricsListener extends QueryExecutionListener {
-    @volatile var lastSuccess: Option[(String, Long, Long)] = None // (fn, wallNs, rowsProcessed)
+    @volatile var lastSuccess: Option[(String, Long, Long)] = None // (fn, wallNs, scanRows)
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are leaf
       // nodes whose real plan hangs off a field, so a plain collect sees
-      // nothing — descend through them explicitly. Row counts also live on
-      // different nodes per plan shape (columnar scans count on
-      // ColumnarToRow), so sum across every node carrying the metric.
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
-        case q: QueryStageExec => p +: allNodes(q.plan)
-        case other => other +: other.children.flatMap(allNodes)
+      // nothing — descend through them explicitly. Sum numOutputRows over
+      // TRUE leaves only (scans/sources): summing every node would count
+      // each row once per operator and report inflated volumes.
+      def scanRows(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => scanRows(a.executedPlan)
+        case q: QueryStageExec => scanRows(q.plan)
+        case leaf: LeafExecNode =>
+          leaf.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case other => other.children.map(scanRows).sum
       }
-      val rows = allNodes(qe.executedPlan)
-        .flatMap(_.metrics.get("numOutputRows").map(_.value))
-        .sum
+      val rows = scanRows(qe.executedPlan)
       lastSuccess = Some((funcName, durationNs, rows))
-      log.info(s"batch query ok: fn=$funcName wallMs=${durationNs / 1000000} rowsProcessed=$rows")
+      log.info(s"batch query ok: fn=$funcName wallMs=${durationNs / 1000000} scanRows=$rows")
     }
 
     override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =

@@ -192,15 +192,25 @@ final class SdkStreamAdmin(
             "deployment backend — use LocalStreamAdmin in SDK-less environments")
     }
 
-  /** Invoke a public method by name/arity — the SDK's concrete builder and
-    * response classes are internal, so lookups go through getMethods
-    * rather than compile-time types.
+  /** Invoke a public method by name, arity, AND argument type — the SDK's
+    * concrete builder and response classes are internal, so lookups go
+    * through getMethods rather than compile-time types. Matching types
+    * matters because every SDK v2 client verb has a same-arity
+    * `Consumer<Builder>` overload: name+arity alone can resolve to it
+    * (getMethods order is unspecified) and fail at invoke time.
     */
   private def call(target: AnyRef, method: String, args: AnyRef*): AnyRef = {
+    def accepts(m: java.lang.reflect.Method): Boolean =
+      m.getParameterTypes.zip(args).forall { case (p, a) =>
+        a == null || p.isInstance(a) ||
+          (p.isPrimitive && p == java.lang.Integer.TYPE && a.isInstanceOf[java.lang.Integer]) ||
+          (p.isPrimitive && p == java.lang.Long.TYPE && a.isInstanceOf[java.lang.Long]) ||
+          (p.isPrimitive && p == java.lang.Boolean.TYPE && a.isInstanceOf[java.lang.Boolean])
+      }
     val m = target.getClass.getMethods
-      .find(m => m.getName == method && m.getParameterCount == args.length)
+      .find(m => m.getName == method && m.getParameterCount == args.length && accepts(m))
       .getOrElse(throw new NoSuchMethodException(
-        s"${target.getClass.getName}.$method/${args.length}"))
+        s"${target.getClass.getName}.$method/${args.length} accepting (${args.map(a => if (a == null) "null" else a.getClass.getSimpleName).mkString(", ")})"))
     m.setAccessible(true)
     m.invoke(target, args: _*)
   }

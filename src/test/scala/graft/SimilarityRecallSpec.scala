@@ -48,6 +48,7 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 
   test("IVF cell assignment matches the window-form argmax with zero shuffles outside the broadcast index") {
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan tree
     try {
       val e = Tables.embeddings(spark, sf0001)
@@ -74,7 +75,10 @@ class SimilarityRecallSpec extends SparkSpec {
       val got = assigned.select("vec_id", "cell")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally savedAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("multi-table SimHash blocking: precision 1.0 and high recall vs exact Hamming pairs at sf0.01") {
