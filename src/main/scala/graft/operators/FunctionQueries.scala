@@ -193,6 +193,21 @@ object FunctionQueries {
           (col("p_name").rlike("^(blue|red) ") && col("p_type").isin("PROMO", "ECONOMY")))
         .select("p_partkey", "p_name", "p_type", "p_size")
         .orderBy("p_partkey")
+    },
+
+    sql(
+      "q76_listagg",
+      "ordered string aggregation: listagg WITHIN GROUP (Spark 4 builtin) == DuckDB string_agg with ORDER BY",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""") { (s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
     }
   )
 }

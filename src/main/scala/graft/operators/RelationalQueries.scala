@@ -424,6 +424,32 @@ object RelationalQueries {
     },
 
     sql(
+      "q75_lateral_topk",
+      "correlated LATERAL join: each customer's single most expensive order via a per-row ordered+limited subquery (Spark 4 lateral subquery support; DuckDB LATERAL twin)",
+      """SELECT c.c_custkey, o.o_orderkey,
+        |       floor(o.o_totalprice * 100 + 0.5) / 100 AS top_price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 1) o
+        |ORDER BY c.c_custkey""") { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_l")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_l")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey,
+          |       floor(o.o_totalprice * 100 + 0.5) / 100 AS top_price
+          |FROM customer_l c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice
+          |  FROM orders_l
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 1) o
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    sql(
       "q74_schema_evolution_union",
       "schema-evolution union: an old-schema batch and a new-schema batch (extra column) combine via unionByName(allowMissingColumns) — missing columns null-fill, then aggregate over the merged view",
       s"""WITH v1 AS (
