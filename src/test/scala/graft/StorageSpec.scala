@@ -27,6 +27,41 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("parquet compression codecs round-trip and are codec-stamped on disk") {
+    val src = sample
+    val want = src.collect().map(_.toSeq).toSet
+    Seq("snappy" -> "snappy", "zstd" -> "zstd", "gzip" -> "gz").foreach { case (codec, ext) =>
+      val dir = Files.createTempDirectory(s"graft-codec-$codec").toString
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      assert(files.nonEmpty && files.forall(_.contains(s".$ext.")),
+        s"$codec: files not codec-stamped: ${files.mkString(",")}")
+      val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      assert(got == want, s"$codec round trip diverged")
+    }
+  }
+
+  test("maxRecordsPerFile bounds output file sizes (small-files / huge-files control)") {
+    val dir = Files.createTempDirectory("graft-maxrec").toString
+    sample.coalesce(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", 300).parquet(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length >= 3, s"1000 rows at 300/file should split into >=4 files, got ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(s"$dir/$f").count()
+      assert(n <= 300, s"$f holds $n rows > maxRecordsPerFile")
+    }
+  }
+
+  test("file-provenance metadata column records source file per row") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("_metadata.file_name").as("src_file"))
+    val names = df.select("src_file").distinct().collect().map(_.getString(0))
+    assert(names.length == 1 && names.head == "documents.parquet",
+      s"unexpected provenance: ${names.mkString(",")}")
+    assert(df.count() == Tables.documents(spark, sf0001).count())
+  }
+
   test("partitioned parquet write → scan prunes partitions on the filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001)
