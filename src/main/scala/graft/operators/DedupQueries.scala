@@ -309,7 +309,7 @@ object DedupQueries {
 
     rowsOnly(
       "d05_simhash_pairs",
-      "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16; not SQL-expressible (custom simhash kernel) — recall vs exact Hamming pairs asserted in ScalaTest")(
+      "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16; no oracle: the simhash kernel is a custom expression DuckDB cannot evaluate — SimilarityRecallSpec asserts precision 1.0 and recall vs exact Hamming pairs at sf0.01")(
       (s, dir) => simhashPairs(s, dir)),
 
     rowsOnly(

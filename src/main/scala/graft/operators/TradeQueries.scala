@@ -21,7 +21,7 @@ object TradeQueries {
   val all: Seq[GraftQuery] = Seq(
     rowsOnly(
       "tr00_pipeline_throughput",
-      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md)")(
+      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md); no oracle: input is generated in-engine — TradeGeneratorSpec/CodecSpec/StreamingSpec gate each stage")(
       (s, dir) => {
         // 1M trades for the sf0.1 bench; a lighter volume for the
         // correctness pass (its output is scale-independent: 25 tickers)

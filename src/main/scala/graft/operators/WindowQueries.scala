@@ -105,7 +105,7 @@ object WindowQueries {
 
     rowsOnly(
       "q38_price_deciles_approx",
-      "at-scale twin of q33: decile boundaries from a mergeable quantile sketch (approx_percentile, accuracy 10000) — no global sort, one map-side-combinable aggregation; boundary error vs exact deciles asserted in ScalaTest")(
+      "at-scale twin of q33: decile boundaries from a mergeable quantile sketch (approx_percentile, accuracy 10000) — no global sort, one map-side-combinable aggregation; no oracle: sketch estimates are engine-specific — AggregatorSpec asserts <2% boundary error vs exact deciles")(
       (s, dir) => {
         Tables.orders(s, dir)
           .agg(approx_percentile(col("o_totalprice"),
