@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through un-prefixed: the bench/verify
+// drivers tail stdout for one bare JSON line, and sbt's default logger
+// prepends "[info] " to every forked-process line, breaking strict
+// JSON parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time: ..." line for the same
+// reason: the compact JSON must be the LAST stdout line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

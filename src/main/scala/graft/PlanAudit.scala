@@ -21,6 +21,7 @@ object PlanAudit {
 
     val targets = Seq(
       "q01_pricing_summary", "q02_filter_project", "q05_local_supplier_volume",
+      "q30_topk_per_group", "q33_price_deciles",
       "q70_range_join", "q72_bloom_semi_join", "t10_tfidf", "d04_lsh_near_dups",
       "p01_curation_pipeline")
     // plan each target once — planning is the expensive step here
@@ -47,6 +48,27 @@ object PlanAudit {
     assert(plans("t10_tfidf").contains("BroadcastHashJoin") ||
       plans("t10_tfidf").contains("BroadcastNestedLoopJoin"), "t10 doc-count not broadcast")
     assert(targets.forall(plans(_).contains("*(")), "a target query lost whole-stage codegen")
+
+    // Global-window whitelist: a partition-less WindowExec is a
+    // single-partition sort — the one plan shape that cannot scale. q33 is
+    // the documented oracle-exact global decile (its at-scale twin is q38's
+    // sketch); NOTHING else may plan one, so a regression elsewhere can't
+    // hide behind q33's known `WindowExec: No Partition Defined` warning.
+    // Skipped: queries that execute real jobs while being planned
+    // (iterative loops / streaming queries); their structure is loop-level,
+    // not visible to a static plan sweep.
+    val eager = Set("d08_dup_clusters", "s07_kmeans_centroids",
+      "st01_stream_tumbling", "st02_stream_sessions")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWindowQueries = SparkEntry.registry
+      .filterNot(q => eager(q.name))
+      .flatMap { q =>
+        val plan = SparkEntry.queries(q.name)(spark, sfDir).queryExecution.executedPlan
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => q.name }
+      }.distinct
+    assert(globalWindowQueries == Seq("q33_price_deciles"),
+      s"global (partition-less) windows outside the q33 whitelist: $globalWindowQueries")
+    println(s"global-window whitelist OK (only q33 across ${SparkEntry.registry.size - eager.size} audited plans)")
     println("PLAN AUDIT OK")
     spark.stop()
   }

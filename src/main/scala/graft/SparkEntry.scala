@@ -18,7 +18,7 @@ object SparkEntry {
     RelationalQueries.all ++ WindowQueries.all ++ EventQueries.all ++
       FunctionQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       DedupQueries.all ++ MultimodalQueries.all ++ TradeQueries.all ++
-      AggregateQueries.all
+      AggregateQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q5-shaped 6-way join through the broadcast region/nation dims.

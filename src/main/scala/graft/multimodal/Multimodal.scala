@@ -62,7 +62,9 @@ object Multimodal {
     blobs.mapPartitions { it =>
       // per-partition decoder init would go here (e.g. native lib handle)
       it.map { b =>
-        val bytes = b.data
+        // null payloads (failed fetches, tombstones) decode as empty —
+        // real corpora contain them; a decoder must not NPE
+        val bytes = if (b.data == null) Array.emptyByteArray else b.data
         val n = bytes.length
         var sum = 0L
         var i = 0
@@ -94,7 +96,7 @@ object Multimodal {
     */
   def sampleFrames(blobs: Dataset[MediaBlob], stride: Int = 64, every: Int = 2): Dataset[Frame] = {
     import blobs.sparkSession.implicits._
-    blobs.filter(_.media_type == "video").flatMap { b =>
+    blobs.filter(b => b.media_type == "video" && b.data != null).flatMap { b =>
       b.data.grouped(stride).zipWithIndex.collect {
         case (chunk, idx) if idx % every == 0 => Frame(b.doc_id, idx, chunk)
       }

@@ -50,17 +50,34 @@ object AggregateQueries {
           .orderBy("l_returnflag")
       }),
 
-    rowsOnly(
+    sql(
       "a03_reservoir_sample",
-      "typed Aggregator UDAF: O(k)-state reservoir sample per segment; no oracle: seeded sampling is engine-specific — AggregatorSpec asserts size-k and domain membership")(
-      (s, dir) => {
-        val sample = udaf(new Aggregators.ReservoirSample(k = 10, seed = 42L))
-        Tables.customer(s, dir)
-          .groupBy("c_mktsegment")
-          .agg(sample(col("c_custkey")).as("sampled"))
-          .select(col("c_mktsegment"), size(col("sampled")).cast("long").as("n_sampled"))
-          .orderBy("c_mktsegment")
-      }),
+      "typed Aggregator UDAF: O(k)-state bottom-k priority sample per segment. The priority is a splitmix/murmur-style integer hash — pure mod-2^64 arithmetic, so the oracle reproduces it exactly in DuckDB HUGEINT (the multiply by 0xff51afd7ed558ccd is split into 32-bit halves to stay inside INT128)",
+      """WITH d AS (SELECT DISTINCT c_mktsegment, CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |p1 AS (SELECT c_mktsegment, k,
+        |              (CAST(k AS HUGEINT) * 11400714819323198485 + 42) % 18446744073709551616 AS m1 FROM d),
+        |p2 AS (SELECT c_mktsegment, k, xor(m1, m1 >> 33) AS h1 FROM p1),
+        |p3 AS (SELECT c_mktsegment, k,
+        |              (h1 * 3981806797 + ((h1 * 4283543511) % 4294967296) * 4294967296)
+        |              % 18446744073709551616 AS m2 FROM p2),
+        |p4 AS (SELECT c_mktsegment, k, xor(m2, m2 >> 33) AS h2 FROM p3),
+        |topk AS (SELECT c_mktsegment, k,
+        |                row_number() OVER (PARTITION BY c_mktsegment
+        |                                   ORDER BY h2 % 9223372036854775808) AS rn FROM p4)
+        |SELECT c_mktsegment,
+        |       CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY k) AS BIGINT) AS sample_idx,
+        |       k AS sampled_key
+        |FROM (SELECT c_mktsegment, k FROM topk WHERE rn <= 10)
+        |ORDER BY c_mktsegment, sample_idx""") { (s, dir) =>
+      val sample = udaf(new Aggregators.ReservoirSample(k = 10, seed = 42L))
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(sample(col("c_custkey")).as("sampled"))
+        .select(col("c_mktsegment"), posexplode(col("sampled")).as(Seq("pos", "sampled_key")))
+        .select(col("c_mktsegment"),
+          (col("pos") + 1).cast("long").as("sample_idx"), col("sampled_key"))
+        .orderBy("c_mktsegment", "sample_idx")
+    },
 
     rowsOnly(
       "a05_stratified_sample",

@@ -161,9 +161,14 @@ object DedupQueries {
       .filter(col("id_a") < col("id_b"))
       .filter(cosineSim(col("e_a"), col("e_b")) > threshold)
       .select("id_a", "id_b")
+    // Emit both directions from ONE projection over the join output: a
+    // `pairs union pairs.swapped` plan references the cosine join from two
+    // branches and Spark evaluates it twice per materialization.
     val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("u", "v")
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     // Materializing each round on an explicitly persisted row RDD (lineage
     // truncated via createDataFrame) keeps the plan flat — plain persist
@@ -175,37 +180,57 @@ object DedupQueries {
       val rdd = df.rdd.persist()
       (s.createDataFrame(rdd, df.schema), rdd)
     }
+    // Seed round: lbl(u) = min(u, min over neighbors) — one cheap equi-join
+    // with no pointer jump and no convergence scalar, saving a full loop
+    // iteration (the first jump is an identity join on fresh labels anyway).
     var (labels, labelsRdd) = materialize(
-      e.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
+      e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+        .union(edges.select(col("u").as("node"), col("v").as("lbl")))
+        .groupBy("node").agg(min("lbl").as("lbl")))
     def jump(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       l.select(col("node"), col("lbl").as("mid"))
         .join(l.select(col("node").as("mid"), col("lbl")), "mid")
         .select(col("node"), col("lbl"))
+    def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      edges.join(l.select(col("node").as("v"), col("lbl")), "v")
+        .select(col("u").as("node"), col("lbl"))
+        .union(jump(l))
+        .union(l)
+        .groupBy("node").agg(min("lbl").as("lbl"))
     def labelSum(l: org.apache.spark.sql.DataFrame): Long =
       l.agg(sum("lbl")).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    // Two propagation rounds per convergence check: labels only decrease,
+    // so sum-unchanged across a double round ⇔ fixed point — halving the
+    // action/job-launch count relative to check-every-round. Both rounds
+    // are persisted RDDs (flat plans); the single labelSum action
+    // materializes round 1 into cache on first touch and round 2 on top.
     while (!converged && i < maxIters) {
-      val viaEdges = edges
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
-        .select(col("u").as("node"), col("lbl"))
-      val (next, nextRdd) = materialize(viaEdges
-        .union(jump(labels))
-        .union(labels)
-        .groupBy("node").agg(min("lbl").as("lbl")))
+      val (mid, midRdd) = materialize(step(labels))
+      val (next, nextRdd) = materialize(step(mid))
       val nextSum = labelSum(next)
       labelsRdd.unpersist()
+      midRdd.unpersist()
       labels = next
       labelsRdd = nextRdd
       converged = nextSum == prevSum
       prevSum = nextSum
-      i += 1
+      i += 2
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    // Materialize the result through a Dataset-level persist (CacheManager,
+    // which Verify/Bench's `spark.catalog.clearCache()` DOES cover), then
+    // drop the final round's RDD blocks — otherwise they leak past this
+    // query until the ContextCleaner eventually GCs them.
+    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
+      .persist()
+    out.count()
+    labelsRdd.unpersist()
+    out
   }
 
   /** Exact all-pairs Jaccard over a block — the oracle/recall reference for
@@ -266,7 +291,10 @@ object DedupQueries {
       a.join(b, col("id_b") === col("id_a") + 1)
         .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
         .select(col("id_a"), col("id_b"),
-          r4(col("inter") * lit(1.0) / (size(col("g_a")) + size(col("g_b")) - col("inter"))).as("jaccard"))
+          // try_divide: two empty gram sets (all-whitespace docs) make the
+          // union size 0, and ANSI double division THROWS on divisor 0
+          r4(try_divide(col("inter") * lit(1.0),
+            size(col("g_a")) + size(col("g_b")) - col("inter"))).as("jaccard"))
         .orderBy("id_a")
     },
 
@@ -294,7 +322,10 @@ object DedupQueries {
       val vocab = tokens.select("tok").distinct().orderBy("tok")
         .as[String].rdd.zipWithIndex()
         .toDF("tok", "tok_id")
-      val ids = tokens.join(broadcast(vocab), "tok")
+      // no broadcast() hint: forcing it materializes the whole vocabulary
+      // on the driver — at a 100 TB vocabulary that is a driver bottleneck.
+      // AQE broadcasts small vocabularies on its own from runtime stats.
+      val ids = tokens.join(vocab, "tok")
         .groupBy("doc_id").agg(collect_list("tok_id").as("ids"))
       ids.select(col("doc_id") +: As.zip(Bs).zipWithIndex.map { case ((a, bc), j) =>
           array_min(transform(col("ids"), t => (t * a + bc) % P)).as(s"h$j")
@@ -312,14 +343,29 @@ object DedupQueries {
       "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16; no oracle: the simhash kernel is a custom expression DuckDB cannot evaluate — SimilarityRecallSpec asserts precision 1.0 and recall vs exact Hamming pairs at sf0.01")(
       (s, dir) => simhashPairs(s, dir)),
 
-    rowsOnly(
+    sql(
       "d07_rolling_fingerprint",
-      "order-sensitive rolling-hash fingerprint per document (exact-sequence identity); no oracle: custom rolling-hash expression — HashFunctionsSpec asserts kernel semantics (order sensitivity, composition)")(
-      (s, dir) => {
-        Tables.documents(s, dir)
-          .select(col("doc_id"), graft.functions.HashFunctions.rollingHash(toks).as("fp"))
-          .orderBy("doc_id")
-      }),
+      "order-sensitive rolling-hash fingerprint per document (exact-sequence identity): h = fold(h*31 + fnv1a(token)) in wrapping i64. Pure mod-2^64 arithmetic, so DuckDB reproduces it with nested list_reduce over HUGEINT (fixture text is ASCII: char codepoints == UTF-8 bytes)",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(toks, tok ->
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                   list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616)) AS th
+        |  FROM t),
+        |r AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS HUGEINT), th),
+        |              (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS rh
+        |  FROM h)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN rh >= 9223372036854775808
+        |                 THEN rh - 18446744073709551616 ELSE rh END AS BIGINT) AS fp
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.HashFunctions.rollingHash(toks).as("fp"))
+        .orderBy("doc_id")
+    },
 
     sql(
       "d08_dup_clusters",

@@ -166,7 +166,11 @@ object EventQueries {
         |GROUP BY event_type
         |ORDER BY event_type""") { (s, dir) =>
       Tables.events(s, dir)
-        .withColumn("v", expr("parse_json(props)"))
+        // try_parse_json: plain parse_json is FAILFAST — one malformed
+        // props row (inevitable in real semi-structured feeds) kills the
+        // whole query; null variant → null extraction matches the
+        // oracle's json_extract_string(garbage) → NULL
+        .withColumn("v", expr("try_parse_json(props)"))
         .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -220,7 +224,10 @@ object EventQueries {
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
-        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+        // coalesce: a null event_type is a legal group but an ILLEGAL map
+        // key (NULL_MAP_KEY throws) — fold it into a sentinel key
+        .agg(map_from_entries(sort_array(collect_list(
+            struct(coalesce(col("event_type"), lit("(null)")).as("event_type"), col("n")))))
           .as("type_counts"))
         .select(col("user_id"),
           // map_keys over a sorted-entry map is already sorted; the CSV

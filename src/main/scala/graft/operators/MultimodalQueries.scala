@@ -55,17 +55,24 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
-    rowsOnly(
+    sql(
       "m03_frame_sampling",
-      "video frame sampling: payload → exploded frame rows; no oracle: mapPartitions/flatMap over the stub decoder — StreamingSpec-adjacent shape asserted via m02 oracle + frame-count arithmetic in the row check")(
-      (s, dir) => {
-        val frames = Multimodal.sampleFrames(
-          Multimodal.packBlobs(s, Tables.documents(s, dir)))
-        frames.toDF()
-          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-            length(col("frame_bytes")).cast("long").as("frame_len"))
-          .orderBy("doc_id", "frame_idx")
-      }),
+      "video frame sampling: payload → exploded frame rows (every 2nd 64-byte frame). The stub slicer is deterministic arithmetic over byte lengths, so the oracle reproduces frame indices and lengths from octet_length alone — same trick as m02",
+      """SELECT doc_id,
+        |       CAST(u.idx AS BIGINT) AS frame_idx,
+        |       CAST(least(64, n - u.idx * 64) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |     unnest(generate_series(0, CAST((n - 1) // 64 AS BIGINT), 2)) AS u(idx)
+        |WHERE n > 0
+        |ORDER BY doc_id, frame_idx""") { (s, dir) =>
+      val frames = Multimodal.sampleFrames(
+        Multimodal.packBlobs(s, Tables.documents(s, dir)))
+      frames.toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
 
     sql(
       "m04_multimodal_join",

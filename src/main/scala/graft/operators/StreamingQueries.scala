@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.GraftQuery.sql
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Registry-level evidence for the streaming operator set: each entry runs a
+  * REAL `StreamingQuery` (bounded file stream → watermarked streaming
+  * transform → memory sink, `Trigger.AvailableNow`) and returns the
+  * materialized result, which the driver then hash-compares against a DuckDB
+  * oracle over the same fixture. The streaming ScalaTest suite already
+  * asserts stream == batch over `MemoryStream`; these entries put the same
+  * equivalence behind the per-round correctness gate.
+  *
+  * Complete output mode keeps the result independent of micro-batch
+  * boundaries and watermark timing for a bounded replay: the final state is
+  * exactly the batch aggregation, so the batch-twin SQL is a valid oracle.
+  */
+object StreamingQueries {
+
+  /** Bounded streaming read of `events.parquet` with the same
+    * nano-timestamp handling as [[graft.sources.Tables.events]].
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // TIMESTAMP (not _ntz): withWatermark only accepts event time on
+    // TIMESTAMP. Session TZ is UTC, so casting the result columns back to
+    // timestamp_ntz (for the DuckDB compare) is an identity round-trip.
+    // Trailing glob: for a non-glob path FileStreamSource force-sets
+    // basePath to the path itself and then requires it to be a directory —
+    // events.parquet is a single file. A glob skips that, and partition
+    // inference falls back to the matched files' parent dir.
+    s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  }
+
+  /** Runs `agg` (a streaming aggregation) to completion into a memory sink
+    * and returns the final table.
+    */
+  private def runToMemory(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    sql(
+      "st01_stream_tumbling",
+      "streaming tumbling 1-hour window counts (EventStreams.tumblingCounts) executed as a real StreamingQuery over a bounded file stream; oracle = the batch-twin SQL (complete mode ⇒ final state == batch aggregation)",
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.tumblingCounts(eventStream(s, dir)), "st01_out")
+      out.select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    },
+
+    sql(
+      "st02_stream_sessions",
+      "streaming built-in session windows (EventStreams.sessionCounts, 30-min gap) executed as a real StreamingQuery; oracle = gap-based sessionization via window cumsum (the q62 construction, aggregated per session)",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         -- >= (not >): session_window merges only strictly-overlapping
+        |         -- windows, so a gap of exactly 30 min starts a new session
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.sessionCounts(eventStream(s, dir)), "st02_out")
+      out.select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

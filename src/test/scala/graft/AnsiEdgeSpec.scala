@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+/** Adversarial-fixture sweep for the ANSI-throwing function class (Spark 4
+  * ships with ANSI mode ON: `element_at` on a missing map key, bad casts,
+  * out-of-bounds `substring`, null map keys all THROW at runtime). The
+  * driver fixtures are too clean to exercise these — every user has a
+  * click, no text is null — so q69's round-3 bug class survived the oracle
+  * gate. This spec rebuilds the corpus with the dirty rows real 100 TB
+  * inputs contain and asserts every map/array/string-touching registry
+  * query still *executes* (values on the dirty rows are not oracle-checked;
+  * the oracle gate already pins clean-row values).
+  */
+class AnsiEdgeSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-ansi").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    for (t <- graft.sources.Tables.names
+         if !Set("documents", "events", "embeddings").contains(t))
+      spark.read.parquet(s"$sf0001/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+
+    // documents: empty text, null text, null lang/source, whitespace-only
+    // text (split() yields empty tokens). 9002 % 3 == 2 → lands on the
+    // m03 "video" branch with a sub-frame payload.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val advDocs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(9001L, "", "en", "web", 0L),
+        Row(9002L, "a", null, "web", 1L),
+        Row(9003L, "  double  spaces ", "xx", null, 17L),
+        Row(9004L, null, "en", "web", 0L),
+        Row(9005L, " ", "en", "web", 1L)),
+      docs.schema)
+    docs.unionByName(advDocs).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // events (raw nanos-as-long layout): garbage JSON, empty JSON (missing
+    // $.k), null props, null value, null ts, null event_type
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val advEvents = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(99001L, 1700000000000000000L, 9001L, "click", null, "not json"),
+        Row(99002L, 1700000001000000000L, 9001L, "purchase", 1.5, "{}"),
+        Row(99003L, null, 9002L, null, 2.5, null)),
+      events.schema)
+    events.unionByName(advEvents).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    // embeddings: empty vector, null vector, null element, ragged length
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val advEmb = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(99001L, Seq.empty[java.lang.Float], 0),
+        Row(99002L, null, 1),
+        Row(99003L, Seq[java.lang.Float](1.0f, null, 2.0f), 2),
+        Row(99004L, Seq[java.lang.Float](1.0f, 2.0f), 3)),
+      emb.schema)
+    emb.unionByName(advEmb).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val underTest = Seq(
+    // events: JSON/variant/map/window paths
+    "q60_tumbling_window", "q62_sessionization", "q63_event_dedup",
+    "q66_json_props", "q68_asof_attribution", "q69_map_columns",
+    "q71_gap_fill", "q73_variant_extract",
+    // documents: tokenizer/hash/text-analysis paths
+    "t01_token_stats", "t03_language_id", "t04_quality_score",
+    "t08_bpe_token_count", "t09_edit_distance",
+    "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signature",
+    "d04_lsh_near_dups", "d05_simhash_pairs", "d07_rolling_fingerprint",
+    "p01_curation_pipeline",
+    // multimodal: binary/decode paths
+    "m01_binary_metadata", "m02_decode_features", "m03_frame_sampling",
+    // embeddings: vector-kernel paths
+    "s01_knn_bruteforce", "s02_embedding_norms", "s05_zipwith_cosine",
+    "d06_embedding_sim_pairs")
+
+  underTest.foreach { name =>
+    test(s"$name executes over empty/null/ragged adversarial rows") {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows != null) // the assertion is "no ANSI runtime throw"
+    }
+  }
+}

@@ -46,7 +46,7 @@ class StorageSpec extends SparkSpec {
     sample.coalesce(1)
       .write.mode("overwrite").option("maxRecordsPerFile", 300).parquet(dir)
     val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".parquet"))
-    assert(files.length >= 3, s"1000 rows at 300/file should split into >=4 files, got ${files.length}")
+    assert(files.length >= 4, s"1000 rows at 300/file should split into >=4 files, got ${files.length}")
     files.foreach { f =>
       val n = spark.read.parquet(s"$dir/$f").count()
       assert(n <= 300, s"$f holds $n rows > maxRecordsPerFile")
