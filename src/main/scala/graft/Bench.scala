@@ -78,7 +78,15 @@ object Bench {
     // unchanged trivial plans "regressing" 0.5 s → 8 s). Take 1 doubles
     // as the JIT/codegen warm-up for take 2; the min is the number with
     // signal. Both takes land in BENCH_DETAIL.json for the record.
-    def timeOnce(q: GraftQuery): Double = {
+    // driver-side GC time attribution: a query whose wall time is mostly
+    // GC pause is a victim of accumulated session state, not a bad plan
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    def timeOnce(q: GraftQuery): (Double, Double) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
@@ -87,18 +95,19 @@ object Bench {
       // otherwise leak cached blocks into every later query's GC budget;
       // each query is timed standalone, so drop caches between them
       spark.catalog.clearCache()
-      elapsed
+      (elapsed, (gcMillis() - g0) / 1e3)
     }
     val takes = SparkEntry.registry.map { q =>
-      val t1 = timeOnce(q); val t2 = timeOnce(q)
-      (q.name, math.min(t1, t2), t1, t2)
+      val (t1, g1) = timeOnce(q); val (t2, g2) = timeOnce(q)
+      (q.name, math.min(t1, t2), t1, t2, g1, g2)
     }
-    val results = takes.map { case (n, best, _, _) => n -> best }
+    val results = takes.map { case (n, best, _, _, _, _) => n -> best }
     val total = results.map(_._2).sum
     def json(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val detailTakes = takes
-      .map { case (n, _, t1, t2) => "\"" + n + "\":[" + r3(t1) + "," + r3(t2) + "]" }
+      .map { case (n, _, t1, t2, g1, g2) =>
+        "\"" + n + "\":[" + r3(t1) + "," + r3(t2) + "," + r3(g1) + "," + r3(g2) + "]" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"queries":${json(results)},"takes":$detailTakes,"sf":"$sfDir"}""")

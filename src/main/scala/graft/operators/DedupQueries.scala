@@ -191,15 +191,23 @@ object DedupQueries {
       l.select(col("node"), col("lbl").as("mid"))
         .join(l.select(col("node").as("mid"), col("lbl")), "mid")
         .select(col("node"), col("lbl"))
+    // No identity (`union l`) branch: jump(l) already emits every node
+    // (its join key lbl(node) is itself a node, so the inner join keeps
+    // all rows) and lbl(lbl(node)) <= lbl(node), so the identity rows can
+    // never win the min — dropping them cuts |V| rows from every round's
+    // groupBy input.
     def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       edges.join(l.select(col("node").as("v"), col("lbl")), "v")
         .select(col("u").as("node"), col("lbl"))
         .union(jump(l))
-        .union(l)
         .groupBy("node").agg(min("lbl").as("lbl"))
     def labelSum(l: org.apache.spark.sql.DataFrame): Long =
       l.agg(sum("lbl")).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // sentinel, not labelSum(seed): the seed's sum would cost a whole
+    // extra action/job just to let the first double-round detect an
+    // (extremely rare) immediate fixed point — the seed frame instead
+    // materializes lazily inside the first double-round's action
+    var prevSum = Long.MinValue
     var converged = false
     var i = 0
     // Two propagation rounds per convergence check: labels only decrease,
@@ -333,15 +341,85 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    rowsOnly(
+    sql(
       "d04_lsh_near_dups",
-      "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified; no oracle: the fused shingle-minhash kernel is a custom expression DuckDB cannot evaluate — SimilarityRecallSpec asserts exact equality with all-pairs 3-gram Jaccard")(
-      (s, dir) => lshNearDups(s, dir)),
+      "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified. The fused kernel is pure mod-2^64 arithmetic (fnv1a over 0x1f-joined 3-gram shingles, xor-multiply avalanche per permutation, signed-long mins, fnv-fold band keys), so the oracle replays it in DuckDB HUGEINT — large multiplies split into 32-bit halves to stay inside INT128; SimilarityRecallSpec additionally asserts exact equality with all-pairs 3-gram Jaccard",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+        |           i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |base AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(string_split(s,''), c -> CAST(ascii(c) AS HUGEINT))),
+        |          (a,c) -> (xor(a,c) * 1099511628211) % 18446744073709551616) AS b FROM sh),
+        |perm AS (SELECT doc_id, b, unnest(generate_series(0, 31)) AS j FROM base),
+        |m0 AS (SELECT doc_id, j, xor(b, (CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS x FROM perm),
+        |m1 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m0),
+        |m2 AS (SELECT doc_id, j, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m1),
+        |m3 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m2),
+        |m4 AS (SELECT doc_id, j, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m3),
+        |m5 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m4),
+        |sig AS (SELECT doc_id, j,
+        |          min(CAST(CASE WHEN x >= 9223372036854775808 THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS sv
+        |        FROM m5 GROUP BY doc_id, j),
+        |bk0 AS (SELECT doc_id, j // 2 AS band, j % 2 AS r,
+        |          CASE WHEN sv < 0 THEN CAST(sv AS HUGEINT) + 18446744073709551616 ELSE CAST(sv AS HUGEINT) END AS u
+        |        FROM sig),
+        |r0 AS (SELECT doc_id, band, xor(CAST(14695981039346656037 AS HUGEINT), u) AS x FROM bk0 WHERE r = 0),
+        |r0m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0),
+        |r0m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m1),
+        |r0m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0m2),
+        |r0m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m3),
+        |r0m5 AS (SELECT doc_id, band, xor(x, x >> 33) AS h FROM r0m4),
+        |r1 AS (SELECT a.doc_id, a.band, xor(a.h, b.u) AS x
+        |       FROM r0m5 a JOIN bk0 b ON b.doc_id = a.doc_id AND b.band = a.band AND b.r = 1),
+        |r1m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1),
+        |r1m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m1),
+        |r1m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1m2),
+        |r1m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m3),
+        |keys AS (SELECT doc_id, band, xor(x, x >> 33) AS key FROM r1m4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |grams AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |          FROM tok WHERE len(tk) >= 3),
+        |verified AS (
+        |  SELECT c.id_a, c.id_b,
+        |         length(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+        |         length(ga.g) + length(gb.g) AS tot
+        |  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a JOIN grams gb ON gb.doc_id = c.id_b)
+        |SELECT id_a, id_b, floor((inter * 1.0 / (tot - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM verified
+        |WHERE inter * 1.0 / (tot - inter) >= 0.5
+        |ORDER BY id_a, id_b""") { (s, dir) => lshNearDups(s, dir) },
 
-    rowsOnly(
+    sql(
       "d05_simhash_pairs",
-      "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16; no oracle: the simhash kernel is a custom expression DuckDB cannot evaluate — SimilarityRecallSpec asserts precision 1.0 and recall vs exact Hamming pairs at sf0.01")(
-      (s, dir) => simhashPairs(s, dir)),
+      "SimHash-over-shingles fingerprints: multi-table byte-blocked pairs within Hamming distance 16. The simhash kernel (fnv1a shingle hashes, per-bit majority votes) is pure integer arithmetic, replayed in DuckDB HUGEINT; SimilarityRecallSpec additionally asserts precision 1.0 and recall vs exact Hamming pairs",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+        |           i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |base AS (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(string_split(s,''), c -> CAST(ascii(c) AS HUGEINT))),
+        |          (a,c) -> (xor(a,c) * 1099511628211) % 18446744073709551616) AS h FROM sh),
+        |votes AS (SELECT doc_id, b,
+        |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM base, unnest(generate_series(0, 63)) AS u(b)
+        |          GROUP BY doc_id, b),
+        |fp AS (SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE 0 END) AS u
+        |       FROM votes GROUP BY doc_id),
+        |blocked AS (SELECT doc_id, u, t, (u >> (56 - 8*t)) & 255 AS blk
+        |            FROM fp, unnest(generate_series(0, 2)) AS g(t)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.u AS ua, b.u AS ub
+        |          FROM blocked a JOIN blocked b
+        |            ON a.t = b.t AND a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(ua, ub)) <= 16
+        |ORDER BY id_a, id_b""") { (s, dir) => simhashPairs(s, dir) },
 
     sql(
       "d07_rolling_fingerprint",

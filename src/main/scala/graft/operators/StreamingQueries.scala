@@ -38,14 +38,18 @@ object StreamingQueries {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
 
-  /** Runs `agg` (a streaming aggregation) to completion into a memory sink
-    * and returns the final table.
+  /** Runs a streaming frame to completion into a memory sink and returns
+    * the final table. Aggregations use `complete` (final state == batch
+    * result regardless of batch boundaries); stream-stream inner joins use
+    * `append` (matches emit eagerly, so a bounded replay emits exactly the
+    * batch join).
     */
-  private def runToMemory(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -95,6 +99,25 @@ object StreamingQueries {
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    sql(
+      "st03_stream_stream_join",
+      "watermarked stream-stream interval join (EventStreams.purchaseClickJoin: purchases x clicks, same user, click within the preceding hour) executed as a real StreamingQuery; append mode — inner-join matches emit eagerly, so a bounded replay emits exactly the batch join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.purchaseClickJoin(eventStream(s, dir)), "st03_out", mode = "append")
+      out.select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("p_ts").cast("timestamp_ntz").as("p_ts"),
+          col("c_ts").cast("timestamp_ntz").as("c_ts"))
+        .orderBy("purchase_id", "click_id")
     }
   )
 }
