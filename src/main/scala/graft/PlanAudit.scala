@@ -58,7 +58,8 @@ object PlanAudit {
     // (iterative loops / streaming queries); their structure is loop-level,
     // not visible to a static plan sweep.
     val eager = Set("d08_dup_clusters", "s07_kmeans_centroids",
-      "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join")
+      "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
+      "st04_stream_tws_counts", "st05_stream_fmgws_sessions")
     import org.apache.spark.sql.execution.window.WindowExec
     val globalWindowQueries = SparkEntry.registry
       .filterNot(q => eager(q.name))

@@ -118,6 +118,60 @@ object StreamingQueries {
           col("p_ts").cast("timestamp_ntz").as("p_ts"),
           col("c_ts").cast("timestamp_ntz").as("c_ts"))
         .orderBy("purchase_id", "click_id")
+    },
+
+    sql(
+      "st04_stream_tws_counts",
+      "Spark 4 transformWithState per-user running counts (EventStreams.RunningCountProcessor, RocksDB state store) executed as a real StreamingQuery; update mode emits the running total per batch, so max(n) per user is the final count regardless of batch boundaries",
+      """SELECT user_id, count(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      // transformWithState's backing contract (also the 100 TB setting)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val events = eventStream(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Event]
+        val out = runToMemory(s,
+          EventStreams.runningCounts(s, events).toDF("user_id", "n"),
+          "st04_out", mode = "update")
+        out.groupBy("user_id").agg(max("n").as("n")).orderBy("user_id")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
+    sql(
+      "st05_stream_fmgws_sessions",
+      "arbitrary stateful sessionization via flatMapGroupsWithState (EventStreams.statefulSessions, 30-min gap) executed as a real StreamingQuery; the emitted summaries are cumulative, so max per user is the final state — oracle = the q62 gap-cumsum construction",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      val events = eventStream(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event]
+      val out = runToMemory(s,
+        EventStreams.statefulSessions(s, events).toDF(),
+        "st05_out", mode = "append")
+      out.groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+        .orderBy("user_id")
     }
   )
 }
