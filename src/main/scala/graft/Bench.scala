@@ -85,34 +85,47 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
     }
-    def timeOnce(q: GraftQuery): (Double, Double) = {
+    def timeOnce(q: GraftQuery): (Double, Double, Boolean) = {
       val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries that persist() intermediates (d04's band keys) would
       // otherwise leak cached blocks into every later query's GC budget;
       // each query is timed standalone, so drop caches between them
       spark.catalog.clearCache()
-      (elapsed, (gcMillis() - g0) / 1e3)
+      (elapsed, (gcMillis() - g0) / 1e3, ok)
     }
     val takes = SparkEntry.registry.map { q =>
-      val (t1, g1) = timeOnce(q); val (t2, g2) = timeOnce(q)
-      (q.name, math.min(t1, t2), t1, t2, g1, g2)
+      val (t1, g1, ok1) = timeOnce(q); val (t2, g2, ok2) = timeOnce(q)
+      // a failed take must not win the min: a fast crash would otherwise
+      // report a broken query as its best time. A query failing BOTH takes
+      // reports the max (so breakage reads as a regression, not a win) and
+      // lands in the errors list.
+      val best = (ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2)
+      }
+      (q.name, best, t1, t2, g1, g2, ok1 && ok2)
     }
-    val results = takes.map { case (n, best, _, _, _, _) => n -> best }
+    val errors = takes.collect { case (n, _, _, _, _, _, false) => n }
+    val results = takes.map { case (n, best, _, _, _, _, _) => n -> best }
     val total = results.map(_._2).sum
     def json(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val detailTakes = takes
-      .map { case (n, _, t1, t2, g1, g2) =>
+      .map { case (n, _, t1, t2, g1, g2, _) =>
         "\"" + n + "\":[" + r3(t1) + "," + r3(t2) + "," + r3(g1) + "," + r3(g2) + "]" }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"queries":${json(results)},"takes":$detailTakes,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"takes":$detailTakes,"sf":"$sfDir"}""")
     val head = results.filter { case (k, _) => Headline.contains(k) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${json(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,8 +30,11 @@ object QueryTime {
     (1 to takes).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // stop the clock BEFORE dropping caches — Bench.timeOnce does the
+      // same, so the two tools measure the same quantity
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[querytime] $name take $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[querytime] $name take $i: $elapsed%.2f s")
     }
     spark.stop()
   }

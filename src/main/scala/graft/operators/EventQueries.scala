@@ -211,8 +211,11 @@ object EventQueries {
       "q69_map_columns",
       "MapType columns: per-user event-type→count map built, carried, and read back (map projected to hashable scalars for the oracle; pivot equivalence also asserted in ScalaTest)",
       """WITH counts AS (
-        |  SELECT user_id, event_type, count(*) AS n
-        |  FROM events GROUP BY user_id, event_type)
+        |  -- coalesce mirrors the engine's null-key sentinel (a null map key
+        |  -- is illegal in Spark), keeping both sides aligned if nulls ever
+        |  -- reach this table
+        |  SELECT user_id, coalesce(event_type, '(null)') AS event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, coalesce(event_type, '(null)'))
         |SELECT user_id,
         |       string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       max(CASE WHEN event_type = 'click' THEN n END) AS clicks,
@@ -221,13 +224,15 @@ object EventQueries {
         |GROUP BY user_id
         |ORDER BY user_id""") { (s, dir) =>
       Tables.events(s, dir)
-        .groupBy("user_id", "event_type")
+        // coalesce BEFORE grouping: a null event_type is a legal group but
+        // an ILLEGAL map key (NULL_MAP_KEY throws); folding at group time
+        // also merges a null group with a literal "(null)" group instead of
+        // producing a duplicate-key map (which would equally throw) — the
+        // oracle applies the same coalesce in its counts CTE
+        .groupBy(col("user_id"), coalesce(col("event_type"), lit("(null)")).as("event_type"))
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
-        // coalesce: a null event_type is a legal group but an ILLEGAL map
-        // key (NULL_MAP_KEY throws) — fold it into a sentinel key
-        .agg(map_from_entries(sort_array(collect_list(
-            struct(coalesce(col("event_type"), lit("(null)")).as("event_type"), col("n")))))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
           .as("type_counts"))
         .select(col("user_id"),
           // map_keys over a sorted-entry map is already sorted; the CSV

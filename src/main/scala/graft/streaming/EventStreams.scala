@@ -143,9 +143,16 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         case (user, it, state: GroupState[(Long, Long, Long)]) =>
           // state = (lastTsMicros, nSessions, nEvents)
+          // full microsecond precision: Timestamp.getTime is ms-truncated,
+          // so `getTime * 1000` silently floors sub-ms gap arithmetic —
+          // a gap landing within 1 ms above the 30-min boundary would
+          // merge sessions the µs-exact batch twin (q62 / st05's oracle,
+          // both epoch_us-based) splits
+          def micros(ts: java.sql.Timestamp): Long =
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
           var (lastTs, nSessions, nEvents) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime * 1000
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
             if (t >= lastTs || lastTs == Long.MinValue) { // late events dropped
               if (lastTs == Long.MinValue || t - lastTs > gapMicros) nSessions += 1
               nEvents += 1
