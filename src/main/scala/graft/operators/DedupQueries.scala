@@ -466,6 +466,32 @@ object DedupQueries {
         |ORDER BY doc_id""") { (s, dir) => dupClusters(s, dir) },
 
     sql(
+      "d09_fuzzy_join",
+      "blocked fuzzy join: candidate pairs blocked on (lang, length band) — an equi-join, never all-pairs — verified by edit distance <= 5 over the 30-char head. The near-dup-title matcher shape: at 100 TB the block keys bound the candidate count and the quadratic levenshtein only touches in-block pairs",
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 30) AS head, n_chars // 20 AS band
+        |           FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.head AS h_a, b.head AS h_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(levenshtein(h_a, h_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(h_a, h_b) <= 5
+        |ORDER BY id_a, id_b""") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("head"),
+          floor(col("n_chars") / 20).cast("long").as("band"))
+      val a = d.select(col("lang"), col("band"), col("doc_id").as("id_a"), col("head").as("h_a"))
+      val b = d.select(col("lang"), col("band"), col("doc_id").as("id_b"), col("head").as("h_b"))
+      a.join(b, Seq("lang", "band"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("h_a"), col("h_b")).cast("long"))
+        .filter(col("dist") <= 5)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
+
+    sql(
       "d06_embedding_sim_pairs",
       "embedding-cosine near-dup candidates within label blocks (threshold 0.3)",
       s"""SELECT id_a, id_b, floor((sim) * 1000000 + 0.5) / 1000000 AS sim

@@ -500,6 +500,43 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"), dsum2(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    sql(
+      "u01_merge_upsert",
+      "MERGE/upsert (operator Spark core lacks; composed anti-join + left-join + union form): apply a change set (updates, deletes, inserts — derived deterministically from the fixture so both engines see the same changes) to a base table — the corpus-refresh primitive a curation pipeline runs on every ingest. 100 TB posture: one shuffle join on the merge key; the delete side is a semi/anti join (bloom-reducible like q72); inserts are a union, never a rewrite of unchanged rows",
+      """WITH upd AS (SELECT o_orderkey, o_totalprice + 1.0 AS new_price
+        |             FROM orders WHERE o_orderkey % 100 = 0),
+        |del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 1),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |        FROM orders WHERE o_orderkey % 100 = 2),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus,
+        |         coalesce(u.new_price, b.o_totalprice) AS price
+        |  FROM orders b
+        |  LEFT JOIN upd u USING (o_orderkey)
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, dir) =>
+      val base = Tables.orders(s, dir)
+      val upd = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("new_price"))
+      val del = base.filter(col("o_orderkey") % 100 === 1).select("o_orderkey")
+      val ins = base.filter(col("o_orderkey") % 100 === 2)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice").as("price"))
+      base.join(del, Seq("o_orderkey"), "left_anti")
+        .join(upd, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"))
+        .unionByName(ins)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }
   )
 }
