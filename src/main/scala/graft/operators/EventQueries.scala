@@ -141,14 +141,17 @@ object EventQueries {
     sql(
       "q66_json_props",
       "semi-structured JSON column: extract, cast, bucket, aggregate",
-      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_bucket,
+      s"""SELECT TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_bucket,
         |       count(*) AS n, ${a4("value")} AS avg_value
         |FROM events
         |GROUP BY k_bucket
         |ORDER BY k_bucket""") { (s, dir) =>
       Tables.events(s, dir)
+        // try_cast: a JSON feed can carry $.k as a non-numeric string, and
+        // ANSI cast(string AS long) throws; null matches the oracle's
+        // TRY_CAST
         .withColumn("k_bucket",
-          floor(get_json_object(col("props"), "$.k").cast("long") / 10).cast("long"))
+          floor(expr("try_cast(get_json_object(props, '$.k') as bigint)") / 10).cast("long"))
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),
           r4(dsum(col("value")) / count(col("value"))).as("avg_value"))
@@ -159,9 +162,9 @@ object EventQueries {
       "q73_variant_extract",
       "Spark 4 VARIANT type for semi-structured data: parse_json once into a variant column, typed variant_get extraction, aggregate — the open-schema path where a fixed from_json schema can't be declared up front",
       """SELECT event_type, count(*) AS n,
-        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""") { (s, dir) =>
@@ -169,9 +172,10 @@ object EventQueries {
         // try_parse_json: plain parse_json is FAILFAST — one malformed
         // props row (inevitable in real semi-structured feeds) kills the
         // whole query; null variant → null extraction matches the
-        // oracle's json_extract_string(garbage) → NULL
+        // oracle's json_extract_string(garbage) → NULL. try_variant_get:
+        // a non-numeric $.k would otherwise throw on the bigint cast.
         .withColumn("v", expr("try_parse_json(props)"))
-        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .withColumn("k", expr("try_variant_get(v, '$.k', 'bigint')"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           min("k").as("min_k"),

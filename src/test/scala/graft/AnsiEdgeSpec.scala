@@ -46,7 +46,10 @@ class AnsiEdgeSpec extends SparkSpec {
       java.util.Arrays.asList(
         Row(99001L, 1700000000000000000L, 9001L, "click", null, "not json"),
         Row(99002L, 1700000001000000000L, 9001L, "purchase", 1.5, "{}"),
-        Row(99003L, null, 9002L, null, 2.5, null)),
+        Row(99003L, null, 9002L, null, 2.5, null),
+        // valid JSON whose $.k is NOT numeric: ANSI cast(string AS long)
+        // throws, so extract-and-cast paths need try_cast semantics
+        Row(99004L, 1700000002000000000L, 9002L, "click", 3.5, "{\"k\": \"abc\"}")),
       events.schema)
     events.unionByName(advEvents).write.mode("overwrite").parquet(s"$d/events.parquet")
 
