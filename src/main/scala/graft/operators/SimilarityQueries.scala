@@ -85,14 +85,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"),
         nearestCentroid(col("embedding"), col("cents")).as("cell"))
 
-  /** IVF search: assign every vector to its nearest centroid once (the
-    * index build), then probe the query's `nprobe` nearest cells.
+  /** IVF search body shared by the mean-centroid (s03) and
+    * selection-centroid (s08) variants: assign every vector to its nearest
+    * centroid once (the index build), then probe the query's `nprobe`
+    * nearest cells.
     */
-  def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 4): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val cents = broadcast(labelCentroids(s, dir)
-      .select(col("label").cast("long").as("cent_id"), col("centroid")))
-
+  private def ivfSearch(e: DataFrame, cents0: DataFrame, k: Int, nq: Int,
+      nprobe: Int): DataFrame = {
+    val cents = broadcast(cents0)
     val assigned = assignCells(e, centroidArray(cents))
 
     val q = e.filter(col("vec_id") < nq)
@@ -113,6 +113,25 @@ object SimilarityQueries {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
       .orderBy("q_id", "rnk")
+  }
+
+  def knnIvf(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries, nprobe: Int = 4): DataFrame =
+    ivfSearch(Tables.embeddings(s, dir),
+      labelCentroids(s, dir).select(col("label").cast("long").as("cent_id"), col("centroid")),
+      k, nq, nprobe)
+
+  /** IVF with SELECTION centroids (the min-vec_id vector of each label):
+    * zero float arithmetic in the index build, so — unlike s03's
+    * order-sensitive float means — the whole search pipeline is
+    * bit-reproducible in DuckDB and hash-checkable end-to-end.
+    */
+  def knnIvfSelect(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries,
+      nprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val minIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val cents = e.join(minIds, Seq("label", "vec_id"))
+      .select(col("label").cast("long").as("cent_id"), col("embedding").as("centroid"))
+    ivfSearch(e, cents, k, nq, nprobe)
   }
 
   /** Lloyd-style k-means over the embedding corpus, cosine assignment:
