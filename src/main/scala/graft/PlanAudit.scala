@@ -72,6 +72,37 @@ object PlanAudit {
     assert(globalWindowQueries == Seq("q33_price_deciles"),
       s"global (partition-less) windows outside the q33 whitelist: $globalWindowQueries")
     println(s"global-window whitelist OK (only q33 across ${allPlans.size} audited plans)")
+
+    // Streaming batch-twins: st01–st05 are excluded from the sweep above
+    // (they execute real StreamingQueries), but every EventStreams
+    // transform is statically plannable against a BATCH events frame —
+    // watermarks become no-ops, state ops plan as their batch equivalents.
+    // Assert the two unscalable shapes are absent: a partition-less
+    // WindowExec (single-partition sort) and a cartesian join.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val events = graft.sources.Tables.events(spark, sfDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val typed = events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+      val twins: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "st01_twin_tumbling" -> graft.streaming.EventStreams.tumblingCounts(events),
+        "st02_twin_sessions" -> graft.streaming.EventStreams.sessionCounts(events),
+        "st03_twin_join" -> graft.streaming.EventStreams.purchaseClickJoin(events),
+        "st04_twin_tws" -> graft.streaming.EventStreams.runningCounts(spark, typed).toDF("user_id", "n"),
+        "st05_twin_fmgws" -> graft.streaming.EventStreams.statefulSessions(spark, typed).toDF())
+      twins.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan
+        val globals = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }
+        assert(globals.isEmpty, s"$name plans a global (partition-less) window")
+        val planStr = plan.toString
+        assert(!planStr.contains("CartesianProduct"), s"$name went cartesian:\n$planStr")
+        assert(!planStr.contains("BroadcastNestedLoopJoin"), s"$name fell back to NLJ:\n$planStr")
+        println(s"== $name :: no-global-window=true no-cartesian=true")
+      }
+    }
     println("PLAN AUDIT OK")
     spark.stop()
   }

@@ -26,15 +26,32 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stage-level attribution separates "the plan is expensive" from "the
+    // host was busy": wall >> sum(executorRunTime)/32 means scheduler or
+    // CPU-steal latency; executorRunTime >> executorCpuTime means JIT/
+    // interpreter first-touch, not steady-state work. This is how the r04
+    // tr02 "reproducible 4.7 s" was diagnosed as correlated host noise
+    // (warm intrinsic cost: 1.7 s executor time, 0.44 s wall).
+    @volatile var execMs = 0L
+    @volatile var cpuNs = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        execMs += e.stageInfo.taskMetrics.executorRunTime
+        cpuNs += e.stageInfo.taskMetrics.executorCpuTime
+      }
+    })
     val fn = SparkEntry.queries(name)
     (1 to takes).foreach { i =>
+      execMs = 0L; cpuNs = 0L
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // stop the clock BEFORE dropping caches — Bench.timeOnce does the
       // same, so the two tools measure the same quantity
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[querytime] $name take $i: $elapsed%.2f s")
+      Thread.sleep(300) // listener bus is async
+      println(f"[querytime] $name take $i: $elapsed%.2f s wall, ${execMs / 1e3}%.2f s executor, ${cpuNs / 1e9}%.2f s cpu")
     }
     spark.stop()
   }

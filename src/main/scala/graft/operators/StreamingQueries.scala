@@ -46,13 +46,23 @@ object StreamingQueries {
     */
   private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Scale state to the fixture: every state-store instance is per-shuffle-
+    // partition overhead (open/commit per micro-batch), so 32 partitions for
+    // a ~15k-row bounded replay is ~8× pure bookkeeping. 4 keeps the same
+    // multi-partition code path the 100 TB setting exercises; partition
+    // count is read at stream start, so only this query is affected, and
+    // the session value is restored before the (batch) result is consumed.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -50,7 +50,7 @@ object TradeQueries {
 
     rowsOnly(
       "tr02_trade_roundtrip",
-      "JSON wire round-trip (C1+C2): to_json → from_json loses nothing; no oracle: generated input — CodecSpec asserts the round-trip and permissive-decode contract")(
+      "JSON wire round-trip (C1+C2): to_json → from_json loses nothing; no oracle: generated input — CodecSpec asserts the round-trip and permissive-decode contract. Perf note (r04 4.7s-both-takes investigated): warm intrinsic cost is 0.44s wall / 1.7s executor / 1.1s CPU over 4 stages (QueryTime stage attribution) — ~11µs/row through the double Jackson pass; to_json/from_json are CodegenFallback so the kernel is interpreted, and under shared-host CPU steal a 32-way interpreted stage serializes, which is what r04's bench window hit (a later window showed the inverse: tr00 9.6s while tr02 1.7s). Not a plan defect")(
       (s, dir) => {
         val trades = TradeSource.trades(s, N).toDF()
         val wire = trades.select(to_json(struct(trades.columns.map(col): _*)).as("json"))
