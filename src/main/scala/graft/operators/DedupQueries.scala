@@ -525,6 +525,45 @@ object DedupQueries {
         .filter(col("sim") > 0.3)
         .select(col("id_a"), col("id_b"), r6(col("sim")).as("sim"))
         .orderBy("id_a", "id_b")
+    },
+
+    sql(
+      "d10_contamination",
+      "train/eval decontamination via n-gram containment: eval set = doc_id % 50 = 0, train = rest; 3-gram inverted-index equi-join on the gram value (never train × eval all-pairs), containment = |grams(train) ∩ grams(eval)| / |grams(train)|, flag pairs ≥ 0.3. Scale posture: the one shuffle is keyed by gram — the same banded-join shape as LSH; at 100 TB add a document-frequency cap to drop stop-grams before the join (skew + no discriminative value)",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ex AS (SELECT doc_id, unnest(grams) AS gram, length(grams) AS n_grams FROM g),
+        |hits AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |         count(*) AS inter, any_value(t.n_grams) AS n_train
+        |  FROM (SELECT * FROM ex WHERE doc_id % 50 <> 0) t
+        |  JOIN (SELECT * FROM ex WHERE doc_id % 50 = 0) e ON e.gram = t.gram
+        |  GROUP BY train_id, eval_id)
+        |SELECT train_id, eval_id,
+        |       floor((inter * 1.0 / n_train) * 10000 + 0.5) / 10000 AS containment
+        |FROM hits
+        |WHERE inter * 1.0 / n_train >= 0.3
+        |ORDER BY train_id, eval_id""") { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("grams"))
+      val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"),
+        size(col("grams")).as("n_grams"))
+      val train = ex.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gram"), col("n_grams"))
+      val eval_ = ex.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      train.join(eval_, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("inter"), first("n_grams").as("n_train"))
+        // the gate compares the RAW ratio (exact: small-int division) and
+        // only the OUTPUT is rounded, mirroring the oracle exactly
+        .filter(col("inter") * lit(1.0) / col("n_train") >= 0.3)
+        .select(col("train_id"), col("eval_id"),
+          r4(col("inter") * lit(1.0) / col("n_train")).as("containment"))
+        .orderBy("train_id", "eval_id")
     }
   )
 }

@@ -301,6 +301,35 @@ object TextQueries {
         .filter(col("rn") === 1)
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t12_token_packing",
+      "sequence packing for LLM pretraining: assign documents to fixed token-budget packs (512) within each source via a partitioned running token sum — pack_id = floor(preceding-cumsum / budget); the cumulative-offset analogue of per-partition greedy first-fit packing. Scale posture: the window is PARTITIONED (by source — at 100 TB by source × hash-bucket), so packing parallelizes across partitions and no global sort exists; integer-only arithmetic keeps the oracle exact",
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |                    / 512) AS BIGINT) AS pack_id
+        |  FROM toks)
+        |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM packed
+        |GROUP BY source, pack_id
+        |ORDER BY source, pack_id""") { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(512)).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("source", "pack_id")
     }
   )
 }
