@@ -178,6 +178,28 @@ object HashOps {
     out
   }
 
+  /** ALL word n-gram shingles, duplicates preserved (the multiset the
+    * repetition signal needs — `shingleStrings` dedups).
+    */
+  def shingleStringsAll(arr: ArrayData, n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val nTok = arr.numElements()
+    val m = math.max(0, nTok - n + 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var p = 0
+    while (p < m) {
+      val sb = new java.lang.StringBuilder()
+      var g = 0
+      while (g < n) {
+        if (g > 0) sb.append(' ')
+        if (!arr.isNullAt(p + g)) sb.append(arr.getUTF8String(p + g).toString)
+        g += 1
+      }
+      out(p) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      p += 1
+    }
+    out
+  }
+
   /** Order-sensitive polynomial rolling hash over tokens (wrapping i64). */
   def rollingHash(arr: ArrayData): Long = {
     var h = 0L
@@ -323,6 +345,31 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multiset twin of [[ShingleStrings]]: all n-gram shingles with duplicates
+  * preserved (repetition analysis needs the counts, not the set).
+  */
+case class ShingleStringsAll(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "shingle_strings_all"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleStringsAll(v.asInstanceOf[ArrayData], n).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.shingleStringsAll($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused shingle SimHash expression (see [[ShingleMinHash]] for why).
   * Null for docs shorter than one shingle (a constant 0L fingerprint would
   * make all short docs mutual near-duplicates).
@@ -373,6 +420,10 @@ object HashFunctions {
   /** Distinct shingle strings (see [[ShingleStrings]]). */
   def shingleStrings(tokens: Column, n: Int): Column =
     Bridge.column(ShingleStrings(Bridge.expression(tokens), n))
+
+  /** All shingle strings, duplicates preserved (see [[ShingleStringsAll]]). */
+  def shingleStringsAll(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleStringsAll(Bridge.expression(tokens), n))
 
   /** k-permutation MinHash signature (array<long>) over a token array,
     * composed from builtins — kept as the reference form the fused

@@ -500,8 +500,12 @@ object DedupQueries {
       val b = d.select(col("lang"), col("band"), col("doc_id").as("id_b"), col("head").as("h_b"))
       a.join(b, Seq("lang", "band"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("h_a"), col("h_b")).cast("long"))
-        .filter(col("dist") <= 5)
+        // bounded variant: the kernel early-exits (returns -1) once a row's
+        // running minimum exceeds the threshold — O(len·k) instead of
+        // O(len²) per pair, the dominant cost of this query (r04: 2.3 s,
+        // all in the levenshtein stage)
+        .withColumn("dist", levenshtein(col("h_a"), col("h_b"), 5).cast("long"))
+        .filter(col("dist") >= 0)
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     },

@@ -330,6 +330,52 @@ object TextQueries {
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
         .orderBy("source", "pack_id")
+    },
+
+    sql(
+      "t13_repetition",
+      "Gopher-style repetition quality signal: per-document duplicate-3-gram share (1 - distinct/total, with overlap) and the count of the most-repeated gram; integer-exact, map-side-only until the final ordered projection — the within-document repetition filter every pretraining curation stack runs",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, length(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE length(t) >= 3),
+        |top AS (
+        |  SELECT doc_id, max(n) AS top_gram_n FROM (
+        |    SELECT doc_id, count(*) AS n
+        |    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |    GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |       CAST(length(g.grams) AS BIGINT) AS n_grams,
+        |       floor(((length(g.grams) - length(list_distinct(g.grams))) * 1.0
+        |              / length(g.grams)) * 10000 + 0.5) / 10000 AS dup_gram_frac,
+        |       CAST(top.top_gram_n AS BIGINT) AS top_gram_n
+        |FROM g JOIN top ON top.doc_id = g.doc_id
+        |ORDER BY g.doc_id""") { (s, dir) =>
+      // ALL grams (with duplicates) via the codegen'd multiset kernel —
+      // the interpreted transform(sequence(...)) HOF version of this
+      // measured 5.1 s at sf0.1; the fused expression runs inside
+      // whole-stage codegen like the rest of the shingle family
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.shingleStringsAll(col("t"), 3).as("grams"))
+      // top-gram count is a per-document aggregation of the exploded gram
+      // multiset — still keyed by doc_id, so the shuffle is by document,
+      // never corpus-global
+      val top = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top_gram_n"))
+      d.join(top, "doc_id")
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          r4((size(col("grams")) - size(array_distinct(col("grams")))) * lit(1.0)
+            / size(col("grams"))).as("dup_gram_frac"),
+          col("top_gram_n").cast("long").as("top_gram_n"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -60,6 +60,33 @@ class HashFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("shingleStringsAll preserves duplicates; distinct of it equals shingleStrings") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a", "b")), // "a b a" and "b a b" repeat
+      (2L, Seq("x", "y", "z")),
+      (3L, Seq("p", "q"))                      // shorter than one 3-gram
+    ).toDF("id", "toks")
+    val got = df.select(col("id"),
+      HashFunctions.shingleStringsAll(col("toks"), 3).as("all"),
+      HashFunctions.shingleStrings(col("toks"), 3).as("dedup"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(got(1L)._1 == Seq("a b a", "b a b", "a b a", "b a b"))
+    assert(got(1L)._2 == Seq("a b a", "b a b"))
+    assert(got(2L)._1 == Seq("x y z") && got(2L)._2 == Seq("x y z"))
+    assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty)
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"), HashFunctions.shingleStringsAll(col("toks"), 3))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      assert(interp(1L) == got(1L)._1 && interp(3L).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("minhash signature: more similar sets share more signature positions") {
     val base = (1 to 100).map(i => s"g$i")
     val near = base.drop(5) ++ Seq("n1", "n2", "n3", "n4", "n5")

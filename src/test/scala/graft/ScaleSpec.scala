@@ -92,4 +92,42 @@ class ScaleSpec extends SparkSpec {
     val df = spark.read.parquet(out)
     assert(df.count() == 100 && df.columns.contains("batch_id"))
   }
+
+  test("d08's loop join is narrow on the pre-partitioned edge side (no per-round edge shuffle)") {
+    // The d08 rewrite's scale claim: edges are hash-partitioned once and
+    // every round's join reuses that partitioning. Reproduce the loop's
+    // join shape and assert the edge side contributes a OneToOne (narrow)
+    // dependency — i.e. co-partitioned input skips its shuffle — while a
+    // deliberately un-partitioned labels RDD shows what a regression
+    // (losing the shared partitioner) looks like.
+    import org.apache.spark.{HashPartitioner, OneToOneDependency, ShuffleDependency}
+    val part = new HashPartitioner(4)
+    val sc = spark.sparkContext
+    val edges = sc.parallelize(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+      .partitionBy(part).cache()
+    val labels = sc.parallelize(Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+      .reduceByKey(part, math.min(_, _))
+    val joined = edges.join(labels, part)
+    // cogroup's deps: one per parent — both pre-partitioned ⇒ both narrow
+    val cogroup = joined.dependencies.head.rdd // MapPartitionsRDD → CoGroupedRDD chain
+    def depsOf(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.Dependency[_]] = {
+      // walk down to the CoGroupedRDD (join = cogroup + mapValues layers)
+      var cur: org.apache.spark.rdd.RDD[_] = r
+      while (cur.dependencies.size == 1 &&
+          cur.dependencies.head.isInstanceOf[OneToOneDependency[_]] &&
+          !cur.isInstanceOf[org.apache.spark.rdd.CoGroupedRDD[_]])
+        cur = cur.dependencies.head.rdd
+      cur.dependencies
+    }
+    val deps = depsOf(joined)
+    assert(deps.size == 2, s"expected cogroup over 2 parents, got $deps")
+    assert(deps.forall(_.isInstanceOf[OneToOneDependency[_]]),
+      s"co-partitioned join should be fully narrow, got ${deps.map(_.getClass.getSimpleName)}")
+    // control: drop the partitioner on one side → that side must shuffle
+    val unaligned = sc.parallelize(Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+    val controlDeps = depsOf(edges.join(unaligned, part))
+    assert(controlDeps.exists(_.isInstanceOf[ShuffleDependency[_, _, _]]),
+      "control join lost its expected shuffle — the assertion above is vacuous")
+    edges.unpersist()
+  }
 }
