@@ -27,17 +27,25 @@ object PlanAudit {
     // Skipped from the whole-registry sweep: queries that execute real jobs
     // while being planned or constructed (iterative loops, streaming
     // queries, d03's vocabulary rdd.zipWithIndex); their structure is
-    // loop-level, not visible to a static plan sweep.
+    // loop-level, not visible to a static plan sweep. d04/d10 materialize
+    // eagerly (so they can release their intermediate caches before
+    // returning) — auditing the registry fn would both run the full query
+    // and inspect an InMemoryTableScan instead of the real plan, so they
+    // are audited through their lazy `*Plan` twins below instead.
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
+      "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions")
+    val lazyTwins: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
+      "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir))
     // plan every audited query exactly once — planning is the expensive
     // step; the target flag lines and the global-window sweep below both
     // read from this map
     val allPlans: Map[String, org.apache.spark.sql.execution.SparkPlan] =
-      SparkEntry.registry.filterNot(q => eager(q.name)).map { q =>
+      (SparkEntry.registry.filterNot(q => eager(q.name)).map { q =>
         q.name -> SparkEntry.queries(q.name)(spark, sfDir).queryExecution.executedPlan
-      }.toMap
+      } ++ lazyTwins.map { case (n, df) => n -> df.queryExecution.executedPlan }).toMap
     val plans: Map[String, String] = targets.map(n => n -> allPlans(n).toString).toMap
     targets.foreach { name =>
       val plan = plans(name)

@@ -50,7 +50,17 @@ object QueryTime {
       // same, so the two tools measure the same quantity
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      Thread.sleep(300) // listener bus is async
+      // Drain the async listener bus before reading the counters — a sleep
+      // alone can lose stage metrics to the NEXT take's reset on a loaded
+      // host (exactly the condition this tool diagnoses). listenerBus /
+      // waitUntilEmpty are private[spark], which compiles to public
+      // bytecode — reflection reaches them; fall back to a sleep if the
+      // internals move.
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
       println(f"[querytime] $name take $i: $elapsed%.2f s wall, ${execMs / 1e3}%.2f s executor, ${cpuNs / 1e9}%.2f s cpu")
     }
     spark.stop()

@@ -38,7 +38,19 @@ object DedupQueries {
   /** Production near-dup path: MinHash(k=32) → LSH bands(16×2) → exact
     * Jaccard verification of colliding pairs.
     */
-  def lshNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def lshNearDups(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    lshNearDupsImpl(s, dir, threshold, materialize = true)
+
+  /** Lazy twin of [[lshNearDups]] for plan auditing: same expression tree,
+    * no persist/count (the production entry materializes eagerly so it can
+    * release its band/candidate caches before returning — which would make
+    * a static audit inspect an InMemoryTableScan instead of the real plan).
+    */
+  private[graft] def lshNearDupsPlan(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    lshNearDupsImpl(s, dir, threshold, materialize = false)
+
+  private def lshNearDupsImpl(s: SparkSession, dir: String, threshold: Double,
+      materialize: Boolean): DataFrame = {
     // 3-gram shingles, not unigram token sets: with a small vocabulary every
     // document shares nearly all unigrams, so only shingle sets separate
     // near-duplicates from unrelated docs. The fused ShingleMinHash
@@ -53,17 +65,17 @@ object DedupQueries {
     // persist band keys: the self-join would otherwise evaluate the fused
     // minhash kernel (the dominant map-side cost) once per join leg —
     // Spark has no cross-branch common-subexpression reuse. 24 bytes/row.
-    val banded = docs
+    val banded0 = docs
       .select(col("doc_id"),
         posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
           .as(Seq("band", "key")))
-      .persist()
-    val candidates = banded
+    val banded = if (materialize) banded0.persist() else banded0
+    val candidates0 = banded
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("doc_id") < col("id_b"))
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
-      .persist()
+    val candidates = if (materialize) candidates0.persist() else candidates0
     // shingle sets only for documents appearing in some candidate pair, so
     // the exact-Jaccard verification cost scales with candidates, not corpus
     val candIds = candidates
@@ -83,11 +95,14 @@ object DedupQueries {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("id_a", "id_b")
-      .persist()
-    out.count()
-    banded.unpersist()
-    candidates.unpersist()
-    out
+    if (!materialize) out
+    else {
+      val cached = out.persist()
+      cached.count()
+      banded.unpersist()
+      candidates.unpersist()
+      cached
+    }
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`,
@@ -551,23 +566,43 @@ object DedupQueries {
         |FROM hits
         |WHERE inter * 1.0 / n_train >= 0.3
         |ORDER BY train_id, eval_id""") { (s, dir) =>
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("grams"))
-      val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"),
-        size(col("grams")).as("n_grams"))
-      val train = ex.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id").as("train_id"), col("gram"), col("n_grams"))
-      val eval_ = ex.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("eval_id"), col("gram"))
-      train.join(eval_, "gram")
-        .groupBy("train_id", "eval_id")
-        .agg(count(lit(1)).as("inter"), first("n_grams").as("n_train"))
-        // the gate compares the RAW ratio (exact: small-int division) and
-        // only the OUTPUT is rounded, mirroring the oracle exactly
-        .filter(col("inter") * lit(1.0) / col("n_train") >= 0.3)
-        .select(col("train_id"), col("eval_id"),
-          r4(col("inter") * lit(1.0) / col("n_train")).as("containment"))
-        .orderBy("train_id", "eval_id")
+      contaminationImpl(s, dir, materialize = true)
     }
   )
+
+  /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
+  private[graft] def contaminationPlan(s: SparkSession, dir: String): DataFrame =
+    contaminationImpl(s, dir, materialize = false)
+
+  private def contaminationImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("grams"))
+    // Both join legs derive from this frame; persist it so the shingle
+    // kernel and explode run once per materialization, not once per leg
+    // (Spark has no cross-branch common-subexpression reuse). Released
+    // after the eager result materializes, like d04.
+    val ex0 = g.select(col("doc_id"), explode(col("grams")).as("gram"),
+      size(col("grams")).as("n_grams"))
+    val ex = if (materialize) ex0.persist() else ex0
+    val train = ex.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), col("gram"), col("n_grams"))
+    val eval_ = ex.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val out = train.join(eval_, "gram")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("inter"), first("n_grams").as("n_train"))
+      // the gate compares the RAW ratio (exact: small-int division) and
+      // only the OUTPUT is rounded, mirroring the oracle exactly
+      .filter(col("inter") * lit(1.0) / col("n_train") >= 0.3)
+      .select(col("train_id"), col("eval_id"),
+        r4(col("inter") * lit(1.0) / col("n_train")).as("containment"))
+      .orderBy("train_id", "eval_id")
+    if (!materialize) out
+    else {
+      val cached = out.persist()
+      cached.count()
+      ex.unpersist()
+      cached
+    }
+  }
 }

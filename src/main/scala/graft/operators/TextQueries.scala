@@ -357,24 +357,24 @@ object TextQueries {
       // ALL grams (with duplicates) via the codegen'd multiset kernel —
       // the interpreted transform(sequence(...)) HOF version of this
       // measured 5.1 s at sf0.1; the fused expression runs inside
-      // whole-stage codegen like the rest of the shingle family
-      val d = Tables.documents(s, dir)
+      // whole-stage codegen like the rest of the shingle family.
+      // Single pass: every output is derivable from the per-(doc, gram)
+      // counts — n_grams = Σn, distinct grams = row count, top = max(n) —
+      // so one explode + two doc-keyed aggregations replace the
+      // join-back-to-source shape (which would run the kernel once per
+      // branch; the shuffles stay keyed by doc_id, never corpus-global).
+      Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          graft.functions.HashFunctions.shingleStringsAll(col("t"), 3).as("grams"))
-      // top-gram count is a per-document aggregation of the exploded gram
-      // multiset — still keyed by doc_id, so the shuffle is by document,
-      // never corpus-global
-      val top = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+          explode(graft.functions.HashFunctions.shingleStringsAll(col("t"), 3)).as("gram"))
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(max("n").as("top_gram_n"))
-      d.join(top, "doc_id")
+        .groupBy("doc_id")
+        .agg(sum("n").as("total"), count(lit(1)).as("distinct_n"), max("n").as("top"))
         .select(col("doc_id"),
-          size(col("grams")).cast("long").as("n_grams"),
-          r4((size(col("grams")) - size(array_distinct(col("grams")))) * lit(1.0)
-            / size(col("grams"))).as("dup_gram_frac"),
-          col("top_gram_n").cast("long").as("top_gram_n"))
+          col("total").cast("long").as("n_grams"),
+          r4((col("total") - col("distinct_n")) * lit(1.0) / col("total")).as("dup_gram_frac"),
+          col("top").cast("long").as("top_gram_n"))
         .orderBy("doc_id")
     }
   )

@@ -108,8 +108,6 @@ class ScaleSpec extends SparkSpec {
     val labels = sc.parallelize(Seq((1L, 1L), (2L, 1L), (3L, 2L)))
       .reduceByKey(part, math.min(_, _))
     val joined = edges.join(labels, part)
-    // cogroup's deps: one per parent — both pre-partitioned ⇒ both narrow
-    val cogroup = joined.dependencies.head.rdd // MapPartitionsRDD → CoGroupedRDD chain
     def depsOf(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.Dependency[_]] = {
       // walk down to the CoGroupedRDD (join = cogroup + mapValues layers)
       var cur: org.apache.spark.rdd.RDD[_] = r
