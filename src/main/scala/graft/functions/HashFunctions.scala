@@ -212,6 +212,16 @@ object HashOps {
     }
     h
   }
+
+  /** Deterministic non-negative sampling priority (splitmix-style
+    * finalizer, identical to `Aggregators.ReservoirSample.priority`).
+    * Pure mod-2^64 arithmetic → replayable in DuckDB HUGEINT.
+    */
+  def priorityHash(v: Long, seed: Long): Long = {
+    var h = v * 0x9e3779b97f4a7c15L + seed
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h & Long.MaxValue
+  }
 }
 
 abstract class TokenArrayHash extends UnaryExpression {
@@ -399,6 +409,30 @@ case class RollingHash(child: Expression) extends TokenArrayHash {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Seeded sampling priority over a long key (bigint → non-negative bigint).
+  * A JVM-long kernel rather than Column arithmetic because ANSI mode (the
+  * Spark 4 default) would throw on the deliberate mod-2^64 multiply
+  * overflow; the oracle replays the same arithmetic in DuckDB HUGEINT.
+  */
+case class PriorityHash64(child: Expression, seed: Long) extends UnaryExpression {
+  override def prettyName: String = "priority_hash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.priorityHash(v.asInstanceOf[Long], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.priorityHash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
 
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
@@ -434,4 +468,25 @@ object HashFunctions {
     array((0 until k).map { i =>
       array_min(transform(tokens, t => xxhash64(t, lit(i))))
     }: _*)
+
+  /** Seeded sampling priority (see [[PriorityHash64]]). */
+  def priorityHash(key: Column, seed: Long): Column =
+    Bridge.column(PriorityHash64(Bridge.expression(key), seed))
+
+  /** DuckDB HUGEINT replay of [[PriorityHash64]] as CTE stages (the shape
+    * a03's oracle proved out): given an upstream CTE `src` exposing
+    * `carry` columns plus a BIGINT `key`, emits chained CTEs whose last
+    * stage exposes `carry` plus `pri` = the non-negative priority. The
+    * second 64×64-bit multiply is split into 32-bit halves so every
+    * intermediate stays inside INT128.
+    */
+  def priorityHashCtes(src: String, key: String, seed: Long, carry: String): String =
+    s"""ph1 AS (SELECT $carry,
+       |              (CAST($key AS HUGEINT) * 11400714819323198485 + $seed)
+       |              % 18446744073709551616 AS m1 FROM $src),
+       |ph2 AS (SELECT $carry, xor(m1, m1 >> 33) AS h1 FROM ph1),
+       |ph3 AS (SELECT $carry,
+       |              (h1 * 3981806797 + ((h1 * 4283543511) % 4294967296) * 4294967296)
+       |              % 18446744073709551616 AS m2 FROM ph2),
+       |ph4 AS (SELECT $carry, xor(m2, m2 >> 33) % 9223372036854775808 AS pri FROM ph3)""".stripMargin
 }

@@ -63,4 +63,30 @@ object TextFunctions {
     }
     s"CASE ${whens.mkString(" ")} ELSE 'und' END"
   }
+
+  /** PII patterns shared by the Spark redactor and the DuckDB oracle.
+    * Restricted to syntax with identical semantics in Java regex and RE2
+    * (character classes, bounded repetition, `\b` word boundaries — no
+    * backreferences or lookaround, which RE2 lacks). Order matters:
+    * emails are redacted before phones/IPs so an address' digit runs are
+    * consumed as part of the email match, not re-matched as a number.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}-\d{3}-\d{4}\b""" -> "<PHONE>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>"
+  )
+
+  /** Replace every PII occurrence with its tag. Chained `regexp_replace`
+    * stays codegen'd; at 100 TB this is a pure map over document
+    * partitions — no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** DuckDB twin of [[redactPii]] (needs the explicit 'g' flag — DuckDB
+    * replaces only the first match by default, Spark replaces all). */
+  def redactPiiSql(expr: String): String =
+    PiiPatterns.foldLeft(expr) { case (e, (re, tag)) =>
+      s"regexp_replace($e, '$re', '$tag', 'g')"
+    }
 }

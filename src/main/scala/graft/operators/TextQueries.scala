@@ -304,6 +304,61 @@ object TextQueries {
     },
 
     sql(
+      "p02_pii_redaction",
+      "PII detection + redaction (emails / phone numbers / IPv4): the corpus is digit-free word salad, so deterministic PII is synthesized per-doc from (doc_id, source) identically in both dialects, then counted (regexp_extract_all) and redacted (chained regexp_replace) — md5 of the redacted text makes the compare byte-exact. Patterns are the Java-regex ∩ RE2 common subset (TextFunctions.PiiPatterns). Scale posture: pure codegen'd map over document partitions, zero shuffle",
+      s"""WITH synth AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 != 0
+        |                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+        |         || CASE WHEN doc_id % 2 = 0
+        |                 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |         || CASE WHEN doc_id % 5 != 1
+        |                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |         AS t
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, t,
+        |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(0)._1}')) AS BIGINT) AS n_emails,
+        |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(1)._1}')) AS BIGINT) AS n_phones,
+        |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(2)._1}')) AS BIGINT) AS n_ips
+        |  FROM synth)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |       CAST(length(${TextFunctions.redactPiiSql("t")}) AS BIGINT) AS n_chars_redacted,
+        |       md5(${TextFunctions.redactPiiSql("t")}) AS redacted_md5
+        |FROM counted
+        |ORDER BY doc_id""") { (s, dir) =>
+      val synth = concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@mail.example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 1,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+            (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), synth.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.PiiPatterns(0)._1), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.PiiPatterns(1)._1), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.PiiPatterns(2)._1), lit(0)))
+            .cast("long").as("n_ips"),
+          length(TextFunctions.redactPii(col("t"))).cast("long").as("n_chars_redacted"),
+          md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    sql(
       "t12_token_packing",
       "sequence packing for LLM pretraining: assign documents to fixed token-budget packs (512) within each source via a partitioned running token sum — pack_id = floor(preceding-cumsum / budget); the cumulative-offset analogue of per-partition greedy first-fit packing. Scale posture: the window is PARTITIONED (by source — at 100 TB by source × hash-bucket), so packing parallelizes across partitions and no global sort exists; integer-only arithmetic keeps the oracle exact",
       """WITH toks AS (
@@ -376,6 +431,77 @@ object TextQueries {
           r4((col("total") - col("distinct_n")) * lit(1.0) / col("total")).as("dup_gram_frac"),
           col("top").cast("long").as("top_gram_n"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t14_bigram_lm",
+      "corpus bigram language-model scoring (perplexity proxy): train add-one-smoothed bigram probabilities over the whole corpus, score each document by mean log P(w2|w1) — the classic KenLM-shaped quality filter. Determinism: each term's ln is scaled to a 1e6 integer grid before summing, so the per-doc sum is exact integer arithmetic in both engines. Scale posture: counts are bigram-/token-keyed shuffles (the tf-idf shape), the vocab scalar is a broadcast, scoring is one doc_id-keyed aggregation; the bigram multiset comes from the fused codegen'd shingle kernel, not an interpreted HOF",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[1] || ' ' || z[2] AS bigram
+        |       FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z FROM toks)),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bigram),
+        |terms AS (
+        |  SELECT bg.doc_id,
+        |         CAST(floor(ln((bgc.cb + 1) * 1.0 / (uni.cu + vocab.v)) * 1000000 + 0.5) AS BIGINT) AS li
+        |  FROM bg JOIN bgc USING (bigram) JOIN uni ON bg.w1 = uni.w CROSS JOIN vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(li) AS BIGINT) AS logprob_scaled,
+        |       floor((CAST(sum(li) AS DOUBLE) / count(*) / 1000000) * 10000 + 0.5) / 10000 AS avg_logprob
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val toksD = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      val bg = toksD
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleStringsAll(col("ts"), 2)).as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val uni = toksD.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("cu"))
+      val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+      val bgc = bg.groupBy("bigram").agg(count(lit(1)).cast("long").as("cb"))
+      bg.join(bgc, "bigram")
+        .join(uni, bg("w1") === uni("w"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor(log((col("cb") + 1) * lit(1.0) / (col("cu") + col("v"))) * 1000000 + lit(0.5))
+            .cast("long").as("li"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum("li").cast("long").as("logprob_scaled"),
+          (floor((sum("li").cast("double") / count(lit(1)) / 1000000) * 10000 + lit(0.5)) / 10000)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "p03_mixture_sampling",
+      "deterministic weighted mixture construction: per-source sampling fraction fn/8 (fn = 2 + src_num % 3, the quality-tier weight), sample = the k_s = ceil(n_s*fn/8) docs with the smallest splitmix priority (PriorityHash64) — hash-priority sampling, so re-runs and retries pick identical docs with no RNG/partition-layout dependence; the oracle replays the mod-2^64 hash in DuckDB HUGEINT. Scale posture: one partitioned window per source (at 100 TB: per source × hash-bucket bottom-k, merged exactly — the a03 aggregator is that merge); the per-source size table is a broadcast",
+      s"""WITH src AS (SELECT source, doc_id,
+        |                    CAST(substr(source, 4) AS BIGINT) AS snum FROM documents),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 7L, "source, doc_id, snum")},
+        |sized AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM src GROUP BY source),
+        |ranked AS (SELECT source, doc_id, snum, pri,
+        |                  row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+        |           FROM ph4)
+        |SELECT r.source, CAST(r.rn AS BIGINT) AS sample_rank, r.doc_id
+        |FROM ranked r JOIN sized s USING (source)
+        |WHERE r.rn <= CAST(floor((s.n_s * (2 + r.snum % 3) + 7) / 8.0) AS BIGINT)
+        |ORDER BY source, sample_rank""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val src = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          substring(col("source"), 4, 10).cast("long").as("snum"))
+        .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 7L))
+      val sized = src.groupBy("source").agg(count(lit(1)).cast("long").as("n_s"))
+      val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      src.withColumn("rn", row_number().over(w))
+        .join(broadcast(sized), "source")
+        .filter(col("rn") <=
+          floor((col("n_s") * (lit(2) + col("snum") % 3) + 7) / lit(8.0)).cast("long"))
+        .select(col("source"), col("rn").cast("long").as("sample_rank"), col("doc_id"))
+        .orderBy("source", "sample_rank")
     }
   )
 }
