@@ -35,7 +35,7 @@ object PlanAudit {
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
-      "st04_stream_tws_counts", "st05_stream_fmgws_sessions")
+      "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup")
     val lazyTwins: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir))
@@ -100,7 +100,8 @@ object PlanAudit {
         "st02_twin_sessions" -> graft.streaming.EventStreams.sessionCounts(events),
         "st03_twin_join" -> graft.streaming.EventStreams.purchaseClickJoin(events),
         "st04_twin_tws" -> graft.streaming.EventStreams.runningCounts(spark, typed).toDF("user_id", "n"),
-        "st05_twin_fmgws" -> graft.streaming.EventStreams.statefulSessions(spark, typed).toDF())
+        "st05_twin_fmgws" -> graft.streaming.EventStreams.statefulSessions(spark, typed).toDF(),
+        "st06_twin_dedup" -> graft.streaming.EventStreams.dedupBatchTwin(events))
       twins.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val globals = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }

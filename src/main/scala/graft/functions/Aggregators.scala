@@ -97,6 +97,61 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Deterministic HyperLogLog over long keys (p = 9 → 512 one-byte
+    * registers). Every step is integer arithmetic on the 63-bit
+    * [[HashOps.priorityHash]] value — idx = top 9 bits, w = low 54 bits,
+    * register = max(55 − floor(log2 w), w = 0 → 55) — and the estimator is
+    * a fixed-order double formula, so the DuckDB oracle (a06) replays the
+    * whole sketch bit-exactly in HUGEINT: no "sketches are engine-specific"
+    * carve-out. Standard HLL bias handling: linear counting below 2.5·m
+    * when empty registers remain. State is 512 bytes regardless of input;
+    * merge is an elementwise max — associative, commutative, and
+    * partition-layout independent, so map-side partial aggregation applies
+    * and a 1000-executor rollup ships 512 bytes per group, not rows.
+    */
+  final class HllDistinct(seed: Long) extends Aggregator[Long, Array[Byte], Long] {
+    private val m = 512 // 2^p, p = 9
+
+    override def zero: Array[Byte] = new Array[Byte](m)
+
+    override def reduce(regs: Array[Byte], v: Long): Array[Byte] = {
+      val h = HashOps.priorityHash(v, seed) // non-negative, 63 significant bits
+      val idx = (h >>> 54).toInt // top 9 of the 63
+      val w = h & ((1L << 54) - 1)
+      val rho = if (w == 0L) 55 else 54 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > (regs(idx) & 0xff)) regs(idx) = rho.toByte
+      regs
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(regs: Array[Byte]): Long = {
+      // S = Σ 2^(55-Mj) exactly (max 512·2^55 = 2^64 exceeds a signed
+      // long, hence BigInt); the oracle sums the same terms in HUGEINT.
+      var zeros = 0
+      var s = BigInt(0)
+      var i = 0
+      while (i < m) {
+        val mj = regs(i) & 0xff
+        if (mj == 0) zeros += 1
+        s += BigInt(1) << (55 - mj)
+        i += 1
+      }
+      // fixed operation order, mirrored literally in the oracle SQL
+      val alphaMM = 0.7213 / (1.0 + 1.079 / 512) * 512 * 512
+      val raw = alphaMM * 36028797018963968.0 / s.toDouble // 2^55
+      val est = if (raw <= 1280.0 && zeros > 0) 512 * math.log(512.0 / zeros) else raw
+      math.floor(est + 0.5).toLong
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Bloom filter over long keys — the semi-join-reduction build side.
     * State is a fixed `numBits/64`-word bitset (e.g. 2 KB at 2^14 bits)
     * regardless of input size; merge is a word-wise OR, so partial

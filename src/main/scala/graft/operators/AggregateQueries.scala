@@ -51,6 +51,61 @@ object AggregateQueries {
       }),
 
     sql(
+      "a06_hll_replay",
+      "deterministic HyperLogLog (custom 512-register Aggregator, a02's oracle-exact twin): the sketch is pure integer arithmetic on the splitmix priority hash and a fixed-order double estimator, so the DuckDB oracle replays registers AND estimate bit-exactly in HUGEINT — no 'sketches are engine-specific' carve-out. Scale posture: 512-byte state per group, elementwise-max merge → map-side partial aggregation; a 1000-executor rollup ships bytes per group, not rows",
+      """WITH d AS (
+        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'part' AS kt, CAST(l_partkey AS BIGINT) AS k FROM lineitem GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'order' AS kt, CAST(l_orderkey AS BIGINT) AS k FROM lineitem GROUP BY 1, 2, 3),
+        |ph1 AS (SELECT g, kt, k, (CAST(k AS HUGEINT) * 11400714819323198485 + 11) % 18446744073709551616 AS m1 FROM d),
+        |ph2 AS (SELECT g, kt, k, xor(m1, m1 >> 33) AS h1 FROM ph1),
+        |ph3 AS (SELECT g, kt, k, (h1 * 3981806797 + ((h1 * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS m2 FROM ph2),
+        |ph4 AS (SELECT g, kt, k, xor(m2, m2 >> 33) % 9223372036854775808 AS pri FROM ph3),
+        |regs0 AS (SELECT g, kt, CAST(pri >> 54 AS BIGINT) AS idx, pri % 18014398509481984 AS w FROM ph4),
+        |buckets AS (SELECT g, kt, idx, min(w) AS wmin FROM regs0 GROUP BY g, kt, idx),
+        |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
+        |rhos AS (
+        |  SELECT g, kt, idx, 54 - max(b) AS mj FROM buckets, bits
+        |  WHERE wmin > 0 AND (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) <= wmin GROUP BY g, kt, idx
+        |  UNION ALL
+        |  SELECT g, kt, idx, 55 AS mj FROM buckets WHERE wmin = 0),
+        |present AS (SELECT g, kt, CAST(count(*) AS BIGINT) AS np,
+        |                   sum(CAST(1 AS HUGEINT) << CAST(55 - mj AS INTEGER)) AS sp
+        |            FROM rhos GROUP BY g, kt),
+        |est AS (SELECT g, kt, 512 - np AS vz,
+        |               CAST(sp + (512 - np) * (CAST(1 AS HUGEINT) << 55) AS DOUBLE) AS sd
+        |        FROM present),
+        |raw AS (SELECT g, kt, vz,
+        |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 512) * 512 * 512)
+        |               * CAST(36028797018963968 AS DOUBLE) / sd AS r FROM est),
+        |fin AS (SELECT g, kt,
+        |               CAST(floor(CASE WHEN r <= 1280 AND vz > 0 THEN 512 * ln(CAST(512 AS DOUBLE) / vz) ELSE r END + 0.5) AS BIGINT) AS hll_est
+        |        FROM raw),
+        |ex AS (SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'part' AS kt, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'order' AS kt, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1, 2)
+        |SELECT f.g AS ship_month, f.kt AS key_type, e.n_exact, f.hll_est,
+        |       floor((((CAST(f.hll_est AS DOUBLE) - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)) * 100) * 10000 + 0.5) / 10000 AS rel_err_pct
+        |FROM fin f JOIN ex e ON f.g = e.g AND f.kt = e.kt
+        |ORDER BY ship_month, key_type""") { (s, dir) =>
+      val hll = udaf(new Aggregators.HllDistinct(seed = 11L))
+      val li = Tables.lineitem(s, dir)
+      def keyed(kt: String, key: String) =
+        li.select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
+          lit(kt).as("kt"), col(key).cast("long").as("k"))
+      keyed("part", "l_partkey").unionAll(keyed("order", "l_orderkey"))
+        .groupBy("g", "kt")
+        .agg(hll(col("k")).as("hll_est"),
+          countDistinct(col("k")).cast("long").as("n_exact"))
+        .select(col("g").as("ship_month"), col("kt").as("key_type"),
+          col("n_exact"), col("hll_est"),
+          (floor((((col("hll_est").cast("double") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")) * 100) * 10000 + lit(0.5)) / 10000)
+            .as("rel_err_pct"))
+        .orderBy("ship_month", "key_type")
+    },
+
+    sql(
       "a03_reservoir_sample",
       "typed Aggregator UDAF: O(k)-state bottom-k priority sample per segment. The priority is a splitmix/murmur-style integer hash — pure mod-2^64 arithmetic, so the oracle reproduces it exactly in DuckDB HUGEINT (the multiply by 0xff51afd7ed558ccd is split into 32-bit halves to stay inside INT128)",
       """WITH d AS (SELECT DISTINCT c_mktsegment, CAST(c_custkey AS BIGINT) AS k FROM customer),

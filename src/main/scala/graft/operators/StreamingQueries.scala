@@ -182,6 +182,22 @@ object StreamingQueries {
       out.groupBy("user_id")
         .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
         .orderBy("user_id")
+    },
+
+    sql(
+      "st06_stream_dedup",
+      "streaming exactly-once dedup (EventStreams.dedupWithinWatermark: dropDuplicatesWithinWatermark on user/type/minute, state evicted as the watermark passes) executed as a real StreamingQuery in append mode — dedup passes rows through, so a bounded replay emits exactly one row per key; the output keeps only the key columns, making the result independent of which physical duplicate survived. Oracle = batch DISTINCT over the same keys",
+      """SELECT DISTINCT user_id, event_type,
+        |       CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS minute_bucket
+        |FROM events
+        |ORDER BY user_id, event_type, minute_bucket""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.dedupWithinWatermark(eventStream(s, dir))
+          .select(col("user_id"), col("event_type"), col("minute_bucket")),
+        "st06_out", mode = "append")
+      out.select(col("user_id"), col("event_type"),
+          col("minute_bucket").cast("timestamp_ntz").as("minute_bucket"))
+        .orderBy("user_id", "event_type", "minute_bucket")
     }
   )
 }

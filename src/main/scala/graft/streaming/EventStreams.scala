@@ -59,6 +59,16 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
 
+  /** Batch-plan twin of [[dedupWithinWatermark]] for the static plan audit:
+    * `dropDuplicatesWithinWatermark` is streaming-only, so the batch
+    * equivalent (same key derivation, plain dropDuplicates → keyed hash
+    * aggregate) stands in for plan-shape assertions.
+    */
+  def dedupBatchTwin(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+      .dropDuplicates("user_id", "event_type", "minute_bucket")
+
   /** Watermarked stream-stream interval join: purchases matched to clicks
     * by the same user within the preceding hour. Both sides carry
     * watermarks so join state is evicted as event time advances — the
