@@ -479,7 +479,7 @@ object TextQueries {
       "p03_mixture_sampling",
       "deterministic weighted mixture construction: per-source sampling fraction fn/8 (fn = 2 + src_num % 3, the quality-tier weight), sample = the k_s = ceil(n_s*fn/8) docs with the smallest splitmix priority (PriorityHash64) — hash-priority sampling, so re-runs and retries pick identical docs with no RNG/partition-layout dependence; the oracle replays the mod-2^64 hash in DuckDB HUGEINT. Scale posture: one partitioned window per source (at 100 TB: per source × hash-bucket bottom-k, merged exactly — the a03 aggregator is that merge); the per-source size table is a broadcast",
       s"""WITH src AS (SELECT source, doc_id,
-        |                    CAST(substr(source, 4) AS BIGINT) AS snum FROM documents),
+        |                    coalesce(TRY_CAST(substr(source, 4) AS BIGINT), 0) AS snum FROM documents),
         |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 7L, "source, doc_id, snum")},
         |sized AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM src GROUP BY source),
         |ranked AS (SELECT source, doc_id, snum, pri,
@@ -491,8 +491,10 @@ object TextQueries {
         |ORDER BY source, sample_rank""") { (s, dir) =>
       import graft.functions.HashFunctions
       val src = Tables.documents(s, dir)
+        // try_cast: a source name without a numeric suffix must fall to
+        // the default tier, not throw under ANSI (AnsiEdgeSpec)
         .select(col("source"), col("doc_id"),
-          substring(col("source"), 4, 10).cast("long").as("snum"))
+          coalesce(expr("try_cast(substring(source, 4, 10) AS BIGINT)"), lit(0L)).as("snum"))
         .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 7L))
       val sized = src.groupBy("source").agg(count(lit(1)).cast("long").as("n_s"))
       val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))

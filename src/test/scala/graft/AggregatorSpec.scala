@@ -30,6 +30,24 @@ class AggregatorSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("HllDistinct: accuracy, partition-layout independence, linear-counting floor") {
+    // accuracy on a real column (512 registers → ~4.6% std error; allow 15%)
+    val hll = udaf(new Aggregators.HllDistinct(seed = 11L))
+    val keys = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").cast("long").as("k"))
+    val df = keys.agg(hll(col("k")).as("est"), countDistinct(col("k")).as("exact")).head()
+    val (est, exact) = (df.getLong(0), df.getLong(1))
+    assert(math.abs(est - exact).toDouble / exact < 0.15, s"est=$est exact=$exact")
+    // merge is layout-independent: same estimate at 1 and 13 partitions
+    val est1 = keys.repartition(1).agg(hll(col("k"))).head().getLong(0)
+    val est13 = keys.repartition(13).agg(hll(col("k"))).head().getLong(0)
+    assert(est1 == est && est13 == est, s"layout-dependent: $est1 / $est13 / $est")
+    // tiny cardinalities hit the linear-counting branch and stay exact-ish
+    // (±2: bucket collisions can shave the linear-counting estimate)
+    val small = spark.range(20).select(col("id").as("k")).agg(hll(col("k"))).head().getLong(0)
+    assert(math.abs(small - 20L) <= 2, s"linear counting should be ~exact at n=20, got $small")
+  }
+
   test("approx_percentile median within 2% of exact percentile") {
     val df = Tables.orders(spark, sf0001)
       .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),

@@ -76,7 +76,8 @@ class AnsiEdgeSpec extends SparkSpec {
     "t08_bpe_token_count", "t09_edit_distance",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signature",
     "d04_lsh_near_dups", "d05_simhash_pairs", "d07_rolling_fingerprint",
-    "d09_fuzzy_join", "p01_curation_pipeline",
+    "d09_fuzzy_join", "p01_curation_pipeline", "p02_pii_redaction",
+    "p03_mixture_sampling", "t14_bigram_lm",
     // multimodal: binary/decode paths
     "m01_binary_metadata", "m02_decode_features", "m03_frame_sampling",
     // embeddings: vector-kernel paths

@@ -60,6 +60,29 @@ class HashFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("priorityHash column expression == reference kernel, non-negative, codegen == interpreted") {
+    val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)
+    val df = keys.toDF("k")
+    val got = df.select(HashFunctions.priorityHash(col("k"), 7L)).collect().map(_.getLong(0))
+    // reference: the same splitmix finalizer, computed directly
+    val want = keys.map { v =>
+      var h = v * 0x9e3779b97f4a7c15L + 7L
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h & Long.MaxValue
+    }
+    assert(got.toSeq == want)
+    assert(got.forall(_ >= 0L))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(HashFunctions.priorityHash(col("k"), 7L)).collect().map(_.getLong(0))
+      assert(interp.toSeq == got.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("shingleStringsAll preserves duplicates; distinct of it equals shingleStrings") {
     val df = Seq(
       (1L, Seq("a", "b", "a", "b", "a", "b")), // "a b a" and "b a b" repeat
