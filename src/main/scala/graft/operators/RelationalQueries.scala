@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.GraftQuery.sql
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TPC-H-shaped relational coverage: scans, filters, projections, hash/sort
@@ -537,6 +538,56 @@ object RelationalQueries {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    sql(
+      "u02_scd2_versioning",
+      "SCD type-2 interval versioning (corpus snapshot history): each per-key change event becomes a [valid_from, valid_to) row via lead() over the key's event-time order, open interval = current version — the dataset-versioning primitive behind point-in-time training-set reconstruction (q68's as-of join is the lookup side). Scale posture: one partitioned window per key (user_id), no global sort; values pass through untouched so no float divergence",
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,
+        |       CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+        |       value, (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          col("valid_to"), col("value"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    {
+      // Morton interleave of two 10-bit coordinates, emitted once as a
+      // Column tree and once as the literally-identical SQL — pure bit
+      // arithmetic, so the oracle compare is exact by construction.
+      val mortonSql = (0 until 10)
+        .map(i => s"((x & ${1L << i}) << $i) | ((y & ${1L << i}) << ${i + 1})")
+        .mkString(" | ")
+      def mortonCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until 10).map { i =>
+          shiftleft(x.bitwiseAND(lit(1L << i)), i)
+            .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+        }.reduce(_ bitwiseOR _)
+      sql(
+        "q77_zorder_layout",
+        "Z-order (Morton-curve) multi-dimensional layout clustering — the OPTIMIZE ZORDER primitive: interleave the bits of two join/filter dimensions, bucket rows by z-cell, and report each cell's bounding box. The tight per-cell min/max ranges ARE the footer stats a multi-dimensional 100 TB scan prunes by (a z-ordered file covers a small x×y rectangle; a linear sort covers a full stripe of one dimension). Scale posture: the morton key is codegen'd bit arithmetic, the layout pass is one keyed aggregation / repartitionByRange on the key — no global structure",
+        s"""WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+          |m AS (SELECT x, y, ($mortonSql) AS morton FROM xy)
+          |SELECT morton >> 10 AS zcell, count(*) AS n,
+          |       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+          |FROM m GROUP BY zcell
+          |ORDER BY zcell""") { (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+          .withColumn("morton", mortonCol(col("x"), col("y")))
+          .groupBy(shiftright(col("morton"), 10).as("zcell"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"))
+          .orderBy("zcell")
+      }
     }
   )
 }
