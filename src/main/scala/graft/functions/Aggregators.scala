@@ -66,11 +66,9 @@ object Aggregators {
   final case class Reservoir(priorities: Array[Long], values: Array[Long])
 
   final class ReservoirSample(k: Int, seed: Long) extends Aggregator[Long, Reservoir, Array[Long]] {
-    private def priority(v: Long): Long = {
-      var h = v * 0x9e3779b97f4a7c15L + seed
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-      h & Long.MaxValue
-    }
+    // shared kernel: a03's and p03's DuckDB oracles both replay this exact
+    // arithmetic, so there must be exactly one JVM copy
+    private def priority(v: Long): Long = HashOps.priorityHash(v, seed)
 
     override def zero: Reservoir = Reservoir(Array.empty, Array.empty)
 
@@ -108,6 +106,10 @@ object Aggregators {
     * merge is an elementwise max — associative, commutative, and
     * partition-layout independent, so map-side partial aggregation applies
     * and a 1000-executor rollup ships 512 bytes per group, not rows.
+    *
+    * Null keys must be filtered upstream: a typed `Aggregator[Long, …]`
+    * decodes a null input as 0L, which would register a phantom distinct
+    * while `count(DISTINCT …)` and the oracle both drop nulls.
     */
   final class HllDistinct(seed: Long) extends Aggregator[Long, Array[Byte], Long] {
     private val m = 512 // 2^p, p = 9

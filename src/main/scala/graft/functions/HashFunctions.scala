@@ -478,11 +478,16 @@ object HashFunctions {
     * `carry` columns plus a BIGINT `key`, emits chained CTEs whose last
     * stage exposes `carry` plus `pri` = the non-negative priority. The
     * second 64×64-bit multiply is split into 32-bit halves so every
-    * intermediate stays inside INT128.
+    * intermediate stays inside INT128. ph1 double-mods the first product
+    * into [0, 2^64): DuckDB's % keeps the dividend's sign, while the JVM
+    * kernel wraps to the unsigned bit pattern — without the wrap, any
+    * NEGATIVE key (e.g. one derived from a signed hash) would silently
+    * diverge from [[HashOps.priorityHash]].
     */
   def priorityHashCtes(src: String, key: String, seed: Long, carry: String): String =
     s"""ph1 AS (SELECT $carry,
-       |              (CAST($key AS HUGEINT) * 11400714819323198485 + $seed)
+       |              ((CAST($key AS HUGEINT) * 11400714819323198485 + $seed)
+       |               % 18446744073709551616 + 18446744073709551616)
        |              % 18446744073709551616 AS m1 FROM $src),
        |ph2 AS (SELECT $carry, xor(m1, m1 >> 33) AS h1 FROM ph1),
        |ph3 AS (SELECT $carry,

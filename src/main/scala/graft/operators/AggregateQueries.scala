@@ -53,14 +53,11 @@ object AggregateQueries {
     sql(
       "a06_hll_replay",
       "deterministic HyperLogLog (custom 512-register Aggregator, a02's oracle-exact twin): the sketch is pure integer arithmetic on the splitmix priority hash and a fixed-order double estimator, so the DuckDB oracle replays registers AND estimate bit-exactly in HUGEINT — no 'sketches are engine-specific' carve-out. Scale posture: 512-byte state per group, elementwise-max merge → map-side partial aggregation; a 1000-executor rollup ships bytes per group, not rows",
-      """WITH d AS (
-        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'part' AS kt, CAST(l_partkey AS BIGINT) AS k FROM lineitem GROUP BY 1, 2, 3
+      s"""WITH d AS (
+        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'part' AS kt, CAST(l_partkey AS BIGINT) AS k FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1, 2, 3
         |  UNION ALL
-        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'order' AS kt, CAST(l_orderkey AS BIGINT) AS k FROM lineitem GROUP BY 1, 2, 3),
-        |ph1 AS (SELECT g, kt, k, (CAST(k AS HUGEINT) * 11400714819323198485 + 11) % 18446744073709551616 AS m1 FROM d),
-        |ph2 AS (SELECT g, kt, k, xor(m1, m1 >> 33) AS h1 FROM ph1),
-        |ph3 AS (SELECT g, kt, k, (h1 * 3981806797 + ((h1 * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS m2 FROM ph2),
-        |ph4 AS (SELECT g, kt, k, xor(m2, m2 >> 33) % 9223372036854775808 AS pri FROM ph3),
+        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g, 'order' AS kt, CAST(l_orderkey AS BIGINT) AS k FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1, 2, 3),
+        |${graft.functions.HashFunctions.priorityHashCtes("d", "k", 11L, "g, kt, k")},
         |regs0 AS (SELECT g, kt, CAST(pri >> 54 AS BIGINT) AS idx, pri % 18014398509481984 AS w FROM ph4),
         |buckets AS (SELECT g, kt, idx, min(w) AS wmin FROM regs0 GROUP BY g, kt, idx),
         |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
@@ -91,17 +88,17 @@ object AggregateQueries {
       val hll = udaf(new Aggregators.HllDistinct(seed = 11L))
       val li = Tables.lineitem(s, dir)
       def keyed(kt: String, key: String) =
-        li.select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
-          lit(kt).as("kt"), col(key).cast("long").as("k"))
+        li.where(col(key).isNotNull) // HllDistinct's null contract (scaladoc)
+          .select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
+            lit(kt).as("kt"), col(key).cast("long").as("k"))
       keyed("part", "l_partkey").unionAll(keyed("order", "l_orderkey"))
         .groupBy("g", "kt")
         .agg(hll(col("k")).as("hll_est"),
           countDistinct(col("k")).cast("long").as("n_exact"))
         .select(col("g").as("ship_month"), col("kt").as("key_type"),
           col("n_exact"), col("hll_est"),
-          (floor((((col("hll_est").cast("double") - col("n_exact").cast("double"))
-            / col("n_exact").cast("double")) * 100) * 10000 + lit(0.5)) / 10000)
-            .as("rel_err_pct"))
+          r4((col("hll_est").cast("double") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double") * 100).as("rel_err_pct"))
         .orderBy("ship_month", "key_type")
     },
 

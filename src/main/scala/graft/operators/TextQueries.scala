@@ -324,11 +324,15 @@ object TextQueries {
         |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(0)._1}')) AS BIGINT) AS n_emails,
         |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(1)._1}')) AS BIGINT) AS n_phones,
         |         CAST(len(regexp_extract_all(t, '${TextFunctions.PiiPatterns(2)._1}')) AS BIGINT) AS n_ips
-        |  FROM synth)
+        |  FROM synth),
+        |red AS (
+        |  SELECT doc_id, n_emails, n_phones, n_ips,
+        |         ${TextFunctions.redactPiiSql("t")} AS redacted
+        |  FROM counted)
         |SELECT doc_id, n_emails, n_phones, n_ips,
-        |       CAST(length(${TextFunctions.redactPiiSql("t")}) AS BIGINT) AS n_chars_redacted,
-        |       md5(${TextFunctions.redactPiiSql("t")}) AS redacted_md5
-        |FROM counted
+        |       CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+        |       md5(redacted) AS redacted_md5
+        |FROM red
         |ORDER BY doc_id""") { (s, dir) =>
       val synth = concat(
         col("text"),
@@ -353,8 +357,10 @@ object TextQueries {
             .cast("long").as("n_phones"),
           size(regexp_extract_all(col("t"), lit(TextFunctions.PiiPatterns(2)._1), lit(0)))
             .cast("long").as("n_ips"),
-          length(TextFunctions.redactPii(col("t"))).cast("long").as("n_chars_redacted"),
-          md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"))
+          TextFunctions.redactPii(col("t")).as("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          length(col("redacted")).cast("long").as("n_chars_redacted"),
+          md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")
     },
 
@@ -470,8 +476,7 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           sum("li").cast("long").as("logprob_scaled"),
-          (floor((sum("li").cast("double") / count(lit(1)) / 1000000) * 10000 + lit(0.5)) / 10000)
-            .as("avg_logprob"))
+          r4(sum("li").cast("double") / count(lit(1)) / 1000000).as("avg_logprob"))
         .orderBy("doc_id")
     },
 
@@ -479,7 +484,7 @@ object TextQueries {
       "p03_mixture_sampling",
       "deterministic weighted mixture construction: per-source sampling fraction fn/8 (fn = 2 + src_num % 3, the quality-tier weight), sample = the k_s = ceil(n_s*fn/8) docs with the smallest splitmix priority (PriorityHash64) — hash-priority sampling, so re-runs and retries pick identical docs with no RNG/partition-layout dependence; the oracle replays the mod-2^64 hash in DuckDB HUGEINT. Scale posture: one partitioned window per source (at 100 TB: per source × hash-bucket bottom-k, merged exactly — the a03 aggregator is that merge); the per-source size table is a broadcast",
       s"""WITH src AS (SELECT source, doc_id,
-        |                    coalesce(TRY_CAST(substr(source, 4) AS BIGINT), 0) AS snum FROM documents),
+        |                    coalesce(TRY_CAST(substr(source, 4, 10) AS BIGINT), 0) AS snum FROM documents),
         |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 7L, "source, doc_id, snum")},
         |sized AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM src GROUP BY source),
         |ranked AS (SELECT source, doc_id, snum, pri,
