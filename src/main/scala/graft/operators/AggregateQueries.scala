@@ -103,6 +103,41 @@ object AggregateQueries {
     },
 
     sql(
+      "a07_sample_quantile",
+      "approximate percentile via DETERMINISTIC bottom-k priority sampling (a04's oracle-exact twin): the 200 smallest-priority keys per group form the sample, the estimate is the in-sample linear-interpolation median — no RNG, so the DuckDB oracle replays sample selection (HUGEINT hash) and estimate bit-exactly. Scale posture: shown as a partitioned window at fixture scale; at 100 TB the sample IS a03's bottom-k aggregator (O(k) state, exact merge), so no global sort ever exists",
+      s"""WITH src AS (SELECT o_orderpriority AS g, CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS v FROM orders),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "k", 5L, "g, k, v")},
+        |ranked AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY pri, k) AS rn FROM ph4),
+        |est AS (SELECT g, quantile_cont(v, 0.5) AS est_p50, CAST(count(*) AS BIGINT) AS n_sample
+        |        FROM ranked WHERE rn <= 200 GROUP BY g),
+        |ex AS (SELECT g, quantile_cont(v, 0.5) AS exact_p50 FROM src GROUP BY g)
+        |SELECT e.g AS o_orderpriority,
+        |       floor(e.est_p50 * 100 + 0.5) / 100 AS est_p50,
+        |       floor(x.exact_p50 * 100 + 0.5) / 100 AS exact_p50,
+        |       e.n_sample,
+        |       floor(((e.est_p50 - x.exact_p50) / x.exact_p50 * 100) * 10000 + 0.5) / 10000 AS rel_err_pct
+        |FROM est e JOIN ex x ON e.g = x.g
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          col("o_orderkey").cast("long").as("k"), col("o_totalprice").as("v"))
+        .withColumn("pri", HashFunctions.priorityHash(col("k"), 5L))
+      val w = Window.partitionBy("g").orderBy(col("pri"), col("k"))
+      val est = src.withColumn("rn", row_number().over(w)).filter(col("rn") <= 200)
+        .groupBy("g").agg(expr("percentile(v, 0.5)").as("est_p50"),
+          count(lit(1)).cast("long").as("n_sample"))
+      val ex = src.groupBy("g").agg(expr("percentile(v, 0.5)").as("exact_p50"))
+      est.join(ex, "g")
+        .select(col("g").as("o_orderpriority"),
+          r2(col("est_p50")).as("est_p50"), r2(col("exact_p50")).as("exact_p50"),
+          col("n_sample"),
+          r4((col("est_p50") - col("exact_p50")) / col("exact_p50") * 100).as("rel_err_pct"))
+        .orderBy("o_orderpriority")
+    },
+
+    sql(
       "a03_reservoir_sample",
       "typed Aggregator UDAF: O(k)-state bottom-k priority sample per segment. The priority is a splitmix/murmur-style integer hash — pure mod-2^64 arithmetic, so the oracle reproduces it exactly in DuckDB HUGEINT (the multiply by 0xff51afd7ed558ccd is split into 32-bit halves to stay inside INT128)",
       """WITH d AS (SELECT DISTINCT c_mktsegment, CAST(c_custkey AS BIGINT) AS k FROM customer),
