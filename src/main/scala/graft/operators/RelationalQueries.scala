@@ -558,6 +558,45 @@ object RelationalQueries {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    sql(
+      "u03_incremental_agg",
+      "incremental aggregate maintenance (materialized-view refresh): the corpus splits into a frozen base and a new delta; per-group partial aggregates (count + exact decimal sum) are computed per slice and FOLDED, never recomputing the base — the result equals the full recompute (the oracle), which is the invariant that lets a 100 TB nightly refresh touch only the day's delta. Partials merge because count/sum are algebraic; avg derives from the folded partials",
+      s"""SELECT o_orderstatus, count(*) AS n,
+        |       ${s2("o_totalprice")} AS sum_price,
+        |       ${a2("o_totalprice")} AS avg_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cutoff = lit("1997-01-01").cast("date")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast("decimal(24,6)")).as("ps"))
+      partials(orders.filter(col("o_orderdate").cast("date") < cutoff))
+        .unionByName(partials(orders.filter(col("o_orderdate").cast("date") >= cutoff)))
+        .groupBy("o_orderstatus")
+        .agg(sum("pn").cast("long").as("n"), sum("ps").as("s"))
+        .select(col("o_orderstatus"), col("n"),
+          r2(col("s").cast("double")).as("sum_price"),
+          r2(col("s").cast("double") / col("n")).as("avg_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    sql(
+      "q78_salted_agg",
+      "skew-mitigating two-phase salted aggregation behind the oracle gate: a random salt spreads each hot grouping key over 16 reducers (phase 1), a cheap 16-way second aggregation removes it (phase 2). The final result is salt-assignment-invariant — count/sum partials fold exactly — so the oracle is the plain aggregation; ScaleSpec separately asserts the two-exchange plan shape",
+      s"""SELECT l_returnflag, count(*) AS n,
+        |       ${s2("l_extendedprice")} AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      Skew.saltedAgg(Tables.lineitem(s, dir), Seq(col("l_returnflag")), salts = 16,
+          phase1 = Seq(count(lit(1)).as("pn"),
+            sum(col("l_extendedprice").cast("decimal(24,6)")).as("ps")),
+          phase2 = Seq(sum("pn").cast("long").as("n"),
+            r2(sum("ps").cast("double")).as("sum_price")))
+        .orderBy("l_returnflag")
+    },
+
     {
       // Morton interleave of two 10-bit coordinates, emitted once as a
       // Column tree and once as the literally-identical SQL — pure bit
