@@ -567,6 +567,54 @@ object DedupQueries {
         |WHERE inter * 1.0 / n_train >= 0.3
         |ORDER BY train_id, eval_id""") { (s, dir) =>
       contaminationImpl(s, dir, materialize = true)
+    },
+
+    sql(
+      "d11_semantic_dedup",
+      "SemDeDup-shaped semantic deduplication: a deterministic 8-vector codebook (the smallest-priority-hash vec_ids — no RNG, no iterative training) partitions the corpus by nearest-cosine cluster; per cluster report the size, the closest non-seed representative, and the count of members above the near-dup threshold (0.2) — the set a semantic dedup pass would drop in favor of the representative. Scale posture: the codebook is a broadcast (8 rows), assignment is one codegen'd cosine scan (the s03 IVF shape), per-cluster stats are one keyed aggregation; at 100 TB the codebook comes from s07's k-means instead, same plan",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0),
+        |src AS (SELECT vec_id AS k, vec_id, embedding FROM e),
+        |${HashFunctions.priorityHashCtes("src", "k", 3L, "vec_id, embedding")},
+        |seeds AS (SELECT vec_id AS seed_id, embedding AS seed_emb
+        |          FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY pri, vec_id) AS rn FROM ph4)
+        |          WHERE rn <= 8),
+        |sims AS (SELECT e.vec_id, s.seed_id, ${cosineSql("e.embedding", "s.seed_emb")} AS sim
+        |         FROM e CROSS JOIN seeds s),
+        |a1 AS (SELECT * FROM (SELECT vec_id, seed_id, sim,
+        |                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn FROM sims)
+        |       WHERE rn = 1),
+        |reps AS (SELECT seed_id, vec_id AS rep_id, floor(sim * 1000000 + 0.5) / 1000000 AS rep_sim,
+        |                row_number() OVER (PARTITION BY seed_id ORDER BY sim DESC, vec_id) AS rk
+        |         FROM a1 WHERE vec_id != seed_id)
+        |SELECT c.seed_id, c.n_members, r.rep_id, r.rep_sim, c.n_close
+        |FROM (SELECT seed_id, CAST(count(*) AS BIGINT) AS n_members,
+        |             CAST(count(CASE WHEN vec_id != seed_id AND sim >= 0.2 THEN 1 END) AS BIGINT) AS n_close
+        |      FROM a1 GROUP BY seed_id) c
+        |JOIN (SELECT seed_id, rep_id, rep_sim FROM reps WHERE rk = 1) r USING (seed_id)
+        |ORDER BY seed_id""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .filter(size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding"))
+      val seeds = e
+        .withColumn("pri", HashFunctions.priorityHash(col("vec_id"), 3L))
+        .orderBy("pri", "vec_id").limit(8) // TakeOrdered: no global sort materializes
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
+      val sims = e.crossJoin(broadcast(seeds))
+        .withColumn("sim", cosineSim(col("embedding"), col("seed_emb")))
+        .select("vec_id", "seed_id", "sim")
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("sim"), col("seed_id"))
+      val a1 = sims.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      val counts = a1.groupBy("seed_id").agg(
+        count(lit(1)).cast("long").as("n_members"),
+        count(when(col("vec_id") =!= col("seed_id") && col("sim") >= 0.2, 1))
+          .cast("long").as("n_close"))
+      val wRep = Window.partitionBy("seed_id").orderBy(desc("sim"), col("vec_id"))
+      val reps = a1.filter(col("vec_id") =!= col("seed_id"))
+        .withColumn("rk", row_number().over(wRep)).filter(col("rk") === 1)
+        .select(col("seed_id"), col("vec_id").as("rep_id"), r6(col("sim")).as("rep_sim"))
+      counts.join(reps, "seed_id")
+        .select("seed_id", "n_members", "rep_id", "rep_sim", "n_close")
+        .orderBy("seed_id")
     }
   )
 

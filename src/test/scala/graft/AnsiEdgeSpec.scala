@@ -82,7 +82,7 @@ class AnsiEdgeSpec extends SparkSpec {
     "m01_binary_metadata", "m02_decode_features", "m03_frame_sampling",
     // embeddings: vector-kernel paths
     "s01_knn_bruteforce", "s02_embedding_norms", "s05_zipwith_cosine",
-    "d06_embedding_sim_pairs")
+    "d06_embedding_sim_pairs", "d11_semantic_dedup")
 
   underTest.foreach { name =>
     test(s"$name executes over empty/null/ragged adversarial rows") {
