@@ -615,6 +615,58 @@ object DedupQueries {
       counts.join(reps, "seed_id")
         .select("seed_id", "n_members", "rep_id", "rep_sim", "n_close")
         .orderBy("seed_id")
+    },
+
+    sql(
+      "g01_pagerank",
+      "graph centrality (PageRank, 2 unrolled iterations) over the customer↔supplier bipartite trade graph — the source-authority signal a curation pipeline uses to weight domains. Ranks live on a 1e12 integer grid and every step is integer division/sum, so both engines compute bit-identical ranks (no float drift across iterations). Scale posture: each iteration is one edge-keyed join + dst-keyed aggregation (the d08 shape — at 100 TB the edge list is hash-partitioned once and every round joins narrowly against it); the node-count scalar is a broadcast",
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c, CAST(l.l_suppkey AS BIGINT) + 1000000 AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s AS src, c AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT node, (1000000000000 // n) AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
+        |       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n0.node,
+        |              (150000000000 // nn.n) + (85 * coalesce(c1.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c1 ON c1.node = n0.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
+        |       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n0.node,
+        |              (150000000000 // nn.n) + (85 * coalesce(c2.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n0.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_scaled
+        |FROM r2 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("s"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+      def step(r: DataFrame): DataFrame = {
+        val contrib = edges.join(r, r("node") === edges("src")).join(deg, "src")
+          .select(col("dst").as("cnode"), expr("r div d").as("cx"))
+          .groupBy("cnode").agg(sum("cx").as("m"))
+        nodes.crossJoin(broadcast(nn))
+          .join(contrib, col("node") === col("cnode"), "left")
+          .select(col("node"),
+            (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      }
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), expr("1000000000000 div n").as("r"))
+      step(step(r0))
+        .select(col("node"), col("r").cast("long").as("rank_scaled"))
+        .orderBy(desc("rank_scaled"), col("node"))
+        .limit(20)
     }
   )
 
