@@ -33,13 +33,12 @@ object PlanAudit {
     // and inspect an InMemoryTableScan instead of the real plan, so they
     // are audited through their lazy `*Plan` twins below instead.
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
-      "d04_lsh_near_dups", "d10_contamination", "g01_pagerank",
+      "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup")
     val lazyTwins: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
-      "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir),
-      "g01_pagerank" -> graft.operators.DedupQueries.pagerankPlan(spark, sfDir))
+      "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir))
     // plan every audited query exactly once — planning is the expensive
     // step; the target flag lines and the global-window sweep below both
     // read from this map

@@ -642,59 +642,40 @@ object DedupQueries {
         |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n0.node)
         |SELECT node, CAST(r AS BIGINT) AS rank_scaled
         |FROM r2 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      pagerankImpl(s, dir, materialize = true)
+      // Lazy on purpose: the unrolled plan repeats the edge-build subtree
+      // per branch, but AQE's runtime ReuseExchange shares the shuffles —
+      // measured FASTER than the d04-style persist+count materialization
+      // (2.99 s vs 7.47 s at sf0.1), which serializes the cache write and
+      // re-plans the cached side without parquet stats. At 100 TB with
+      // many more iterations the d08 partitioner-aligned RDD loop is the
+      // production path; two unrolled rounds stay pure SQL.
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("s"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+      def step(r: DataFrame): DataFrame = {
+        val contrib = edges.join(r, r("node") === edges("src")).join(deg, "src")
+          .select(col("dst").as("cnode"), expr("r div d").as("cx"))
+          .groupBy("cnode").agg(sum("cx").as("m"))
+        nodes.crossJoin(broadcast(nn))
+          .join(contrib, col("node") === col("cnode"), "left")
+          .select(col("node"),
+            (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      }
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), expr("1000000000000 div n").as("r"))
+      step(step(r0))
+        .select(col("node"), col("r").cast("long").as("rank_scaled"))
+        .orderBy(desc("rank_scaled"), col("node"))
+        .limit(20)
     }
   )
-
-  /** Lazy-plan twin of g01 for the static plan audit (the production entry
-    * materializes eagerly to cache the edge list across iterations).
-    */
-  private[graft] def pagerankPlan(s: SparkSession, dir: String): DataFrame =
-    pagerankImpl(s, dir, materialize = false)
-
-  private def pagerankImpl(s: SparkSession, dir: String,
-      materialize: Boolean): DataFrame = {
-    val e0 = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("c"),
-        (col("l_suppkey").cast("long") + 1000000L).as("s"))
-      .distinct()
-    // persist the edge list: every iteration (and deg/nodes) re-reads it,
-    // and Spark has no cross-branch subtree reuse — without the cache the
-    // unrolled two-step plan holds 40 FileScans of the same join. This is
-    // exactly the d08 posture: discovery in SQL once, iterate over the
-    // materialized edges.
-    val edges0 = e0.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-    val edges = if (materialize) edges0.persist() else edges0
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
-    def step(r: DataFrame): DataFrame = {
-      val contrib = edges.join(r, r("node") === edges("src")).join(deg, "src")
-        .select(col("dst").as("cnode"), expr("r div d").as("cx"))
-        .groupBy("cnode").agg(sum("cx").as("m"))
-      nodes.crossJoin(broadcast(nn))
-        .join(contrib, col("node") === col("cnode"), "left")
-        .select(col("node"),
-          (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
-    }
-    val r0 = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr("1000000000000 div n").as("r"))
-    val out = step(step(r0))
-      .select(col("node"), col("r").cast("long").as("rank_scaled"))
-      .orderBy(desc("rank_scaled"), col("node"))
-      .limit(20)
-    if (!materialize) out
-    else {
-      // cache the small result, then release the edge list (same
-      // leak-avoidance contract as d04/d10)
-      val cached = out.persist()
-      cached.count()
-      edges.unpersist()
-      cached
-    }
-  }
 
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def contaminationPlan(s: SparkSession, dir: String): DataFrame =
