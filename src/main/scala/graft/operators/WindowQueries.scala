@@ -220,6 +220,30 @@ object WindowQueries {
           r4(expr("percentile(c_acctbal, 0.5)")).as("median_bal"),
           r4(expr("percentile(c_acctbal, 0.9)")).as("p90_bal"))
         .orderBy("c_mktsegment")
+    },
+
+    sql(
+      "q79_percentile_cutoff",
+      "distribution-based cutoff selection via percent_rank: keep the top decile per group and report the induced score threshold — the 'train on the best 10% by quality score' filtering primitive. The window orders by (score, unique key), so percent_rank = (i-1)/(n-1) is tie-free and deterministic; the window is PARTITIONED (per group — per group × bucket at 100 TB with an approx threshold instead)",
+      """WITH r AS (SELECT o_orderpriority AS g, o_totalprice,
+        |                  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pr
+        |           FROM orders)
+        |SELECT g AS o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN pr >= 0.9 THEN 1 END) AS BIGINT) AS top_decile_n,
+        |       floor(min(CASE WHEN pr >= 0.9 THEN o_totalprice END) * 100 + 0.5) / 100 AS p90_threshold
+        |FROM r GROUP BY g ORDER BY o_orderpriority""") { (s, dir) =>
+      val w = Window.partitionBy("g").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(when(col("pr") >= 0.9, 1)).cast("long").as("top_decile_n"),
+          r2(min(when(col("pr") >= 0.9, col("o_totalprice")))).as("p90_threshold"))
+        .select(col("g").as("o_orderpriority"), col("n"), col("top_decile_n"),
+          col("p90_threshold"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -128,4 +128,17 @@ class ScaleSpec extends SparkSpec {
       "control join lost its expected shuffle — the assertion above is vacuous")
     edges.unpersist()
   }
+
+  test("g01 pagerank: top-20 descending, hubs (suppliers) outrank leaf customers") {
+    val rows = SparkEntry.queries("g01_pagerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20)
+    val ranks = rows.map(_._2)
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not sorted by rank desc")
+    assert(ranks.forall(_ > 0))
+    // suppliers (node >= 1e6) are the high-degree side of the bipartite
+    // graph; PageRank must put them at the top of the table
+    assert(rows.take(5).forall(_._1 >= 1000000L),
+      s"expected supplier hubs at the top, got ${rows.take(5).mkString(",")}")
+  }
 }
