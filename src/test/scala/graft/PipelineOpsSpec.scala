@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 pipeline operators that the oracle compare
+  * can't express directly: idempotence, geometric bounds, and
+  * fold-equals-direct equivalences.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii is idempotent and leaves no residual PII") {
+    val samples = Seq(
+      "plain text with no pii at all",
+      "mail me at alice.smith+x@example.co.uk today",
+      "call 415-555-0042 or 212-555-9999 now",
+      "server at 10.0.0.1 and 192.168.255.254",
+      "mixed bob@x.io 415-555-0042 10.1.2.3 end",
+      "", // empty survives
+      "a@b.cd 1.2.3.4") // PII-only string
+    val df = samples.toDF("t")
+    val once = df.select(TextFunctions.redactPii(col("t")).as("r1"))
+    val twice = once.select(col("r1"), TextFunctions.redactPii(col("r1")).as("r2"))
+    val rows = twice.collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' vs '${r.getString(1)}'"))
+    // residual scan: no redacted string still matches any PII pattern
+    TextFunctions.PiiPatterns.foreach { case (re, tag) =>
+      val hits = once.filter(col("r1").rlike(re)).count()
+      assert(hits == 0, s"pattern $re ($tag) still matches after redaction")
+    }
+  }
+
+  test("q77 z-cells bound both dimensions (each cell spans <= 32 in x and y)") {
+    // zcell = morton >> 10 fixes the top 5 interleaved bits of each
+    // coordinate, so any cell's bounding box fits a 32 x 32 square —
+    // the multi-dimensional pruning guarantee the layout exists for.
+    val rows = SparkEntry.queries("q77_zorder_layout")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xmin, xmax) = (r.getAs[Long]("x_min"), r.getAs[Long]("x_max"))
+      val (ymin, ymax) = (r.getAs[Long]("y_min"), r.getAs[Long]("y_max"))
+      assert(xmax - xmin <= 31, s"x range ${xmax - xmin} exceeds z-cell bound")
+      assert(ymax - ymin <= 31, s"y range ${ymax - ymin} exceeds z-cell bound")
+    }
+  }
+
+  test("u03 incremental fold == direct aggregation for multiple cutoffs") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val direct = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(24,6)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    for (cut <- Seq("1993-06-01", "1996-01-01", "1999-01-01")) {
+      def partials(pred: org.apache.spark.sql.Column) =
+        orders.filter(pred).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast("decimal(24,6)")).as("ps"))
+      val d = col("o_orderdate").cast("date")
+      val folded = partials(d < lit(cut).cast("date"))
+        .unionByName(partials(d >= lit(cut).cast("date")))
+        .groupBy("o_orderstatus")
+        .agg(sum("pn").as("n"), sum("ps").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      assert(folded.keySet == direct.keySet, s"group sets differ at cutoff $cut")
+      folded.foreach { case (k, (n, s)) =>
+        assert(n == direct(k)._1, s"count differs for $k at cutoff $cut")
+        assert(s.compareTo(direct(k)._2) == 0, s"sum differs for $k at cutoff $cut")
+      }
+    }
+  }
+}
