@@ -104,4 +104,33 @@ class StorageSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("z-ordered files carry tighter per-file x+y bounds than natural-order files") {
+    // The layout claim behind q77: range-partitioning + sorting on the
+    // Morton key makes each FILE cover a small x×y rectangle, so the
+    // min/max footer stats prune multi-dimensional predicates. Written
+    // both ways, the z-ordered layout's mean per-file (x span + y span)
+    // must be well under the natural layout's.
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+    val morton = (0 until 10).map { i =>
+      shiftleft(col("x").bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(col("y").bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_ bitwiseOR _)
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    li.withColumn("m", morton)
+      .repartitionByRange(16, col("m")).sortWithinPartitions("m")
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    li.repartition(16).write.mode("overwrite").parquet(s"$dir/natural")
+    def meanFileSpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("x") - min("x") + max("y") - min("y")).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      spans.sum.toDouble / spans.length
+    }
+    val (z, nat) = (meanFileSpan(s"$dir/zorder"), meanFileSpan(s"$dir/natural"))
+    assert(z < nat * 0.7, s"z-order span $z not clearly tighter than natural $nat")
+  }
 }
