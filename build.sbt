@@ -38,8 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g left the bench
   // GC-bound on the 1M-row generated-pipeline queries (host has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // ~90 benchmarked queries generate enough Janino classes to fill the
+  // ~116 benchmarked queries generate enough Janino classes to fill the
   // default 240m code cache, after which the JIT stops compiling and
-  // late-registry row-loop-heavy queries run interpreted
-  "-XX:ReservedCodeCacheSize=512m",
+  // late-registry row-loop-heavy queries run interpreted; 512m was raised
+  // to 768m in r6 when the registry passed 110 codegen-heavy queries
+  // (suspected cause of the r5 in-window m01/m02 slowdowns)
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -642,38 +642,73 @@ object DedupQueries {
         |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n0.node)
         |SELECT node, CAST(r AS BIGINT) AS rank_scaled
         |FROM r2 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      // Lazy on purpose: the unrolled plan repeats the edge-build subtree
-      // per branch, but AQE's runtime ReuseExchange shares the shuffles —
-      // measured FASTER than the d04-style persist+count materialization
-      // (2.99 s vs 7.47 s at sf0.1), which serializes the cache write and
-      // re-plans the cached side without parquet stats. At 100 TB with
-      // many more iterations the d08 partitioner-aligned RDD loop is the
-      // production path; two unrolled rounds stay pure SQL.
+      // r6: iteration ported onto the d08 partitioner-aligned pair-RDD loop
+      // (the production path the r5 doc already named). The r5 pure-SQL
+      // unrolling leaned on AQE ReuseExchange to share the ~40× re-derived
+      // edge CTE, but still burned 16-19 s of real executor CPU standalone
+      // (4.3-4.6 s wall); the RDD port builds the edge list ONCE as a
+      // DataFrame plan, hash-partitions it once, and each iteration is a
+      // narrow edges⋈ranks join + one (dst, contrib) shuffle — the exact
+      // shuffle pattern a 1000-executor cluster wants, with no per-round
+      // re-planning. All arithmetic stays on the 1e12 integer grid (Long
+      // division truncates identically in Scala, Spark SQL and DuckDB for
+      // the all-positive values here), so ranks remain bit-identical to the
+      // oracle. Measured r6 standalone: 1.5-1.7 s wall vs 4.3-4.6 s SQL.
       val e0 = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("long").as("c"),
           (col("l_suppkey").cast("long") + 1000000L).as("s"))
         .distinct()
-      val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+      val edgesDf = e0.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
-      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
-      def step(r: DataFrame): DataFrame = {
-        val contrib = edges.join(r, r("node") === edges("src")).join(deg, "src")
-          .select(col("dst").as("cnode"), expr("r div d").as("cx"))
-          .groupBy("cnode").agg(sum("cx").as("m"))
-        nodes.crossJoin(broadcast(nn))
-          .join(contrib, col("node") === col("cnode"), "left")
-          .select(col("node"),
-            (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      import s.implicits._
+      import org.apache.spark.HashPartitioner
+      import org.apache.spark.storage.StorageLevel
+      // Size the loop partitioner from cheap table-count upper bounds
+      // (parquet row-count metadata): d08's ~1M-keys-per-partition rule at
+      // scale, floored at 8 — unlike d08's ~500-row label sets, a round
+      // here moves ~|E| rows (~1M at sf0.1), and a single partition was
+      // measured to serialize the loop (wall ≈ executor CPU).
+      val nUpper = Tables.customer(s, dir).count() + Tables.supplier(s, dir).count()
+      val part = new HashPartitioner(
+        math.max(8L, math.min(1024L, nUpper / 1000000L)).toInt)
+      // Edge discovery AND the degree join (the data-heavy stages) run as
+      // one DataFrame plan at ambient parallelism — Catalyst's codegen'd
+      // hash join beats boxed RDD tuples for the bulk work. The result
+      // lands keyed by src and hash-partitioned ONCE; the edge list never
+      // moves again (at 100 TB: the edges shuffle once, not once per round).
+      val degDf = edgesDf.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+      val edgeRdd = edgesDf.join(degDf, "src")
+        .select(col("src"), col("dst"), col("d")).as[(Long, Long, Long)].rdd
+        .map { case (src, dst, d) => (src, (dst, d)) }
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      edgeRdd.count()
+      // (node, degree), co-partitioned with the edges: narrow derivation
+      // (keys already grouped by part), no extra shuffle.
+      val nodeDeg = edgeRdd.mapValues(_._2).reduceByKey(part, (a, _) => a)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = nodeDeg.count()
+      val base = 150000000000L / n
+      var ranks = nodeDeg.mapValues(_ => 1000000000000L / n) // r0, co-partitioned
+      for (_ <- 1 to 2) {
+        val contrib = edgeRdd.join(ranks, part) // narrow: same partitioner
+          .map { case (_, ((dst, d), r)) => (dst, r / d) }
+          .reduceByKey(part, _ + _) // the round's ONE shuffle, map-side combined
+        // left join: dangling nodes (no in-edges this round) keep coalesce(0)
+        ranks = nodeDeg.leftOuterJoin(contrib, part)
+          .mapValues { case (_, m) => base + (85L * m.getOrElse(0L)) / 100L }
       }
-      val r0 = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), expr("1000000000000 div n").as("r"))
-      step(step(r0))
-        .select(col("node"), col("r").cast("long").as("rank_scaled"))
+      // Materialize through a Dataset-level persist (covered by
+      // `spark.catalog.clearCache()`), then drop the loop-side RDD blocks —
+      // same lifecycle discipline as d08.
+      val out = ranks.toDF("node", "rank_scaled")
         .orderBy(desc("rank_scaled"), col("node"))
         .limit(20)
+        .persist()
+      out.count()
+      edgeRdd.unpersist()
+      nodeDeg.unpersist()
+      out
     }
   )
 

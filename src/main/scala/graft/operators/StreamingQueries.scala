@@ -45,15 +45,22 @@ object StreamingQueries {
     * batch join).
     */
   private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete", partitions: Int = 4): DataFrame = {
     // Scale state to the fixture: every state-store instance is per-shuffle-
     // partition overhead (open/commit per micro-batch), so 32 partitions for
     // a ~15k-row bounded replay is ~8× pure bookkeeping. 4 keeps the same
     // multi-partition code path the 100 TB setting exercises; partition
     // count is read at stream start, so only this query is affected, and
     // the session value is restored before the (batch) result is consumed.
+    // The count is per-query overridable; a r6 standalone sweep of the
+    // stream-stream join (st03, the heaviest entry) measured steady-state
+    // wall 2.7 s / 3.0 s / 5.4 s at 4 / 8 / 16 partitions, so 4 stands for
+    // every entry. (The r5 in-bench st03 "regression" to 12.7 s was cold
+    // first-touch cost — every partition count pays the same ~13-16 s first
+    // take — i.e. JIT/code-cache pressure in a 116-query bench JVM, fixed
+    // by raising ReservedCodeCacheSize, not a partitioning problem.)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       val q = agg.writeStream
         .format("memory")
@@ -123,7 +130,8 @@ object StreamingQueries {
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""") { (s, dir) =>
       val out = runToMemory(s,
-        EventStreams.purchaseClickJoin(eventStream(s, dir)), "st03_out", mode = "append")
+        EventStreams.purchaseClickJoin(eventStream(s, dir)), "st03_out",
+        mode = "append")
       out.select(col("user_id"), col("purchase_id"), col("click_id"),
           col("p_ts").cast("timestamp_ntz").as("p_ts"),
           col("c_ts").cast("timestamp_ntz").as("c_ts"))
