@@ -60,7 +60,15 @@ object QueryTime {
         val sc = spark.sparkContext
         val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+      } catch {
+        case _: ReflectiveOperationException =>
+          // On a loaded host the sleep path can lose stage metrics to the
+          // next take's reset — mark the take so its executor/cpu split is
+          // read as suspect rather than silently misattributed.
+          println(s"[querytime] WARN listener-bus drain fell back to sleep; " +
+            s"take $i executor/cpu numbers are suspect")
+          Thread.sleep(300)
+      }
       println(f"[querytime] $name take $i: $elapsed%.2f s wall, ${execMs / 1e3}%.2f s executor, ${cpuNs / 1e9}%.2f s cpu")
     }
     spark.stop()

@@ -146,6 +146,13 @@ object Aggregators {
       // fixed operation order, mirrored literally in the oracle SQL
       val alphaMM = 0.7213 / (1.0 + 1.079 / 512) * 512 * 512
       val raw = alphaMM * 36028797018963968.0 / s.toDouble // 2^55
+      // ln is the one non-IEEE-exact step (specified to 1 ulp, so another
+      // libm could differ in the last bit) — but its domain here is exactly
+      // the 512 values 512/zeros, and AggregatorSpec enumerates all of
+      // them: the closest any 512*ln(512/z)+0.5 comes to an integer (the
+      // floor flip point) is 3.7e-4, ~9 orders of magnitude above a 1-ulp
+      // perturbation (~4.5e-13 at est<=3200). The grid snap is therefore
+      // engine-independent over the whole input domain, not just this host.
       val est = if (raw <= 1280.0 && zeros > 0) 512 * math.log(512.0 / zeros) else raw
       math.floor(est + 0.5).toLong
     }

@@ -45,7 +45,8 @@ object StreamingQueries {
     * batch join).
     */
   private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete", partitions: Int = 4): DataFrame = {
+      mode: String = "complete", partitions: Int = 4,
+      requireSingleBatch: Boolean = false): DataFrame = {
     // Scale state to the fixture: every state-store instance is per-shuffle-
     // partition overhead (open/commit per micro-batch), so 32 partitions for
     // a ~15k-row bounded replay is ~8× pure bookkeeping. 4 keeps the same
@@ -69,6 +70,19 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // st06's batch-DISTINCT oracle is only valid while the whole bounded
+      // replay lands in ONE micro-batch: across batches the advancing
+      // watermark could evict state (re-admitting late duplicates) or drop
+      // late rows outright — dropDuplicatesWithinWatermark guarantees
+      // dedup only within the watermark. Fail loudly if the source ever
+      // splits (multi-file fixture, a maxFilesPerTrigger default change)
+      // instead of silently drifting from the oracle.
+      if (requireSingleBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"$name: bounded replay split into $dataBatches data micro-batches; " +
+            "the batch-twin oracle is only exact for a single-batch replay")
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -202,7 +216,7 @@ object StreamingQueries {
       val out = runToMemory(s,
         EventStreams.dedupWithinWatermark(eventStream(s, dir))
           .select(col("user_id"), col("event_type"), col("minute_bucket")),
-        "st06_out", mode = "append")
+        "st06_out", mode = "append", requireSingleBatch = true)
       out.select(col("user_id"), col("event_type"),
           col("minute_bucket").cast("timestamp_ntz").as("minute_bucket"))
         .orderBy("user_id", "event_type", "minute_bucket")

@@ -204,8 +204,10 @@ object TextQueries {
       // Both aggregations shuffle on `term`-bearing keys only; the doc
       // count joins in as a broadcast single row and idf is computed
       // map-side. Ranking uses integer columns only (tf, df, term) so the
-      // top-3 cut is engine-independent; the float tfidf value is carried
-      // but never compared.
+      // top-3 cut is engine-independent; the tfidf VALUE does flow through
+      // ln and the 1e4 grid, so it carries the same documented 1-ulp libm
+      // caveat as t14 (see t14's comment; flip probability ~1e-8 per
+      // distinct (tf, n/df) pair, observed zero on the fixture gate).
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term")
@@ -457,6 +459,15 @@ object TextQueries {
         |       CAST(sum(li) AS BIGINT) AS logprob_scaled,
         |       floor((CAST(sum(li) AS DOUBLE) / count(*) / 1000000) * 10000 + 0.5) / 10000 AS avg_logprob
         |FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      // ln caveat (the only non-IEEE-exact op in this kernel): libm ln is
+      // specified to 1 ulp, so the 1e6-grid floor could in principle flip
+      // on an engine whose ln differs in the last bit IF a true value lay
+      // within ~1 ulp (≈4e-9 grid units at |li|<2e7) of a boundary —
+      // probability ~1e-8 per distinct (cb, cu+v) pair, and unlike a06's
+      // 512-value domain this one is data-dependent, so it is documented
+      // rather than enumerated. JVM and DuckDB agree on every fixture value
+      // (the hash-exact gate is the proof); +, *, / and the integer sum are
+      // IEEE/exact everywhere.
       val toksD = Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
       val bg = toksD

