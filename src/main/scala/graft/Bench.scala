@@ -122,8 +122,39 @@ object Bench {
         "\"" + n + "\":[" + r3(t1) + "," + r3(t2) + "," + r3(g1) + "," + r3(g2) + "]" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Standalone arbiter pass: this host's in-window best-of-2 still swings
+    // ~30% with correlated weather (r4 tr02, r5 m01/m02 were both "repro-
+    // ducible" regressions that vanished standalone), so the 10 most
+    // expensive queries get a third, fully-warm take with stage-metric
+    // attribution. wall >> executor/cores ⇒ scheduler/host latency;
+    // executor >> cpu ⇒ JIT/interpreter first-touch; recorded here so
+    // regress-vs-noise triage reads one artifact instead of a judge round.
+    @volatile var execMs = 0L
+    @volatile var cpuNs = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        execMs += e.stageInfo.taskMetrics.executorRunTime
+        cpuNs += e.stageInfo.taskMetrics.executorCpuTime
+      }
+    })
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val standalone = results.sortBy(-_._2).take(10).map { case (n, _) =>
+      execMs = 0L; cpuNs = 0L
+      val t0 = System.nanoTime()
+      try byName(n).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench-standalone] $n: ${e.getMessage}") }
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      try { // drain the async listener bus before reading the counters (QueryTime pattern)
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+      "\"" + n + "\":[" + r3(wall) + "," + r3(execMs / 1e3) + "," + r3(cpuNs / 1e9) + "]"
+    }.mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"takes":$detailTakes,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"takes":$detailTakes,"standalone":$standalone,"sf":"$sfDir"}""")
     val head = results.filter { case (k, _) => Headline.contains(k) }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()

@@ -653,7 +653,9 @@ object DedupQueries {
       // re-planning. All arithmetic stays on the 1e12 integer grid (Long
       // division truncates identically in Scala, Spark SQL and DuckDB for
       // the all-positive values here), so ranks remain bit-identical to the
-      // oracle. Measured r6 standalone: 1.5-1.7 s wall vs 4.3-4.6 s SQL.
+      // oracle. Measured r6: executor CPU 16-19 s (SQL) → 5-12 s (RDD);
+      // wall 4.3-4.6 s → ~2.4-4.1 s QueryTime steady-state, 3.5 s in the
+      // bench's standalone arbiter, 4.0 s in-bench best-of-2 (vs r5's 7.4).
       val e0 = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("long").as("c"),
