@@ -265,6 +265,60 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly commits 0 and 1 across the restart, got ${commits.mkString(",")}")
   }
 
+  test("stateful checkpoint recovery: windowed-agg state survives restart (RocksDB)") {
+    // Stronger than the offsets-only test above: hour-window H2 gets 2
+    // events in run 1 (still open when the watermark stops at 02:15) and 3
+    // more in run 2 — the emitted H2 count can only be 5 if the restarted
+    // query RESTORED run 1's partial aggregation state from the RocksDB
+    // checkpoint, and H0/H1 must not re-emit (offsets restored). Append
+    // mode + parquet sink, so every emission is durable and exactly-once.
+    val root = tmp("graft-ckpt-state")
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, k STRING")
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("k"), col("n"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "stateful checkpointed query did not finish")
+      finally q.stop()
+    }
+    def write(ts: String*): Unit =
+      ts.map(t => (java.sql.Timestamp.valueOf(t), "u")).toSeq.toDF("ts", "k")
+        .coalesce(1).write.mode("append").json(src)
+    try {
+      // run 1: H0 closes (2), H1 closes (1); H2 holds 2 events in state
+      // (watermark 02:25-10m = 02:15 < H2's 03:00 close)
+      write("2024-01-01 00:10:00", "2024-01-01 00:20:00", "2024-01-01 01:15:00",
+        "2024-01-01 02:05:00", "2024-01-01 02:25:00")
+      run()
+      // run 2: 3 more H2 events + H3 + a 05:00 sentinel that pushes the
+      // watermark past H3 (sentinel's own H5 window stays open, unemitted)
+      write("2024-01-01 02:40:00", "2024-01-01 02:45:00", "2024-01-01 02:50:00",
+        "2024-01-01 03:20:00", "2024-01-01 05:00:00")
+      run()
+      val emitted = spark.read.parquet(out)
+        .collect().map(r => r.getTimestamp(0).toString.substring(11, 13) -> r.getLong(2)).toMap
+      assert(emitted == Map("00" -> 2L, "01" -> 1L, "02" -> 5L, "03" -> 1L),
+        s"expected H0=2 H1=1 H2=5 H3=1 exactly once across the restart, got $emitted")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream lifecycle: create → validate → describe → delete (L1-L4)") {
     val admin = new LocalStreamAdmin(Files.createTempDirectory("graft-admin"))
     assert(!admin.validate("s1"))
