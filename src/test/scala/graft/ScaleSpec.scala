@@ -146,12 +146,14 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("d08's loop join is narrow on the pre-partitioned edge side (no per-round edge shuffle)") {
-    // The d08 rewrite's scale claim: edges are hash-partitioned once and
-    // every round's join reuses that partitioning. Reproduce the loop's
-    // join shape and assert the edge side contributes a OneToOne (narrow)
-    // dependency — i.e. co-partitioned input skips its shuffle — while a
-    // deliberately un-partitioned labels RDD shows what a regression
-    // (losing the shared partitioner) looks like.
+    // The d08 rewrite's scale claim (shared since r6 by g01's PageRank
+    // loop): edges are hash-partitioned once and every round's join reuses
+    // that partitioning. Reproduce the loop's join shape and assert the
+    // edge side contributes a OneToOne (narrow) dependency — i.e.
+    // co-partitioned input skips its shuffle — while a deliberately
+    // un-partitioned labels RDD shows what a regression (losing the shared
+    // partitioner) looks like. g01's rank update is a leftOuterJoin of the
+    // same shape, asserted below with the same walk.
     import org.apache.spark.{HashPartitioner, OneToOneDependency, ShuffleDependency}
     val part = new HashPartitioner(4)
     val sc = spark.sparkContext
@@ -173,6 +175,12 @@ class ScaleSpec extends SparkSpec {
     assert(deps.size == 2, s"expected cogroup over 2 parents, got $deps")
     assert(deps.forall(_.isInstanceOf[OneToOneDependency[_]]),
       s"co-partitioned join should be fully narrow, got ${deps.map(_.getClass.getSimpleName)}")
+    // g01's rank-update shape: nodeDeg.leftOuterJoin(contrib, part) with
+    // both sides carrying the loop partitioner must be narrow too
+    val contrib = edges.mapValues(_ => 7L).reduceByKey(part, _ + _)
+    val louter = depsOf(labels.leftOuterJoin(contrib, part))
+    assert(louter.forall(_.isInstanceOf[OneToOneDependency[_]]),
+      s"co-partitioned leftOuterJoin should be fully narrow, got ${louter.map(_.getClass.getSimpleName)}")
     // control: drop the partitioner on one side → that side must shuffle
     val unaligned = sc.parallelize(Seq((1L, 1L), (2L, 1L), (3L, 2L)))
     val controlDeps = depsOf(edges.join(unaligned, part))
