@@ -711,6 +711,41 @@ object DedupQueries {
       edgeRdd.unpersist()
       nodeDeg.unpersist()
       out
+    },
+
+    sql(
+      "d12_paragraph_dedup",
+      "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sized AS (SELECT doc_id, ts, CAST(ceil(len(ts)/10.0) AS BIGINT) AS n_segs FROM toks),
+        |segs AS (SELECT doc_id, n_segs, CAST(unnest(range(n_segs)) AS BIGINT) AS seg_idx, ts FROM sized),
+        |seg2 AS (SELECT doc_id, n_segs, seg_idx,
+        |                array_to_string(ts[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS seg FROM segs),
+        |kept AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM seg2)
+        |SELECT doc_id, min(n_segs) AS n_segs, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+        |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("n_segs", ceil(size(col("ts")) / lit(10.0)).cast("long"))
+      // one codegen'd pass builds all of a doc's segments; posexplode
+      // yields (seg_idx, seg) — split always returns >= 1 token, so
+      // sequence(0, n_segs-1) is never descending
+      val segs = sized.select(col("doc_id"), col("n_segs"),
+        posexplode(expr(
+          "transform(sequence(cast(0 as bigint), n_segs - 1)," +
+            " i -> array_join(slice(ts, cast(i*10+1 as int), 10), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+        .withColumn("seg_idx", col("seg_idx").cast("long"))
+      val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+      segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(min("n_segs").as("n_segs"),
+          count(lit(1)).cast("long").as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
+            " ").as("text_clean"))
+        .orderBy("doc_id")
     }
   )
 

@@ -46,6 +46,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("d12 paragraph dedup: kept segments exhaust the distinct-segment set exactly once") {
+    // The C4-style guarantee: after cleaning, every distinct 10-token
+    // segment of the original corpus survives exactly once — so
+    // sum(n_kept) == |distinct segments|, no doc keeps more than it had,
+    // and docs can vanish (every segment seen earlier) but never grow.
+    val dir = sf0001
+    val out = SparkEntry.queries("d12_paragraph_dedup")(spark, dir)
+      .select("doc_id", "n_segs", "n_kept").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} of ${r.getLong(1)} segments")
+    }
+    val distinctSegs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n_segs", ceil(size(col("ts")) / lit(10.0)).cast("long"))
+      .select(posexplode(expr(
+        "transform(sequence(cast(0 as bigint), n_segs - 1)," +
+          " i -> array_join(slice(ts, cast(i*10+1 as int), 10), ' '))"))
+        .as(Seq("i", "seg")))
+      .select("seg").distinct().count()
+    val totalKept = out.map(_.getLong(2)).sum
+    assert(totalKept == distinctSegs,
+      s"kept $totalKept segments but corpus has $distinctSegs distinct ones")
+  }
+
   test("u03 incremental fold == direct aggregation for multiple cutoffs") {
     val orders = graft.sources.Tables.orders(spark, sf0001)
     val direct = orders.groupBy("o_orderstatus")
