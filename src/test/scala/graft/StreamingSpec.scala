@@ -319,6 +319,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState GroupState survives restart (arbitrary user state)") {
+    // Third durability axis after offsets and built-in window state:
+    // ARBITRARY user state. Events are split by global time into two file
+    // batches with a stop/restart between them; statefulSessions's
+    // (lastTs, nSessions, nEvents) tuple must be restored for the final
+    // cumulative emissions to match the batch sessionization over the
+    // whole fixture — lost state would restart every spanning user's
+    // session and event counts.
+    val root = tmp("graft-ckpt-fmgws")
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    val all = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val cut = all.selectExpr("percentile(cast(ts as double), 0.6)").head().getDouble(0)
+    def half(pred: org.apache.spark.sql.Column) =
+      all.filter(pred).coalesce(1).write.mode("append").json(src)
+    def run(): Unit = {
+      import spark.implicits._
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .json(src).as[EventStreams.Event]
+      val q = EventStreams.statefulSessions(spark, events).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "fMGWS checkpointed query did not finish")
+      finally q.stop()
+    }
+    half(col("ts").cast("double") <= cut)
+    run()
+    half(col("ts").cast("double") > cut)
+    run()
+    // emissions are cumulative, so the max per user is the final state
+    val streamed = spark.read.parquet(out)
+      .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nSess = SparkEntry.queries("q62_sessionization")(spark, sf0001)
+      .select("user_id", "n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nEv = all.groupBy("user_id").count() // time-ordered split ⇒ no drops
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = nSess.map { case (u, s) => u -> (s, nEv(u)) }
+    assert(streamed == batch,
+      s"restored-state sessionization diverged from batch twin; " +
+        s"first diff: ${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("stream lifecycle: create → validate → describe → delete (L1-L4)") {
     val admin = new LocalStreamAdmin(Files.createTempDirectory("graft-admin"))
     assert(!admin.validate("s1"))
