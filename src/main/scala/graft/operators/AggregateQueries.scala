@@ -86,15 +86,25 @@ object AggregateQueries {
         |FROM fin f JOIN ex e ON f.g = e.g AND f.kt = e.kt
         |ORDER BY ship_month, key_type""") { (s, dir) =>
       val hll = udaf(new Aggregators.HllDistinct(seed = 11L))
-      val li = Tables.lineitem(s, dir)
-      def keyed(kt: String, key: String) =
-        li.where(col(key).isNotNull) // HllDistinct's null contract (scaladoc)
-          .select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
-            lit(kt).as("kt"), col(key).cast("long").as("k"))
-      keyed("part", "l_partkey").unionAll(keyed("order", "l_orderkey"))
+      // One lineitem scan (posexplode fans each row into its two key
+      // types), then dedup (g, kt, k) BEFORE aggregating — mirroring the
+      // oracle's `GROUP BY 1, 2, 3` in its d CTE. HLL registers are
+      // duplicate-insensitive, so hll(k) over the deduped keys is
+      // bit-identical, n_exact becomes a plain count, and the plan loses
+      // the countDistinct Expand (which doubled every row) plus a second
+      // parquet scan: r6 measured executor CPU 6.5 s → 1.6-2.8 s, wall
+      // 2.4 s → 1.4-2.0 s standalone.
+      Tables.lineitem(s, dir)
+        .select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
+          posexplode(array(
+            struct(lit("part").as("kt"), col("l_partkey").cast("long").as("k")),
+            struct(lit("order").as("kt"), col("l_orderkey").cast("long").as("k")))))
+        .select(col("g"), col("col.kt").as("kt"), col("col.k").as("k"))
+        .where(col("k").isNotNull) // HllDistinct's null contract (scaladoc)
+        .distinct()
         .groupBy("g", "kt")
         .agg(hll(col("k")).as("hll_est"),
-          countDistinct(col("k")).cast("long").as("n_exact"))
+          count(lit(1)).cast("long").as("n_exact"))
         .select(col("g").as("ship_month"), col("kt").as("key_type"),
           col("n_exact"), col("hll_est"),
           r4((col("hll_est").cast("double") - col("n_exact").cast("double"))
