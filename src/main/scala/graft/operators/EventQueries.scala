@@ -324,6 +324,59 @@ object EventQueries {
     },
 
     sql(
+      "q80_interval_coverage",
+      "interval union / coverage (gaps-and-islands): each event opens a 5-minute activity interval; overlapping intervals per user merge into islands via a running-max-end window, then per-user island count, total covered time, and longest island — the coverage-accounting primitive behind crawl-window dedup and per-source activity budgeting. All arithmetic is integer micros, so both engines agree bit-exactly. Scale posture: one user_id-keyed window (no global sort) + one keyed aggregation; at 100 TB the window partitions by user and AQE handles per-user skew",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |islands AS (
+        |  SELECT user_id, s, e,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+        |       CAST(max(i_end - i_start) AS BIGINT) AS longest_us
+        |FROM merged GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      // Duplicate (user, ts) rows are island-invariant: ties in (s, e) may
+      // order either way inside the window, but the second duplicate can
+      // never open an island (its s <= the first's e), so the merged set —
+      // and everything aggregated from it — is deterministic.
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + lit(300000000L))
+        .withColumn("prev_max", max(col("e")).over(wPrev))
+        .withColumn("is_new",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+        .withColumn("island", sum(col("is_new")).over(wCum))
+        .groupBy("user_id", "island")
+        .agg(min("s").as("i_start"), max("e").as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("i_end") - col("i_start")).as("covered_us"),
+          max(col("i_end") - col("i_start")).as("longest_us"))
+        .orderBy("user_id")
+    },
+
+    sql(
       "q67_first_last_event",
       "argmin/argmax by event time via row_number windows",
       """WITH ranked AS (

@@ -46,6 +46,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q80 interval coverage: islands respect per-user event-count and length bounds") {
+    // Merged islands can never outnumber events, coverage is bounded by
+    // n_events * width on one side and a single width on the other, and
+    // the longest island can't exceed the whole covered span.
+    val dir = sf0001
+    val nEvents = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Number]("user_id").longValue() -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q80_interval_coverage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val width = 300000000L
+    rows.foreach { r =>
+      val u = r.getAs[Number]("user_id").longValue()
+      val (n, cov, longest) =
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("covered_us"), r.getAs[Long]("longest_us"))
+      assert(n >= 1 && n <= nEvents(u), s"user $u: $n islands for ${nEvents(u)} events")
+      assert(cov >= width && cov <= nEvents(u) * width, s"user $u: coverage $cov out of bounds")
+      assert(longest >= width && longest <= cov, s"user $u: longest $longest vs coverage $cov")
+    }
+    // every user with events appears: the merge drops intervals, never users
+    assert(rows.map(_.getAs[Number]("user_id").longValue()).toSet == nEvents.keySet)
+  }
+
   test("d12 paragraph dedup: kept segments exhaust the distinct-segment set exactly once") {
     // The C4-style guarantee: after cleaning, every distinct 10-token
     // segment of the original corpus survives exactly once — so
