@@ -191,4 +191,43 @@ object Aggregators {
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
+
+  /** Count-Min sketch over long keys: `depth × width` integer counters,
+    * row j hashing with seed `seedBase + seedStep*j` (the [[HashOps
+    * .priorityHash]] family, so the counter matrix replays in DuckDB
+    * HUGEINT — a08's oracle). State is `depth*width*8` bytes regardless of
+    * input size; merge is elementwise sum (counts are additive), so
+    * map-side partial aggregation applies and the final matrix is
+    * partition-layout-independent. Point estimate = min over rows of the
+    * probed counter (computed downstream from the returned matrix, keeping
+    * the aggregator reusable for heavy-hitter and inner-product probes).
+    */
+  final class CmsSketch(depth: Int, width: Int, seedBase: Long, seedStep: Long)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0)
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+      var j = 0
+      while (j < depth) {
+        // priorityHash is non-negative, so % width == a true bucket index
+        val b = (HashOps.priorityHash(key, seedBase + seedStep * j) % width).toInt
+        buf(j * width + b) += 1
+        j += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -485,6 +485,14 @@ object HashFunctions {
     * diverge from [[HashOps.priorityHash]].
     */
   def priorityHashCtes(src: String, key: String, seed: Long, carry: String): String =
+    priorityHashCtes(src, key, seed.toString, carry)
+
+  /** Seed-as-SQL-expression overload: lets one CTE chain hash the same key
+    * under a per-row seed column (e.g. a08's depth-indexed CMS rows) —
+    * identical arithmetic, the seed just comes from `src` instead of a
+    * literal.
+    */
+  def priorityHashCtes(src: String, key: String, seed: String, carry: String): String =
     s"""ph1 AS (SELECT $carry,
        |              ((CAST($key AS HUGEINT) * 11400714819323198485 + $seed)
        |               % 18446744073709551616 + 18446744073709551616)

@@ -148,6 +148,45 @@ object AggregateQueries {
     },
 
     sql(
+      "a08_cms_replay",
+      "deterministic Count-Min sketch (custom 4×256 Aggregator): the counter matrix is pure integer arithmetic on the seeded priority-hash family, so the DuckDB oracle replays counters AND the min-over-rows point estimates bit-exactly in HUGEINT — the frequency-estimation sketch (heavy hitters) beside a06's cardinality sketch. Probes are the top-8 true-frequency keys; overcount = est - truth is the sketch's signed error, ≥ 0 by construction. Scale posture: 8 KB state per group, elementwise-sum merge → map-side partial aggregation; the probe side is a TakeOrdered top-k, never a global sort",
+      s"""WITH keys AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |seeds AS (SELECT CAST(range AS BIGINT) AS j, CAST(11 + 7919 * range AS BIGINT) AS sd FROM range(0, 4)),
+        |src AS (SELECT k, j, sd FROM keys CROSS JOIN seeds),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "k", "sd", "k, j")},
+        |hashed AS (SELECT k, j, pri % 256 AS b FROM ph4),
+        |buckets AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY j, b),
+        |truth AS (SELECT k, CAST(count(*) AS BIGINT) AS true_cnt FROM keys GROUP BY k),
+        |probe AS (SELECT k, true_cnt FROM truth ORDER BY true_cnt DESC, k LIMIT 8),
+        |pb AS (SELECT DISTINCT h.k, h.j, h.b FROM hashed h WHERE h.k IN (SELECT k FROM probe)),
+        |est AS (SELECT pb.k, min(bu.c) AS cms_est
+        |        FROM pb JOIN buckets bu ON bu.j = pb.j AND bu.b = pb.b GROUP BY pb.k)
+        |SELECT p.k AS supp_key, p.true_cnt, e.cms_est, e.cms_est - p.true_cnt AS overcount
+        |FROM probe p JOIN est e ON e.k = p.k
+        |ORDER BY p.true_cnt DESC, supp_key""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val keys = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("k"))
+        .where(col("k").isNotNull)
+      val cms = udaf(new Aggregators.CmsSketch(depth = 4, width = 256, seedBase = 11L, seedStep = 7919L))
+      val counters = keys.agg(cms(col("k")).as("cnt")) // one row, 1024 longs
+      val probe = keys.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("k")).limit(8)
+      // point estimate = min over the 4 rows of the probed counter; the
+      // bucket index replays the aggregator's hash per row (1-based
+      // element_at into the flattened matrix)
+      val rowEsts = (0 until 4).map { j =>
+        try_element_at(col("cnt"),
+          (lit(j * 256) + HashFunctions.priorityHash(col("k"), 11L + 7919L * j) % 256 + 1).cast("int"))
+      }
+      probe.crossJoin(broadcast(counters))
+        .select(col("k").as("supp_key"), col("true_cnt"),
+          least(rowEsts: _*).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("supp_key"))
+    },
+
+    sql(
       "a03_reservoir_sample",
       "typed Aggregator UDAF: O(k)-state bottom-k priority sample per segment. The priority is a splitmix/murmur-style integer hash — pure mod-2^64 arithmetic, so the oracle reproduces it exactly in DuckDB HUGEINT (the multiply by 0xff51afd7ed558ccd is split into 32-bit halves to stay inside INT128)",
       """WITH d AS (SELECT DISTINCT c_mktsegment, CAST(c_custkey AS BIGINT) AS k FROM customer),
