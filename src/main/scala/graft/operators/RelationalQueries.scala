@@ -541,6 +541,43 @@ object RelationalQueries {
     },
 
     sql(
+      "u04_cdc_apply",
+      "CDC changelog apply (sequenced last-writer-wins + tombstones, u01's streaming-shaped sibling): a change log keyed by entity with a monotone sequence compacts to its latest op per key via max_by — 'D' tombstones delete the key, 'U' upserts the value — then one outer join applies the compacted log to the base snapshot. The log derives deterministically from the fixture so both engines see identical changes. Scale posture: compaction is a map-side-combinable keyed aggregation (max_by partials merge), never a per-key window sort; the apply is one equi-join on the key — the Debezium/Delta CDF merge shape at 100 TB",
+      """WITH log AS (
+        |  SELECT o_custkey AS k, CAST(o_orderkey AS BIGINT) AS seq,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS new_bal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+        |  FROM log GROUP BY k),
+        |applied AS (
+        |  SELECT b.c_mktsegment, coalesce(l.new_bal, b.c_acctbal) AS bal
+        |  FROM customer b LEFT JOIN latest l ON l.k = b.c_custkey
+        |  WHERE l.op IS NULL OR l.op = 'U')
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |       floor((CAST(sum(CAST(bal AS DECIMAL(24,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_bal
+        |FROM applied GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""") { (s, dir) =>
+      val log = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey").cast("long").as("seq"),
+          when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"),
+          col("o_totalprice").as("new_bal"))
+      // seq (the order key) is unique, so max_by is tie-free and both
+      // engines compact to the same terminal op per key
+      val latest = log.groupBy("k")
+        .agg(max_by(col("op"), col("seq")).as("op"),
+          max_by(col("new_bal"), col("seq")).as("new_bal"))
+      Tables.customer(s, dir)
+        .join(latest, col("c_custkey") === col("k"), "left")
+        .filter(col("op").isNull || col("op") === "U")
+        .select(col("c_mktsegment"), coalesce(col("new_bal"), col("c_acctbal")).as("bal"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum2(col("bal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    sql(
       "u02_scd2_versioning",
       "SCD type-2 interval versioning (corpus snapshot history): each per-key change event becomes a [valid_from, valid_to) row via lead() over the key's event-time order, open interval = current version — the dataset-versioning primitive behind point-in-time training-set reconstruction (q68's as-of join is the lookup side). Scale posture: one partitioned window per key (user_id), no global sort; values pass through untouched so no float divergence",
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,

@@ -69,6 +69,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Number]("user_id").longValue()).toSet == nEvents.keySet)
   }
 
+  test("u04 CDC compaction == sequential replay of the changelog") {
+    // The compacted (max_by) log must land every key in exactly the state
+    // a one-event-at-a-time replay reaches — the invariant that makes
+    // last-writer-wins batch apply equivalent to streaming CDC consumption.
+    val dir = sf0001
+    val log = graft.sources.Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val replay = scala.collection.mutable.Map[Long, Option[Double]]()
+    log.sortBy(_._2).foreach { case (k, seq, bal) =>
+      replay(k) = if (seq % 13 == 0) None else Some(bal)
+    }
+    val compacted = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max_by(when(col("o_orderkey") % 13 === 0, "D").otherwise("U"), col("o_orderkey")).as("op"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("new_bal"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(compacted.keySet == replay.keySet)
+    compacted.foreach { case (k, (op, bal)) =>
+      replay(k) match {
+        case None => assert(op == "D", s"key $k: replay deleted, compaction kept '$op'")
+        case Some(b) => assert(op == "U" && bal == b, s"key $k: replay $b, compaction $op/$bal")
+      }
+    }
+  }
+
   test("d12 paragraph dedup: kept segments exhaust the distinct-segment set exactly once") {
     // The C4-style guarantee: after cleaning, every distinct 10-token
     // segment of the original corpus survives exactly once — so
