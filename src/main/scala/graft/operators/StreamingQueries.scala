@@ -207,6 +207,22 @@ object StreamingQueries {
     },
 
     sql(
+      "st07_stream_static_enrich",
+      "stream-static broadcast enrichment (EventStreams.enrichedSegmentStats: streaming events joined to the static customer dim, rolled up to segment x type with exact decimal sums) executed as a real StreamingQuery; the static side re-reads and re-broadcasts per micro-batch — the dimension-refresh contract — and complete mode makes the final state equal the batch join+aggregate",
+      s"""SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |       ${graft.operators.Det.s2("e.value")} AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c_mktsegment, event_type""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.enrichedSegmentStats(eventStream(s, dir),
+          graft.sources.Tables.customer(s, dir)), "st07_out")
+      out.select(col("c_mktsegment"), col("event_type"), col("n_events"),
+          (floor(col("sum_dec").cast("double") * 100 + lit(0.5)) / 100).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+
+    sql(
       "st06_stream_dedup",
       "streaming exactly-once dedup (EventStreams.dedupWithinWatermark: dropDuplicatesWithinWatermark on user/type/minute, state evicted as the watermark passes) executed as a real StreamingQuery in append mode — dedup passes rows through, so a bounded replay emits exactly one row per key; the output keeps only the key columns, making the result independent of which physical duplicate survived. Oracle = batch DISTINCT over the same keys",
       """SELECT DISTINCT user_id, event_type,

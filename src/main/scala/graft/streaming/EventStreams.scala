@@ -98,6 +98,22 @@ object EventStreams {
   def enrichTrades(trades: DataFrame, dim: DataFrame): DataFrame =
     trades.join(org.apache.spark.sql.functions.broadcast(dim), Seq("tickerSymbol"), "left")
 
+  /** Stream-static enrichment + aggregation over the events fixture
+    * (st07's plan): the static customer dim broadcasts to every
+    * micro-batch (re-read per batch, so dim updates are picked up — the
+    * stream-static contract), then a keyed aggregation rolls counts and
+    * exact decimal value sums up to (segment, event_type). The decimal
+    * cast keeps the streaming state's sum order-independent, so the final
+    * complete-mode emission equals the batch join+aggregate bit-exactly.
+    */
+  def enrichedSegmentStats(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(24,6)")).as("sum_dec"))
+
   /** Per-user running event counter on the Spark 4 `transformWithState`
     * API — named state slots with per-slot encoders, TTL support, and
     * timers; the successor to `flatMapGroupsWithState` for arbitrary

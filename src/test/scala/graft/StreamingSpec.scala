@@ -222,6 +222,27 @@ class StreamingSpec extends SparkSpec {
       col("price") < col("mean_price") * 0.8 - 0.01).count() == 0)
   }
 
+  test("st07 stream-static enrichment == batch join+aggregate, broadcast side intact") {
+    // Registry-level st07 runs the real StreamingQuery; here assert its
+    // final state equals the batch twin computed directly, and that the
+    // static side really broadcasts in the batch twin plan (the shape the
+    // streaming micro-batches re-execute per trigger).
+    val dir = sf0001
+    val got = SparkEntry.queries("st07_stream_static_enrich")(spark, dir).collect()
+    val dim = graft.sources.Tables.customer(spark, dir)
+    val batch = graft.sources.Tables.events(spark, dir)
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum(col("value").cast("decimal(24,6)")).cast("double") * 100 + lit(0.5)) / 100)
+          .as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+    assert(got.toSeq == batch.collect().toSeq)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"static dim not broadcast:\n$plan")
+  }
+
   test("checkpoint recovery: restart resumes from committed offsets, exactly once") {
     // The reference's one real semantic upgrade over TRIM_HORIZON replay
     // (SURVEY §3.4, KinesisSync.java:96) is durable offset management:
