@@ -35,7 +35,8 @@ object PlanAudit {
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
-      "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup")
+      "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup",
+      "st07_stream_static_enrich")
     val lazyTwins: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir))
@@ -81,7 +82,7 @@ object PlanAudit {
       s"global (partition-less) windows outside the q33 whitelist: $globalWindowQueries")
     println(s"global-window whitelist OK (only q33 across ${allPlans.size} audited plans)")
 
-    // Streaming batch-twins: st01–st05 are excluded from the sweep above
+    // Streaming batch-twins: st01–st07 are excluded from the sweep above
     // (they execute real StreamingQueries), but every EventStreams
     // transform is statically plannable against a BATCH events frame —
     // watermarks become no-ops, state ops plan as their batch equivalents.
@@ -101,7 +102,9 @@ object PlanAudit {
         "st03_twin_join" -> graft.streaming.EventStreams.purchaseClickJoin(events),
         "st04_twin_tws" -> graft.streaming.EventStreams.runningCounts(spark, typed).toDF("user_id", "n"),
         "st05_twin_fmgws" -> graft.streaming.EventStreams.statefulSessions(spark, typed).toDF(),
-        "st06_twin_dedup" -> graft.streaming.EventStreams.dedupBatchTwin(events))
+        "st06_twin_dedup" -> graft.streaming.EventStreams.dedupBatchTwin(events),
+        "st07_twin_enrich" -> graft.streaming.EventStreams.enrichedSegmentStats(events,
+          graft.sources.Tables.customer(spark, sfDir)))
       twins.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val globals = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }
