@@ -24,6 +24,8 @@ object QueryTime {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m")) // experiment knob
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Stage-level attribution separates "the plan is expensive" from "the

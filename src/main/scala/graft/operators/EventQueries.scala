@@ -312,8 +312,17 @@ object EventQueries {
         .select(col("user_id"), date_trunc("hour", col("ts").cast("timestamp")).as("hour"))
       val bounds = ev.groupBy("user_id")
         .agg(min("hour").as("t0"), max("hour").as("t1"))
-      val spine = bounds.select(col("user_id"),
-        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("hour"))
+      // Explicit-width repartition before the explode: AQE sees only the
+      // ~|users|-row bounds exchange and coalesces it to ONE task, blind to
+      // the ~700x hour fan-out that follows (measured at sf0.1: the 1M-row
+      // spine built serially, wall ≈ executor-seconds ≈ 3 s). Pinning the
+      // width spreads the fan-out across the cluster — the same fix a
+      // 100 TB spine needs, where the generator side must scale with the
+      // OUTPUT size, not the input's.
+      val spine = bounds
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("user_id"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("hour"))
       val obs = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
       spine.join(obs, Seq("user_id", "hour"), "left")
