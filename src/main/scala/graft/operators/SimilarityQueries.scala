@@ -281,6 +281,31 @@ object SimilarityQueries {
       "IVF approximate nearest neighbors (nprobe=4 of 10 cells); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01 and argmax-assignment equivalence")(
       (s, dir) => knnIvf(s, dir)),
 
+    sql(
+      "s08_knn_ivf_select",
+      "IVF ANN with SELECTION centroids (the min-vec_id vector per label): zero float arithmetic in the index build, so the ENTIRE approximate search — argmax cell assignment, nprobe=4 probe choice, in-cell top-5 — replays bit-exactly in DuckDB. The oracle IS the algorithm, putting an approximate-nearest-neighbor operator behind the hash-exact gate (s03's mean-centroid variant stays rows-only: float means are accumulation-order-specific). Scale posture: identical to s03 — the codebook is a broadcast, assignment one codegen'd scan, candidates one cell-keyed join",
+      s"""WITH minid AS (SELECT label, min(vec_id) AS mvid FROM embeddings GROUP BY label),
+        |cents AS (SELECT CAST(e.label AS BIGINT) AS cent_id, e.embedding AS cemb
+        |          FROM embeddings e JOIN minid m ON e.label = m.label AND e.vec_id = m.mvid),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cent_id) AS rn
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT q_id, qemb, cell FROM (
+        |  SELECT q.vec_id AS q_id, q.embedding AS qemb, c.cent_id AS cell,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cent_id) AS prnk
+        |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NQueries) WHERE prnk <= 4),
+        |cand AS (SELECT p.q_id, a.vec_id AS neighbor_id, ${cosineSql("p.qemb", "a.embedding")} AS sim
+        |         FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id)
+        |SELECT q_id, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT q_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM cand)
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) => knnIvfSelect(s, dir) },
+
     rowsOnly(
       "s04_knn_lsh",
       "random-hyperplane LSH ANN (8 tables x 4 bits); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(

@@ -37,6 +37,14 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"IVF recall $r (random baseline would be 0.4)")
   }
 
+  test("selection-centroid IVF (s08) recall@5 stays within reach of the mean-centroid variant") {
+    // s08 trades centroid quality (a member vector instead of the mean)
+    // for end-to-end oracle replayability; its recall floor documents the
+    // cost of that trade on this fixture.
+    val r = recall(neighborSets(SimilarityQueries.knnIvfSelect(spark, sf0001)))
+    assert(r >= 0.4, s"selection-centroid IVF recall $r (random baseline would be 0.4)")
+  }
+
   test("LSH (8x4 bits) recall@5 ≥ 0.5 vs brute force") {
     val r = recall(neighborSets(SimilarityQueries.knnLsh(spark, sf0001)))
     assert(r >= 0.5, s"LSH recall $r")
