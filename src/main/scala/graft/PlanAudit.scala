@@ -36,7 +36,7 @@ object PlanAudit {
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup",
-      "st07_stream_static_enrich")
+      "st07_stream_static_enrich", "st08_stream_sliding")
     val lazyTwins: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir))
@@ -104,7 +104,8 @@ object PlanAudit {
         "st05_twin_fmgws" -> graft.streaming.EventStreams.statefulSessions(spark, typed).toDF(),
         "st06_twin_dedup" -> graft.streaming.EventStreams.dedupBatchTwin(events),
         "st07_twin_enrich" -> graft.streaming.EventStreams.enrichedSegmentStats(events,
-          graft.sources.Tables.customer(spark, sfDir)))
+          graft.sources.Tables.customer(spark, sfDir)),
+        "st08_twin_sliding" -> graft.streaming.EventStreams.slidingCounts(events))
       twins.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val globals = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }

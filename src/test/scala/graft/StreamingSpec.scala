@@ -222,6 +222,15 @@ class StreamingSpec extends SparkSpec {
       col("price") < col("mean_price") * 0.8 - 0.01).count() == 0)
   }
 
+  test("st08 streaming sliding windows == q61 batch sliding windows") {
+    val dir = sf0001
+    val got = SparkEntry.queries("st08_stream_sliding")(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSeq.sorted
+    val want = SparkEntry.queries("q61_sliding_window")(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
+
   test("st07 stream-static enrichment == batch join+aggregate, broadcast side intact") {
     // Registry-level st07 runs the real StreamingQuery; here assert its
     // final state equals the batch twin computed directly, and that the
