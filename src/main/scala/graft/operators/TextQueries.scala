@@ -492,6 +492,36 @@ object TextQueries {
     },
 
     sql(
+      "p04_temperature_weights",
+      "temperature-scaled mixture weights (α=0.5, the multilingual/multi-source sampling flattener): per-source token mass n_t maps to weight √n_t, boosting low-resource sources relative to raw proportional sampling; the √ lands on a 1e6 integer grid and every later step is BIGINT division, so shares are engine-exact. Unlike ln (a06's one libm caveat), sqrt is IEEE-754 correctly rounded — the grid snap is engine-independent over the whole input domain, no enumeration needed. Scale posture: one keyed count + a one-row broadcast total; the weights table is dimension-sized",
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |wts AS (SELECT source, n_docs, n_tokens,
+        |               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_scaled
+        |        FROM counts),
+        |tot AS (SELECT sum(w_scaled) AS t, sum(n_tokens) AS nt FROM wts)
+        |SELECT source, n_docs, n_tokens, w_scaled,
+        |       CAST(n_tokens * 1000000 // nt AS BIGINT) AS raw_ppm,
+        |       CAST(w_scaled * 1000000 // t AS BIGINT) AS temp_ppm
+        |FROM wts CROSS JOIN tot
+        |ORDER BY source""") { (s, dir) =>
+      val counts = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+      val wts = counts.withColumn("w_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000 + lit(0.5)).cast("long"))
+      val tot = wts.agg(sum("w_scaled").as("t"), sum("n_tokens").as("nt"))
+      wts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_scaled"),
+          expr("n_tokens * 1000000L div nt").as("raw_ppm"),
+          expr("w_scaled * 1000000L div t").as("temp_ppm"))
+        .orderBy("source")
+    },
+
+    sql(
       "p03_mixture_sampling",
       "deterministic weighted mixture construction: per-source sampling fraction fn/8 (fn = 2 + src_num % 3, the quality-tier weight), sample = the k_s = ceil(n_s*fn/8) docs with the smallest splitmix priority (PriorityHash64) — hash-priority sampling, so re-runs and retries pick identical docs with no RNG/partition-layout dependence; the oracle replays the mod-2^64 hash in DuckDB HUGEINT. Scale posture: one partitioned window per source (at 100 TB: per source × hash-bucket bottom-k, merged exactly — the a03 aggregator is that merge); the per-source size table is a broadcast",
       s"""WITH src AS (SELECT source, doc_id,

@@ -118,6 +118,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregators partial-aggregate map-side (CMS and HLL merge before the shuffle)") {
+    // The 100 TB claim behind a06/a08 is that a rollup ships fixed-size
+    // sketch state per group, not rows: the physical plan must show a
+    // partial ObjectHashAggregate BELOW the exchange and a merge above it.
+    import graft.functions.Aggregators
+    val cms = udaf(new Aggregators.CmsSketch(depth = 4, width = 256, seedBase = 11L, seedStep = 7919L))
+    val plan = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey").cast("long").as("k"))
+      .groupBy(col("k") % 7).agg(cms(col("k")))
+      .queryExecution.executedPlan.toString
+    val aggNodes = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggNodes >= 2, s"expected partial+final ObjectHashAggregate pair:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no keyed exchange:\n$plan")
+    // the partial (map-side) instance must appear before the exchange text-wise
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val lastAgg = plan.lastIndexOf("ObjectHashAggregate")
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    assert(firstAgg < exch && exch < lastAgg,
+      "exchange is not between the final and partial aggregate instances")
+  }
+
   test("idempotent sink: replaying a batch overwrites, not duplicates") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-sink").toString
