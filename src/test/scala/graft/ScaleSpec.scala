@@ -118,6 +118,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("partition-layout fuzz: representative registry queries are bit-identical at 7 vs default shuffle partitions") {
+    // The determinism claim behind every oracle entry is that results do
+    // not depend on physical layout. Fuzz it directly: rerun one query per
+    // sensitive family (decimal aggregation, window sessionization, sketch
+    // replay, CMS probe, LSH banding, hash-priority sampling, IVF search,
+    // salted agg, island merge, CDC compaction) under a prime, non-default
+    // shuffle-partition count and require byte-identical row sets.
+    val names = Seq("q01_pricing_summary", "q62_sessionization", "a06_hll_replay",
+      "a08_cms_replay", "d04_lsh_near_dups", "p03_mixture_sampling",
+      "s08_knn_ivf_select", "q78_salted_agg", "q80_interval_coverage",
+      "u04_cdc_apply")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names.foreach { n =>
+      val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val fuzzed = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
+        assert(fuzzed == base, s"$n changed under 7 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("sketch aggregators partial-aggregate map-side (CMS and HLL merge before the shuffle)") {
     // The 100 TB claim behind a06/a08 is that a rollup ships fixed-size
     // sketch state per group, not rows: the physical plan must show a
