@@ -10,7 +10,7 @@ import java.nio.file.{Files, Paths}
   *
   * Emission contract: the driver captures only the LAST ~2000 characters
   * of stdout, so the final line must stay well under that. The full
-  * per-query map (79+ entries ≈ 2.4 KB) cannot fit — it goes to
+  * per-query map (120+ entries ≈ 3.7 KB) cannot fit — it goes to
   * `BENCH_DETAIL.json` in the working directory; the final line carries
   * the total plus a fixed headline subset.
   *
