@@ -82,7 +82,7 @@ object PlanAudit {
       s"global (partition-less) windows outside the q33 whitelist: $globalWindowQueries")
     println(s"global-window whitelist OK (only q33 across ${allPlans.size} audited plans)")
 
-    // Streaming batch-twins: st01–st07 are excluded from the sweep above
+    // Streaming batch-twins: st01–st08 are excluded from the sweep above
     // (they execute real StreamingQueries), but every EventStreams
     // transform is statically plannable against a BATCH events frame —
     // watermarks become no-ops, state ops plan as their batch equivalents.

@@ -202,6 +202,19 @@ object Aggregators {
     * probed counter (computed downstream from the returned matrix, keeping
     * the aggregator reusable for heavy-hitter and inner-product probes).
     */
+  /** The one sketch geometry a08, its oracle replay, and the specs share —
+    * the Spark-side hash, the DuckDB HUGEINT replay, and the plan asserts
+    * must all agree on these or the hash-exact compare silently skews.
+    */
+  object CmsSketch {
+    val Depth = 4
+    val Width = 256
+    val SeedBase = 11L
+    val SeedStep = 7919L
+
+    def default: CmsSketch = new CmsSketch(Depth, Width, SeedBase, SeedStep)
+  }
+
   final class CmsSketch(depth: Int, width: Int, seedBase: Long, seedStep: Long)
       extends Aggregator[Long, Array[Long], Array[Long]] {
     require(depth > 0 && width > 0)

@@ -151,10 +151,12 @@ object AggregateQueries {
       "a08_cms_replay",
       "deterministic Count-Min sketch (custom 4×256 Aggregator): the counter matrix is pure integer arithmetic on the seeded priority-hash family, so the DuckDB oracle replays counters AND the min-over-rows point estimates bit-exactly in HUGEINT — the frequency-estimation sketch (heavy hitters) beside a06's cardinality sketch. Probes are the top-8 true-frequency keys; overcount = est - truth is the sketch's signed error, ≥ 0 by construction. Scale posture: 8 KB state per group, elementwise-sum merge → map-side partial aggregation; the probe side is a TakeOrdered top-k, never a global sort",
       s"""WITH keys AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
-        |seeds AS (SELECT CAST(range AS BIGINT) AS j, CAST(11 + 7919 * range AS BIGINT) AS sd FROM range(0, 4)),
+        |seeds AS (SELECT CAST(range AS BIGINT) AS j,
+        |                 CAST(${Aggregators.CmsSketch.SeedBase} + ${Aggregators.CmsSketch.SeedStep} * range AS BIGINT) AS sd
+        |          FROM range(0, ${Aggregators.CmsSketch.Depth})),
         |src AS (SELECT k, j, sd FROM keys CROSS JOIN seeds),
         |${graft.functions.HashFunctions.priorityHashCtes("src", "k", "sd", "k, j")},
-        |hashed AS (SELECT k, j, pri % 256 AS b FROM ph4),
+        |hashed AS (SELECT k, j, pri % ${Aggregators.CmsSketch.Width} AS b FROM ph4),
         |buckets AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY j, b),
         |truth AS (SELECT k, CAST(count(*) AS BIGINT) AS true_cnt FROM keys GROUP BY k),
         |probe AS (SELECT k, true_cnt FROM truth ORDER BY true_cnt DESC, k LIMIT 8),
@@ -165,19 +167,23 @@ object AggregateQueries {
         |FROM probe p JOIN est e ON e.k = p.k
         |ORDER BY p.true_cnt DESC, supp_key""") { (s, dir) =>
       import graft.functions.HashFunctions
+      import Aggregators.CmsSketch.{Depth, SeedBase, SeedStep, Width}
       val keys = Tables.lineitem(s, dir)
         .select(col("l_suppkey").cast("long").as("k"))
         .where(col("k").isNotNull)
-      val cms = udaf(new Aggregators.CmsSketch(depth = 4, width = 256, seedBase = 11L, seedStep = 7919L))
-      val counters = keys.agg(cms(col("k")).as("cnt")) // one row, 1024 longs
+      val cms = udaf(Aggregators.CmsSketch.default)
+      val counters = keys.agg(cms(col("k")).as("cnt")) // one row, Depth*Width longs
       val probe = keys.groupBy("k").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("k")).limit(8)
-      // point estimate = min over the 4 rows of the probed counter; the
+      // point estimate = min over the depth rows of the probed counter; the
       // bucket index replays the aggregator's hash per row (1-based
-      // element_at into the flattened matrix)
-      val rowEsts = (0 until 4).map { j =>
-        try_element_at(col("cnt"),
-          (lit(j * 256) + HashFunctions.priorityHash(col("k"), 11L + 7919L * j) % 256 + 1).cast("int"))
+      // element_at into the flattened matrix). Plain element_at, not try_:
+      // the index is provably in [1, Depth*Width] (priorityHash is
+      // non-negative), so any future drift from the aggregator's bucket
+      // math should fail loudly, not degrade to a null least() skips.
+      val rowEsts = (0 until Depth).map { j =>
+        element_at(col("cnt"),
+          (lit(j * Width) + HashFunctions.priorityHash(col("k"), SeedBase + SeedStep * j) % Width + 1).cast("int"))
       }
       probe.crossJoin(broadcast(counters))
         .select(col("k").as("supp_key"), col("true_cnt"),

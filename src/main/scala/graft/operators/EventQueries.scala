@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** Sliding-window oracle shared verbatim by q61 (batch) and st08 (the
+    * streaming registry twin): each event's two covering 10-min/5-min
+    * window starts derived arithmetically.
+    */
+  val SlidingWindowOracle: String =
+    """SELECT window_start, count(*) AS n_events
+      |FROM (SELECT unnest([make_timestamp(b), make_timestamp(b - 300000000)]) AS window_start
+      |      FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+      |                   - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000 AS b
+      |            FROM events))
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     sql(
       "q60_tumbling_window",
@@ -38,13 +51,7 @@ object EventQueries {
     sql(
       "q61_sliding_window",
       "sliding window (10 min width, 5 min slide) via Spark window(); oracle derives the two covering starts arithmetically",
-      """SELECT window_start, count(*) AS n_events
-        |FROM (SELECT unnest([make_timestamp(b), make_timestamp(b - 300000000)]) AS window_start
-        |      FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP))
-        |                   - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000 AS b
-        |            FROM events))
-        |GROUP BY window_start
-        |ORDER BY window_start""") { (s, dir) =>
+      SlidingWindowOracle) { (s, dir) =>
       Tables.events(s, dir)
         .select(window(col("ts"), "10 minutes", "5 minutes").as("w"))
         .groupBy(col("w.start").as("window_start"))

@@ -543,7 +543,7 @@ object RelationalQueries {
     sql(
       "u04_cdc_apply",
       "CDC changelog apply (sequenced last-writer-wins + tombstones, u01's streaming-shaped sibling): a change log keyed by entity with a monotone sequence compacts to its latest op per key via max_by — 'D' tombstones delete the key, 'U' upserts the value — then one outer join applies the compacted log to the base snapshot. The log derives deterministically from the fixture so both engines see identical changes. Scale posture: compaction is a map-side-combinable keyed aggregation (max_by partials merge), never a per-key window sort; the apply is one equi-join on the key — the Debezium/Delta CDF merge shape at 100 TB",
-      """WITH log AS (
+      s"""WITH log AS (
         |  SELECT o_custkey AS k, CAST(o_orderkey AS BIGINT) AS seq,
         |         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
         |         o_totalprice AS new_bal
@@ -556,7 +556,7 @@ object RelationalQueries {
         |  FROM customer b LEFT JOIN latest l ON l.k = b.c_custkey
         |  WHERE l.op IS NULL OR l.op = 'U')
         |SELECT c_mktsegment, count(*) AS n_customers,
-        |       floor((CAST(sum(CAST(bal AS DECIMAL(24,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_bal
+        |       ${s2("bal")} AS sum_bal
         |FROM applied GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""") { (s, dir) =>
       val log = Tables.orders(s, dir)

@@ -224,14 +224,8 @@ object StreamingQueries {
 
     sql(
       "st08_stream_sliding",
-      "streaming sliding windows (EventStreams.slidingCounts, 10-min width / 5-min slide — each event lands in two overlapping windows) executed as a real StreamingQuery; oracle = q61's arithmetic derivation of the two covering window starts (complete mode ⇒ final state == batch aggregation)",
-      """SELECT window_start, count(*) AS n_events
-        |FROM (SELECT unnest([make_timestamp(b), make_timestamp(b - 300000000)]) AS window_start
-        |      FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP))
-        |                   - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000 AS b
-        |            FROM events))
-        |GROUP BY window_start
-        |ORDER BY window_start""") { (s, dir) =>
+      "streaming sliding windows (EventStreams.slidingCounts, 10-min width / 5-min slide — each event lands in two overlapping windows) executed as a real StreamingQuery; oracle = q61's arithmetic derivation of the two covering window starts, shared verbatim (complete mode ⇒ final state == batch aggregation)",
+      EventQueries.SlidingWindowOracle) { (s, dir) =>
       val out = runToMemory(s,
         EventStreams.slidingCounts(eventStream(s, dir)), "st08_out")
       out.select(col("window_start").cast("timestamp_ntz").as("window_start"),

@@ -87,17 +87,18 @@ class AggregatorSpec extends SparkSpec {
     val keys = Tables.lineitem(spark, sf0001)
       .select(col("l_suppkey").cast("long").as("k")).where(col("k").isNotNull)
     val n = keys.count()
-    val cms = udaf(new Aggregators.CmsSketch(depth = 4, width = 256, seedBase = 11L, seedStep = 7919L))
+    import Aggregators.CmsSketch.{Depth, SeedBase, SeedStep, Width}
+    val cms = udaf(Aggregators.CmsSketch.default)
     val matrix = keys.agg(cms(col("k"))).collect()(0).getSeq[Long](0)
     // mass conservation: every depth row saw every item exactly once
-    (0 until 4).foreach { j =>
-      assert(matrix.slice(j * 256, (j + 1) * 256).sum == n, s"row $j loses mass")
+    (0 until Depth).foreach { j =>
+      assert(matrix.slice(j * Width, (j + 1) * Width).sum == n, s"row $j loses mass")
     }
     // CMS guarantee: estimate >= true count for EVERY key, not just probes
     val truth = keys.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1))
     truth.foreach { case (k, cnt) =>
-      val est = (0 until 4).map { j =>
-        matrix(j * 256 + (graft.functions.HashOps.priorityHash(k, 11L + 7919L * j) % 256).toInt)
+      val est = (0 until Depth).map { j =>
+        matrix(j * Width + (graft.functions.HashOps.priorityHash(k, SeedBase + SeedStep * j) % Width).toInt)
       }.min
       assert(est >= cnt, s"key $k undercounted: est $est < true $cnt")
     }

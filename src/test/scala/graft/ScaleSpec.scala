@@ -145,7 +145,7 @@ class ScaleSpec extends SparkSpec {
     // sketch state per group, not rows: the physical plan must show a
     // partial ObjectHashAggregate BELOW the exchange and a merge above it.
     import graft.functions.Aggregators
-    val cms = udaf(new Aggregators.CmsSketch(depth = 4, width = 256, seedBase = 11L, seedStep = 7919L))
+    val cms = udaf(Aggregators.CmsSketch.default)
     val plan = Tables.lineitem(spark, sf0001)
       .select(col("l_suppkey").cast("long").as("k"))
       .groupBy(col("k") % 7).agg(cms(col("k")))
