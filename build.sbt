@@ -44,4 +44,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to 768m in r6 when the registry passed 110 codegen-heavy queries
   // (suspected cause of the r5 in-window m01/m02 slowdowns)
   "-XX:ReservedCodeCacheSize=768m",
-)
+) ++ {
+  // Single-node IO isolation: put shuffle/spill files and the streaming
+  // entries' temp checkpoints on tmpfs when the host has one. A r6 sweep
+  // measured st01's executor time halved (8.0 → 4.2 s; IO-blocked task
+  // threads) and it insulates bench numbers from co-tenant disk weather.
+  // Production clusters configure real local NVMe via spark.local.dir —
+  // this is bench-host plumbing, not an engine setting.
+  val shm = new java.io.File("/dev/shm/graft-tmp")
+  if (shm.isDirectory || shm.mkdirs())
+    Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}",
+      s"-Dspark.local.dir=${shm.getAbsolutePath}")
+  else Seq.empty
+}
