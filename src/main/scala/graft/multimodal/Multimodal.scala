@@ -90,6 +90,26 @@ object Multimodal {
     }
   }
 
+  /** Resize STUB: nearest-neighbor byte-stride downsample (keep every
+    * `factor`-th byte) — the thumbnail/resize shape: payload in, smaller
+    * payload out, same blob schema, so it composes with [[decodeFeatures]]
+    * exactly like a real scaler feeding an embedder. Swapping in a pixel-
+    * aware scaler changes no plan.
+    */
+  def resize(blobs: Dataset[MediaBlob], factor: Int = 4): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    require(factor > 0)
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val bytes = if (b.data == null) Array.emptyByteArray else b.data
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        b.copy(data = out)
+      }
+    }
+  }
+
   /** Frame sampling STUB: slices the payload into `stride`-byte "frames"
     * and keeps every `every`-th one — the explode shape of real video
     * frame sampling.

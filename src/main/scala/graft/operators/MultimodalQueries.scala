@@ -75,6 +75,36 @@ object MultimodalQueries {
     },
 
     sql(
+      "m05_resize_stub",
+      "resize/thumbnail (stubbed nearest-neighbor byte-stride downsample, factor 4) composed with the stub decoder — the thumbnail→embed pipeline shape: payload in, quarter-size payload out, features from the RESIZED bytes. The stride arithmetic is deterministic, so the oracle reproduces resized length and mean byte from the original text alone (same trick as m02/m03)",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_len
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, media_type, orig_len,
+        |         CAST((orig_len + 3) // 4 AS BIGINT) AS resized_len,
+        |         list_sum(list_transform(generate_series(1, CAST(orig_len AS INT), 4), i -> bytes[i])) AS rsum
+        |  FROM b)
+        |SELECT doc_id, media_type, orig_len, resized_len,
+        |       floor((rsum * 1.0 / resized_len) * 10000 + 0.5) / 10000 AS resized_mean
+        |FROM r
+        |ORDER BY doc_id""") { (s, dir) =>
+      val blobs = Multimodal.packBlobs(s, Tables.documents(s, dir))
+      val orig = blobs.toDF()
+        .select(col("doc_id"), octet_length(col("data")).cast("long").as("orig_len"))
+      Multimodal.decodeFeatures(Multimodal.resize(blobs)).toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("byte_len").as("resized_len"), r4(col("mean_byte")).as("resized_mean"))
+        .join(orig, "doc_id")
+        .select(col("doc_id"), col("media_type"), col("orig_len"),
+          col("resized_len"), col("resized_mean"))
+        .orderBy("doc_id")
+    },
+
+    sql(
       "m04_multimodal_join",
       "documents × embeddings as one multimodal struct column, filtered + aggregated",
       s"""SELECT label, count(*) AS n,

@@ -80,6 +80,7 @@ class AnsiEdgeSpec extends SparkSpec {
     "p03_mixture_sampling", "p04_temperature_weights", "t14_bigram_lm",
     // multimodal: binary/decode paths
     "m01_binary_metadata", "m02_decode_features", "m03_frame_sampling",
+    "m05_resize_stub",
     // embeddings: vector-kernel paths
     "s01_knn_bruteforce", "s02_embedding_norms", "s05_zipwith_cosine",
     "d06_embedding_sim_pairs", "d11_semantic_dedup", "s08_knn_ivf_select")

@@ -69,6 +69,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Number]("user_id").longValue()).toSet == nEvents.keySet)
   }
 
+  test("m05 resize: strided subsequence, exact ceil length, and factor composition") {
+    import graft.multimodal.Multimodal
+    val blobs = Multimodal.packBlobs(spark, graft.sources.Tables.documents(spark, sf0001))
+    val once = Multimodal.resize(blobs, 4).collect().map(b => b.doc_id -> b.data).toMap
+    val orig = blobs.collect().map(b => b.doc_id -> b.data).toMap
+    orig.foreach { case (id, bytes) =>
+      val r = once(id)
+      assert(r.length == (bytes.length + 3) / 4, s"doc $id: resized length not ceil(n/4)")
+      r.indices.foreach(i => assert(r(i) == bytes(i * 4), s"doc $id: byte $i not strided"))
+    }
+    // resize(4) ∘ resize(4) == resize(16): stride composition holds exactly
+    val twice = Multimodal.resize(Multimodal.resize(blobs, 4), 4).collect()
+      .map(b => b.doc_id -> b.data.toSeq).toMap
+    val sixteen = Multimodal.resize(blobs, 16).collect().map(b => b.doc_id -> b.data.toSeq).toMap
+    assert(twice == sixteen)
+  }
+
   test("u04 CDC compaction == sequential replay of the changelog") {
     // The compacted (max_by) log must land every key in exactly the state
     // a one-event-at-a-time replay reaches — the invariant that makes
