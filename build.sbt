@@ -51,8 +51,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads) and it insulates bench numbers from co-tenant disk weather.
   // Production clusters configure real local NVMe via spark.local.dir —
   // this is bench-host plumbing, not an engine setting.
+  // Capacity guard: Docker's default shm is 64 MB — routing spills there
+  // would fail the bench with ENOSPC instead of falling back to disk, so
+  // require real headroom (this host mounts 126 GiB). Leaked files from a
+  // SIGKILLed JVM persist until container restart (tmpfs = RAM); normal
+  // exits are cleaned by Spark's shutdown hooks.
   val shm = new java.io.File("/dev/shm/graft-tmp")
-  if (shm.isDirectory || shm.mkdirs())
+  val minBytes = 8L * 1024 * 1024 * 1024
+  if ((shm.isDirectory || shm.mkdirs()) && shm.getUsableSpace > minBytes)
     Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}",
       s"-Dspark.local.dir=${shm.getAbsolutePath}")
   else Seq.empty

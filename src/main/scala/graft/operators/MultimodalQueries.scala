@@ -39,10 +39,12 @@ object MultimodalQueries {
         |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
         |  FROM documents)
         |SELECT doc_id, media_type, byte_len,
-        |       floor((list_sum(bytes) * 1.0 / byte_len) * 10000 + 0.5) / 10000 AS mean_byte,
+        |       -- coalesce/greatest: an empty payload decodes to mean 0.0 and
+        |       -- f0 = 0 in the stub, never NULL/div-by-zero
+        |       floor((coalesce(list_sum(bytes), 0) * 1.0 / greatest(byte_len, 1)) * 10000 + 0.5) / 10000 AS mean_byte,
         |       -- f0 is a FLOAT in the engine; DuckDB FLOAT/FLOAT divides in
         |       -- float32, reproducing the stub's s.toFloat/c bit-for-bit
-        |       floor(CAST(CAST(list_sum(bytes[1:greatest(1, CAST(byte_len // 16 AS INT))]) AS FLOAT)
+        |       floor(CAST(CAST(coalesce(list_sum(bytes[1:greatest(1, CAST(byte_len // 16 AS INT))]), 0) AS FLOAT)
         |                  / CAST(greatest(1, byte_len // 16) AS FLOAT) AS DOUBLE) * 10000 + 0.5) / 10000 AS f0
         |FROM b
         |ORDER BY doc_id""") { (s, dir) =>
@@ -89,13 +91,17 @@ object MultimodalQueries {
         |         list_sum(list_transform(generate_series(1, CAST(orig_len AS INT), 4), i -> bytes[i])) AS rsum
         |  FROM b)
         |SELECT doc_id, media_type, orig_len, resized_len,
-        |       floor((rsum * 1.0 / resized_len) * 10000 + 0.5) / 10000 AS resized_mean
+        |       -- empty payload: the stub decoder emits mean 0.0 (not NULL),
+        |       -- so coalesce/greatest mirror that instead of NULL/div-by-zero
+        |       floor((coalesce(rsum, 0) * 1.0 / greatest(resized_len, 1)) * 10000 + 0.5) / 10000 AS resized_mean
         |FROM r
         |ORDER BY doc_id""") { (s, dir) =>
-      val blobs = Multimodal.packBlobs(s, Tables.documents(s, dir))
-      val orig = blobs.toDF()
-        .select(col("doc_id"), octet_length(col("data")).cast("long").as("orig_len"))
-      Multimodal.decodeFeatures(Multimodal.resize(blobs)).toDF()
+      val docs = Tables.documents(s, dir)
+      // orig_len projects straight off the documents scan (blob data IS the
+      // text bytes); re-deriving it through a second packBlobs evaluation
+      // would duplicate the projection for the same one-column join
+      val orig = docs.select(col("doc_id"), octet_length(col("text")).cast("long").as("orig_len"))
+      Multimodal.decodeFeatures(Multimodal.resize(Multimodal.packBlobs(s, docs))).toDF()
         .select(col("doc_id"), col("media_type"),
           col("byte_len").as("resized_len"), r4(col("mean_byte")).as("resized_mean"))
         .join(orig, "doc_id")
