@@ -69,6 +69,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Number]("user_id").longValue()).toSet == nEvents.keySet)
   }
 
+  test("stub decoder: empty and null payloads decode to zeros, never null/NaN") {
+    // The m02/m05 oracles mirror this exact contract with coalesce/greatest
+    // (an empty doc must hash-compare as 0.0, not NULL) — pin it at the
+    // unit level so a decoder change can't silently reopen the divergence.
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", Array.emptyByteArray, "en", "web"),
+      Multimodal.MediaBlob(2L, "audio", null, "en", "web")).toDS()
+    Multimodal.decodeFeatures(blobs).collect().foreach { f =>
+      assert(f.byte_len == 0L && f.mean_byte == 0.0, s"doc ${f.doc_id}: non-zero stats")
+      assert(f.feature.forall(_ == 0f), s"doc ${f.doc_id}: non-zero features")
+    }
+    Multimodal.resize(blobs, 4).collect().foreach(b =>
+      assert(b.data.isEmpty, s"doc ${b.doc_id}: resize of empty not empty"))
+  }
+
   test("m05 resize: strided subsequence, exact ceil length, and factor composition") {
     import graft.multimodal.Multimodal
     val blobs = Multimodal.packBlobs(spark, graft.sources.Tables.documents(spark, sf0001))
