@@ -22,7 +22,7 @@ def main(log_path: str) -> None:
     for ln in open(log_path).read().splitlines():
         if ln.startswith("== ") and " :: " in ln:
             name, flags = ln[3:].split(" :: ", 1)
-            if name.startswith("st0") and "twin" in name:
+            if "_twin" in name:
                 cur = None
                 continue
             cur = name
@@ -39,6 +39,11 @@ def main(log_path: str) -> None:
                     or ln.startswith("[success]") or ln.startswith("WARNING ")):
                 continue
             plans[cur][1].append(ln)
+
+    if not whitelist_line or not order:
+        sys.exit(f"{log_path}: incomplete audit log (no whitelist line / no "
+                 "'== <query> :: <flags>' sections) — run "
+                 "sbt \"runMain graft.PlanAudit --full\" to completion first")
 
     header = open("PLANS.md").read().split("### ")[0].rstrip()
     parts = [header, ""]
