@@ -44,22 +44,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to 768m in r6 when the registry passed 110 codegen-heavy queries
   // (suspected cause of the r5 in-window m01/m02 slowdowns)
   "-XX:ReservedCodeCacheSize=768m",
-) ++ {
-  // Single-node IO isolation: put shuffle/spill files and the streaming
-  // entries' temp checkpoints on tmpfs when the host has one. A r6 sweep
-  // measured st01's executor time halved (8.0 → 4.2 s; IO-blocked task
-  // threads) and it insulates bench numbers from co-tenant disk weather.
-  // Production clusters configure real local NVMe via spark.local.dir —
-  // this is bench-host plumbing, not an engine setting.
-  // Capacity guard: Docker's default shm is 64 MB — routing spills there
-  // would fail the bench with ENOSPC instead of falling back to disk, so
-  // require real headroom (this host mounts 126 GiB). Leaked files from a
-  // SIGKILLed JVM persist until container restart (tmpfs = RAM); normal
-  // exits are cleaned by Spark's shutdown hooks.
+)
+// Single-node IO isolation: put shuffle/spill files and the streaming
+// entries' temp checkpoints on tmpfs when the host has one. A r6 sweep
+// measured st01's executor time halved (8.0 → 4.2 s; IO-blocked task
+// threads) and it insulates bench numbers from co-tenant disk weather.
+// Production clusters configure real local NVMe via spark.local.dir —
+// this is bench-host plumbing, not an engine setting.
+// Scoped to the `run` task ONLY (Bench/Verify/QueryTime/PlanAudit): the
+// forked TEST JVMs keep the default disk tmp so a spill-heavy or
+// file-leaking spec can't ENOSPC a RAM filesystem (ADVICE r6), and tests
+// exercise the default-layout code paths users get.
+// Capacity guard: Docker's default shm is 64 MB — routing spills there
+// would fail the bench with ENOSPC instead of falling back to disk, so
+// require real headroom (this host mounts 126 GiB; a full sf0.1 bench
+// leaves <4 GiB of shuffle/checkpoint files, so 16 GiB covers it 4×).
+// SPARK_GRAFT_TMPFS=0 opts out explicitly; leaked files from a SIGKILLed
+// JVM persist until container restart (tmpfs = RAM); normal exits are
+// cleaned by Spark's shutdown hooks.
+val graftTmpfsOpts: Seq[String] = {
   val shm = new java.io.File("/dev/shm/graft-tmp")
-  val minBytes = 8L * 1024 * 1024 * 1024
-  if ((shm.isDirectory || shm.mkdirs()) && shm.getUsableSpace > minBytes)
+  val minBytes = 16L * 1024 * 1024 * 1024
+  if (sys.env.get("SPARK_GRAFT_TMPFS").contains("0")) Seq.empty
+  else if ((shm.isDirectory || shm.mkdirs()) && shm.getUsableSpace > minBytes)
     Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}",
       s"-Dspark.local.dir=${shm.getAbsolutePath}")
   else Seq.empty
 }
+// `run` and `runMain` resolve forkOptions in separate task scopes — set both
+// (the driver invokes the bench via `sbt "runMain graft.Bench"`).
+Compile / run / javaOptions ++= graftTmpfsOpts
+Compile / runMain / javaOptions ++= graftTmpfsOpts

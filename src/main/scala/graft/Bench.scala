@@ -85,7 +85,29 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
     }
-    def timeOnce(q: GraftQuery): (Double, Double, Boolean) = {
+    // Stage-metric attribution for EVERY timed take (r6 judged wall-only
+    // numbers unusable: identical builds measured 70-128 s total). Executor
+    // CPU is work the plan actually did — host weather inflates wall and
+    // (less) executorRun, but not cpu — so cpu is the per-query REGRESSION
+    // metric; wall stays the headline the driver trend reads.
+    @volatile var execMs = 0L
+    @volatile var cpuNs = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        execMs += e.stageInfo.taskMetrics.executorRunTime
+        cpuNs += e.stageInfo.taskMetrics.executorCpuTime
+      }
+    })
+    def drainListenerBus(): Unit =
+      try { // listenerBus/waitUntilEmpty are private[spark] = public bytecode
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+    final case class Take(wall: Double, gc: Double, exec: Double, cpu: Double, ok: Boolean)
+    def timeOnce(q: GraftQuery): Take = {
+      execMs = 0L; cpuNs = 0L
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -96,31 +118,49 @@ object Bench {
       // otherwise leak cached blocks into every later query's GC budget;
       // each query is timed standalone, so drop caches between them
       spark.catalog.clearCache()
-      (elapsed, (gcMillis() - g0) / 1e3, ok)
+      // the async listener bus must be drained before reading the stage
+      // counters, or this take's metrics bleed into the next take's reset
+      drainListenerBus()
+      Take(elapsed, (gcMillis() - g0) / 1e3, execMs / 1e3, cpuNs / 1e9, ok)
     }
     val takes = SparkEntry.registry.map { q =>
-      val (t1, g1, ok1) = timeOnce(q); val (t2, g2, ok2) = timeOnce(q)
+      val a = timeOnce(q); val b = timeOnce(q)
       // a failed take must not win the min: a fast crash would otherwise
       // report a broken query as its best time. A query failing BOTH takes
       // reports the max (so breakage reads as a regression, not a win) and
       // lands in the errors list.
-      val best = (ok1, ok2) match {
-        case (true, true) => math.min(t1, t2)
-        case (true, false) => t1
-        case (false, true) => t2
-        case (false, false) => math.max(t1, t2)
+      val best = (a.ok, b.ok) match {
+        case (true, true) => math.min(a.wall, b.wall)
+        case (true, false) => a.wall
+        case (false, true) => b.wall
+        case (false, false) => math.max(a.wall, b.wall)
       }
-      (q.name, best, t1, t2, g1, g2, ok1 && ok2)
+      (q.name, best, a, b)
     }
-    val errors = takes.collect { case (n, _, _, _, _, _, false) => n }
-    val results = takes.map { case (n, best, _, _, _, _, _) => n -> best }
+    val errors = takes.collect { case (n, _, a, b) if !(a.ok && b.ok) => n }
+    val results = takes.map { case (n, best, _, _) => n -> best }
     val total = results.map(_._2).sum
     def json(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // Per-query take records. Schema (documented here, the only authority):
+    //   "takes": {name: {"wall":[t1,t2], "gc":[g1,g2],
+    //                    "exec":[e1,e2], "cpu":[c1,c2]}}
+    // wall = driver-observed seconds; gc = driver GC pause seconds within
+    // the take; exec = sum of executorRunTime over the take's stages (s);
+    // cpu = sum of executorCpuTime (s). cpu is the regression metric.
     val detailTakes = takes
-      .map { case (n, _, t1, t2, g1, g2, _) =>
-        "\"" + n + "\":[" + r3(t1) + "," + r3(t2) + "," + r3(g1) + "," + r3(g2) + "]" }
+      .map { case (n, _, a, b) =>
+        "\"" + n + "\":{\"wall\":[" + r3(a.wall) + "," + r3(b.wall) +
+          "],\"gc\":[" + r3(a.gc) + "," + r3(b.gc) +
+          "],\"exec\":[" + r3(a.exec) + "," + r3(b.exec) +
+          "],\"cpu\":[" + r3(a.cpu) + "," + r3(b.cpu) + "]}" }
       .mkString("{", ",", "}")
+    // min-cpu-of-2 per query: the steady-state plan cost, robust to the
+    // 70-128 s wall variance this host shows across identical builds
+    val cpuBest = takes.map { case (n, _, a, b) =>
+      n -> math.min(if (a.ok) a.cpu else Double.MaxValue,
+                    if (b.ok) b.cpu else Double.MaxValue) }
+      .map { case (n, v) => n -> (if (v == Double.MaxValue) 0.0 else v) }
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Standalone arbiter pass: this host's in-window best-of-2 still swings
     // ~30% with correlated weather (r4 tr02, r5 m01/m02 were both "repro-
@@ -129,32 +169,34 @@ object Bench {
     // attribution. wall >> executor/cores ⇒ scheduler/host latency;
     // executor >> cpu ⇒ JIT/interpreter first-touch; recorded here so
     // regress-vs-noise triage reads one artifact instead of a judge round.
-    @volatile var execMs = 0L
-    @volatile var cpuNs = 0L
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        execMs += e.stageInfo.taskMetrics.executorRunTime
-        cpuNs += e.stageInfo.taskMetrics.executorCpuTime
-      }
-    })
+    // r6 lesson (g01): the arbiter inherits a JVM that just ran 125×2
+    // queries — System.gc() before each arbiter take so accumulated garbage
+    // is not billed to the arbitrated query.
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     val standalone = results.sortBy(-_._2).take(10).map { case (n, _) =>
+      System.gc()
       execMs = 0L; cpuNs = 0L
       val t0 = System.nanoTime()
       try byName(n).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench-standalone] $n: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      try { // drain the async listener bus before reading the counters (QueryTime pattern)
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+      drainListenerBus()
       "\"" + n + "\":[" + r3(wall) + "," + r3(execMs / 1e3) + "," + r3(cpuNs / 1e9) + "]"
     }.mkString("{", ",", "}")
+    // Resolved env-driven knobs: published timings are not reproducible
+    // unless the effective values ride along with them (ADVICE r6).
+    def conf(k: String): String = spark.conf.getOption(k).getOrElse("unset")
+    val envJson = Seq(
+      "advisoryPartitionSizeInBytes" -> conf("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "shufflePartitions" -> conf("spark.sql.shuffle.partitions"),
+      "cpus" -> cpus,
+      "driverMem" -> sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"),
+      "localDir" -> sys.props.getOrElse("spark.local.dir", "default"),
+      "codeCache" -> "768m")
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"takes":$detailTakes,"standalone":$standalone,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"standalone":$standalone,"env":$envJson,"sf":"$sfDir"}""")
     val head = results.filter { case (k, _) => Headline.contains(k) }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()

@@ -21,8 +21,33 @@ import org.apache.spark.sql.functions._
 object MlLsh {
 
   def knn(s: SparkSession, dir: String, k: Int = 5, nq: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val raw = Tables.embeddings(s, dir)
+    // Ingest validation (AnsiEdgeSpec): MLlib's Vector encoder asserts
+    // non-null elements and BucketedRandomProjectionLSH requires a uniform
+    // dimension, so null / null-element / ragged vectors must not reach the
+    // model. The dominant dimension is a config constant in production; when
+    // unspecified it is inferred here with one tiny mode aggregation (a
+    // single-row scalar, same class as SimilarityQueries.scala:173).
+    val dim = raw
+      .filter(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("d")).count()
+      .orderBy(col("count").desc, col("d")).head().getInt(0)
+    // localCheckpoint = a REQUIRED optimizer barrier, not a perf tweak:
+    // approxSimilarityJoin appends its own `isnotnull(hashFn(toVec(emb)))`
+    // filter, CombineFilters merges it with the validation filter above into
+    // ONE Filter node, and codegen's common-subexpression elimination then
+    // evaluates the (non-total) MLlib UDFs eagerly — defeating And
+    // short-circuit, so dirty rows would still reach the UDFs and throw.
+    // Checkpointing the validated frame truncates the lineage so the
+    // internal UDF filters can only ever see validated rows. (MLlib's LSH
+    // guide recommends caching the input before approxSimilarityJoin
+    // anyway; this materializes the same pass.)
+    val e = raw
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+      .localCheckpoint()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features")
       .setOutputCol("hashes")

@@ -38,6 +38,23 @@ object StreamingQueries {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
 
+  /** Typed event ingest for the stateful processors (st04/st05): rows
+    * without an event time are dropped (the production watermark path never
+    * admits event-time-less rows either) and a null measure is zero-filled —
+    * `Event`'s primitive `Long`/`Double` fields otherwise throw
+    * NOT_NULL_ASSERT_VIOLATION at the encoder on dirty input (AnsiEdgeSpec).
+    * Clean fixtures carry neither, so the batch-twin oracles are unaffected.
+    */
+  private def typedEventStream(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[EventStreams.Event] = {
+    import s.implicits._
+    eventStream(s, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull && col("user_id").isNotNull)
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+  }
+
   /** Runs a streaming frame to completion into a memory sink and returns
     * the final table. Aggregations use `complete` (final state == batch
     * result regardless of batch boundaries); stream-stream inner joins use
@@ -165,9 +182,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val events = eventStream(s, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .as[EventStreams.Event]
+        val events = typedEventStream(s, dir)
         val out = runToMemory(s,
           EventStreams.runningCounts(s, events).toDF("user_id", "n"),
           "st04_out", mode = "update")
@@ -194,10 +209,7 @@ object StreamingQueries {
         |FROM flagged
         |GROUP BY user_id
         |ORDER BY user_id""") { (s, dir) =>
-      import s.implicits._
-      val events = eventStream(s, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventStreams.Event]
+      val events = typedEventStream(s, dir)
       val out = runToMemory(s,
         EventStreams.statefulSessions(s, events).toDF(),
         "st05_out", mode = "append")

@@ -247,12 +247,15 @@ object TextQueries {
         |GROUP BY symbol_ok, len_ok, ttr_ok, long_doc
         |ORDER BY symbol_ok, len_ok, ttr_ok, long_doc""") { (s, dir) =>
       val toks = TextFunctions.tokens(col("text"))
+      // try_divide: empty/whitespace-only text has length 0 / zero tokens;
+      // the ratios become null (and the rule flags null) instead of an ANSI
+      // DIVIDE_BY_ZERO throw — clean rows are unaffected (AnsiEdgeSpec)
       Tables.documents(s, dir)
         .select(
-          r4((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * lit(1.0)
-            / length(col("text"))).as("symbol_frac"),
-          r4((length(col("text")) - size(toks) + 1) * lit(1.0) / size(toks)).as("mean_tok_len"),
-          r4(size(array_distinct(toks)) * lit(1.0) / size(toks)).as("ttr"),
+          r4(try_divide((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * lit(1.0),
+            length(col("text")))).as("symbol_frac"),
+          r4(try_divide((length(col("text")) - size(toks) + 1) * lit(1.0), size(toks))).as("mean_tok_len"),
+          r4(try_divide(size(array_distinct(toks)) * lit(1.0), size(toks))).as("ttr"),
           size(toks).as("n_tokens"))
         .select(
           (col("symbol_frac") <= 0.05).cast("int").as("symbol_ok"),
@@ -493,7 +496,7 @@ object TextQueries {
 
     sql(
       "p04_temperature_weights",
-      "temperature-scaled mixture weights (α=0.5, the multilingual/multi-source sampling flattener): per-source token mass n_t maps to weight √n_t, boosting low-resource sources relative to raw proportional sampling; the √ lands on a 1e6 integer grid and every later step is BIGINT division, so shares are engine-exact. Unlike ln (a06's one libm caveat), sqrt is IEEE-754 correctly rounded — the grid snap is engine-independent over the whole input domain, no enumeration needed. Scale posture: one keyed count + a one-row broadcast total; the weights table is dimension-sized",
+      "temperature-scaled mixture weights (α=0.5, the multilingual/multi-source sampling flattener): per-source token mass n_t maps to weight √n_t, boosting low-resource sources relative to raw proportional sampling; the √ lands on a 1e6 integer grid and every later step is integer division, so shares are engine-exact. Unlike ln (a06's one libm caveat), sqrt is IEEE-754 correctly rounded — the grid snap is engine-independent over the whole input domain, no enumeration needed. The ppm numerators (n_tokens×1e6, w_scaled×1e6) would overflow BIGINT at ~9.2e12 tokens — inside the advertised scale — so both engines widen the intermediate (Spark DECIMAL(38,0), DuckDB HUGEINT) before the integer divide; the quotient is ≤1e6 and lands back in BIGINT exactly. Scale posture: one keyed count + a one-row broadcast total; the weights table is dimension-sized",
       """WITH counts AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -503,8 +506,8 @@ object TextQueries {
         |        FROM counts),
         |tot AS (SELECT sum(w_scaled) AS t, sum(n_tokens) AS nt FROM wts)
         |SELECT source, n_docs, n_tokens, w_scaled,
-        |       CAST(n_tokens * 1000000 // nt AS BIGINT) AS raw_ppm,
-        |       CAST(w_scaled * 1000000 // t AS BIGINT) AS temp_ppm
+        |       CAST(CAST(n_tokens AS HUGEINT) * 1000000 // nt AS BIGINT) AS raw_ppm,
+        |       CAST(CAST(w_scaled AS HUGEINT) * 1000000 // t AS BIGINT) AS temp_ppm
         |FROM wts CROSS JOIN tot
         |ORDER BY source""") { (s, dir) =>
       val counts = Tables.documents(s, dir)
@@ -516,8 +519,8 @@ object TextQueries {
       val tot = wts.agg(sum("w_scaled").as("t"), sum("n_tokens").as("nt"))
       wts.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("w_scaled"),
-          expr("n_tokens * 1000000L div nt").as("raw_ppm"),
-          expr("w_scaled * 1000000L div t").as("temp_ppm"))
+          expr("(cast(n_tokens AS DECIMAL(38,0)) * 1000000 div nt)").as("raw_ppm"),
+          expr("(cast(w_scaled AS DECIMAL(38,0)) * 1000000 div t)").as("temp_ppm"))
         .orderBy("source")
     },
 

@@ -66,24 +66,19 @@ class AnsiEdgeSpec extends SparkSpec {
     d
   }
 
-  private val underTest = Seq(
-    // events: JSON/variant/map/window paths
-    "q60_tumbling_window", "q62_sessionization", "q63_event_dedup",
-    "q66_json_props", "q68_asof_attribution", "q69_map_columns",
-    "q71_gap_fill", "q73_variant_extract", "q80_interval_coverage",
-    // documents: tokenizer/hash/text-analysis paths
-    "t01_token_stats", "t03_language_id", "t04_quality_score",
-    "t08_bpe_token_count", "t09_edit_distance",
-    "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signature",
-    "d04_lsh_near_dups", "d05_simhash_pairs", "d07_rolling_fingerprint",
-    "d09_fuzzy_join", "p01_curation_pipeline", "p02_pii_redaction",
-    "p03_mixture_sampling", "p04_temperature_weights", "t14_bigram_lm",
-    // multimodal: binary/decode paths
-    "m01_binary_metadata", "m02_decode_features", "m03_frame_sampling",
-    "m05_resize_stub",
-    // embeddings: vector-kernel paths
-    "s01_knn_bruteforce", "s02_embedding_norms", "s05_zipwith_cosine",
-    "d06_embedding_sim_pairs", "d11_semantic_dedup", "s08_knn_ivf_select")
+  // Opt-OUT with reason (r6 verdict #6): every registry entry — including
+  // each future one — runs over the adversarial fixture by default; a query
+  // skips the sweep only with a documented reason here. Keeping enrollment
+  // automatic is the insurance that a new oracle-backed query can't ship
+  // with a latent ANSI throw the clean driver fixtures never exercise.
+  private val excluded: Map[String, String] = Map(
+    "tr00_pipeline_throughput" -> "input is the in-engine trade generator; reads no fixture table",
+    "tr01_trade_stats" -> "input is the in-engine trade generator; reads no fixture table",
+    "tr02_trade_roundtrip" -> "input is the in-engine trade generator; reads no fixture table",
+    "tr03_trade_display" -> "input is the in-engine trade generator; reads no fixture table")
+
+  private val underTest =
+    SparkEntry.registry.map(_.name).filterNot(excluded.contains)
 
   underTest.foreach { name =>
     test(s"$name executes over empty/null/ragged adversarial rows") {

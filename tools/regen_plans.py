@@ -10,8 +10,10 @@ rewrites one section per audited target query (streaming `st*_twin_*`
 rows are plan-assert-only and excluded from the document), and refreshes
 the audited-plan count in the footer.
 """
+import os
 import re
 import sys
+import tempfile
 
 
 def main(log_path: str) -> None:
@@ -45,16 +47,25 @@ def main(log_path: str) -> None:
                  "'== <query> :: <flags>' sections) — run "
                  "sbt \"runMain graft.PlanAudit --full\" to completion first")
 
+    m = re.search(r"across (\d+) audited plans", whitelist_line)
+    if m is None:
+        sys.exit(f"{log_path}: whitelist line found but its wording drifted "
+                 f"(no 'across N audited plans' in: {whitelist_line!r}) — "
+                 "update PlanAudit's println or this regex together")
+    n = m.group(1)
     header = open("PLANS.md").read().split("### ")[0].rstrip()
     parts = [header, ""]
     for name in order:
         flags, lines = plans[name]
         body = "\n".join(lines).rstrip()
         parts.append(f"### {name}\n\n`{flags}`\n\n```\n{body}\n```\n")
-    n = re.search(r"across (\d+) audited plans", whitelist_line).group(1)
     parts.append("Full-registry sweep: global-window whitelist OK (only q33 "
                  f"across {n}\naudited plans).")
-    open("PLANS.md", "w").write("\n".join(parts) + "\n")
+    # atomic replace: a crash mid-write must not truncate PLANS.md
+    fd, tmp = tempfile.mkstemp(dir=".", prefix=".PLANS.md.")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, "PLANS.md")
     print(f"PLANS.md: {len(order)} sections, {n} audited plans")
 
 
