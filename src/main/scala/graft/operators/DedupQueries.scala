@@ -653,19 +653,35 @@ object DedupQueries {
       // re-planning. All arithmetic stays on the 1e12 integer grid (Long
       // division truncates identically in Scala, Spark SQL and DuckDB for
       // the all-positive values here), so ranks remain bit-identical to the
-      // oracle. Measured r6: executor CPU 16-19 s (SQL) → 5-12 s (RDD);
-      // wall 4.3-4.6 s → ~2.4-4.1 s QueryTime steady-state, 3.5 s in the
-      // bench's standalone arbiter, 4.0 s in-bench best-of-2 (vs r5's 7.4).
+      // oracle.
+      // r7 reconciliation (fresh-JVM QueryTime, 4 takes): warm wall
+      // 4.0-4.8 s, warm executor 13.5-16.9 s, cpu 12.9-14.7 s. Two r6
+      // numbers were both artifacts: the "5-12 s executor" port-win claim
+      // came from a partially-warm JVM window (too low), and the 24.8 s
+      // final-arbiter reading inherited a JVM that had just run the full
+      // 125-query bench (too high; the arbiter now System.gc()s before
+      // each take). Honest statement: the RDD port's executor CPU is
+      // ≈ the SQL form's (13-17 s vs 16-19 s) — its real win is WALL
+      // (in-bench 7.4 → ~2.8-4.0 s) from building/partitioning the edge
+      // list once and keeping every round's join narrow.
+      import s.implicits._
+      import org.apache.spark.HashPartitioner
+      import org.apache.spark.storage.StorageLevel
       val e0 = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("long").as("c"),
           (col("l_suppkey").cast("long") + 1000000L).as("s"))
         .distinct()
+      // NOT persisted deliberately (r7): caching the symmetrized edge list
+      // looks like the obvious reuse win (it feeds the degree agg AND the
+      // edge⋈degree self-join), but a measured A/B showed the columnar
+      // cache build + cached-scan decode costs ~3× the recompute — warm
+      // executor CPU 13-17 s unpersisted vs 43-92 s persisted — because
+      // AQE's ReuseExchange already shares the one expensive shuffle under
+      // both consumers. The RDD-side persist of edgeRdd below (row format,
+      // loop-side) is the one that pays off.
       val edgesDf = e0.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-      import s.implicits._
-      import org.apache.spark.HashPartitioner
-      import org.apache.spark.storage.StorageLevel
       // Size the loop partitioner from cheap table-count upper bounds
       // (parquet row-count metadata): d08's ~1M-keys-per-partition rule at
       // scale, floored at 8 — unlike d08's ~500-row label sets, a round
