@@ -20,8 +20,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val targets = Seq(
-      "q01_pricing_summary", "q02_filter_project", "q05_local_supplier_volume",
-      "q30_topk_per_group", "q33_price_deciles",
+      "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+      "q05_local_supplier_volume", "q10_returned_items",
+      "q30_topk_per_group", "q33_price_deciles", "q65_top_purchasers",
       "q70_range_join", "q72_bloom_semi_join", "t10_tfidf", "d04_lsh_near_dups",
       "p01_curation_pipeline")
     // Skipped from the whole-registry sweep: queries that execute real jobs
@@ -48,10 +49,17 @@ object PlanAudit {
         q.name -> SparkEntry.queries(q.name)(spark, sfDir).queryExecution.executedPlan
       } ++ lazyTwins.map { case (n, df) => n -> df.queryExecution.executedPlan }).toMap
     val plans: Map[String, String] = targets.map(n => n -> allPlans(n).toString).toMap
+    // Non-empty PartitionFilters marker: "PartitionFilters: [" followed by
+    // anything but a closing bracket. Real only over the partitioned layout
+    // (graft.sources.Layout); the canonical single-file corpus always
+    // reports false here.
+    def partitionPruned(plan: String): Boolean =
+      """PartitionFilters: \[[^\]]""".r.findFirstIn(plan).isDefined
     targets.foreach { name =>
       val plan = plans(name)
       val flags = Seq(
         "PushedFilters: [" -> plan.contains("PushedFilters: ["),
+        "PartitionPruned" -> partitionPruned(plan),
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "WholeStageCodegen" -> plan.contains("*(")) // toString marks WSCG spans as *(n)
@@ -68,6 +76,24 @@ object PlanAudit {
     assert(plans("t10_tfidf").contains("BroadcastHashJoin") ||
       plans("t10_tfidf").contains("BroadcastNestedLoopJoin"), "t10 doc-count not broadcast")
     assert(targets.forall(plans(_).contains("*(")), "a target query lost whole-stage codegen")
+
+    // Partition-pruning audit (SURVEY §9 file-layout policy, r6 verdict #1):
+    // when the corpus is the partitioned multi-file layout, the queries that
+    // filter on a partition-dir column MUST show non-empty PartitionFilters —
+    // the scan then lists only the matching directories, which is the 100 TB
+    // partition-pruning claim executed instead of plan-inspected.
+    if (new java.io.File(s"$sfDir/customer.parquet").isDirectory) {
+      val pruned = Seq(
+        "q03_shipping_priority" -> "c_mktsegment",
+        "q10_returned_items" -> "l_returnflag",
+        "q65_top_purchasers" -> "event_type",
+        "p01_curation_pipeline" -> "lang")
+      pruned.foreach { case (n, c) =>
+        assert(partitionPruned(plans(n)),
+          s"$n: no PartitionFilters on $c over the partitioned layout:\n${plans(n)}")
+      }
+      println(s"partition pruning OK (${pruned.map(_._2).mkString(", ")})")
+    }
 
     // Global-window whitelist: a partition-less WindowExec is a
     // single-partition sort — the one plan shape that cannot scale. q33 is

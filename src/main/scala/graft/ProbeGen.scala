@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Nonlinearity-probe corpus: a K× replication of a fixture corpus with
+  * entity-disjoint replicas, for measuring how the scale-sensitive
+  * operators' cost grows with corpus size (r6 verdict #7 — a 10× corpus
+  * should cost ~10×, not 100×).
+  *
+  * Replication must not distort the workload's JOIN/DUP structure, only
+  * scale it — each replica is made DISJOINT from the others:
+  *   - ids (doc/event/user/order/cust/supp keys) are offset per replica, so
+  *     the g01/d08 graphs become K disjoint copies (linear work is then the
+  *     correct expectation) and per-user streaming state grows K×;
+  *   - document text gets a replica-salted prefix on every 5th token: every
+  *     10-token shingle window crosses a salted token, so MinHash/SimHash
+  *     similarity across replicas collapses to ~0 while pairs WITHIN a
+  *     replica keep their original similarity (the same positional salting
+  *     is applied to both members). Without this, d04's banded join would
+  *     see every band bucket grow K× denser and pair candidates K²× — a
+  *     data distortion, not an algorithmic nonlinearity.
+  *   - event timestamps are kept (densification: K× events per window),
+  *     which scales q71's per-user spine count and st06's key space
+  *     linearly with K.
+  *
+  * Usage: `sbt "runMain graft.ProbeGen <inDir> <outDir> <K>"`.
+  */
+object ProbeGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ProbeGen <inDir> <outDir> <K>")
+    val (inDir, outDir, k) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val off = 10000000L // replica id offset; far above any fixture key
+
+    def replicate(t: String)(perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$inDir/$t.parquet")
+      val out = (0 until k).map(i => perReplica(base, i)).reduce(_ unionAll _)
+      // single file per table, mirroring the canonical corpus layout (and
+      // st06's single-batch replay contract)
+      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      println(s"[probegen] $t x$k")
+    }
+
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * off))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            (tok, idx) => when(idx % 5 === 0, concat(lit(s"r${i}x"), tok)).otherwise(tok)), " "))
+    }
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off / 100)) // stays below the +1e6 node offset in g01
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+    }
+    // remaining tables copied as-is (dims; not on any probe query's path)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings")) {
+      spark.read.parquet(s"$inDir/$t.parquet")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      println(s"[probegen] $t copied")
+    }
+    println(s"[probegen] wrote ${k}x probe corpus: $inDir -> $outDir")
+    spark.stop()
+  }
+}

@@ -26,15 +26,25 @@ object StreamingQueries {
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
     // TIMESTAMP (not _ntz): withWatermark only accepts event time on
     // TIMESTAMP. Session TZ is UTC, so casting the result columns back to
     // timestamp_ntz (for the DuckDB compare) is an identity round-trip.
-    // Trailing glob: for a non-glob path FileStreamSource force-sets
-    // basePath to the path itself and then requires it to be a directory —
-    // events.parquet is a single file. A glob skips that, and partition
-    // inference falls back to the matched files' parent dir.
-    s.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    //
+    // Path shape depends on the corpus layout:
+    //  - canonical corpus: events.parquet is a single FILE. For a non-glob
+    //    path FileStreamSource force-sets basePath to the path itself and
+    //    then requires a directory, so a trailing glob is needed (partition
+    //    inference falls back to the matched files' parent dir).
+    //  - partitioned layout (graft.sources.Layout): events.parquet is a
+    //    DIRECTORY with event_type=... hive subdirs. Here the glob is what
+    //    breaks: it matches the leaf files w/o a basePath, so the reader
+    //    expects the partition column INSIDE the files and fails. The plain
+    //    directory path makes FileStreamSource discover partitions exactly
+    //    like the batch reader.
+    val src = if (new java.io.File(path).isDirectory) path else s"$path*"
+    s.readStream.schema(schema).parquet(src)
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
 

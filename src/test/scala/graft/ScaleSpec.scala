@@ -140,6 +140,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("file-layout fuzz: representative registry queries are bit-identical on the partitioned multi-file layout") {
+    // The file-layout axis of the same determinism claim: write the corpus
+    // through graft.sources.Layout (hive partition dirs, multiple bounded
+    // files, z-ordered lineitem) and require identical row sets. Columns
+    // are name-sorted because a partition column moves to the end of the
+    // read schema. Full-registry sweep: `runMain graft.LayoutCheck`
+    // (122/122 at sf0.001 AND sf0.01 in r7; a04/a05/q38 documented as
+    // layout-dependent by construction — sketch/sample paths with
+    // deterministic twins).
+    val layoutDir = Files.createTempDirectory("graft-layout").toString
+    graft.sources.Layout.writeLayout(spark, sf0001, layoutDir)
+    val names = Seq("q01_pricing_summary", "q62_sessionization", "a06_hll_replay",
+      "a08_cms_replay", "d04_lsh_near_dups", "p03_mixture_sampling",
+      "s08_knn_ivf_select", "q78_salted_agg", "q80_interval_coverage",
+      "u04_cdc_apply")
+    def canonical(n: String, dir: String): Seq[String] = {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val cs = df.columns.sorted.toSeq
+      df.select(cs.head, cs.tail: _*).collect().map(_.toString).sorted.toSeq
+    }
+    names.foreach { n =>
+      assert(canonical(n, layoutDir) == canonical(n, sf0001),
+        s"$n changed under the partitioned multi-file layout")
+    }
+  }
+
   test("sketch aggregators partial-aggregate map-side (CMS and HLL merge before the shuffle)") {
     // The 100 TB claim behind a06/a08 is that a rollup ships fixed-size
     // sketch state per group, not rows: the physical plan must show a
