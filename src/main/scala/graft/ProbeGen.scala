@@ -50,10 +50,26 @@ object ProbeGen {
     }
 
     replicate("documents") { (df, i) =>
+      // EVERY token is replica-salted: d04's LSH runs 16 bands × 2 rows,
+      // which catches j≈0.4 pairs with ~94% probability — an every-5th-token
+      // salt left 2/5 of the 3-gram shingles intact across replicas
+      // (j≈0.4), and the first probe run measured the resulting candidate
+      // explosion as a phantom 58× cpu "nonlinearity". Prefixing all
+      // tokens sends cross-replica similarity to 0 while keeping each
+      // replica's internal pair structure exactly isomorphic to the
+      // original (one shared prefix per replica shifts shingle VALUES,
+      // not their equality relations or counts).
       df.withColumn("doc_id", col("doc_id") + lit(i * off))
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
-            (tok, idx) => when(idx % 5 === 0, concat(lit(s"r${i}x"), tok)).otherwise(tok)), " "))
+            tok => concat(lit(s"r${i}x"), tok)), " "))
+    }
+    replicate("embeddings") { (df, i) =>
+      // label blocks are replica-local (+100·i): d08's candidate pairs are
+      // blocked on label equality, so identical vectors across replicas
+      // must not share a block (they'd form cosine-1.0 pairs, K²× growth)
+      df.withColumn("vec_id", col("vec_id") + lit(i * off))
+        .withColumn("label", col("label") + lit(i * 100))
     }
     replicate("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * off))
@@ -69,7 +85,7 @@ object ProbeGen {
         .withColumn("l_partkey", col("l_partkey") + lit(i * off))
     }
     // remaining tables copied as-is (dims; not on any probe query's path)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       spark.read.parquet(s"$inDir/$t.parquet")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       println(s"[probegen] $t copied")

@@ -682,39 +682,87 @@ object DedupQueries {
       // loop-side) is the one that pays off.
       val edgesDf = e0.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-      // Size the loop partitioner from cheap table-count upper bounds
-      // (parquet row-count metadata): d08's ~1M-keys-per-partition rule at
-      // scale, floored at 8 — unlike d08's ~500-row label sets, a round
-      // here moves ~|E| rows (~1M at sf0.1), and a single partition was
-      // measured to serialize the loop (wall ≈ executor CPU).
-      val nUpper = Tables.customer(s, dir).count() + Tables.supplier(s, dir).count()
+      // Size the loop partitioner by EDGE volume, not node count (r7): a
+      // round moves ~|E| rows, and |E| ≈ |lineitem| is the cheap upper
+      // bound (parquet row-count metadata). The r6 node-count rule
+      // (customer+supplier ≈ 160k → always the 8-partition floor) left the
+      // 10× nonlinearity probe at 8 partitions for 12M boxed edge tuples —
+      // per-partition working sets grew 10× and the loop went
+      // memory-bound (take-over-take cpu DEGRADED 640→981 s executor).
+      // ~250k edges per partition keeps the per-task working set flat as
+      // the corpus scales; clamped to [8, 1024] like d08.
+      val eUpper = Tables.lineitem(s, dir).count()
       val part = new HashPartitioner(
-        math.max(8L, math.min(1024L, nUpper / 1000000L)).toInt)
+        math.max(8L, math.min(1024L, eUpper / 250000L)).toInt)
       // Edge discovery AND the degree join (the data-heavy stages) run as
       // one DataFrame plan at ambient parallelism — Catalyst's codegen'd
       // hash join beats boxed RDD tuples for the bulk work. The result
       // lands keyed by src and hash-partitioned ONCE; the edge list never
       // moves again (at 100 TB: the edges shuffle once, not once per round).
+      //
+      // PRIMITIVE loop representation (r7): the 10× nonlinearity probe
+      // caught the generic pair-RDD form (nested boxed tuples +
+      // CoGroupedRDD joins) going memory-bound — 16 s → ~1200 s executor
+      // CPU for 10× edges, take-over-take DEGRADING, and insensitive to
+      // partition count: pure allocation/GC churn, the known reason GraphX
+      // keeps primitive arrays. Fix: (dst, degree) packs into ONE Long
+      // ((Long, Long) tuples are @specialized — no value boxing) and both
+      // per-round joins become zipPartitions over the co-partitioned RDDs
+      // with a value-specialized LongMap probe + local pre-combine —
+      // same partitioner alignment, same integer arithmetic, a fraction
+      // of the allocations. Measured warm: sf0.1 cpu 16.9 → 6.4-8.3 s
+      // (wall 4.9 → 2.3-2.8 s); 10× probe best-take cpu ~1120 → ~102 s.
+      // The residual ~16×-for-10×-data cpu at 7× wall is a single-JVM
+      // memory-subsystem ceiling (rank maps leave L2 while 24-32 tasks
+      // share one socket), not algorithmic — full analysis in README's
+      // nonlinearity-probe section.
+      val DegBits = 21 // degree < 2^21; node ids < 2^42 (guarded below)
+      val DegMask = (1L << DegBits) - 1
       val degDf = edgesDf.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
       val edgeRdd = edgesDf.join(degDf, "src")
         .select(col("src"), col("dst"), col("d")).as[(Long, Long, Long)].rdd
-        .map { case (src, dst, d) => (src, (dst, d)) }
+        .map { case (src, dst, d) =>
+          require(d <= DegMask && dst >= 0 && dst < (1L << (63 - DegBits)),
+            s"g01 pack overflow: dst=$dst d=$d")
+          (src, (dst << DegBits) | d)
+        }
         .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
       edgeRdd.count()
       // (node, degree), co-partitioned with the edges: narrow derivation
       // (keys already grouped by part), no extra shuffle.
-      val nodeDeg = edgeRdd.mapValues(_._2).reduceByKey(part, (a, _) => a)
+      val nodeDeg = edgeRdd.mapValues(_ & DegMask).reduceByKey(part, (a, _) => a)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = nodeDeg.count()
       val base = 150000000000L / n
       var ranks = nodeDeg.mapValues(_ => 1000000000000L / n) // r0, co-partitioned
       for (_ <- 1 to 2) {
-        val contrib = edgeRdd.join(ranks, part) // narrow: same partitioner
-          .map { case (_, ((dst, d), r)) => (dst, r / d) }
-          .reduceByKey(part, _ + _) // the round's ONE shuffle, map-side combined
-        // left join: dangling nodes (no in-edges this round) keep coalesce(0)
-        ranks = nodeDeg.leftOuterJoin(contrib, part)
-          .mapValues { case (_, m) => base + (85L * m.getOrElse(0L)) / 100L }
+        // contrib round: rank lookup is a narrow zipPartitions against the
+        // co-partitioned ranks (every src's rank lives in the same
+        // partition index), contributions pre-combine into a local
+        // LongMap, and the (dst, sum) spill is the round's ONE shuffle.
+        // preservesPartitioning=false is LOAD-BEARING: the emitted keys are
+        // dst (not this partition's src keys), so reduceByKey(part) must
+        // see no partitioner and shuffle — with true it would skip the
+        // exchange and leave partial sums uncombined in wrong partitions.
+        val contrib = edgeRdd.zipPartitions(ranks, preservesPartitioning = false) {
+          (es, rs) =>
+            val rank = scala.collection.mutable.LongMap.empty[Long]
+            rs.foreach { kv => rank(kv._1) = kv._2 }
+            val acc = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (src, packed) =>
+              val r = rank(src) // src always has a rank: both derive from edgeRdd keys
+              acc(packed >>> DegBits) = acc.getOrElse(packed >>> DegBits, 0L) + r / (packed & DegMask)
+            }
+            acc.iterator
+        }.reduceByKey(part, _ + _)
+        // rank update: contrib is part-partitioned by reduceByKey, so the
+        // dangling-node left join is also a narrow zipPartitions
+        ranks = nodeDeg.zipPartitions(contrib, preservesPartitioning = true) {
+          (ns, cs) =>
+            val m = scala.collection.mutable.LongMap.empty[Long]
+            cs.foreach { kv => m(kv._1) = kv._2 }
+            ns.map { kv => (kv._1, base + (85L * m.getOrElse(kv._1, 0L)) / 100L) }
+        }
       }
       // Materialize through a Dataset-level persist (covered by
       // `spark.catalog.clearCache()`), then drop the loop-side RDD blocks —

@@ -16,6 +16,7 @@ object SparkSpec {
       .master("local[8]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
