@@ -42,8 +42,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache, after which the JIT stops compiling and
   // late-registry row-loop-heavy queries run interpreted; 512m was raised
   // to 768m in r6 when the registry passed 110 codegen-heavy queries
-  // (suspected cause of the r5 in-window m01/m02 slowdowns)
-  "-XX:ReservedCodeCacheSize=768m",
+  // (suspected cause of the r5 in-window m01/m02 slowdowns), and made
+  // env-tunable in r7: benching over the PARTITIONED layout compiles a
+  // second family of scan/AQE codegen classes and 768m exhausts again —
+  // the signature is tr00 (which reads NO tables) going 0.85 s -> ~10 s
+  // wall late in the partitioned registry pass, twice reproduced.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m")}",
 )
 // Single-node IO isolation: put shuffle/spill files and the streaming
 // entries' temp checkpoints on tmpfs when the host has one. A r6 sweep

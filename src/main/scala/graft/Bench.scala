@@ -194,7 +194,7 @@ object Bench {
       "cpus" -> cpus,
       "driverMem" -> sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"),
       "localDir" -> sys.props.getOrElse("spark.local.dir", "default"),
-      "codeCache" -> "768m")
+      "codeCache" -> sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m"))
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"standalone":$standalone,"env":$envJson,"sf":"$sfDir"}""")
