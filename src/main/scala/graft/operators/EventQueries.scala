@@ -340,6 +340,40 @@ object EventQueries {
     },
 
     sql(
+      "q81_twap",
+      "time-weighted average (TWAP) per user — the time-series primitive for irregularly-sampled readings (sensor means, position-weighted prices): each reading's value is weighted by its holding duration (lead(ts) - ts; the final reading holds no time), computed entirely on integer grids — values snap to a 1e6 grid (floor(v*1e6+0.5), IEEE-identical in both engines), durations are exact integer micros, the weighted sum rides DECIMAL(38,0)/HUGEINT (the p04 widening pattern), and the final division is integer div — so TWAP replays bit-exactly. Single-reading users drop (zero holding time) in both engines. Scale posture: one user-keyed window + one keyed aggregation, no global sort; the 1e6-grid weighted sum overflows DECIMAL(38) only past ~1e38 micro-value-seconds per user",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT user_id, vs,
+        |             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur
+        |      FROM ev),
+        |agg AS (SELECT user_id,
+        |               sum(CAST(vs AS HUGEINT) * dur) AS num,
+        |               CAST(sum(dur) AS BIGINT) AS den
+        |        FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, den AS span_us, CAST(num // den AS BIGINT) AS twap_micro
+        |FROM agg WHERE den > 0
+        |ORDER BY user_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      ev.withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("vs").cast("decimal(38,0)") * col("dur")).as("num"),
+          sum(col("dur")).cast("long").as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("den").as("span_us"),
+          expr("num div den").as("twap_micro"))
+        .orderBy("user_id")
+    },
+
+    sql(
       "q80_interval_coverage",
       "interval union / coverage (gaps-and-islands): each event opens a 5-minute activity interval; overlapping intervals per user merge into islands via a running-max-end window, then per-user island count, total covered time, and longest island — the coverage-accounting primitive behind crawl-window dedup and per-source activity budgeting. All arithmetic is integer micros, so both engines agree bit-exactly. Scale posture: one user_id-keyed window (no global sort) + one keyed aggregation; at 100 TB the window partitions by user and AQE handles per-user skew",
       """WITH iv AS (

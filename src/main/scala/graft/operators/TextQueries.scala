@@ -525,6 +525,43 @@ object TextQueries {
     },
 
     sql(
+      "p05_train_split",
+      "deterministic stratified train/val/test split (98/1/1 per language stratum) — the corpus-split primitive next to decontamination (d10): docs rank by splitmix hash priority within their stratum and the split boundaries are exact integer division (rn <= n*98 div 100 -> train, <= n*99 div 100 -> val, else test), so every stratum's proportions are exact to the floor, retries/replicas assign identically with no RNG or layout dependence, and membership replays bit-exact in DuckDB HUGEINT. Output is the per-(lang, split) contract: doc count + a doc_id fold (sum mod 1000003, bounded). Scale posture: one per-stratum window (at 100 TB: per-stratum x hash-bucket bottom-k, merged exactly — the p03/a03 shape); the per-stratum size table is a broadcast. BIGINT bound: n*98 overflows past ~9.4e16 docs per stratum",
+      s"""WITH src AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 13L, "doc_id, lang")},
+        |sized AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY lang),
+        |ranked AS (SELECT lang, doc_id, pri,
+        |                  row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+        |           FROM ph4),
+        |tagged AS (SELECT r.lang, r.doc_id,
+        |                  CASE WHEN r.rn <= (s.n * 98) // 100 THEN 'train'
+        |                       WHEN r.rn <= (s.n * 99) // 100 THEN 'val'
+        |                       ELSE 'test' END AS split
+        |           FROM ranked r JOIN sized s USING (lang))
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id % 1000003) AS BIGINT) AS id_fold
+        |FROM tagged GROUP BY lang, split
+        |ORDER BY lang, split""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val src = Tables.documents(s, dir)
+        // null lang → a real stratum, not a dropped row (AnsiEdgeSpec)
+        .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"))
+        .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 13L))
+      val sized = src.groupBy("lang").agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+      src.withColumn("rn", row_number().over(w))
+        .join(broadcast(sized), "lang")
+        .withColumn("split",
+          when(col("rn") <= expr("n * 98 div 100"), lit("train"))
+            .when(col("rn") <= expr("n * 99 div 100"), lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("doc_id") % 1000003L).cast("long").as("id_fold"))
+        .orderBy("lang", "split")
+    },
+
+    sql(
       "p03_mixture_sampling",
       "deterministic weighted mixture construction: per-source sampling fraction fn/8 (fn = 2 + src_num % 3, the quality-tier weight), sample = the k_s = ceil(n_s*fn/8) docs with the smallest splitmix priority (PriorityHash64) — hash-priority sampling, so re-runs and retries pick identical docs with no RNG/partition-layout dependence; the oracle replays the mod-2^64 hash in DuckDB HUGEINT. Scale posture: one partitioned window per source (at 100 TB: per source × hash-bucket bottom-k, merged exactly — the a03 aggregator is that merge); the per-source size table is a broadcast",
       s"""WITH src AS (SELECT source, doc_id,
