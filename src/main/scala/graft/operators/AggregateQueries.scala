@@ -5,6 +5,7 @@ import graft.GraftQuery.{rowsOnly, sql}
 import graft.functions.Aggregators
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Custom-aggregate coverage: typed `Aggregator` UDAFs (top-k, reservoir)
@@ -145,6 +146,33 @@ object AggregateQueries {
           col("n_sample"),
           r4((col("est_p50") - col("exact_p50")) / col("exact_p50") * 100).as("rel_err_pct"))
         .orderBy("o_orderpriority")
+    },
+
+    sql(
+      "a09_weighted_median",
+      "exact weighted median (lower median: smallest value whose cumulative weight reaches ceil(W/2)) of l_quantity weighted by revenue cents per return flag — the robust-statistics primitive percentile() can't express. Deterministic by construction: weights pre-aggregate per (group, value) so the cumulative window never depends on intra-tie row order, weights are integer cents (floor(price*100+0.5), IEEE-identical), and the threshold is integer arithmetic. Scale posture: one keyed aggregation + a per-group window over the DISTINCT value domain (≤50 quantities here; at 100 TB the value domain per group stays small after the pre-aggregation, which is the point — the window never sees raw rows)",
+      """WITH wq AS (SELECT l_returnflag AS flag, l_quantity AS q,
+        |                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM wq GROUP BY flag),
+        |cum AS (SELECT flag, q, sum(w) OVER (PARTITION BY flag ORDER BY q) AS cw FROM wq)
+        |SELECT c.flag AS l_returnflag, min(c.q) AS weighted_median_qty
+        |FROM cum c JOIN tot t USING (flag)
+        |WHERE c.cw >= (t.tw + 1) // 2
+        |GROUP BY c.flag
+        |ORDER BY c.flag""") { (s, dir) =>
+      val wq = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("w"))
+      val tot = wq.groupBy("flag").agg(sum("w").as("tw"))
+      val cum = wq.withColumn("cw",
+        sum("w").over(Window.partitionBy("flag").orderBy("q")))
+      cum.join(broadcast(tot), "flag")
+        .filter(col("cw") >= expr("(tw + 1) div 2"))
+        .groupBy("flag")
+        .agg(min("q").as("weighted_median_qty"))
+        .select(col("flag").as("l_returnflag"), col("weighted_median_qty"))
+        .orderBy("l_returnflag")
     },
 
     sql(

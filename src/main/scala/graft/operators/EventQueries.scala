@@ -340,6 +340,69 @@ object EventQueries {
     },
 
     sql(
+      "q82_funnel",
+      "sessionized conversion funnel (the product-analytics staple): sessions form by 30-min inactivity gap (the q62 construction, event_id tie-broken), each session reports the stages it reached — viewed, clicked after viewing, purchased after clicking (stage order enforced on min event times; ties count as converted so the comparison is deterministic without sub-microsecond ordering) — and the funnel is the session count per reached stage. Integer/window logic only, engine-exact. Scale posture: two user-keyed windows + one keyed aggregation + a 4-row final rollup; no global sort of raw events",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id,
+        |         min(tus) FILTER (WHERE event_type = 'view') AS t_view,
+        |         min(tus) FILTER (WHERE event_type = 'click') AS t_click,
+        |         min(tus) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        |  FROM sessions GROUP BY user_id, session_id),
+        |staged AS (
+        |  SELECT CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view THEN 1 ELSE 0 END AS s2,
+        |         CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+        |                   AND t_purchase IS NOT NULL AND t_purchase >= t_click THEN 1 ELSE 0 END AS s3
+        |  FROM per_session)
+        |SELECT * FROM (
+        |  SELECT 'all_sessions' AS stage, CAST(count(*) AS BIGINT) AS n_sessions FROM staged
+        |  UNION ALL SELECT 'viewed', CAST(sum(s1) AS BIGINT) FROM staged
+        |  UNION ALL SELECT 'view_then_click', CAST(sum(s2) AS BIGINT) FROM staged
+        |  UNION ALL SELECT 'view_click_purchase', CAST(sum(s3) AS BIGINT) FROM staged)
+        |ORDER BY stage""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perSession = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp"))) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wc))
+        .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(when(col("event_type") === "view", col("tus"))).as("t_view"),
+          min(when(col("event_type") === "click", col("tus"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("tus"))).as("t_purchase"))
+      val staged = perSession.select(
+        when(col("t_view").isNotNull, 1).otherwise(0).as("s1"),
+        when(col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_click") >= col("t_view"), 1).otherwise(0).as("s2"),
+        when(col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_click") >= col("t_view") && col("t_purchase").isNotNull &&
+          col("t_purchase") >= col("t_click"), 1).otherwise(0).as("s3"))
+      staged.agg(count(lit(1)).cast("long").as("n")).select(lit("all_sessions").as("stage"), col("n").as("n_sessions"))
+        .unionAll(staged.agg(sum("s1").cast("long").as("n")).select(lit("viewed").as("stage"), col("n").as("n_sessions")))
+        .unionAll(staged.agg(sum("s2").cast("long").as("n")).select(lit("view_then_click").as("stage"), col("n").as("n_sessions")))
+        .unionAll(staged.agg(sum("s3").cast("long").as("n")).select(lit("view_click_purchase").as("stage"), col("n").as("n_sessions")))
+        .orderBy("stage")
+    },
+
+    sql(
       "q81_twap",
       "time-weighted average (TWAP) per user — the time-series primitive for irregularly-sampled readings (sensor means, position-weighted prices): each reading's value is weighted by its holding duration (lead(ts) - ts; the final reading holds no time), computed entirely on integer grids — values snap to a 1e6 grid (floor(v*1e6+0.5), IEEE-identical in both engines), durations are exact integer micros, the weighted sum rides DECIMAL(38,0)/HUGEINT (the p04 widening pattern), and the final division is integer div — so TWAP replays bit-exactly. Single-reading users drop (zero holding time) in both engines. Scale posture: one user-keyed window + one keyed aggregation, no global sort; the 1e6-grid weighted sum overflows DECIMAL(38) only past ~1e38 micro-value-seconds per user",
       """WITH ev AS (
