@@ -403,6 +403,60 @@ object EventQueries {
     },
 
     sql(
+      "q83_retention_cohorts",
+      "cohort retention matrix (the second product-analytics staple beside q82's funnel): users cohort by the UTC day of their first event, and each (cohort-day, day-offset) cell counts distinct users active that many days later. Day indices are pure integer arithmetic on epoch micros (epoch_us div 86400e6 — no date truncation or interval math that could diverge between engines) and cells are exact distinct counts. Scale posture: the raw table collapses to distinct (user, day) FIRST (the only pass over raw events), then a per-user min and a user-keyed join both run on day-grain rows — at 100 TB the join input is |users|×|active days|, not |events|",
+      """WITH am AS (SELECT DISTINCT user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |     FROM events WHERE ts IS NOT NULL),
+        |coh AS (SELECT user_id, min(d) AS cd FROM am GROUP BY user_id)
+        |SELECT CAST(c.cd AS BIGINT) AS cohort_epoch_day,
+        |       CAST(a.d - c.cd AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM am a JOIN coh c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""") { (s, dir) =>
+      val am = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"))
+        .distinct()
+      val coh = am.groupBy("user_id").agg(min("d").as("cd"))
+      am.join(coh, "user_id")
+        .groupBy(col("cd").as("cohort_epoch_day"), (col("d") - col("cd")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_epoch_day", "day_offset")
+    },
+
+    sql(
+      "q84_markov_transitions",
+      "first-order Markov transition matrix over per-user event sequences (session-modeling / anomaly-scoring primitive): consecutive event pairs (ordered by ts, event_id tie-broken) count into a from-type × to-type matrix, and each row also carries its transition probability in ppm — numerator widened through DECIMAL(38,0)/HUGEINT before the integer divide (the p04 pattern) so the matrix replays bit-exactly. Scale posture: one user-keyed window (lead) + one keyed count + a ppm normalization over the tiny |types|² matrix; raw events are never globally sorted",
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |       CAST(CAST(n_transitions AS HUGEINT) * 1000000
+        |            // sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM cnt
+        |ORDER BY from_type, to_type""") { (s, dir) =>
+      val seq = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("to_type"))
+      seq.filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p_ppm",
+          expr("cast(n_transitions AS DECIMAL(38,0)) * 1000000 div " +
+            "sum(n_transitions) OVER (PARTITION BY from_type)"))
+        .orderBy("from_type", "to_type")
+    },
+
+    sql(
       "q81_twap",
       "time-weighted average (TWAP) per user — the time-series primitive for irregularly-sampled readings (sensor means, position-weighted prices): each reading's value is weighted by its holding duration (lead(ts) - ts; the final reading holds no time), computed entirely on integer grids — values snap to a 1e6 grid (floor(v*1e6+0.5), IEEE-identical in both engines), durations are exact integer micros, the weighted sum rides DECIMAL(38,0)/HUGEINT (the p04 widening pattern), and the final division is integer div — so TWAP replays bit-exactly. Single-reading users drop (zero holding time) in both engines. Scale posture: one user-keyed window + one keyed aggregation, no global sort; the 1e6-grid weighted sum overflows DECIMAL(38) only past ~1e38 micro-value-seconds per user",
       """WITH ev AS (
