@@ -176,6 +176,47 @@ object AggregateQueries {
     },
 
     sql(
+      "a10_histogram",
+      "fixed-width histogram of order totals in integer cents (the data-profiling primitive): bucket = cents div $25,000-width — a stateless integer binning that needs NO global min/max pre-pass, so at 100 TB it is a single map-side-combinable keyed count (vs quantile-based binning which needs a distribution pass first). Bucket bounds are derived arithmetic, counts and per-bucket cent sums are exact integers. Empty buckets are absent by construction in both engines",
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000 AS bucket,
+        |                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |          FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket_id,
+        |       CAST(bucket * 2500000 AS BIGINT) AS lo_cents,
+        |       CAST((bucket + 1) * 2500000 AS BIGINT) AS hi_cents,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .withColumn("bucket_id", expr("cents div 2500000"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .select(col("bucket_id"), (col("bucket_id") * 2500000L).as("lo_cents"),
+          ((col("bucket_id") + 1) * 2500000L).as("hi_cents"), col("n_orders"), col("sum_cents"))
+        .orderBy("bucket_id")
+    },
+
+    sql(
+      "a11_mode",
+      "deterministic per-group mode (most frequent l_quantity per return flag, ties broken toward the smallest value): built-in mode()/max_by() leave tie order engine-defined, so this composes the a09 pre-aggregation — collapse to (group, value, count) first — with a row_number window ordered (count DESC, value ASC), making the answer unique and engine-exact. Scale posture: one map-side-combinable keyed count, then a window over the DISTINCT value domain per group (≤50 values here) — raw rows never reach the window",
+      """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS q, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT flag, q, n, row_number() OVER (PARTITION BY flag ORDER BY n DESC, q ASC) AS rn
+        |      FROM c)
+        |SELECT flag AS l_returnflag, q AS mode_qty, n AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY flag""") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy(col("n").desc, col("q").asc)))
+        .filter(col("rn") === 1)
+        .select(col("flag").as("l_returnflag"), col("q").as("mode_qty"), col("n").as("mode_count"))
+        .orderBy("l_returnflag")
+    },
+
+    sql(
       "a08_cms_replay",
       "deterministic Count-Min sketch (custom 4×256 Aggregator): the counter matrix is pure integer arithmetic on the seeded priority-hash family, so the DuckDB oracle replays counters AND the min-over-rows point estimates bit-exactly in HUGEINT — the frequency-estimation sketch (heavy hitters) beside a06's cardinality sketch. Probes are the top-8 true-frequency keys; overcount = est - truth is the sketch's signed error, ≥ 0 by construction. Scale posture: 8 KB state per group, elementwise-sum merge → map-side partial aggregation; the probe side is a TakeOrdered top-k, never a global sort",
       s"""WITH keys AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_suppkey IS NOT NULL),

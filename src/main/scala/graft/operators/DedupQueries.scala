@@ -778,6 +778,53 @@ object DedupQueries {
     },
 
     sql(
+      "g02_triangle_count",
+      "exact triangle counting with degree-ordered orientation (the clustering-coefficient / community-density primitive beside g01's centrality): the part co-purchase graph (distinct part pairs sharing an order; TPC-H caps lines per order at 7, so the per-order pair fan-out is bounded ≤21, never quadratic) is oriented from the (degree, id)-smaller endpoint to the larger — the classic trick that bounds every node's out-degree to O(√E), so the wedge join that dominates the cost is O(E^1.5) worst-case instead of sum-of-squared-degrees. Each triangle then appears as exactly ONE directed path a→b→c closed by a→c, making the count exact with no /3 correction or tuple dedup. Wholly oracle-replayed: counts are pure integers. Scale posture: edge build = one order-keyed self-join + distinct; orientation = two broadcast-sized degree joins; the wedge join and the closing semi-join are both edge-keyed shuffles",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
+        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
+        |        FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM ori e1
+        |        JOIN ori e2 ON e2.src = e1.dst
+        |        JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |vs  AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |               CAST(max(d) AS BIGINT) AS max_degree
+        |        FROM deg),
+        |es  AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+        |SELECT vs.n_nodes, es.n_edges, vs.max_degree, tri.n_triangles
+        |FROM vs CROSS JOIN es CROSS JOIN tri""") { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val a = li.toDF("ok", "u")
+      val b = li.toDF("ok", "v")
+      val pairs = a.join(b, a("ok") === b("ok") && col("u") < col("v"))
+        .select("u", "v").distinct()
+      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val ori = pairs
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"))
+      val e1 = ori.select(col("src").as("a1"), col("dst").as("b1"))
+      val e2 = ori.select(col("src").as("b2"), col("dst").as("c2"))
+      val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = e1.join(e2, col("b2") === col("b1"))
+        .join(e3, col("a3") === col("a1") && col("c3") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val vs = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
+      val es = pairs.agg(count(lit(1)).as("n_edges"))
+      vs.crossJoin(es).crossJoin(tri)
+        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    },
+
+    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

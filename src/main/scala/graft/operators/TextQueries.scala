@@ -495,6 +495,41 @@ object TextQueries {
     },
 
     sql(
+      "t15_posting_lists",
+      "inverted-index construction statistics (the search/retrieval-side primitive the tf-idf family feeds): per term, document frequency, total term frequency, and the head of the ascending-doc_id posting list — the top-30 terms by df (term tie-broken). The posting head comes from a row_number window over (term, doc_id) rows, NOT from collecting whole posting lists — per-group state is bounded at 5 rows regardless of df, which is the difference between an index build that survives a 100 TB corpus (df can reach |corpus|) and one that OOMs on the first stopword. All outputs are integers/strings — engine-exact",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+        |          FROM tf GROUP BY term),
+        |ranked AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |           FROM tf),
+        |heads AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting_head
+        |          FROM ranked WHERE rn <= 5 GROUP BY term)
+        |SELECT s.term, s.df, s.tf_total, h.posting_head
+        |FROM stats s JOIN heads h USING (term)
+        |ORDER BY s.df DESC, s.term
+        |LIMIT 30""") { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      val heads = tf
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("term").orderBy("doc_id")))
+        .filter(col("rn") <= 5)
+        .groupBy("term")
+        .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("posting_head"))
+      stats.join(heads, "term")
+        .orderBy(desc("df"), col("term"))
+        .limit(30)
+        .select("term", "df", "tf_total", "posting_head")
+    },
+
+    sql(
       "p04_temperature_weights",
       "temperature-scaled mixture weights (α=0.5, the multilingual/multi-source sampling flattener): per-source token mass n_t maps to weight √n_t, boosting low-resource sources relative to raw proportional sampling; the √ lands on a 1e6 integer grid and every later step is integer division, so shares are engine-exact. Unlike ln (a06's one libm caveat), sqrt is IEEE-754 correctly rounded — the grid snap is engine-independent over the whole input domain, no enumeration needed. The ppm numerators (n_tokens×1e6, w_scaled×1e6) would overflow BIGINT at ~9.2e12 tokens — inside the advertised scale — so both engines widen the intermediate (Spark DECIMAL(38,0), DuckDB HUGEINT) before the integer divide; the quotient is ≤1e6 and lands back in BIGINT exactly. Scale posture: one keyed count + a one-row broadcast total; the weights table is dimension-sized",
       """WITH counts AS (
