@@ -457,6 +457,40 @@ object EventQueries {
     },
 
     sql(
+      "q85_anomaly_zscore",
+      "per-user 2σ anomaly counts with the z-test done in EXACT integer arithmetic — the monitoring primitive without the float-boundary hazard: |v − μ| > 2σ is algebraically rearranged to (n·v − S)² > 4·(n·Q − S²) over 1e6-grid-snapped values (S = Σv, Q = Σv², both integers), so no division, sqrt, or float compare ever happens and a value sitting exactly on the threshold classifies identically in both engines. Intermediates ride DECIMAL(38,0)/HUGEINT (the p04 widening, squared terms reach ~1e24). Scale posture: one user-keyed aggregation for (n, S, Q) + a broadcast-back join to flag rows, then a second keyed count — no window, no sort over raw events",
+      """WITH g AS (
+        |  SELECT user_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |  FROM events WHERE value IS NOT NULL),
+        |stats AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(vs) AS BIGINT) AS s,
+        |         CAST(sum(CAST(vs AS HUGEINT) * vs) AS HUGEINT) AS q
+        |  FROM g GROUP BY user_id)
+        |SELECT g.user_id, min(st.n) AS n_events,
+        |       CAST(sum(CASE WHEN (CAST(st.n AS HUGEINT) * g.vs - st.s)
+        |                          * (CAST(st.n AS HUGEINT) * g.vs - st.s)
+        |                          > 4 * (st.n * st.q - CAST(st.s AS HUGEINT) * st.s)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM g JOIN stats st USING (user_id)
+        |GROUP BY g.user_id
+        |ORDER BY g.user_id""") { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      val stats = g.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum("vs").as("s"),
+        sum(expr("cast(vs AS DECIMAL(38,0)) * vs")).as("q"))
+      g.join(stats, "user_id")
+        .withColumn("dev", expr("cast(n AS DECIMAL(38,0)) * vs - s"))
+        .withColumn("is_anom",
+          expr("CASE WHEN dev * dev > 4 * (n * q - cast(s AS DECIMAL(38,0)) * s) THEN 1 ELSE 0 END"))
+        .groupBy("user_id")
+        .agg(min("n").as("n_events"), sum("is_anom").cast("long").as("n_anomalies"))
+        .orderBy("user_id")
+    },
+
+    sql(
       "q81_twap",
       "time-weighted average (TWAP) per user — the time-series primitive for irregularly-sampled readings (sensor means, position-weighted prices): each reading's value is weighted by its holding duration (lead(ts) - ts; the final reading holds no time), computed entirely on integer grids — values snap to a 1e6 grid (floor(v*1e6+0.5), IEEE-identical in both engines), durations are exact integer micros, the weighted sum rides DECIMAL(38,0)/HUGEINT (the p04 widening pattern), and the final division is integer div — so TWAP replays bit-exactly. Single-reading users drop (zero holding time) in both engines. Scale posture: one user-keyed window + one keyed aggregation, no global sort; the 1e6-grid weighted sum overflows DECIMAL(38) only past ~1e38 micro-value-seconds per user",
       """WITH ev AS (

@@ -664,6 +664,40 @@ object RelationalQueries {
             min("y").as("y_min"), max("y").as("y_max"))
           .orderBy("zcell")
       }
+    },
+
+    sql(
+      "q86_column_profile",
+      "single-pass column profiling of the orders table — the data-quality primitive every ingestion pipeline runs first: per column, exact null count and exact distinct cardinality, computed in ONE aggregation over the table (Spark's Expand handles the 6 simultaneous COUNT DISTINCTs; one pass over 100 TB, not six) and unpivoted to a row per column. All outputs are exact integers. At 100 TB the exact distincts would usually relax to approx_count_distinct — kept exact here because approximate sketches are engine-specific and this row must replay bit-exactly in the oracle (a06 carries the sketch variant)",
+      """WITH s AS (SELECT count(*) AS nr,
+        |  count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+        |  count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+        |  count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+        |  count(o_totalprice) AS c4, count(DISTINCT o_totalprice) AS d4,
+        |  count(o_orderdate) AS c5, count(DISTINCT o_orderdate) AS d5,
+        |  count(o_orderpriority) AS c6, count(DISTINCT o_orderpriority) AS d6
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, CAST(nr - c1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct FROM s
+        |  UNION ALL SELECT 'o_custkey', CAST(nr - c2 AS BIGINT), CAST(d2 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'o_orderstatus', CAST(nr - c3 AS BIGINT), CAST(d3 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'o_totalprice', CAST(nr - c4 AS BIGINT), CAST(d4 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'o_orderdate', CAST(nr - c5 AS BIGINT), CAST(d5 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'o_orderpriority', CAST(nr - c6 AS BIGINT), CAST(d6 AS BIGINT) FROM s)
+        |ORDER BY column_name""") { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("nr") +:
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(count(col(c)).as(s"c$i"), count_distinct(col(c)).as(s"d$i"))
+        }
+      val stackExpr = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', nr - c$i, d$i" }
+        .mkString(s"stack(${cols.size}, ", ", ", ")")
+      Tables.orders(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"$stackExpr AS (column_name, n_nulls, n_distinct)"))
+        .orderBy("column_name")
     }
   )
 }
