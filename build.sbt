@@ -48,7 +48,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the signature is tr00 (which reads NO tables) going 0.85 s -> ~10 s
   // wall late in the partitioned registry pass, twice reproduced.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m")}",
-)
+) ++
+  // Ad-hoc diagnostic flags for forked runs (e.g. -XX:+PrintCodeCache to
+  // check whether a bench pass actually exhausted the reserved cache) —
+  // space-separated, empty by default, never set in recorded benches
+  // unless noted in the artifact's env block.
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 // Single-node IO isolation: put shuffle/spill files and the streaming
 // entries' temp checkpoints on tmpfs when the host has one. A r6 sweep
 // measured st01's executor time halved (8.0 → 4.2 s; IO-blocked task

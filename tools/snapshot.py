@@ -23,7 +23,7 @@ import subprocess
 import sys
 
 ALWAYS = [
-    "BENCH_DETAIL.json", "LEAKCHECK.json", "COPYCHECK.json", "PLANS.md",
+    "BENCH_DETAIL.json", "BENCH_PARTITIONED.json", "LEAKCHECK.json", "COPYCHECK.json", "PLANS.md",
     "ADVICE.md", "VERDICT.md", "README.md", "PROGRESS.jsonl", "SNIPPETS.md",
     "BASELINE.md", "BASELINE.json", "FIXTURES.md",
 ]
