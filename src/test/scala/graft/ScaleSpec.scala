@@ -270,4 +270,26 @@ class ScaleSpec extends SparkSpec {
     assert(rows.take(5).forall(_._1 >= 1000000L),
       s"expected supplier hubs at the top, got ${rows.take(5).mkString(",")}")
   }
+
+  test("g02 triangle count: K4 counted exactly once per triangle, support filter drops rare pairs") {
+    // Hand-built graph independent of the DuckDB oracle: orders 1 and 2
+    // each buy parts {1,2,3,4} (every pair reaches support 2 → K4, whose
+    // 4 triangles each appear as exactly ONE oriented a→b→c path), order 3
+    // buys {5,6} once (support 1 → dropped), and part 7 appears alone
+    // (no pair at all).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g02spec").toString
+    Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 1L -> 4L,
+        2L -> 1L, 2L -> 2L, 2L -> 3L, 2L -> 4L,
+        3L -> 5L, 3L -> 6L, 4L -> 7L)
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("g02_triangle_count")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") == 4, s"n_nodes: $row")
+    assert(row.getAs[Long]("n_edges") == 6, s"n_edges: $row")
+    assert(row.getAs[Long]("max_degree") == 3, s"max_degree: $row")
+    assert(row.getAs[Long]("n_triangles") == 4, s"n_triangles (C(4,3)): $row")
+  }
 }
