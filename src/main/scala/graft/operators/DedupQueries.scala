@@ -819,6 +819,13 @@ object DedupQueries {
         .filter(col("sup") >= 2)
         .select("u", "v")
         .persist()
+      // Materialization barrier, not a driver-side result: the two
+      // BroadcastExchange threads and the probe-side job all launch
+      // together, and an un-populated cache makes each of them run the
+      // full fact-table pair build — measured 5× the whole query at 10×
+      // sf0.1. One count() fills the cache once; everything downstream
+      // reads ~4k cached rows.
+      pairs.count()
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))

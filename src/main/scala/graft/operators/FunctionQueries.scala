@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.GraftQuery.sql
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar-function library coverage: string, date, math, null-handling, and
@@ -178,6 +179,41 @@ object FunctionQueries {
               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
+    },
+
+    sql(
+      "q87_chi_square",
+      "χ² contingency analysis of order priority × status (the categorical-independence primitive behind feature selection and drift detection), with every cell's contribution computed in EXACT integer arithmetic: the textbook (O−E)²/E becomes (O·N − rt·ct)²·1e6 div (N·rt·ct) — observed counts, row/column totals and N are integers, the numerator rides DECIMAL(38,0)/HUGEINT (~1e26 worst-case here), and the per-cell floor makes the scaled contribution engine-exact (the χ²·1e6 total is the sum of well-defined cell terms, not a float accumulation). Expected counts reported on the same 1e6 grid. Scale posture: one keyed count over the fact table, then all totals derive from the tiny cell table (|priorities|×|statuses|) via broadcast-sized windows — N-row data is touched once",
+      """WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |                      CAST(count(*) AS BIGINT) AS o
+        |               FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT pri, st, o,
+        |               sum(o) OVER (PARTITION BY pri) AS rt,
+        |               sum(o) OVER (PARTITION BY st) AS ct,
+        |               sum(o) OVER () AS n
+        |        FROM cells)
+        |SELECT pri AS o_orderpriority, st AS o_orderstatus, o AS observed,
+        |       CAST(CAST(rt AS HUGEINT) * ct * 1000000 // n AS BIGINT) AS expected_scaled,
+        |       CAST((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |            * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |            * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS chi2_contrib_scaled
+        |FROM tot
+        |ORDER BY pri, st""") { (s, dir) =>
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+      cells
+        .withColumn("rt", sum("o").over(Window.partitionBy("pri")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("st")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+        .select(col("pri").as("o_orderpriority"), col("st").as("o_orderstatus"),
+          col("o").as("observed"),
+          expr("cast(rt AS DECIMAL(38,0)) * ct * 1000000 div n").as("expected_scaled"),
+          expr("""(cast(o AS DECIMAL(38,0)) * n - cast(rt AS DECIMAL(38,0)) * ct)
+                 |* (cast(o AS DECIMAL(38,0)) * n - cast(rt AS DECIMAL(38,0)) * ct)
+                 |* 1000000 div (cast(n AS DECIMAL(38,0)) * rt * ct)""".stripMargin)
+            .as("chi2_contrib_scaled"))
+        .orderBy("o_orderpriority", "o_orderstatus")
     },
 
     sql(
