@@ -70,6 +70,10 @@ object DedupQueries {
         posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
           .as(Seq("band", "key")))
     val banded = if (materialize) banded0.persist() else banded0
+    // Materialization barrier (the g02 lesson): the self-join's two leg
+    // stages submit concurrently, and against an unfilled cache each would
+    // run the minhash kernel — exactly what the persist is here to avoid.
+    if (materialize) banded.count()
     val candidates0 = banded
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("doc_id") < col("id_b"))
@@ -901,6 +905,9 @@ object DedupQueries {
     val ex0 = g.select(col("doc_id"), explode(col("grams")).as("gram"),
       size(col("grams")).as("n_grams"))
     val ex = if (materialize) ex0.persist() else ex0
+    // Materialization barrier (the g02 lesson): both leg stages submit
+    // concurrently and an unfilled cache would run the kernel per leg.
+    if (materialize) ex.count()
     val train = ex.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("train_id"), col("gram"), col("n_grams"))
     val eval_ = ex.filter(col("doc_id") % 50 === 0)

@@ -202,10 +202,14 @@ object FunctionQueries {
       val cells = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
         .agg(count(lit(1)).as("o"))
+      // N as a broadcast cross-join of the 1-row grand total, not a
+      // partition-less window: a global WindowExec is a single-partition
+      // sort (the shape PlanAudit forbids), while the cells table is tiny
+      // post-aggregation so the 1-row broadcast is free.
       cells
         .withColumn("rt", sum("o").over(Window.partitionBy("pri")))
         .withColumn("ct", sum("o").over(Window.partitionBy("st")))
-        .withColumn("n", sum("o").over(Window.partitionBy()))
+        .crossJoin(broadcast(cells.agg(sum("o").as("n"))))
         .select(col("pri").as("o_orderpriority"), col("st").as("o_orderstatus"),
           col("o").as("observed"),
           expr("cast(rt AS DECIMAL(38,0)) * ct * 1000000 div n").as("expected_scaled"),
