@@ -698,6 +698,148 @@ object RelationalQueries {
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(s"$stackExpr AS (column_name, n_nulls, n_distinct)"))
         .orderBy("column_name")
+    },
+
+    sql(
+      "q08_market_share",
+      "TPC-H Q8-shaped national market share: of all PROMO-part revenue sold to ASIA customers, the fraction supplied from EUROPE, per order year — the conditional-share-of-total pattern (CASE inside one sum, ratio of two exact-decimal sums). Scale posture: nation/region dims are fixed-cardinality broadcasts folded into supplier/customer before the fact joins; the fact shuffles once per join key and both sums come out of ONE aggregation, so the share costs no second pass",
+      s"""WITH nr AS (SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |         ${sraw(s"CASE WHEN snr.r_name = 'EUROPE' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS eu_rev,
+        |         ${sraw("l.l_extendedprice * (1 - l.l_discount)")} AS total_rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nr cnr ON c.c_nationkey = cnr.n_nationkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nr snr ON s.s_nationkey = snr.n_nationkey
+        |  WHERE cnr.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        |  GROUP BY order_year)
+        |SELECT order_year, floor((eu_rev / total_rev) * 1000000 + 0.5) / 1000000 AS mkt_share
+        |FROM vol ORDER BY order_year""") { (s, dir) =>
+      val nations = broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name")))
+      val supDim = Tables.supplier(s, dir)
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(nations.filter(col("r_name") === "ASIA"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(supDim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(dsum(when(col("supp_region") === "EUROPE", revCol).otherwise(0)).as("eu_rev"),
+          dsum(revCol).as("total_rev"))
+        .select(col("order_year"), r6(col("eu_rev") / col("total_rev")).as("mkt_share"))
+        .orderBy("order_year")
+    },
+
+    sql(
+      "q11_important_parts",
+      "TPC-H Q11-shaped important stock: parts whose lineitem revenue exceeds 1.5x the per-part average — the scalar-subquery-threshold HAVING pattern, with the threshold relative (avg of the same aggregation) so selectivity is scale-free. No partsupp table in this corpus, so part value = revenue (the Q11 shape — grouped value vs a global scalar — is what's exercised). Scale posture: one keyed aggregation over the fact plus a 1-row broadcast of the global scalar; the threshold join is free",
+      s"""WITH pv AS (SELECT l_partkey, ${sraw(revExpr)} AS value
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, floor(value * 100 + 0.5) / 100 AS part_value
+        |FROM pv
+        |WHERE value > 1.5 * (SELECT ${sraw(revExpr)} / count(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY l_partkey""") { (s, dir) =>
+      val pv = Tables.lineitem(s, dir)
+        .groupBy("l_partkey").agg(dsum(revCol).as("value"))
+      val thr = Tables.lineitem(s, dir)
+        .agg((dsum(revCol) / countDistinct(col("l_partkey"))).as("avg_value"))
+      pv.crossJoin(broadcast(thr))
+        .filter(col("value") > lit(1.5) * col("avg_value"))
+        .select(col("l_partkey"), r2(col("value")).as("part_value"))
+        .orderBy("l_partkey")
+    },
+
+    sql(
+      "q16_supplier_variety",
+      "TPC-H Q16-shaped supplier variety: distinct supplier count per (brand, type, size) over a size whitelist, excluding low-balance suppliers via NOT IN — the distinct-count-after-anti-join pattern. Scale posture: the exclusion list is a broadcast anti-join before the part join; COUNT DISTINCT shuffles once on the 3-part group key (Spark plans the distinct as a partial-dedup Expand, no second fact pass)",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") { (s, dir) =>
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 2000).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, dir).filter(col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    sql(
+      "q20_dominant_supplier",
+      "TPC-H Q20-shaped nested-subquery selection: suppliers who shipped a MAJORITY (>50%) of some rod-part's 1998 volume — suppkey IN (grouped subquery with a correlated share threshold), planned as aggregation + partitioned window + semi-join, never a fact self-join. No partsupp table, so availability is replaced by shipped-quantity dominance (the nested-IN + relative-threshold shape is what's exercised). Scale posture: the date filter is a pushed parquet range predicate, the rod filter prunes parts before the fact join, per-part totals ride a window over the already-partkey-partitioned aggregate (no second shuffle), and the final semi-join keys the small supplier table",
+      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM
+        |    (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty,
+        |            sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS tot
+        |     FROM lineitem
+        |     WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |       AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%')
+        |     GROUP BY l_partkey, l_suppkey)
+        |  WHERE qty > 0.5 * tot)
+        |ORDER BY s_suppkey""") { (s, dir) =>
+      val rods = Tables.part(s, dir)
+        .filter(col("p_name").like("%rod%")).select("p_partkey")
+      val dominant = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1998-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1999-01-01'"))
+        .join(rods, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty"))
+        .withColumn("tot", sum("qty").over(Window.partitionBy("l_partkey")))
+        .filter(col("qty") > lit(0.5) * col("tot"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    sql(
+      "q21_last_shipper",
+      "TPC-H Q21-shaped waiting-supplier count: per supplier, lines in finalized multi-supplier orders where NO other supplier shipped later — correlated EXISTS (semi-join) + NOT EXISTS with an inequality residual (anti-join), the double-correlated-self-join pattern (l_shipdate stands in for the receipt/commit columns this corpus lacks). Scale posture: all three lineitem legs and the order filter shuffle on l_orderkey, so the semi and anti joins reuse one exchange layout; at 100 TB the same answer is also computable in a single pass via per-order two-top shipdate window aggregates — the join form is kept because it is the shape under test",
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name""") { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      li.join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
     }
   )
 }
