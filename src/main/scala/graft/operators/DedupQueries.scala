@@ -35,6 +35,49 @@ object DedupQueries {
   private val As = Seq(1103L, 12289L, 52361L, 75377L, 9419L, 31847L, 60689L, 81919L)
   private val Bs = Seq(12345L, 98765L, 54321L, 13579L, 24680L, 86420L, 11111L, 77777L)
 
+  /** DuckDB HUGEINT replay of the fused ShingleMinHash band-key kernel
+    * (fnv1a over 0x1f-joined 3-gram shingles → 32 xor-multiply avalanche
+    * permutations → signed-long mins → fnv-fold 16×2 band keys), shared by
+    * the d04 and d13 oracles. Ends with the `keys(doc_id, band, key)` CTE;
+    * callers append their own CTEs after a comma. Pre-stripped — the sql()
+    * helper's stripMargin leaves these lines untouched.
+    */
+  private val bandKeySql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+      |           i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) AS s
+      |  FROM tok WHERE len(tk) >= 3),
+      |base AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |          list_transform(string_split(s,''), c -> CAST(ascii(c) AS HUGEINT))),
+      |          (a,c) -> (xor(a,c) * 1099511628211) % 18446744073709551616) AS b FROM sh),
+      |perm AS (SELECT doc_id, b, unnest(generate_series(0, 31)) AS j FROM base),
+      |m0 AS (SELECT doc_id, j, xor(b, (CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS x FROM perm),
+      |m1 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m0),
+      |m2 AS (SELECT doc_id, j, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m1),
+      |m3 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m2),
+      |m4 AS (SELECT doc_id, j, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m3),
+      |m5 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m4),
+      |sig AS (SELECT doc_id, j,
+      |          min(CAST(CASE WHEN x >= 9223372036854775808 THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS sv
+      |        FROM m5 GROUP BY doc_id, j),
+      |bk0 AS (SELECT doc_id, j // 2 AS band, j % 2 AS r,
+      |          CASE WHEN sv < 0 THEN CAST(sv AS HUGEINT) + 18446744073709551616 ELSE CAST(sv AS HUGEINT) END AS u
+      |        FROM sig),
+      |r0 AS (SELECT doc_id, band, xor(CAST(14695981039346656037 AS HUGEINT), u) AS x FROM bk0 WHERE r = 0),
+      |r0m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0),
+      |r0m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m1),
+      |r0m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0m2),
+      |r0m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m3),
+      |r0m5 AS (SELECT doc_id, band, xor(x, x >> 33) AS h FROM r0m4),
+      |r1 AS (SELECT a.doc_id, a.band, xor(a.h, b.u) AS x
+      |       FROM r0m5 a JOIN bk0 b ON b.doc_id = a.doc_id AND b.band = a.band AND b.r = 1),
+      |r1m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1),
+      |r1m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m1),
+      |r1m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1m2),
+      |r1m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m3),
+      |keys AS (SELECT doc_id, band, xor(x, x >> 33) AS key FROM r1m4)""".stripMargin
+
   /** Production near-dup path: MinHash(k=32) → LSH bands(16×2) → exact
     * Jaccard verification of colliding pairs.
     */
@@ -378,40 +421,7 @@ object DedupQueries {
     sql(
       "d04_lsh_near_dups",
       "MinHash+LSH near-duplicate pairs (banding join), Jaccard-verified. The fused kernel is pure mod-2^64 arithmetic (fnv1a over 0x1f-joined 3-gram shingles, xor-multiply avalanche per permutation, signed-long mins, fnv-fold band keys), so the oracle replays it in DuckDB HUGEINT — large multiplies split into 32-bit halves to stay inside INT128; SimilarityRecallSpec additionally asserts exact equality with all-pairs 3-gram Jaccard",
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
-        |           i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) AS s
-        |  FROM tok WHERE len(tk) >= 3),
-        |base AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |          list_transform(string_split(s,''), c -> CAST(ascii(c) AS HUGEINT))),
-        |          (a,c) -> (xor(a,c) * 1099511628211) % 18446744073709551616) AS b FROM sh),
-        |perm AS (SELECT doc_id, b, unnest(generate_series(0, 31)) AS j FROM base),
-        |m0 AS (SELECT doc_id, j, xor(b, (CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS x FROM perm),
-        |m1 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m0),
-        |m2 AS (SELECT doc_id, j, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m1),
-        |m3 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m2),
-        |m4 AS (SELECT doc_id, j, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM m3),
-        |m5 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m4),
-        |sig AS (SELECT doc_id, j,
-        |          min(CAST(CASE WHEN x >= 9223372036854775808 THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS sv
-        |        FROM m5 GROUP BY doc_id, j),
-        |bk0 AS (SELECT doc_id, j // 2 AS band, j % 2 AS r,
-        |          CASE WHEN sv < 0 THEN CAST(sv AS HUGEINT) + 18446744073709551616 ELSE CAST(sv AS HUGEINT) END AS u
-        |        FROM sig),
-        |r0 AS (SELECT doc_id, band, xor(CAST(14695981039346656037 AS HUGEINT), u) AS x FROM bk0 WHERE r = 0),
-        |r0m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0),
-        |r0m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m1),
-        |r0m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r0m2),
-        |r0m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r0m3),
-        |r0m5 AS (SELECT doc_id, band, xor(x, x >> 33) AS h FROM r0m4),
-        |r1 AS (SELECT a.doc_id, a.band, xor(a.h, b.u) AS x
-        |       FROM r0m5 a JOIN bk0 b ON b.doc_id = a.doc_id AND b.band = a.band AND b.r = 1),
-        |r1m1 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1),
-        |r1m2 AS (SELECT doc_id, band, (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m1),
-        |r1m3 AS (SELECT doc_id, band, xor(x, x >> 33) AS x FROM r1m2),
-        |r1m4 AS (SELECT doc_id, band, (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM r1m3),
-        |keys AS (SELECT doc_id, band, xor(x, x >> 33) AS key FROM r1m4),
+      s"""$bandKeySql,
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
         |grams AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
@@ -887,6 +897,38 @@ object DedupQueries {
           array_join(expr(
             "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
             " ").as("text_clean"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "d13_incremental_dedup",
+      "incremental batch-vs-corpus dedup — the daily-crawl primitive: an incoming batch (doc_id % 10 = 0 stands in for today's crawl) is LSH-checked against the EXISTING corpus (the rest) and only non-colliding docs survive; a doc too short to shingle has no band keys and always survives. Same fused HUGEINT minhash kernel as d04, so the whole decision replays bit-exactly in DuckDB. Scale posture: unlike d04's all-pairs-candidate self-join this is one semi-join of batch keys against corpus keys on (band, key) — at 100 TB the corpus side is the PRECOMPUTED band index read back from storage (append-only, written once per batch), so daily cost is batch-sized, not corpus-sized; the kernel here recomputes it only because the fixture has no index to read",
+      s"""$bandKeySql,
+        |collided AS (SELECT DISTINCT n.doc_id
+        |             FROM keys n JOIN keys o ON o.band = n.band AND o.key = n.key
+        |             WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+        |SELECT d.doc_id, d.source
+        |FROM documents d
+        |WHERE d.doc_id % 10 = 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val banded = docs
+        .select(col("doc_id"),
+          posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
+            .as(Seq("band", "key")))
+      // disjoint filters of one scan: each leg runs the kernel on its own
+      // subset, so total kernel work is one corpus pass (no persist needed)
+      val batchKeys = banded.filter(col("doc_id") % 10 === 0)
+      val corpusKeys = banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("band").as("o_band"), col("key").as("o_key"))
+      val collided = batchKeys
+        .join(corpusKeys, col("band") === col("o_band") && col("key") === col("o_key"),
+          "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 10 === 0)
+        .join(collided, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
         .orderBy("doc_id")
     }
   )

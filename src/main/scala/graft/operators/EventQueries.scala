@@ -597,6 +597,59 @@ object EventQueries {
       val first = ranked.filter(col("rn_asc") === 1).select(col("user_id"), col("event_type").as("first_type"))
       val last = ranked.filter(col("rn_desc") === 1).select(col("user_id"), col("event_type").as("last_type"))
       first.join(last, Seq("user_id")).orderBy("user_id")
+    },
+
+    sql(
+      "q88_ewma_smoothing",
+      "dyadic EWMA time-series smoothing: per user, an 8-tap exponentially-weighted moving average of the reading stream (halving weights 128,64,...,1 over the current + 7 preceding values), reported at each user's latest event — the standard sensor/price smoother, made engine-exact by keeping EVERYTHING integer: values snap to the q81 1e6 grid, the dyadic weights are integers, the weighted sum and the available-tap weight total are BIGINT, and the final normalization is integer div. Early rows with fewer than 8 taps normalize by the weights actually present. Scale posture: one user-keyed window computes all 8 lags in a single WindowExec pass (one shuffle, no iteration), the latest-row pick is a second frame over the same partitioning, and state per row is 8 BIGINTs regardless of series length",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |sm AS (
+        |  SELECT user_id, tus, event_id,
+        |         lag(vs, 0) OVER w AS v0, lag(vs, 1) OVER w AS v1,
+        |         lag(vs, 2) OVER w AS v2, lag(vs, 3) OVER w AS v3,
+        |         lag(vs, 4) OVER w AS v4, lag(vs, 5) OVER w AS v5,
+        |         lag(vs, 6) OVER w AS v6, lag(vs, 7) OVER w AS v7,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn_desc,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |wsum AS (
+        |  SELECT user_id, n_events,
+        |         coalesce(v0,0)*128 + coalesce(v1,0)*64 + coalesce(v2,0)*32 + coalesce(v3,0)*16
+        |           + coalesce(v4,0)*8 + coalesce(v5,0)*4 + coalesce(v6,0)*2 + coalesce(v7,0) AS num,
+        |         CASE WHEN v0 IS NULL THEN 0 ELSE 128 END + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |           + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+        |           + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+        |           + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END AS den
+        |  FROM sm WHERE rn_desc = 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(num // den AS BIGINT) AS ewma_micro
+        |FROM wsum ORDER BY user_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val dsc = Window.partitionBy("user_id").orderBy(col("tus").desc, col("event_id").desc)
+      val taps = (0 to 7).map(k => lag(col("vs"), k).over(w).as(s"v$k"))
+      val weights = (0 to 7).map(k => 1L << (7 - k))
+      val num = (0 to 7).map(k => coalesce(col(s"v$k"), lit(0L)) * weights(k))
+        .reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(col(s"v$k").isNull, 0L).otherwise(weights(k))).reduce(_ + _)
+      ev.select(col("user_id") +: col("tus") +: col("event_id") +: taps: _*)
+        .withColumn("rn_desc", row_number().over(dsc))
+        .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn_desc") === 1)
+        .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+          num.as("num"), den.as("den"))
+        .select(col("user_id"), col("n_events"),
+          expr("num div den").as("ewma_micro"))
+        .orderBy("user_id")
     }
   )
 }

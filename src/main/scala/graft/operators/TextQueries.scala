@@ -625,6 +625,39 @@ object TextQueries {
           floor((col("n_s") * (lit(2) + col("snum") % 3) + 7) / lit(8.0)).cast("long"))
         .select(col("source"), col("rn").cast("long").as("sample_rank"), col("doc_id"))
         .orderBy("source", "sample_rank")
+    },
+
+    sql(
+      "t16_mad_outliers",
+      "robust length-outlier detection per language — median absolute deviation (MAD), the outlier rule that (unlike the q85 z-score) a handful of giant documents cannot drag: per lang, median(n_chars), MAD = median(|n_chars - median|), and the count of docs beyond 2xMAD. Engine-exact because n_chars is integer and both engines interpolate the continuous median identically (midpoint of two integers is a dyadic rational, exact in a double — the q37 contract); |x-med| and the 2xMAD comparison are then exact IEEE ops. Scale posture: two lang-keyed exact-median aggregations with a broadcast join-back between them (medians of 100 TB per-group would relax to the q38 sketch; kept exact for oracle replay) — lang is low-cardinality so per-group state, not shuffle width, is the binding cost; a skewed lang would take the q78 salting treatment",
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+        |            FROM documents GROUP BY lang),
+        |dev AS (SELECT d.lang, d.n_chars, med.med_chars,
+        |               abs(d.n_chars - med.med_chars) AS ad
+        |        FROM documents d JOIN med ON d.lang = med.lang),
+        |mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad_chars FROM dev GROUP BY lang)
+        |SELECT dev.lang, count(*) AS n_docs,
+        |       floor(any_value(dev.med_chars) * 10000 + 0.5) / 10000 AS med_chars,
+        |       floor(any_value(mad.mad_chars) * 10000 + 0.5) / 10000 AS mad_chars,
+        |       CAST(sum(CASE WHEN dev.ad > 2 * mad.mad_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.lang = mad.lang
+        |GROUP BY dev.lang
+        |ORDER BY dev.lang""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+      val med = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("ad", abs(col("n_chars") - col("med_chars")))
+      val mad = dev.groupBy("lang")
+        .agg(expr("percentile(ad, 0.5)").as("mad_chars"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          r4(first(col("med_chars"))).as("med_chars"),
+          r4(first(col("mad_chars"))).as("mad_chars"),
+          sum(when(col("ad") > lit(2) * col("mad_chars"), 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy("lang")
     }
   )
 }

@@ -244,6 +244,61 @@ object WindowQueries {
         .select(col("g").as("o_orderpriority"), col("n"), col("top_decile_n"),
           col("p90_threshold"))
         .orderBy("o_orderpriority")
+    },
+
+    sql(
+      "q89_share_of_parent",
+      "hierarchical percent-of-parent over ROLLUP(region, nation): order revenue at nation grain with each nation's share of its region, region rows with their share of the grand total, and the grand-total row at share 1 — the drill-down report pattern (rollup produces all levels in ONE aggregation; shares come from joining each level to its parent level, never re-scanning the fact). Scale posture: the fact aggregates once; the rollup output is dimension-sized (31 rows here, bounded by |region|x|nation| always), so every parent join is a broadcast and share arithmetic is free",
+      """WITH rl AS (
+        |  SELECT r_name, n_name,
+        |         CAST(GROUPING(r_name) AS INT) AS gr, CAST(GROUPING(n_name) AS INT) AS gn,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY ROLLUP(r_name, n_name)),
+        |tot AS (SELECT rev AS total_rev FROM rl WHERE gr = 1 AND gn = 1),
+        |regions AS (SELECT r_name, rev AS region_rev FROM rl WHERE gr = 0 AND gn = 1)
+        |SELECT rl.r_name, rl.n_name, floor(rl.rev * 100 + 0.5) / 100 AS revenue,
+        |       floor((rl.rev / regions.region_rev) * 1000000 + 0.5) / 1000000 AS share_of_parent
+        |FROM rl JOIN regions ON rl.r_name = regions.r_name WHERE rl.gn = 0
+        |UNION ALL
+        |SELECT r_name, NULL, floor(rev * 100 + 0.5) / 100,
+        |       floor((rev / total_rev) * 1000000 + 0.5) / 1000000
+        |FROM rl, tot WHERE gr = 0 AND gn = 1
+        |UNION ALL
+        |SELECT NULL, NULL, floor(total_rev * 100 + 0.5) / 100, CAST(1.0 AS DOUBLE) FROM tot
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (s, dir) =>
+      val rl = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        // Column-overload rollup: the String-varargs form re-resolves its
+        // keys through the Dataset plan-id path and falsely flags a
+        // multi-join child as an ambiguous self-join (Spark 4.1).
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        // level flags from null-ness, not grouping(): region/nation names are
+        // never null in the dims, and grouping(col) after a multi-join child
+        // trips Spark's ambiguous-self-join resolver (the col resolves into
+        // the pre-rollup child). Matches the oracle's GROUPING() exactly
+        // because no data-level NULL exists in either key.
+        .withColumn("gr", when(col("r_name").isNull, 1).otherwise(0))
+        .withColumn("gn", when(col("n_name").isNull, 1).otherwise(0))
+      // Parent lookup as partitioned windows over the dimension-sized rollup
+      // output (no self-join, no second fact pass): each nation partition
+      // (r_name) contains its region subtotal row, and the gn=1 partition
+      // contains the grand-total row.
+      rl.withColumn("region_rev",
+          max(when(col("gn") === 1, col("rev"))).over(Window.partitionBy("r_name")))
+        .withColumn("total_rev",
+          max(when(col("gr") === 1, col("rev"))).over(Window.partitionBy("gn")))
+        .select(col("r_name"), col("n_name"), r2(col("rev")).as("revenue"),
+          when(col("gn") === 0, r6(col("rev") / col("region_rev")))
+            .when(col("gr") === 0 && col("gn") === 1, r6(col("rev") / col("total_rev")))
+            .otherwise(lit(1.0)).as("share_of_parent"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }
   )
 }
