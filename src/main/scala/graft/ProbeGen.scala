@@ -72,7 +72,10 @@ object ProbeGen {
         .withColumn("label", col("label") + lit(i * 100))
     }
     replicate("events") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * off))
+      // normalize ts to the canonical timestamp_ntz form so the probe corpus
+      // is encoding-stable regardless of the source corpus generation
+      graft.sources.Tables.normalizeEventTs(df)
+        .withColumn("event_id", col("event_id") + lit(i * off))
         .withColumn("user_id", col("user_id") + lit(i * off))
     }
     replicate("orders") { (df, i) =>

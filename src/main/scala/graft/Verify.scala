@@ -21,6 +21,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema-drift tripwire: name the drifted column up front instead of
+    // letting 30 queries die with DATATYPE_MISMATCH (round-7 failure mode).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val drift = graft.sources.FixtureContract.diff(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("[verify] SCHEMA DRIFT vs FIXTURES.md contract:")
+      drift.foreach(l => System.err.println(s"[verify]   $l"))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()

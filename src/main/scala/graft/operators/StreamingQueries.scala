@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** Bounded streaming read of `events.parquet` with the same
-    * nano-timestamp handling as [[graft.sources.Tables.events]].
+  /** Bounded streaming read of `events.parquet` with the same event-time
+    * normalization as the batch path — [[graft.sources.Tables.normalizeEventTs]]
+    * handles whichever `ts` encoding the current corpus generation used
+    * (legacy INT64 nanos, timestamp, or timestamp_ntz).
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,8 +46,8 @@ object StreamingQueries {
     //    directory path makes FileStreamSource discover partitions exactly
     //    like the batch reader.
     val src = if (new java.io.File(path).isDirectory) path else s"$path*"
-    s.readStream.schema(schema).parquet(src)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    graft.sources.Tables.normalizeEventTs(s.readStream.schema(schema).parquet(src))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Typed event ingest for the stateful processors (st04/st05): rows

@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   * Small dims (region/nation/supplier/part) stay single-file — partitioning
   * a 5-row table into directories only costs listing round-trips.
   *
-  * `events.parquet` is read with the nanos-as-long flag and re-written as a
-  * plain INT64 column: byte-identical values, but the TIMESTAMP(NANOS)
-  * annotation is dropped (Spark cannot write it). `Tables.events` converts
-  * from the long either way, so engine queries are unaffected; only
-  * DuckDB-side casts differ, which is why layout equivalence is gated by
-  * [[graft.LayoutCheck]]'s Spark-vs-Spark compare instead of the SQL oracle.
+  * `events.parquet` is rewritten through [[Tables.normalizeEventTs]] so the
+  * layout corpus always stores the canonical `timestamp_ntz` (µs) form, no
+  * matter which `ts` encoding the source corpus generation used (legacy
+  * INT64 nanos vs timestamp[us] — both have shipped). `Tables.events` is a
+  * no-op on the read-back, so engine queries are unaffected; only DuckDB-side
+  * casts can differ for a nanos source, which is why layout equivalence is
+  * gated by [[graft.LayoutCheck]]'s Spark-vs-Spark compare instead of the
+  * SQL oracle.
   */
 object Layout {
 
@@ -62,7 +64,8 @@ object Layout {
   def writeLayout(spark: SparkSession, inDir: String, outDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach { t =>
-      val df = spark.read.parquet(s"$inDir/$t.parquet")
+      val raw = spark.read.parquet(s"$inDir/$t.parquet")
+      val df = if (t == "events") Tables.normalizeEventTs(raw) else raw
       val (partCol, recordsPerFile) = policy(t)
       val prepared: DataFrame = t match {
         case "lineitem" =>

@@ -24,22 +24,46 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects by default. We read nanos as long (legacy flag)
-    * and convert to `timestamp_ntz` (session TZ is UTC, matching the naive
-    * nanosecond timestamps DuckDB sees), truncating ns → µs exactly like
-    * DuckDB's `CAST(ts AS TIMESTAMP)`.
+  /** Normalizes the `ts` event-time column to `timestamp_ntz` regardless of
+    * how the corpus generation encoded it. The driver has shipped `events.ts`
+    * as INT64 TIMESTAMP(NANOS) (read as long under the legacy flag) and as
+    * plain `timestamp[us]` (read as TIMESTAMP_NTZ) across regenerations, and
+    * TESTDATA.md says the corpus may be regenerated at any time — so the
+    * engine tolerates every encoding permanently, branching on the LOADED
+    * type rather than hard-coding one layout:
     *
-    * Deliberate session-level side effect: `nanosAsLong` is an SQLConf, not
-    * a per-reader option, so this flips it for the whole session. In this
-    * engine `events` is the only nano-timestamped input, and the flag is
-    * harmless for non-nano reads; a mixed-precision deployment would set it
-    * at session build and convert each nano column explicitly as done here.
+    *   - `LongType`          → legacy nanos-as-long; truncate ns → µs exactly
+    *                           like DuckDB's `CAST(ts AS TIMESTAMP)`
+    *   - `TimestampNTZType`  → already the canonical form; no-op
+    *   - `TimestampType`     → session TZ is UTC, so the cast is an identity
+    *                           re-tag, not a wall-clock shift
+    *
+    * Every ingest site (batch [[events]], the streaming reader, the layout
+    * rewriter, the probe-corpus generator, test fixtures) MUST route through
+    * this one helper; round 7 lost 30 queries to two sites duplicating the
+    * nanos assumption when the corpus silently moved to µs.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case Some(TimestampNTZType) => df
+      case Some(TimestampType) => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected INT64 nanos, timestamp, or timestamp_ntz; " +
+          "corpus schema drifted again? See FIXTURES.md and Tables.normalizeEventTs.")
+    }
+  }
+
+  /** Loads `events` with [[normalizeEventTs]] applied. The legacy
+    * `nanosAsLong` SQLConf stays set so that a corpus regenerated with
+    * TIMESTAMP(NANOS) (as in rounds ≤6) still loads instead of being
+    * rejected by the vectorized reader; the flag is a no-op for µs files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    normalizeEventTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

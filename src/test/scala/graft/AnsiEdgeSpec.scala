@@ -16,9 +16,24 @@ import org.apache.spark.sql.Row
   */
 class AnsiEdgeSpec extends SparkSpec {
 
+  /** Tables whose adversarial build threw. A failed table falls back to its
+    * CLEAN copy so only the one dedicated tripwire test below goes red —
+    * round 7's lesson: a stale events fixture once took down 143 tests for
+    * queries that never read events.
+    */
+  private val fixtureErrors = scala.collection.mutable.Map[String, Throwable]()
+
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-ansi").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def buildTable(t: String)(build: => Unit): Unit =
+      try build catch {
+        case e: Throwable =>
+          fixtureErrors(t) = e
+          spark.read.parquet(s"$sf0001/$t.parquet")
+            .write.mode("overwrite").parquet(s"$d/$t.parquet")
+      }
 
     for (t <- graft.sources.Tables.names
          if !Set("documents", "events", "embeddings").contains(t))
@@ -28,42 +43,59 @@ class AnsiEdgeSpec extends SparkSpec {
     // documents: empty text, null text, null lang/source, whitespace-only
     // text (split() yields empty tokens). 9002 % 3 == 2 → lands on the
     // m03 "video" branch with a sub-frame payload.
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val advDocs = spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(9001L, "", "en", "web", 0L),
-        Row(9002L, "a", null, "web", 1L),
-        Row(9003L, "  double  spaces ", "xx", null, 17L),
-        Row(9004L, null, "en", "web", 0L),
-        Row(9005L, " ", "en", "web", 1L)),
-      docs.schema)
-    docs.unionByName(advDocs).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    buildTable("documents") {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val advDocs = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(9001L, "", "en", "web", 0L),
+          Row(9002L, "a", null, "web", 1L),
+          Row(9003L, "  double  spaces ", "xx", null, 17L),
+          Row(9004L, null, "en", "web", 0L),
+          Row(9005L, " ", "en", "web", 1L)),
+        docs.schema)
+      docs.unionByName(advDocs).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
 
-    // events (raw nanos-as-long layout): garbage JSON, empty JSON (missing
-    // $.k), null props, null value, null ts, null event_type
-    val events = spark.read.parquet(s"$sf0001/events.parquet")
-    val advEvents = spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(99001L, 1700000000000000000L, 9001L, "click", null, "not json"),
-        Row(99002L, 1700000001000000000L, 9001L, "purchase", 1.5, "{}"),
-        Row(99003L, null, 9002L, null, 2.5, null),
-        // valid JSON whose $.k is NOT numeric: ANSI cast(string AS long)
-        // throws, so extract-and-cast paths need try_cast semantics
-        Row(99004L, 1700000002000000000L, 9002L, "click", 3.5, "{\"k\": \"abc\"}")),
-      events.schema)
-    events.unionByName(advEvents).write.mode("overwrite").parquet(s"$d/events.parquet")
+    // events: garbage JSON, empty JSON (missing $.k), null props, null
+    // value, null ts, null event_type. Rows are built against the
+    // NORMALIZED frame (Tables.normalizeEventTs → ts: timestamp_ntz,
+    // LocalDateTime values) so the fixture survives corpus `ts` encoding
+    // changes — the raw-long layout baked in here is what wiped r7.
+    buildTable("events") {
+      val events = graft.sources.Tables.events(spark, sf0001)
+      val t0 = java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20)
+      val advEvents = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(99001L, t0, 9001L, "click", null, "not json"),
+          Row(99002L, t0.plusSeconds(1), 9001L, "purchase", 1.5, "{}"),
+          Row(99003L, null, 9002L, null, 2.5, null),
+          // valid JSON whose $.k is NOT numeric: ANSI cast(string AS long)
+          // throws, so extract-and-cast paths need try_cast semantics
+          Row(99004L, t0.plusSeconds(2), 9002L, "click", 3.5, "{\"k\": \"abc\"}")),
+        events.schema)
+      events.unionByName(advEvents).write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
 
     // embeddings: empty vector, null vector, null element, ragged length
-    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val advEmb = spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(99001L, Seq.empty[java.lang.Float], 0),
-        Row(99002L, null, 1),
-        Row(99003L, Seq[java.lang.Float](1.0f, null, 2.0f), 2),
-        Row(99004L, Seq[java.lang.Float](1.0f, 2.0f), 3)),
-      emb.schema)
-    emb.unionByName(advEmb).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    buildTable("embeddings") {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val advEmb = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(99001L, Seq.empty[java.lang.Float], 0),
+          Row(99002L, null, 1),
+          Row(99003L, Seq[java.lang.Float](1.0f, null, 2.0f), 2),
+          Row(99004L, Seq[java.lang.Float](1.0f, 2.0f), 3)),
+        emb.schema)
+      emb.unionByName(advEmb).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
     d
+  }
+
+  test("adversarial fixture builds cleanly for every table") {
+    dir // force the build
+    assert(fixtureErrors.isEmpty,
+      s"adversarial fixture fell back to clean data for: " +
+        fixtureErrors.map { case (t, e) => s"$t (${e.getMessage})" }.mkString("; "))
   }
 
   // Opt-OUT with reason (r6 verdict #6): every registry entry — including
