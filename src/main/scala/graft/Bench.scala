@@ -62,12 +62,19 @@ object Bench {
     // whichever query first exercises each path.
     locally {
       import org.apache.spark.sql.expressions.Window
+      // FULL-width, FULL-table scan (no limit): r7 measured q01 at 7.95 s
+      // in-bench vs 2.28 s standalone purely because the first timed query
+      // paid the cold read of lineitem.parquet (OS page cache + dictionary
+      // decode) that a limit(50000) warmup truncated away. One untimed
+      // noop scan of the two large fact tables moves that cost here.
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .limit(50000)
+      li.write.format("noop").mode("overwrite").save()
+      graft.sources.Tables.events(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       li.groupBy("l_returnflag")
         .agg(org.apache.spark.sql.functions.sum(col("l_quantity").cast("decimal(24,6)")).cast("double").as("s"))
         .write.format("noop").mode("overwrite").save()
-      li.withColumn("rn", row_number().over(
+      li.limit(50000).withColumn("rn", row_number().over(
           Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
         .write.format("noop").mode("overwrite").save()
       val trades = graft.sources.TradeSource.trades(spark, 50000L).toDF()

@@ -122,7 +122,11 @@ object DedupQueries {
       .filter(col("doc_id") < col("id_b"))
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
-    val candidates = if (materialize) candidates0.persist() else candidates0
+    // coalesce before persist (the g02 r8 lesson): cached plans keep their
+    // materialized partitioning, so the ~dozens-of-rows candidate set would
+    // cache as 32 near-empty shuffle partitions and charge every downstream
+    // join a full round of empty tasks.
+    val candidates = if (materialize) candidates0.coalesce(1).persist() else candidates0
     // shingle sets only for documents appearing in some candidate pair, so
     // the exact-Jaccard verification cost scales with candidates, not corpus
     val candIds = candidates
@@ -793,7 +797,7 @@ object DedupQueries {
 
     sql(
       "g02_triangle_count",
-      "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list, broadcast-joined so the wedge stream never shuffles",
+      "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list via two-phase SHUFFLE wedge joins — O(wedges) 16-byte shuffle rows, no broadcast of E, valid at any edge-list size",
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
@@ -822,6 +826,16 @@ object DedupQueries {
       // equivalent self-join SQL. persist: this one expensive pass feeds
       // four branches (deg, ori rebuilds, edge count, wedge probes);
       // post-threshold it is ~4k rows. Query runners clearCache() after.
+      // coalesce(4) before persist: cached plans keep their materialized
+      // partitioning (AQE's shuffle coalescing does not apply to cache
+      // scans — spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // is off by default), so without it the ~4k-row edge list caches as
+      // 32 near-empty partitions and EVERY downstream stage pays 32 tasks
+      // of pure scheduling overhead — measured as the bulk of r7's 164 s
+      // executor blowup (the wedge join itself is 384 rows). 4 partitions
+      // is sized to the support-thresholded graph at bench scale; at
+      // production scale the thresholded edge list is still orders below
+      // the fact table, and the right knob is partitions ≈ edges / 4M.
       val pairs = Tables.lineitem(s, dir)
         .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("ps"))
         .select(explode(expr(
@@ -832,32 +846,40 @@ object DedupQueries {
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select("u", "v")
+        .coalesce(4)
         .persist()
-      // Materialization barrier, not a driver-side result: the two
-      // BroadcastExchange threads and the probe-side job all launch
-      // together, and an un-populated cache makes each of them run the
-      // full fact-table pair build — measured 5× the whole query at 10×
-      // sf0.1. One count() fills the cache once; everything downstream
-      // reads ~4k cached rows.
+      // Materialization barrier, not a driver-side result: downstream
+      // branches launch together, and an un-populated cache makes each of
+      // them run the full fact-table pair build — measured 5× the whole
+      // query at 10× sf0.1. One count() fills the cache once; everything
+      // downstream reads ~4k cached rows.
       pairs.count()
+      // deg feeds ori (twice) and the n_nodes/max_degree branch; persisting
+      // it once replaces three cache-scan+shuffle recomputes with one.
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
+        .coalesce(1).persist()
+      deg.count()
       val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
       val ori = pairs
-        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+        .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
-      // Both graph-sized joins broadcast the support-thresholded edge list,
-      // so the wedge stream never shuffles: scan → BHJ → BHJ → partial
-      // count, one codegen stage. Valid while the thresholded E fits a
-      // broadcast (~100M edges); past that, drop the hints and let AQE
-      // fall back to shuffle joins.
+        .coalesce(1).persist()
+      ori.count()
+      // Two-phase shuffle wedge join (r7 verdict #5): wedges a→b→c form by
+      // an equi-join on the middle vertex, then a second shuffle equi-join
+      // closes them against the edge list on (a,c). O(wedges) shuffle rows
+      // of 16 B — no broadcast of E, no driver-side relation build, valid
+      // at any edge-list size (the broadcast form capped out at what fits
+      // the driver). shuffle_hash hints keep AQE from re-planning the tiny
+      // bench-scale sides back into broadcasts.
       val e1 = ori.select(col("src").as("a1"), col("dst").as("b1"))
       val e2 = ori.select(col("src").as("b2"), col("dst").as("c2"))
       val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
-      val tri = e1.join(broadcast(e2), col("b2") === col("b1"))
-        .join(broadcast(e3), col("a3") === col("a1") && col("c3") === col("c2"))
+      val tri = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b1"))
+        .join(e3.hint("shuffle_hash"), col("a3") === col("a1") && col("c3") === col("c2"))
         .agg(count(lit(1)).as("n_triangles"))
       val vs = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
       val es = pairs.agg(count(lit(1)).as("n_edges"))
