@@ -514,6 +514,53 @@ object DedupQueries {
         |ORDER BY doc_id""") { (s, dir) => dupClusters(s, dir) },
 
     sql(
+      "p06_cluster_representative",
+      "near-dup cluster representative selection — the curation step AFTER clustering (d08): per duplicate cluster keep exactly one document, the longest version (max n_chars, doc_id tie-break), and report what the collapse drops. This is the keep-best-duplicate policy every production dedup pipeline ends with (keeping the cluster-min doc_id, as d01/d08 do, silently prefers the EARLIEST crawl, which for truncated re-crawls is the worst member). Output per cluster: representative doc_id, member count, kept/dropped char mass — integers, engine-exact. Scale posture: reuses d08's pointer-jumping CC (O(log d) rounds, partitioner-aligned), then ONE cluster-keyed window over (cluster_id, n_chars, doc_id) rows — 16 B/row, never the text — and the join back to documents is doc_id-keyed; no new shuffle shape beyond d08 itself",
+      s"""WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+        |  WHERE r.lbl < e.u),
+        |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |             FROM reach GROUP BY node),
+        |members AS (
+        |  SELECT c.cluster_id, d.doc_id, coalesce(d.n_chars, 0) AS n_chars,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY coalesce(d.n_chars, 0) DESC, d.doc_id) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+        |         CAST(sum(coalesce(d.n_chars, 0)) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS total_chars
+        |  FROM clusters c JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_doc_id, n_members,
+        |       CAST(n_chars AS BIGINT) AS kept_chars,
+        |       CAST(total_chars - n_chars AS BIGINT) AS dropped_chars
+        |FROM members WHERE rn = 1
+        |ORDER BY cluster_id""") { (s, dir) =>
+      val clusters = dupClusters(s, dir)
+      val members = clusters
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars")), "doc_id")
+      val byCluster = Window.partitionBy("cluster_id")
+      members
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(desc("n_chars"), col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+        .withColumn("total_chars", sum("n_chars").over(byCluster).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"), col("n_members"),
+          col("n_chars").cast("long").as("kept_chars"),
+          (col("total_chars") - col("n_chars")).cast("long").as("dropped_chars"))
+        .orderBy("cluster_id")
+    },
+
+    sql(
       "d09_fuzzy_join",
       "blocked fuzzy join: candidate pairs blocked on (lang, length band) — an equi-join, never all-pairs — verified by edit distance <= 5 over the 30-char head. The near-dup-title matcher shape: at 100 TB the block keys bound the candidate count and the quadratic levenshtein only touches in-block pairs",
       """WITH d AS (SELECT doc_id, lang, substr(text, 1, 30) AS head, n_chars // 20 AS band

@@ -578,6 +578,45 @@ object RelationalQueries {
     },
 
     sql(
+      "u05_snapshot_diff",
+      "snapshot diff / reconciliation (the audit primitive BEHIND CDC — u04 applies a changelog, this derives one): two corpus snapshots compare by a single full-outer join on the key and every row classifies as added (new only), removed (old only), changed (both, value differs) or unchanged; the report is per-class row counts plus a key fold so the driver hash pins membership, not just cardinality. Snapshots derive deterministically from the fixture (old = keys % 10 != 3, new = keys % 10 != 7 with prices bumped +100.00 on keys % 10 = 1), so both engines see identical inputs. The +100.00 delta and the equality compare are IEEE-exact in both engines (100.0 is a dyadic rational; x+100.0 == x cannot hold below 2^47). Scale posture: ONE co-partitioned full-outer shuffle join on the key, classification is a projection — at 100 TB this is the nightly snapshot-reconciliation shape, and the same plan works as a partition-pruned incremental diff when snapshots are date-partitioned",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 10 != 3),
+        |new_ AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100.00 ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 != 7),
+        |classified AS (
+        |  SELECT coalesce(o.k, n.k) AS k,
+        |         CASE WHEN o.k IS NULL THEN 'added'
+        |              WHEN n.k IS NULL THEN 'removed'
+        |              WHEN o.v != n.v THEN 'changed'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM old o FULL OUTER JOIN new_ n ON o.k = n.k)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(k % 1000003) AS BIGINT) AS key_fold
+        |FROM classified GROUP BY change_type
+        |ORDER BY change_type""") { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val old = orders.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val neu = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 100.00)
+            .otherwise(col("o_totalprice")).as("v"))
+      old.as("o").join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(coalesce(col("o.k"), col("n.k")).as("k"),
+          when(col("o.k").isNull, "added")
+            .when(col("n.k").isNull, "removed")
+            .when(col("o.v") =!= col("n.v"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("k") % 1000003L).cast("long").as("key_fold"))
+        .orderBy("change_type")
+    },
+
+    sql(
       "u02_scd2_versioning",
       "SCD type-2 interval versioning (corpus snapshot history): each per-key change event becomes a [valid_from, valid_to) row via lead() over the key's event-time order, open interval = current version — the dataset-versioning primitive behind point-in-time training-set reconstruction (q68's as-of join is the lookup side). Scale posture: one partitioned window per key (user_id), no global sort; values pass through untouched so no float divergence",
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,

@@ -495,6 +495,64 @@ object TextQueries {
     },
 
     sql(
+      "t17_lm_filter_rate",
+      "LM-score filter-rate monitoring per language — the curation dashboard that sits on top of the t14 bigram model: a document is filtered when its mean bigram logprob is below the CORPUS-WIDE mean (the adaptive threshold every real pipeline uses instead of a magic constant), and the report is per-lang doc counts, filtered counts, and the filter rate in ppm. Engine-exact: the threshold compare is cross-multiplied into integers (li_doc * Σn < Σli * n_doc — both engines compare BIGINTs; sign-safe because bigram counts are positive and only the logprobs are negative), the ppm is integer division. The BIGINT cross-product bounds at ~1e18 ≈ 100 GB-scale corpora; past that both engines widen (Spark DECIMAL(38,0), DuckDB HUGEINT) exactly as p04 documents. Scale posture: reuses t14's bigram-keyed shuffles, adds one corpus-total broadcast (two scalars) and a lang-keyed count — no new shuffle shape",
+      """WITH toks AS (SELECT doc_id, coalesce(lang, 'und') AS lang, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[1] || ' ' || z[2] AS bigram
+        |       FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z FROM toks)),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |terms AS (
+        |  SELECT bg.doc_id,
+        |         CAST(floor(ln((bgc.cb + 1) * 1.0 / (uni.cu + vocab.v)) * 1000000 + 0.5) AS BIGINT) AS li
+        |  FROM bg
+        |  JOIN (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bigram) bgc USING (bigram)
+        |  JOIN uni ON bg.w1 = uni.w CROSS JOIN vocab),
+        |docs AS (SELECT doc_id, CAST(sum(li) AS BIGINT) AS li_doc, CAST(count(*) AS BIGINT) AS n_doc
+        |         FROM terms GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(li_doc) AS BIGINT) AS tot_li, CAST(sum(n_doc) AS BIGINT) AS tot_n FROM docs)
+        |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN d.li_doc * tot.tot_n < tot.tot_li * d.n_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
+        |       CAST(sum(CASE WHEN d.li_doc * tot.tot_n < tot.tot_li * d.n_doc THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS filter_ppm
+        |FROM docs d JOIN toks t USING (doc_id) CROSS JOIN tot
+        |GROUP BY t.lang ORDER BY t.lang""") { (s, dir) =>
+      val toksD = Tables.documents(s, dir)
+        // null lang → a real stratum, not a dropped row (AnsiEdgeSpec)
+        .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"),
+          TextFunctions.tokens(col("text")).as("ts"))
+      val bg = toksD
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleStringsAll(col("ts"), 2)).as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val uni = toksD.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("cu"))
+      val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+      val bgc = bg.groupBy("bigram").agg(count(lit(1)).cast("long").as("cb"))
+      val docs = bg.join(bgc, "bigram")
+        .join(uni, bg("w1") === uni("w"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor(log((col("cb") + 1) * lit(1.0) / (col("cu") + col("v"))) * 1000000 + lit(0.5))
+            .cast("long").as("li"))
+        .groupBy("doc_id")
+        .agg(sum("li").cast("long").as("li_doc"), count(lit(1)).cast("long").as("n_doc"))
+      val tot = docs.agg(sum("li_doc").cast("long").as("tot_li"),
+        sum("n_doc").cast("long").as("tot_n"))
+      val filtered = (col("li_doc") * col("tot_n") < col("tot_li") * col("n_doc"))
+        .cast("long")
+      docs.join(toksD.select("doc_id", "lang"), "doc_id")
+        .crossJoin(broadcast(tot))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(filtered).cast("long").as("n_filtered"),
+          expr("sum(cast(li_doc * tot_n < tot_li * n_doc as long)) * 1000000 div count(*)")
+            .cast("long").as("filter_ppm"))
+        .orderBy("lang")
+    },
+
+    sql(
       "t15_posting_lists",
       "inverted-index construction statistics (the search/retrieval-side primitive the tf-idf family feeds): per term, document frequency, total term frequency, and the head of the ascending-doc_id posting list — the top-30 terms by df (term tie-broken). The posting head comes from a row_number window over (term, doc_id) rows, NOT from collecting whole posting lists — per-group state is bounded at 5 rows regardless of df, which is the difference between an index build that survives a 100 TB corpus (df can reach |corpus|) and one that OOMs on the first stopword. All outputs are integers/strings — engine-exact",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
