@@ -35,6 +35,7 @@ object PlanAudit {
     // and inspect an InMemoryTableScan instead of the real plan, so they
     // are audited through their lazy `*Plan` twins below instead.
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
+      "p06_cluster_representative", // runs d08's label-propagation loop at construction
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup",
