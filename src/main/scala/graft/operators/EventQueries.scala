@@ -650,6 +650,87 @@ object EventQueries {
         .select(col("user_id"), col("n_events"),
           expr("num div den").as("ewma_micro"))
         .orderBy("user_id")
+    },
+
+    sql(
+      "q90_session_paths",
+      "session path mining — the top-10 most common 3-step event-type journeys inside q62's 30-minute-gap sessions (the navigation/sequence-mining primitive product analytics builds funnels FROM: q82 checks one fixed path, this discovers which paths exist). Each in-session window of three consecutive events contributes one 'a>b>c' path; paths count corpus-wide with a (count desc, path asc) deterministic top-10. All strings/integers — engine-exact. Scale posture: sessionization + the two leads are THREE frames over ONE user-keyed window partitioning (one shuffle, no iteration), the path count is a map-side-combinable keyed aggregation, and the top-10 is the q30 bounded-k pattern — per-partition partial top-k before the single-row merge, never a global sort of all paths",
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER s || '>' || lead(event_type, 2) OVER s AS path
+        |  FROM sessions
+        |  WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM paths WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp"))) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wc))
+      val sw = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sessions
+        .select(concat(col("event_type"), lit(">"),
+          lead(col("event_type"), 1).over(sw), lit(">"),
+          lead(col("event_type"), 2).over(sw)).as("path"))
+        .filter(col("path").isNotNull)
+        .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    },
+
+    sql(
+      "q91_conversion_latency",
+      "signup→purchase conversion latency by signup-day cohort — the funnel-LATENCY metric beside q82's conversion counts and q83's retention: per user, the first signup and the first purchase AT OR AFTER it; per signup epoch-day cohort, signups, conversions, and the exact median latency in whole seconds. Engine-exact: event times are integer micros, the cohort day is integer division, the median of integers is a dyadic rational both engines interpolate identically (the q37 contract), and its floor-to-seconds is exact; non-converted cohorts report median NULL in both engines. Scale posture: the per-user firsts are ONE map-side-combinable conditional-min aggregation over the fact scan (no window), the cohort rollup keys on ~365·years values, and the exact median would relax to the q38 sketch at 100 TB — per-cohort state is the binding cost, not shuffle width",
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE ts IS NOT NULL AND event_type IN ('signup', 'purchase')),
+        |su AS (SELECT user_id, min(tus) AS s_us FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT su.user_id, su.s_us, min(e.tus) AS p_us
+        |  FROM su LEFT JOIN ev e
+        |    ON e.user_id = su.user_id AND e.event_type = 'purchase' AND e.tus >= su.s_us
+        |  GROUP BY su.user_id, su.s_us)
+        |SELECT CAST(s_us // 86400000000 AS BIGINT) AS cohort_day,
+        |       CAST(count(*) AS BIGINT) AS n_signups,
+        |       CAST(count(p_us) AS BIGINT) AS n_converted,
+        |       CAST(floor(quantile_cont(p_us - s_us, 0.5) / 1000000) AS BIGINT) AS median_latency_s
+        |FROM conv GROUP BY cohort_day ORDER BY cohort_day""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tus").as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tus").as("p_tus"))
+      su.join(pu, col("p_user") === col("user_id") && col("p_tus") >= col("s_us"), "left")
+        .groupBy("user_id", "s_us").agg(min("p_tus").as("p_us"))
+        .groupBy(expr("s_us div 86400000000").as("cohort_day"))
+        .agg(count(lit(1)).cast("long").as("n_signups"),
+          count(col("p_us")).cast("long").as("n_converted"),
+          floor(expr("percentile(p_us - s_us, 0.5)") / 1000000).cast("long").as("median_latency_s"))
+        .orderBy("cohort_day")
     }
   )
 }
