@@ -29,6 +29,21 @@ object DedupQueries {
 
   private def toks = TextFunctions.tokens(col("text"))
 
+  /** Partition count for a small cached intermediate, sized from a row count
+    * the cache-fill barrier already produced (never a constant): one cache
+    * partition per ~4M rows, floor 1. Cached plans keep their materialized
+    * partitioning (AQE's shuffle coalescing does not apply to cache scans —
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` is off by
+    * default), so a tiny frame persisted at 32 shuffle partitions charges
+    * every downstream stage 32 near-empty tasks, while a fixed `1` would
+    * serialize materialization and every downstream scan once the
+    * intermediate outgrows one core at production scale. Deriving the count
+    * from the data keeps bench-scale behavior (1 partition) and grows
+    * linearly with the corpus.
+    */
+  private[graft] def cacheParts(rows: Long, rowsPerPartition: Long = 4000000L): Int =
+    math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
+
   // Fixed MinHash permutation constants, shared by the Spark impl and the
   // generated DuckDB oracle of d03.
   private val P = 2147483647L
@@ -116,7 +131,10 @@ object DedupQueries {
     // Materialization barrier (the g02 lesson): the self-join's two leg
     // stages submit concurrently, and against an unfilled cache each would
     // run the minhash kernel — exactly what the persist is here to avoid.
-    if (materialize) banded.count()
+    // The barrier's count doubles as the size estimate for the candidate
+    // cache below (band rows = 16 × docs bound the colliding-pair set in a
+    // non-degenerate corpus).
+    val bandedRows = if (materialize) banded.count() else 0L
     val candidates0 = banded
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("doc_id") < col("id_b"))
@@ -125,8 +143,11 @@ object DedupQueries {
     // coalesce before persist (the g02 r8 lesson): cached plans keep their
     // materialized partitioning, so the ~dozens-of-rows candidate set would
     // cache as 32 near-empty shuffle partitions and charge every downstream
-    // join a full round of empty tasks.
-    val candidates = if (materialize) candidates0.coalesce(1).persist() else candidates0
+    // join a full round of empty tasks. Sized from the barrier's band-row
+    // count, not a constant: 1 partition at bench scale, growing with the
+    // corpus instead of funneling a 100 TB candidate set through one core.
+    val candidates =
+      if (materialize) candidates0.coalesce(cacheParts(bandedRows)).persist() else candidates0
     // shingle sets only for documents appearing in some candidate pair, so
     // the exact-Jaccard verification cost scales with candidates, not corpus
     val candIds = candidates
@@ -899,13 +920,16 @@ object DedupQueries {
       // branches launch together, and an un-populated cache makes each of
       // them run the full fact-table pair build — measured 5× the whole
       // query at 10× sf0.1. One count() fills the cache once; everything
-      // downstream reads ~4k cached rows.
-      pairs.count()
+      // downstream reads ~4k cached rows. The returned edge count also
+      // sizes the deg/ori cache partitioning below (|deg| ≤ 2·|E|,
+      // |ori| = |E|) — no hard-coded partition constants past this point.
+      val nEdges = pairs.count()
+      val edgeParts = cacheParts(nEdges)
       // deg feeds ori (twice) and the n_nodes/max_degree branch; persisting
       // it once replaces three cache-scan+shuffle recomputes with one.
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-        .coalesce(1).persist()
+        .coalesce(edgeParts).persist()
       deg.count()
       val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
       val ori = pairs
@@ -913,7 +937,7 @@ object DedupQueries {
         .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .coalesce(1).persist()
+        .coalesce(edgeParts).persist()
       ori.count()
       // Two-phase shuffle wedge join (r7 verdict #5): wedges a→b→c form by
       // an equi-join on the middle vertex, then a second shuffle equi-join

@@ -496,7 +496,7 @@ object TextQueries {
 
     sql(
       "t17_lm_filter_rate",
-      "LM-score filter-rate monitoring per language — the curation dashboard that sits on top of the t14 bigram model: a document is filtered when its mean bigram logprob is below the CORPUS-WIDE mean (the adaptive threshold every real pipeline uses instead of a magic constant), and the report is per-lang doc counts, filtered counts, and the filter rate in ppm. Engine-exact: the threshold compare is cross-multiplied into integers (li_doc * Σn < Σli * n_doc — both engines compare BIGINTs; sign-safe because bigram counts are positive and only the logprobs are negative), the ppm is integer division. The BIGINT cross-product bounds at ~1e18 ≈ 100 GB-scale corpora; past that both engines widen (Spark DECIMAL(38,0), DuckDB HUGEINT) exactly as p04 documents. Scale posture: reuses t14's bigram-keyed shuffles, adds one corpus-total broadcast (two scalars) and a lang-keyed count — no new shuffle shape",
+      "LM-score filter-rate monitoring per language — the curation dashboard that sits on top of the t14 bigram model: a document is filtered when its mean bigram logprob is below the CORPUS-WIDE mean (the adaptive threshold every real pipeline uses instead of a magic constant), and the report is per-lang doc counts, filtered counts, and the filter rate in ppm. Engine-exact: the threshold compare is cross-multiplied into integers (li_doc * Σn < Σli * n_doc — both engines compare BIGINTs; sign-safe because bigram counts are positive and only the logprobs are negative), the ppm is integer division. The BIGINT cross-product bounds at ~1e18 ≈ 100 GB-scale corpora; past that both engines widen (Spark DECIMAL(38,0), DuckDB HUGEINT) exactly as p04 documents. ULP-parity assumption (same as t14, oracle-validated every round): li integerizes floor(ln(x)*1e6 + 0.5), so a 1-ulp ln() divergence between JVM Math.log and DuckDB libm at an exact .5 boundary could flip one term's li by 1 and, unlike t14's rounded report, propagate through the corpus-wide adaptive threshold into a document's filtered bit; no such boundary case exists in the fixture vocabulary and both libms are correctly-rounded-to-interchange on this range, but a corpus engineered to land ln() on .5 boundaries would need t14/t17 to derive li from integer-only inputs. Scale posture: reuses t14's bigram-keyed shuffles, adds one corpus-total broadcast (two scalars) and a lang-keyed count — no new shuffle shape",
       """WITH toks AS (SELECT doc_id, coalesce(lang, 'und') AS lang, string_split(text, ' ') AS ts FROM documents),
         |bg AS (SELECT doc_id, z[1] AS w1, z[1] || ' ' || z[2] AS bigram
         |       FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z FROM toks)),

@@ -51,9 +51,10 @@ object FixtureContract {
 
   /** Drift lines for one table's loaded schema vs the contract; empty = ok.
     * Column ORDER is part of the contract (positional Row fixtures depend on
-    * it), but a trailing partition column (the Layout corpus moves the
-    * partition key to the end) is tolerated via set-compare + order check on
-    * the contract columns only.
+    * it), with ONE tolerated exception: a single contract column relocated to
+    * the end of the read-back schema, which is what parquet `partitionBy`
+    * does to the partition key in the Layout corpus. Any other permutation
+    * still reports drift.
     */
   def diffTable(spark: SparkSession, dir: String, table: String): Seq[String] = {
     val expected = contract(table)
@@ -72,7 +73,14 @@ object FixtureContract {
     val orderDrift = {
       val expNames = expected.map(_._1)
       val actNames = actual.map(_._1).filter(expNames.contains)
-      if (actNames == expNames.filter(actNames.contains)) Nil
+      val aligned = expNames.filter(actNames.contains)
+      // One contract column relocated to the END is the partitioned-layout
+      // signature (parquet partitionBy appends the partition key to the
+      // read-back schema); tolerate exactly that shape — any other
+      // permutation is real drift.
+      val trailingPartitionCol = actNames.nonEmpty &&
+        actNames == (aligned.filterNot(_ == actNames.last) :+ actNames.last)
+      if (actNames == aligned || trailingPartitionCol) Nil
       else Seq(s"$table: column order ${actNames.mkString(",")} != contract ${expNames.mkString(",")}")
     }
     missing ++ extra ++ mismatched ++ orderDrift

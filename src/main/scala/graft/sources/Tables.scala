@@ -47,7 +47,24 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
-        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        // Magnitude tripwire (round-9 advisory): a bigint ts passes the
+        // FixtureContract type check whether it holds nanoseconds or
+        // microseconds, and treating µs as ns would silently shift every
+        // timestamp 1000× — the exact silent-drift class this helper exists
+        // to kill. Plausible nanosecond epochs (years 2000–2100) live in
+        // [9.4e17, 4.1e18]; µs (~1.7e15), ms, and seconds all fall below
+        // 1e17, so one codegen'd per-row bound turns a unit drift into a
+        // loud error on batch AND streaming frames with no extra job.
+        df.withColumn("ts", expr(
+          """cast(timestamp_micros(
+            |  CASE WHEN ts IS NOT NULL AND ts < 100000000000000000
+            |       THEN CAST(raise_error(concat(
+            |              'events.ts: INT64 value ', CAST(ts AS STRING),
+            |              ' is below the plausible nanosecond epoch range - the corpus likely ',
+            |              'regenerated with micro/milli/second units in a plain bigint. ',
+            |              'Update FixtureContract + Tables.normalizeEventTs (see FIXTURES.md).'))
+            |            AS BIGINT)
+            |       ELSE ts END div 1000) as timestamp_ntz)""".stripMargin))
       case Some(TimestampNTZType) => df
       case Some(TimestampType) => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
       case other => throw new IllegalStateException(
