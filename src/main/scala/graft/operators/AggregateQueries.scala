@@ -290,18 +290,33 @@ object AggregateQueries {
         .orderBy("c_mktsegment", "sample_idx")
     },
 
-    rowsOnly(
+    sql(
       "a05_stratified_sample",
-      "seeded stratified sampling (sampleBy on c_mktsegment, per-stratum fractions) — the train/eval split primitive; no oracle: Bernoulli draws depend on engine RNG and partition layout — AggregatorSpec asserts per-stratum rates and same-session determinism")(
-      (s, dir) => {
-        val fractions = Map(
-          "AUTOMOBILE" -> 0.5, "BUILDING" -> 0.25, "FURNITURE" -> 0.1,
-          "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.02)
-        Tables.customer(s, dir)
-          .stat.sampleBy("c_mktsegment", fractions, seed = 42L)
-          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_sampled"))
-          .orderBy("c_mktsegment")
-      }),
+      "deterministic stratified Bernoulli sampling (per-stratum fractions 1/2, 1/4, 1/10, 1/20, 1/50 on c_mktsegment) — the train/eval split primitive, promoted from engine-RNG sampleBy to hash-mod membership (r8 verdict #4): a row is kept when splitmix priorityHash(c_custkey, seed) % denom = 0, so the draw is a pure per-row integer decision — no RNG, no partition-layout dependence, retries/replicas sample identically, and the whole membership set replays bit-exactly in DuckDB HUGEINT (reported as count + key fold per stratum). Unlike p03/p05's exact-size bottom-k windows this is the WINDOWLESS sampler: zero shuffle before the final tiny aggregate, which is the right 100 TB shape when binomial-sized output is acceptable and exact quotas are not required. AggregatorSpec still asserts per-stratum rates",
+      s"""WITH src AS (SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "k", 42L, "c_mktsegment, k")},
+        |den AS (SELECT * FROM (VALUES ('AUTOMOBILE', 2), ('BUILDING', 4), ('FURNITURE', 10),
+        |                              ('HOUSEHOLD', 20), ('MACHINERY', 50)) d(c_mktsegment, denom))
+        |SELECT p.c_mktsegment, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(p.k % 1000003) AS BIGINT) AS id_fold
+        |FROM ph4 p JOIN den d USING (c_mktsegment)
+        |WHERE p.pri % d.denom = 0
+        |GROUP BY p.c_mktsegment
+        |ORDER BY p.c_mktsegment""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      import s.implicits._
+      val den = Seq(("AUTOMOBILE", 2L), ("BUILDING", 4L), ("FURNITURE", 10L),
+        ("HOUSEHOLD", 20L), ("MACHINERY", 50L)).toDF("c_mktsegment", "denom")
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey").cast("long").as("k"))
+        .withColumn("pri", HashFunctions.priorityHash(col("k"), 42L))
+        .join(broadcast(den), "c_mktsegment")
+        .filter(col("pri") % col("denom") === 0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n_sampled"),
+          sum(col("k") % 1000003L).cast("long").as("id_fold"))
+        .orderBy("c_mktsegment")
+    },
 
     rowsOnly(
       "a04_approx_percentile",

@@ -173,11 +173,24 @@ object SimilarityQueries {
       .head().getDouble(0)
   }
 
-  /** Deterministic random hyperplanes: `tables` × `bits` planes of dim 64. */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Array[Float]]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
-  }
+  /** Deterministic Rademacher (±1) hyperplanes: `tables` × `bits` planes of
+    * dim 64, each component's sign the splitmix
+    * [[graft.functions.HashOps.priorityHash]] parity of the flat plane
+    * index. Sign-random-projection LSH only needs symmetrically distributed
+    * components (±1 works as well as Gaussian for the sign-agreement /
+    * angle relation), and integer-derived signs replay bit-exactly in
+    * DuckDB HUGEINT — which is what moves s04 behind the hash-exact oracle
+    * gate (r8 verdict #3; pre-r9 the planes came from an unreplayable
+    * `scala.util.Random` float stream). ±1f is exact in float and double,
+    * so each dot product is a pure signed left-to-right double sum of the
+    * embedding components — the same accumulation `list_dot_product` uses,
+    * making every sign-bit decision reproducible across engines.
+    */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Array[Float]]] =
+    Seq.tabulate(tables)(t => Seq.tabulate(bits)(b => Array.tabulate(dim) { i =>
+      val flat = ((t * bits + b) * dim + i).toLong
+      if (graft.functions.HashOps.priorityHash(flat, seed) % 2L == 1L) -1f else 1f
+    }))
 
   /** sign-bit signature of `emb` for one LSH table. */
   private def signature(emb: Column, planes: Seq[Array[Float]]): Column =
@@ -306,10 +319,34 @@ object SimilarityQueries {
         |WHERE rnk <= $K
         |ORDER BY q_id, rnk""") { (s, dir) => knnIvfSelect(s, dir) },
 
-    rowsOnly(
+    sql(
       "s04_knn_lsh",
-      "random-hyperplane LSH ANN (8 tables x 4 bits); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(
-      (s, dir) => knnLsh(s, dir)),
+      "random-hyperplane LSH ANN (8 tables x 4 bits), oracle-replayed end-to-end: the hyperplanes are Rademacher (+-1) with signs from the splitmix priority-hash parity of the flat plane index, so DuckDB regenerates the exact planes in HUGEINT, recomputes every sign bit (a +-1 dot product is a pure signed left-to-right double sum — bit-identical to list_dot_product), rebuilds the 4-bit bucket signatures, and replays the bucket equi-join + exact-cosine rerank hash-exactly (the s08 pattern applied to LSH; pre-r9 this was rows-only behind an unreplayable Random float stream). SimilarityRecallSpec still asserts recall vs s01. Scale posture unchanged: candidate generation is an equi-join on (table, signature) — the only shuffle; no distance computation before the rerank step",
+      s"""WITH pidx AS (SELECT t.t, b.b, i.i, CAST((t.t * 4 + b.b) * 64 + i.i AS HUGEINT) AS k
+        |              FROM generate_series(0, 7) t(t), generate_series(0, 3) b(b),
+        |                   generate_series(0, 63) i(i)),
+        |${graft.functions.HashFunctions.priorityHashCtes("pidx", "k", 42L, "t, b, i")},
+        |planes AS (SELECT t, b,
+        |                  list(CAST(CASE WHEN pri % 2 = 1 THEN -1 ELSE 1 END AS DOUBLE) ORDER BY i) AS plane
+        |           FROM ph4 GROUP BY t, b),
+        |dots AS (SELECT e.vec_id, p.t, p.b,
+        |                list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS d
+        |         FROM embeddings e CROSS JOIN planes p),
+        |sigs AS (SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+        |         FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS neighbor_id
+        |         FROM sigs q JOIN sigs s ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.vec_id
+        |         WHERE q.vec_id < $NQueries),
+        |scored AS (SELECT c.q_id, c.neighbor_id, ${cosineSql("qe.embedding", "ne.embedding")} AS sim
+        |           FROM cand c
+        |           JOIN embeddings qe ON qe.vec_id = c.q_id
+        |           JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |SELECT q_id, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT q_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) => knnLsh(s, dir) },
 
     rowsOnly(
       "s07_kmeans_centroids",
