@@ -750,6 +750,18 @@ object DedupQueries {
       // ≈ the SQL form's (13-17 s vs 16-19 s) — its real win is WALL
       // (in-bench 7.4 → ~2.8-4.0 s) from building/partitioning the edge
       // list once and keeping every round's join narrow.
+      // r9 phase attribution (graft.ProfileG01, warm takes): of ~6-9 s
+      // in-query cpu, the relational edge derivation (orders⋈lineitem →
+      // distinct → degree join) is ~2.6-2.8 s, the .rdd pack + partitionBy
+      // + persist ~2 s, nodeDeg ~0.5 s, and the 2-iteration loop itself
+      // only ~1.3-1.4 s — NOT RDD row serde. The dominant term is the one
+      // fact-table pass, and it is already minimal: forcing
+      // broadcast(orders) with a pre-distinct on (l_orderkey, l_suppkey)
+      // measured 3× WORSE (8-10 s for that phase — the pre-distinct is an
+      // extra fact-sized shuffle and AQE already broadcasts the small
+      // side). Irreducible because the input scan IS the cost; per-row-of-
+      // output expense is an artifact of emitting 20 rows from a
+      // corpus-sized derivation, not of the iteration design.
       import s.implicits._
       import org.apache.spark.HashPartitioner
       import org.apache.spark.storage.StorageLevel
