@@ -43,14 +43,14 @@ object LayoutCheck {
         .collect().map(_.toString).sorted.toSeq
     }
 
-    // Opt-out with reason (mirrors AnsiEdgeSpec's contract): these two are
+    // Opt-out with reason (mirrors AnsiEdgeSpec's contract): these are
     // DOCUMENTED as physically-layout-dependent in their own registry docs —
     // which is exactly why they are no_oracle with deterministic twins.
+    // (a05 left this list in r9: hash-mod Bernoulli membership is a pure
+    // per-row integer decision, layout-independent by construction.)
     val excluded: Map[String, String] = Map(
       "a04_approx_percentile" -> ("approx_percentile sketch merge order follows partition layout; " +
         "accuracy bounded by AggregatorSpec, deterministic twin a07/q37"),
-      "a05_stratified_sample" -> ("sampleBy Bernoulli draws are seeded per physical split; " +
-        "rates bounded by AggregatorSpec, deterministic twin p03"),
       "q38_price_deciles_approx" -> ("approx_percentile decile sketch merges in partition order " +
         "(passes at sf0.001 where the sketch is exact, diverges at sf0.01+); " +
         "error bounded by spec, oracle-exact twins q33/q37"))
