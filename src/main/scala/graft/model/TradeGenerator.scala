@@ -1,7 +1,5 @@
 package graft.model
 
-import scala.util.Random
-
 /** Deterministic reimplementation of the reference's synthetic trade source
   * (reference: `StockTradeGenerator.java:62-83`), with an injectable seed so
   * tests and distributed generation are reproducible (the reference uses an
@@ -15,22 +13,24 @@ import scala.util.Random
   *   - tradeType: SELL with probability 0.4 (`StockTradeGenerator.java:53,73-76`)
   *   - quantity: uniform integer in [1, 10000] (`StockTradeGenerator.java:50,79`)
   *   - id: strictly increasing from `firstId` (`StockTradeGenerator.java:56,82`)
+  *
+  * r9: the draw source moved from a sequential `scala.util.Random` stream to
+  * HASH-INDEXED draws ([[TradeGenerator.at]]): trade `id` plus a seed fully
+  * determine the record through four splitmix priority-hash streams. Same
+  * distributions (uniform/Bernoulli from uniform 63-bit hashes — the
+  * reference's contract is its distributions, its unseeded RNG stream was
+  * never reproducible), but generation becomes embarrassingly parallel (no
+  * sequential PRNG state — any partitioning of the id range yields identical
+  * records) and every draw replays bit-exactly in DuckDB HUGEINT, which puts
+  * the tr01-tr03 registry entries behind the hash-exact oracle gate.
   */
 final class TradeGenerator(seed: Long, firstId: Long = 1L) {
-  import TradeGenerator._
-
-  private val random = new Random(seed)
   private var nextId: Long = firstId
 
   def next(): StockTrade = {
-    val (symbol, mean) = StockPrices(random.nextInt(StockPrices.length))
-    val deviation = (random.nextDouble() - 0.5) * 2.0 * MaxDeviation
-    val price = math.round(mean * (1 + deviation) * 100.0) / 100.0
-    val tradeType = if (random.nextDouble() < ProbabilitySell) StockTrade.SELL else StockTrade.BUY
-    val quantity = random.nextInt(MaxQuantity) + 1L
-    val id = nextId
+    val t = TradeGenerator.at(nextId, seed)
     nextId += 1
-    StockTrade(symbol, tradeType, price, quantity, id)
+    t
   }
 
   def take(n: Int): Seq[StockTrade] = Seq.fill(n)(next())
@@ -57,4 +57,32 @@ object TradeGenerator {
   val ProbabilitySell = 0.4
 
   val Symbols: IndexedSeq[String] = StockPrices.map(_._1)
+
+  /** 2^53 — the largest power of two whose multiples are all exact doubles;
+    * `(hash % Pow53) / Pow53` is a uniform double in [0, 1) computed with a
+    * single correctly-rounded division, identical in the JVM and DuckDB.
+    */
+  val Pow53: Long = 1L << 53
+
+  /** The pure hash-indexed draw: `(id, seed) → StockTrade`, no sequential
+    * state. Four independent priority-hash streams (keyed `id*4 + stream`)
+    * drive ticker, price deviation, trade type, and quantity; all floating
+    * arithmetic is a fixed left-to-right IEEE sequence so the DuckDB oracle
+    * (`TradeQueries.tradesSql`) reproduces every record bit-exactly.
+    */
+  def at(id: Long, seed: Long): StockTrade = {
+    import graft.functions.HashOps.priorityHash
+    val p0 = priorityHash(id * 4, seed)
+    val p1 = priorityHash(id * 4 + 1, seed)
+    val p2 = priorityHash(id * 4 + 2, seed)
+    val p3 = priorityHash(id * 4 + 3, seed)
+    val (symbol, mean) = StockPrices((p0 % StockPrices.length).toInt)
+    val deviation = ((p1 % Pow53).toDouble / Pow53.toDouble - 0.5) * 2.0 * MaxDeviation
+    val price = math.round(mean * (1 + deviation) * 100.0) / 100.0
+    val tradeType =
+      if ((p2 % Pow53).toDouble / Pow53.toDouble < ProbabilitySell) StockTrade.SELL
+      else StockTrade.BUY
+    val quantity = p3 % MaxQuantity + 1L
+    StockTrade(symbol, tradeType, price, quantity, id)
+  }
 }
