@@ -78,7 +78,15 @@ object TradeGenerator {
     val p3 = priorityHash(id * 4 + 3, seed)
     val (symbol, mean) = StockPrices((p0 % StockPrices.length).toInt)
     val deviation = ((p1 % Pow53).toDouble / Pow53.toDouble - 0.5) * 2.0 * MaxDeviation
-    val price = math.round(mean * (1 + deviation) * 100.0) / 100.0
+    // floor(x*100 + 0.5)/100, NOT math.round: round computes the exact
+    // floor(x + 0.5) (post-JDK8), while the codegen'd batch path
+    // (TradeSource.trades) and the DuckDB replay (TradeQueries.tradesSql)
+    // both evaluate the fp expression floor(x*100 + 0.5)/100 — on draws
+    // where the double add of +0.5 rounds across an integer boundary the
+    // two differ by one cent. All three implementations must share the
+    // same IEEE operation sequence (the Det contract) for the
+    // "value-identical at equal ids" claim below to hold.
+    val price = math.floor(mean * (1 + deviation) * 100.0 + 0.5) / 100.0
     val tradeType =
       if ((p2 % Pow53).toDouble / Pow53.toDouble < ProbabilitySell) StockTrade.SELL
       else StockTrade.BUY

@@ -906,17 +906,13 @@ object DedupQueries {
       // equivalent self-join SQL. persist: this one expensive pass feeds
       // four branches (deg, ori rebuilds, edge count, wedge probes);
       // post-threshold it is ~4k rows. Query runners clearCache() after.
-      // coalesce(4) before persist: cached plans keep their materialized
-      // partitioning (AQE's shuffle coalescing does not apply to cache
-      // scans — spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
-      // is off by default), so without it the ~4k-row edge list caches as
-      // 32 near-empty partitions and EVERY downstream stage pays 32 tasks
-      // of pure scheduling overhead — measured as the bulk of r7's 164 s
-      // executor blowup (the wedge join itself is 384 rows). 4 partitions
-      // is sized to the support-thresholded graph at bench scale; at
-      // production scale the thresholded edge list is still orders below
-      // the fact table, and the right knob is partitions ≈ edges / 4M.
-      val pairs = Tables.lineitem(s, dir)
+      // The support-count aggregation runs at FULL shuffle parallelism: a
+      // narrowing coalesce here (r8/r9 carried a .coalesce(4)) collapses
+      // into the shuffle stage above it and caps the reduce side of the
+      // groupBy(u,v) — which processes the corpus-proportional
+      // PRE-threshold pair multiset (1.2M rows at sf0.1, unbounded at
+      // 100 TB) — at that constant, regardless of cluster size.
+      val pairsWide = Tables.lineitem(s, dir)
         .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("ps"))
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
@@ -926,17 +922,27 @@ object DedupQueries {
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select("u", "v")
-        .coalesce(4)
         .persist()
       // Materialization barrier, not a driver-side result: downstream
       // branches launch together, and an un-populated cache makes each of
       // them run the full fact-table pair build — measured 5× the whole
-      // query at 10× sf0.1. One count() fills the cache once; everything
-      // downstream reads ~4k cached rows. The returned edge count also
-      // sizes the deg/ori cache partitioning below (|deg| ≤ 2·|E|,
-      // |ori| = |E|) — no hard-coded partition constants past this point.
-      val nEdges = pairs.count()
+      // query at 10× sf0.1. One count() fills the cache once AND returns
+      // the edge count that sizes every cache partitioning below
+      // (|deg| ≤ 2·|E|, |ori| = |E|) — no hard-coded partition constants.
+      val nEdges = pairsWide.count()
       val edgeParts = cacheParts(nEdges)
+      // Re-persist the thresholded edge list at a data-derived partition
+      // count (cached plans keep their materialized partitioning — AQE's
+      // shuffle coalescing does not apply to cache scans, and
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is off
+      // by default — so left at 32 shuffle partitions the ~4k-row cache
+      // would charge every downstream stage 32 near-empty tasks, the bulk
+      // of r7's 164 s executor blowup). The repartition is one extra
+      // shuffle of only the POST-threshold rows; the wide copy is dropped
+      // once the compact cache is filled.
+      val pairs = pairsWide.repartition(edgeParts).persist()
+      pairs.count()
+      pairsWide.unpersist(blocking = false)
       // deg feeds ori (twice) and the n_nodes/max_degree branch; persisting
       // it once replaces three cache-scan+shuffle recomputes with one.
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
