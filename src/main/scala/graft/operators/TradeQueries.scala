@@ -59,7 +59,7 @@ object TradeQueries {
   val all: Seq[GraftQuery] = Seq(
     rowsOnly(
       "tr00_pipeline_throughput",
-      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md); no oracle: the throughput run is the point, and each stage is gated elsewhere (tr01 oracle-replays the generation, tr02 the codec counts, StreamingSpec the pipeline)")(
+      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md); no oracle: the throughput run is the point, and each stage is gated elsewhere (tr01 oracle-replays the generation, tr02 the codec counts, StreamingSpec the pipeline). r10 arbitration of r9's apparent 3.3× in-bench regression (0.73→2.40 s, same round the generator went hash-indexed): fresh-JVM QueryTime warm takes read 0.92–1.17 s wall / 14–24 s cpu, and ProfileTr00 phase attribution puts generation at only ~0.6 s cpu of it — the double Jackson pass dominates (to_json ~13 s cpu, from_json ~+3 s; both CodegenFallback, so the kernel is interpreted and inflates under host CPU steal — one profiled take read 114 s cpu for the identical plan). The hash-indexed generator is NOT the regression; r8's 0.73 was a fully-warm in-bench take of the same plan")(
       (s, dir) => {
         // 1M trades for the sf0.1 bench; a lighter volume for the
         // correctness pass (its output is scale-independent: 25 tickers)

@@ -4,9 +4,12 @@ import graft.model.{StockTrade, TradeGenerator}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Distribution invariants from the reference generator
-  * (`StockTradeGenerator.java:47-83`), under a fixed seed.
+  * (`StockTradeGenerator.java:47-83`), under a fixed seed, plus the two
+  * identity contracts the tr01–tr03 oracles depend on: the distributed
+  * batch generator is partition-count-independent, and the scalar path
+  * (`TradeGenerator.at`, used by tradeStream) is value-identical to it.
   */
-class TradeGeneratorSpec extends AnyFunSuite {
+class TradeGeneratorSpec extends SparkSpec {
 
   private val trades = new TradeGenerator(seed = 7L).take(10000)
   private val means = TradeGenerator.StockPrices.toMap
@@ -47,5 +50,24 @@ class TradeGeneratorSpec extends AnyFunSuite {
   test("display format matches reference toString (StockTrade.java:82-85)") {
     val t = StockTrade("AAPL", "BUY", 119.7, 42, 7)
     assert(t.display == "ID 7: BUY 42 shares of AAPL for $119.70")
+  }
+
+  test("batch generator is partition-count-independent: identical rows at 1, 7, and 32 partitions") {
+    val bySplit = Seq(1, 7, 32).map { p =>
+      p -> graft.sources.TradeSource.trades(spark, 10000L, partitions = p)
+        .collect().sortBy(_.id).toSeq
+    }
+    val (_, ref) = bySplit.head
+    assert(ref.size == 10000)
+    bySplit.tail.foreach { case (p, rows) =>
+      assert(rows == ref, s"partitions=$p diverged from partitions=1")
+    }
+  }
+
+  test("scalar path (TradeGenerator.at) is value-identical to the batch generator at equal ids") {
+    val batch = graft.sources.TradeSource.trades(spark, 10000L)
+      .collect().sortBy(_.id).toSeq
+    val scalar = new TradeGenerator(seed = 42L).take(10000)
+    assert(batch == scalar)
   }
 }
