@@ -33,6 +33,14 @@ object SimilarityQueries {
   private val K = 5
   private val NQueries = 10
 
+  // s04 LSH geometry, shared by the Spark implementation (hyperplanes /
+  // knnLsh) and the interpolated DuckDB oracle — a change on either side
+  // reaches both, so the oracle cannot silently desync (r9 advisory).
+  private val LshTables = 8
+  private val LshBits = 4
+  private val LshDim = 64
+  private val LshSeed = 42L
+
   /** exact top-k: query set broadcast against the full collection. */
   def knnBrute(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -186,7 +194,7 @@ object SimilarityQueries {
     * embedding components — the same accumulation `list_dot_product` uses,
     * making every sign-bit decision reproducible across engines.
     */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Array[Float]]] =
+  private def hyperplanes(tables: Int, bits: Int, dim: Int = LshDim, seed: Long = LshSeed): Seq[Seq[Array[Float]]] =
     Seq.tabulate(tables)(t => Seq.tabulate(bits)(b => Array.tabulate(dim) { i =>
       val flat = ((t * bits + b) * dim + i).toLong
       if (graft.functions.HashOps.priorityHash(flat, seed) % 2L == 1L) -1f else 1f
@@ -203,7 +211,7 @@ object SimilarityQueries {
     * (table, signature) — at 100 TB this is the only shuffle.
     */
   def knnLsh(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries,
-      tables: Int = 8, bits: Int = 4): DataFrame = {
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
     val planes = hyperplanes(tables, bits)
     val e = Tables.embeddings(s, dir)
 
@@ -322,10 +330,10 @@ object SimilarityQueries {
     sql(
       "s04_knn_lsh",
       "random-hyperplane LSH ANN (8 tables x 4 bits), oracle-replayed end-to-end: the hyperplanes are Rademacher (+-1) with signs from the splitmix priority-hash parity of the flat plane index, so DuckDB regenerates the exact planes in HUGEINT, recomputes every sign bit (a +-1 dot product is a pure signed left-to-right double sum — bit-identical to list_dot_product), rebuilds the 4-bit bucket signatures, and replays the bucket equi-join + exact-cosine rerank hash-exactly (the s08 pattern applied to LSH; pre-r9 this was rows-only behind an unreplayable Random float stream). SimilarityRecallSpec still asserts recall vs s01. Scale posture unchanged: candidate generation is an equi-join on (table, signature) — the only shuffle; no distance computation before the rerank step",
-      s"""WITH pidx AS (SELECT t.t, b.b, i.i, CAST((t.t * 4 + b.b) * 64 + i.i AS HUGEINT) AS k
-        |              FROM generate_series(0, 7) t(t), generate_series(0, 3) b(b),
-        |                   generate_series(0, 63) i(i)),
-        |${graft.functions.HashFunctions.priorityHashCtes("pidx", "k", 42L, "t, b, i")},
+      s"""WITH pidx AS (SELECT t.t, b.b, i.i, CAST((t.t * $LshBits + b.b) * $LshDim + i.i AS HUGEINT) AS k
+        |              FROM generate_series(0, ${LshTables - 1}) t(t), generate_series(0, ${LshBits - 1}) b(b),
+        |                   generate_series(0, ${LshDim - 1}) i(i)),
+        |${graft.functions.HashFunctions.priorityHashCtes("pidx", "k", LshSeed, "t, b, i")},
         |planes AS (SELECT t, b,
         |                  list(CAST(CASE WHEN pri % 2 = 1 THEN -1 ELSE 1 END AS DOUBLE) ORDER BY i) AS plane
         |           FROM ph4 GROUP BY t, b),

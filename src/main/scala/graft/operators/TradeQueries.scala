@@ -49,11 +49,11 @@ object TradeQueries {
       |dict AS (SELECT * FROM (VALUES $dict) d(idx, sym, mean)),
       |trades AS (
       |  SELECT dr.id, di.sym AS tickerSymbol,
-      |         CASE WHEN CAST(dr.p2 % 9007199254740992 AS DOUBLE) / 9007199254740992.0 < 0.4
-      |              THEN 'SELL' ELSE 'BUY' END AS tradeType,
-      |         floor(di.mean * (1.0 + (CAST(dr.p1 % 9007199254740992 AS DOUBLE) / 9007199254740992.0 - 0.5) * 2.0 * 0.2) * 100.0 + 0.5) / 100.0 AS price,
-      |         CAST(dr.p3 % 10000 + 1 AS BIGINT) AS quantity
-      |  FROM draws dr JOIN dict di ON di.idx = CAST(dr.p0 % 25 AS BIGINT))""".stripMargin
+      |         CASE WHEN CAST(dr.p2 % ${TradeGenerator.Pow53} AS DOUBLE) / ${TradeGenerator.Pow53}.0 < ${TradeGenerator.ProbabilitySell}
+      |              THEN '${StockTrade.SELL}' ELSE '${StockTrade.BUY}' END AS tradeType,
+      |         floor(di.mean * (1.0 + (CAST(dr.p1 % ${TradeGenerator.Pow53} AS DOUBLE) / ${TradeGenerator.Pow53}.0 - 0.5) * 2.0 * ${TradeGenerator.MaxDeviation}) * 100.0 + 0.5) / 100.0 AS price,
+      |         CAST(dr.p3 % ${TradeGenerator.MaxQuantity} + 1 AS BIGINT) AS quantity
+      |  FROM draws dr JOIN dict di ON di.idx = CAST(dr.p0 % ${TradeGenerator.StockPrices.length} AS BIGINT))""".stripMargin
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -74,11 +74,14 @@ object FixtureContract {
       val expNames = expected.map(_._1)
       val actNames = actual.map(_._1).filter(expNames.contains)
       val aligned = expNames.filter(actNames.contains)
-      // One contract column relocated to the END is the partitioned-layout
-      // signature (parquet partitionBy appends the partition key to the
-      // read-back schema); tolerate exactly that shape — any other
-      // permutation is real drift.
+      // THE table's hive partition key (Layout.partitionCol) relocated to
+      // the END is the partitioned-layout signature (parquet partitionBy
+      // appends the partition key to the read-back schema); tolerate
+      // exactly that shape — any OTHER column at the end (e.g. a corpus
+      // regenerated with doc_id written last) is exactly the silent drift
+      // the positional Row fixtures need reported.
       val trailingPartitionCol = actNames.nonEmpty &&
+        Layout.partitionCol.get(table).contains(actNames.last) &&
         actNames == (aligned.filterNot(_ == actNames.last) :+ actNames.last)
       if (actNames == aligned || trailingPartitionCol) Nil
       else Seq(s"$table: column order ${actNames.mkString(",")} != contract ${expNames.mkString(",")}")

@@ -51,6 +51,13 @@ object Layout {
     "documents" -> (Some("lang"), 1000),
     "embeddings" -> (None, 500))
 
+  /** The hive partition key per table, where the layout has one — shared
+    * with [[FixtureContract]] so its column-order tolerance accepts exactly
+    * the relocation `partitionBy` causes and nothing else.
+    */
+  val partitionCol: Map[String, String] =
+    policy.collect { case (t, (Some(c), _)) => t -> c }
+
   /** 10-bit × 10-bit Morton interleave — the q77 kernel, reused for the
     * physical lineitem ordering (RelationalQueries.scala q77 documents the
     * pruning math; here it decides real file boundaries).

@@ -56,6 +56,26 @@ class FixtureContractSpec extends SparkSpec {
       s"expected the magnitude tripwire, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("a NON-partition column relocated to the end still reports drift") {
+    // r9 advisory: the trailing tolerance must accept only the table's
+    // actual hive partition key (Layout.partitionCol) — a corpus
+    // regenerated with e.g. doc_id written last is silent drift for the
+    // positional Row fixtures, not a layout signature
+    val out = java.nio.file.Files.createTempDirectory("graft-tail-contract").toString
+    try {
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("text", "lang", "source", "n_chars", "doc_id") // doc_id ≠ partition col "lang"
+        .write.parquet(s"$out/documents.parquet")
+      val drift = FixtureContract.diffTable(spark, out, "documents")
+      assert(drift.exists(_.contains("column order")),
+        s"non-partition trailing column not detected; got: $drift")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("a genuinely permuted (non-trailing) column order still reports drift") {
     // guard the tolerance itself: reordering two mid-schema columns must
     // stay a loud failure — only the partitionBy trailing shape is allowed

@@ -292,4 +292,22 @@ class ScaleSpec extends SparkSpec {
     assert(row.getAs[Long]("max_degree") == 3, s"max_degree: $row")
     assert(row.getAs[Long]("n_triangles") == 4, s"n_triangles (C(4,3)): $row")
   }
+
+  test("cacheParts grows linearly past bench scale: 1 partition at sf0.1/10x, >1 at 100 TB-implied counts") {
+    import graft.operators.DedupQueries.cacheParts
+    // bench-scale thresholded edge lists (~4k rows at sf0.1, ~40k at the
+    // 10x probe) stay single-partition — the measured-optimal cache shape
+    assert(cacheParts(4000L) == 1)
+    assert(cacheParts(40000L) == 1)
+    assert(cacheParts(4000000L) == 1)
+    // past the 4M-rows-per-partition knee the count must grow, or a
+    // production-scale cached intermediate funnels through one core: a
+    // 100 TB corpus (sf ~1e5, lineitem ~6e11 rows) yields thresholded
+    // edge/candidate sets in the 1e8-1e10 range
+    assert(cacheParts(4000001L) == 2)
+    assert(cacheParts(100000000L) == 25)
+    assert(cacheParts(10000000000L) == 2500)
+    // monotone non-decreasing (no wrap/overflow at extreme counts)
+    assert(cacheParts(Long.MaxValue / 2) > cacheParts(10000000000L))
+  }
 }
