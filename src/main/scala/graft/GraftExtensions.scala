@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_minhash"),
       info("shingle_minhash", "shingle_minhash(tokens, k, n) - MinHash signature over word n-grams"),
       (args: Seq[Expression]) => ShingleMinHash(args.head, foldableInt(args(1)), foldableInt(args(2)))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(tokens, n, w) - winnowing: rightmost-min shingle hash per w-window (MOSS scheme)"),
+      (args: Seq[Expression]) => WinnowFingerprints(args.head, foldableInt(args(1)), foldableInt(args(2)))))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(emb, cents) - id of the centroid (array<struct<cent_id,centroid>>) with highest cosine to emb"),

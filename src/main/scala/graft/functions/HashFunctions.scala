@@ -222,6 +222,39 @@ object HashOps {
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
     h & Long.MaxValue
   }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * in every window of `w` consecutive n-gram shingle hashes keep the
+    * RIGHTMOST minimum; consecutive windows that re-select the same position
+    * contribute one fingerprint. Guarantees every length-(w+n-1) token run
+    * shares at least one fingerprint with any copy of it — the robust local
+    * alternative to the d07 whole-document rolling hash. Rightmost-min keeps
+    * the selected position monotone as the window slides, so dedup is a
+    * compare-with-last. Comparisons are SIGNED long (the d04 sig contract):
+    * the oracle converts each mod-2^64 hash to BIGINT before taking mins.
+    * Caller guarantees >= n tokens; docs with fewer than w shingles form a
+    * single window. Returns selected hashes in position order.
+    */
+  def winnowFingerprints(arr: ArrayData, n: Int, w: Int): Array[Long] = {
+    val nSh = arr.numElements() - n + 1
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) { hs(i) = shingleHash(arr, i, n); i += 1 }
+    val nWin = math.max(1, nSh - w + 1)
+    val out = new Array[Long](nWin)
+    var m = 0
+    var last = -1
+    var wi = 0
+    while (wi < nWin) {
+      val end = math.min(wi + w, nSh)
+      var best = wi
+      var j = wi + 1
+      while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != last) { out(m) = hs(best); last = best; m += 1 }
+      wi += 1
+    }
+    if (m == nWin) out else java.util.Arrays.copyOf(out, m)
+  }
 }
 
 abstract class TokenArrayHash extends UnaryExpression {
@@ -401,6 +434,40 @@ case class ShingleSimHash(child: Expression, n: Int) extends TokenArrayHash {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint selection over n-gram shingles (see
+  * [[HashOps.winnowFingerprints]]). Null for docs shorter than one shingle
+  * (the [[ShingleSimHash]] convention — a constant empty fingerprint set
+  * would make all short docs vacuously share "no fingerprints").
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def prettyName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < n) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.winnowFingerprints(arr, n, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() < $n) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.HashOps.winnowFingerprints($c, $n, $w)); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-sensitive rolling-hash fingerprint (exact-sequence identity). */
 case class RollingHash(child: Expression) extends TokenArrayHash {
   override def prettyName: String = "rolling_hash"
@@ -438,6 +505,10 @@ object HashFunctions {
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def rollingHash(tokens: Column): Column = Bridge.column(RollingHash(Bridge.expression(tokens)))
+
+  /** Winnowing fingerprints (see [[WinnowFingerprints]]). */
+  def winnowFingerprints(tokens: Column, n: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(tokens), n, w))
 
   /** Fused shingle MinHash (see [[ShingleMinHash]]). */
   def shingleMinHash(tokens: Column, k: Int, n: Int): Column =

@@ -716,6 +716,86 @@ object TextQueries {
           sum(when(col("ad") > lit(2) * col("mad_chars"), 1).otherwise(0))
             .cast("long").as("n_outliers"))
         .orderBy("lang")
+    },
+
+    sql(
+      "t18_winnowing",
+      "winnowing fingerprint selection (Schleimer et al., the MOSS scheme): per document, hash every 3-gram shingle (the d04 fnv1a kernel), slide a w=4 window over the hash sequence and keep the RIGHTMOST minimum of each window — the robust LOCAL fingerprinting that guarantees any shared token run of length >= w+n-1 = 6 shares a fingerprint between documents, which whole-document hashes (t05/d07) cannot do and unwindowed min-sampling cannot bound. Output per doc: shingle count, fingerprint count, a bounded fingerprint fold (sum of pmod 1000003), and the selection density (winnowing theory: E[density] = 2/(w+1)). All comparisons are signed-long (the d04 sig contract); the oracle replays hash, window mins, rightmost tie-break, and fold in DuckDB. Scale posture: embarrassingly parallel map-side kernel (one codegen'd Catalyst expression per row, no shuffle at all before the per-doc projection); at 100 TB the fingerprints would feed the d04 band-join shape unchanged",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk)-2),
+        |         i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]) AS gs
+        |       FROM tok WHERE len(tk) >= 3),
+        |hu AS (SELECT doc_id, list_transform(gs, s ->
+        |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |           list_transform(string_split(s,''), c -> CAST(ascii(c) AS HUGEINT))),
+        |           (a,c) -> (xor(a,c) * 1099511628211) % 18446744073709551616)) AS us
+        |       FROM sh),
+        |hsg AS (SELECT doc_id, list_transform(us, u ->
+        |          CAST(CASE WHEN u >= 9223372036854775808
+        |                    THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS hs
+        |        FROM hu),
+        |win AS (SELECT doc_id, hs, unnest(generate_series(1, greatest(1, len(hs) - 3))) AS i
+        |        FROM hsg),
+        |selpos AS (SELECT doc_id, hs,
+        |             i - 1 + list_max(list_transform(
+        |               generate_series(1, least(4, len(hs) - i + 1)),
+        |               j -> CASE WHEN hs[i + j - 1] = list_min(hs[i : least(i + 3, len(hs))])
+        |                         THEN j ELSE 0 END)) AS p
+        |           FROM win),
+        |sel AS (SELECT DISTINCT doc_id, p, hs[p] AS fp FROM selpos),
+        |base AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles FROM hsg)
+        |SELECT b.doc_id, b.n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_fps,
+        |       CAST(sum(((fp % 1000003) + 1000003) % 1000003) AS BIGINT) AS fp_fold,
+        |       floor(count(*) * 1.0 / b.n_shingles * 10000 + 0.5) / 10000 AS density
+        |FROM base b JOIN sel USING (doc_id)
+        |GROUP BY b.doc_id, b.n_shingles
+        |ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          (size(toks) - 2).cast("long").as("n_shingles"),
+          HashFunctions.winnowFingerprints(toks, 3, 4).as("fps"))
+        .select(col("doc_id"), col("n_shingles"),
+          size(col("fps")).cast("long").as("n_fps"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc + pmod(x, lit(1000003L)))
+            .as("fp_fold"),
+          r4(size(col("fps")) * lit(1.0) / col("n_shingles")).as("density"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "p07_source_cap",
+      "per-source document cap — the anti-domain-dominance curation rule (cap each crawl source/domain at K docs so one mega-domain cannot dominate the mixture; the per-domain quota step every web-scale corpus applies before mixing): keep the K=15 best docs per source (longest first, doc_id tie-break), report per source what the cap keeps and drops in doc count and char mass. Distinct from p06 (which collapses near-dup CLUSTERS to one representative) — this bounds SOURCE cardinality with no similarity signal at all. Deterministic: the rank order is (n_chars DESC, doc_id), integer-exact in both engines. Scale posture: one per-source window over (source, n_chars, doc_id) triples — 20 B/row, never the text; at 100 TB: per-source x hash-bucket bottom-K, merged exactly (the p03/a03 shape), per-source size table broadcast; a skewed mega-source is exactly what the cap bounds",
+      """WITH ranked AS (
+        |  SELECT coalesce(source, 'und') AS source, doc_id, coalesce(n_chars, 0) AS nc,
+        |         row_number() OVER (PARTITION BY coalesce(source, 'und')
+        |                            ORDER BY coalesce(n_chars, 0) DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN rn <= 15 THEN nc ELSE 0 END) AS BIGINT) AS chars_kept,
+        |       CAST(sum(CASE WHEN rn > 15 THEN nc ELSE 0 END) AS BIGINT) AS chars_dropped
+        |FROM ranked GROUP BY source ORDER BY source""") { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(desc("nc"), col("doc_id"))
+      Tables.documents(s, dir)
+        // null source → a real group, null n_chars → rank last (AnsiEdgeSpec;
+        // engines disagree on NULL sort order, so never order by a nullable)
+        .select(coalesce(col("source"), lit("und")).as("source"), col("doc_id"),
+          coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("rn") <= 15, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("rn") > 15, 1).otherwise(0)).cast("long").as("n_dropped"),
+          sum(when(col("rn") <= 15, col("nc")).otherwise(0L)).cast("long").as("chars_kept"),
+          sum(when(col("rn") > 15, col("nc")).otherwise(0L)).cast("long").as("chars_dropped"))
+        .orderBy("source")
     }
   )
 }

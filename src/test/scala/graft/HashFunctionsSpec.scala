@@ -121,4 +121,58 @@ class HashFunctionsSpec extends SparkSpec {
     assert(agree(sigs("base"), sigs("near")) > agree(sigs("base"), sigs("far")))
     assert(agree(sigs("base"), sigs("near")) >= 16) // j≈0.9 → E[agree]≈29/32
   }
+
+  // Plain-Scala winnowing reference: fnv1a over 0x1f-joined n-grams (the
+  // HashOps.shingleHash contract), rightmost min per w-window, positions
+  // deduped in order.
+  private def winnowRef(tokens: Seq[String], n: Int, w: Int): Seq[Long] = {
+    val hs = tokens.sliding(n).map(g =>
+      graft.functions.HashOps.fnv1a(g.mkString("\u001f").getBytes("UTF-8"))).toVector
+    val nWin = math.max(1, hs.length - w + 1)
+    val picks = (0 until nWin).map { i =>
+      val end = math.min(i + w, hs.length)
+      (i until end).reverse.minBy(hs) // reversed → first minimal = rightmost
+    }
+    picks.distinct.map(hs)
+  }
+
+  test("winnowing: kernel == reference, window guarantee, short-doc null") {
+    val rnd = new scala.util.Random(4711)
+    val docs = (1L to 40L).map { id =>
+      // small vocab → frequent hash ties, exercising the rightmost tie-break
+      val nTok = 3 + rnd.nextInt(60)
+      (id, Seq.fill(nTok)(s"w${rnd.nextInt(7)}"))
+    } :+ (98L, Seq("a", "b")) :+ (99L, Seq.empty[String])
+    val df = docs.toDF("id", "toks")
+    val got = df.select(col("id"), HashFunctions.winnowFingerprints(col("toks"), 3, 4))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    docs.foreach { case (id, toks) =>
+      if (toks.length < 3) assert(got(id) == null, s"doc $id: expected null for short doc")
+      else {
+        val want = winnowRef(toks, 3, 4)
+        assert(got(id) == want, s"doc $id: kernel ${got(id)} != reference $want")
+        // the winnowing guarantee: every window of w consecutive shingles
+        // contains a selected fingerprint (selected values suffice to check
+        // via the reference positions, which the kernel just matched)
+        val hs = toks.sliding(3).map(g =>
+          graft.functions.HashOps.fnv1a(g.mkString("\u001f").getBytes("UTF-8"))).toVector
+        val selPos = hs.indices.filter(i => want.contains(hs(i))).toSet
+        (0 until math.max(1, hs.length - 3)).foreach { i =>
+          assert((i until math.min(i + 4, hs.length)).exists(selPos),
+            s"doc $id: window at $i has no fingerprint")
+        }
+      }
+    }
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"), HashFunctions.winnowFingerprints(col("toks"), 3, 4))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      assert(interp == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

@@ -179,4 +179,36 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("t18 winnowing: density tracks theory (E=2/(w+1)=0.4) and folds stay bounded") {
+    val rows = SparkEntry.queries("t18_winnowing")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSh, nFps) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_fps"))
+      assert(nFps >= 1 && nFps <= nSh, s"doc ${r.get(0)}: $nFps fps of $nSh shingles")
+      // every w-window holds a fingerprint → at least ceil(nWin / w) selections
+      val nWin = math.max(1L, nSh - 3)
+      assert(nFps >= (nWin + 3) / 4, s"doc ${r.get(0)}: below the window-guarantee floor")
+      assert(r.getAs[Long]("fp_fold") >= 0 && r.getAs[Long]("fp_fold") < nFps * 1000003L)
+    }
+    val meanDensity = rows.map(_.getAs[Double]("density")).sum / rows.length
+    assert(meanDensity > 0.3 && meanDensity < 0.5, s"mean density $meanDensity far from 0.4")
+  }
+
+  test("p07 source cap: kept == min(K, n_docs) per source, masses partition exactly") {
+    val rows = SparkEntry.queries("p07_source_cap")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs, "caps must cover every doc")
+    rows.foreach { r =>
+      val (n, kept, dropped) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped"))
+      assert(kept == math.min(15L, n), s"${r.get(0)}: kept $kept of $n")
+      assert(kept + dropped == n, s"${r.get(0)}: kept+dropped != n_docs")
+      // kept docs are the longest → per-doc average mass can only drop
+      if (dropped > 0)
+        assert(r.getAs[Long]("chars_kept") * dropped >= r.getAs[Long]("chars_dropped") * kept,
+          s"${r.get(0)}: dropped docs average longer than kept")
+    }
+  }
 }
