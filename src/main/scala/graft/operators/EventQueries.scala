@@ -731,6 +731,45 @@ object EventQueries {
           count(col("p_us")).cast("long").as("n_converted"),
           floor(expr("percentile(p_us - s_us, 0.5)") / 1000000).cast("long").as("median_latency_s"))
         .orderBy("cohort_day")
+    },
+
+    sql(
+      "q92_sequence_match",
+      "MATCH_RECOGNIZE-lite event-sequence pattern matching — regex semantics over per-user event streams, the Flink/Snowflake MATCH_RECOGNIZE surface Spark lacks, composed Spark-first: encode each user's time-ordered events as one character per type (c/e/p/s/v), then count NON-OVERLAPPING regex matches with codegen'd regexp_count. Two patterns beyond what fixed-step funnels (q82) or 3-step paths (q90) can express: 'v[ce]*p' = a view converting to a purchase across ANY number of intervening clicks/errors (Kleene-star gaps, not fixed offsets), and 's[^p]*p' = a signup eventually converting. Both regex dialects (Java, RE2) agree on this feature subset (char classes + star, no backrefs), and the left-to-right non-overlapping scan is identical — engine-exact. Scale posture: ONE user-keyed aggregation builds the sequence (array_sort(collect_list) inside the agg — no window, map-side partials); per-user state is bounded by events-per-user (an unbounded user would be segmented by q62 session first); the regex count is a codegen'd per-row expression over the compact encoded string, never the raw events",
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
+        |         substr(event_type, 1, 1) AS ch
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |seqs AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY tus, event_id) AS seq,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_funnels,
+        |       CAST(len(regexp_extract_all(seq, 's[^p]*p')) AS BIGINT) AS n_signup_conv,
+        |       len(regexp_extract_all(seq, 'v[ce]*p')) > 0 AS converted
+        |FROM seqs ORDER BY user_id""") { (s, dir) =>
+      val seqs = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"),
+          col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .groupBy("user_id")
+        .agg(
+          // sort AFTER collecting (collect_list order is partition-dependent;
+          // the struct sorts (tus, event_id, ch) lexicographically, and
+          // event_id breaks ts ties) — the q90 determinism contract without
+          // paying a window
+          array_join(transform(
+            array_sort(collect_list(struct(col("tus"), col("event_id"), col("ch")))),
+            x => x("ch")), "").as("seq"),
+          count(lit(1)).cast("long").as("n_events"))
+      seqs.select(col("user_id"), col("n_events"),
+          regexp_count(col("seq"), lit("v[ce]*p")).cast("long").as("n_funnels"),
+          regexp_count(col("seq"), lit("s[^p]*p")).cast("long").as("n_signup_conv"))
+        .withColumn("converted", col("n_funnels") > 0)
+        .orderBy("user_id")
     }
   )
 }

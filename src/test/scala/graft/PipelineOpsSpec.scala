@@ -195,6 +195,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meanDensity > 0.3 && meanDensity < 0.5, s"mean density $meanDensity far from 0.4")
   }
 
+  test("q92 sequence match: regex counts equal hand-computed values on a crafted stream") {
+    // encoded per-user sequences: u1 "vcvpvccpvp" (3 non-overlapping
+    // v[ce]*p: vp@2, vccp@4, vp@8 — the leading "vc" must NOT match),
+    // u2 "scep" (no v → 0 funnels; 1 signup conversion), u3 "pv" (nothing)
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      's' -> "signup", 'e' -> "error")
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val schema = graft.sources.Tables.events(spark, sf0001).schema
+    var id = 0L
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for ((uid, seq) <- Seq(1L -> "vcvpvccpvp", 2L -> "scep", 3L -> "pv");
+         (ch, i) <- seq.zipWithIndex) {
+      id += 1
+      // u1's last two events share a timestamp: event_id must break the tie
+      val ts = if (uid == 1L && i >= 8) t0.plusSeconds(8) else t0.plusSeconds(i)
+      rows.add(org.apache.spark.sql.Row(id, ts, uid, types(ch), 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    spark.createDataFrame(rows, schema).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q92_sequence_match")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((10L, 3L, 0L, true)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((4L, 0L, 1L, false)), s"u2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L, false)), s"u3: ${got(3L)}")
+  }
+
   test("p07 source cap: kept == min(K, n_docs) per source, masses partition exactly") {
     val rows = SparkEntry.queries("p07_source_cap")(spark, sf0001).collect()
     assert(rows.nonEmpty)
