@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("quantized_dot"),
+      info("quantized_dot", "quantized_dot(a, b) - integer dot product of two bigint code arrays"),
+      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args.head)))

@@ -85,6 +85,69 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
     copy(left = l, right = r)
 }
 
+/** Integer dot product over two quantization-code arrays (array<bigint>)
+  * — the scoring kernel of int8 scalar-quantized similarity search (s09).
+  * Pure integer arithmetic (codes ≤ 255, dims ≤ thousands: nowhere near
+  * Long overflow), so the score replays EXACTLY in any engine — no
+  * float-accumulation caveats at all. NULL on mismatched lengths, like
+  * [[DotProduct]].
+  */
+case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "quantized_dot"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        dot += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $dot += $a.getLong($i) * $b.getLong($i); }
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** cosine(a, b) = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), one fused pass.
   * NULL on mismatched lengths (see [[DotProduct]]).
   */
@@ -276,6 +339,10 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Integer dot over quantization codes (see [[QuantizedDot]]). */
+  def quantizedDot(a: Column, b: Column): Column =
+    Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
 
   def nearestCentroid(emb: Column, cents: Column): Column =
     Bridge.column(NearestCentroid(Bridge.expression(emb), Bridge.expression(cents)))

@@ -370,6 +370,58 @@ object SimilarityQueries {
     rowsOnly(
       "s06_knn_mllib_lsh",
       "MLlib BucketedRandomProjectionLSH ANN (library path); no oracle: approximate result set — SimilarityRecallSpec asserts recall vs s01")(
-      (s, dir) => MlLsh.knn(s, dir))
+      (s, dir) => MlLsh.knn(s, dir)),
+
+    sql(
+      "s09_knn_quantized",
+      "int8 scalar-quantized kNN: one global symmetric scale (amax = corpus max |component|) maps every component to an integer code floor((x*127)/amax + 0.5) in -127..127, and top-5 ranks by the INTEGER code dot product via the codegen'd quantized_dot expression — the memory lever ANN deployments pull first (4x smaller vectors, SIMD-friendly integer scoring). SYMMETRIC quantization is load-bearing: the per-dim affine 0..255 variant injects per-neighbor shift terms (sum mn_i*y_i) that swamp the tiny dots of near-random embeddings (measured overlap 0.06 vs 1.0 for symmetric on this corpus) — zero-preserving codes keep the integer dot monotone to the true dot up to quantization error. Oracle-replayed end-to-end: amax is an exact max of |float| values, the quantize expression is one fixed IEEE op sequence in both engines, and scoring is pure integer arithmetic with NO accumulation-order caveat (the only s-family entry whose scores are integer-exact, not rounded floats). SimilarityRecallSpec asserts top-5 overlap vs the exact float-dot ranking. Scale posture: amax is one tree-aggregated scalar broadcast; encoding is a map-side transform; scoring streams codes once against the broadcast query side (s01's shape at 1/4 the bytes); at 100 TB the codes persist as the compact index and float embeddings are never read at query time",
+      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |                   CAST(unnest(embedding) AS DOUBLE) AS v
+        |            FROM embeddings),
+        |amax AS (SELECT max(abs(v)) AS a FROM ex),
+        |codes AS (SELECT e.vec_id, e.pos,
+        |                 CASE WHEN x.a = 0 THEN 0
+        |                      ELSE CAST(floor(((e.v * 127.0) / x.a) + 0.5) AS BIGINT)
+        |                 END AS c
+        |          FROM ex e CROSS JOIN amax x),
+        |qd AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |              CAST(sum(q.c * e.c) AS BIGINT) AS qdot
+        |       FROM codes q JOIN codes e ON e.pos = q.pos AND e.vec_id <> q.vec_id
+        |       WHERE q.vec_id < $NQueries
+        |       GROUP BY q_id, neighbor_id)
+        |SELECT q_id, rnk, neighbor_id, qdot
+        |FROM (SELECT q_id, neighbor_id, qdot,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM qd)
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) => knnQuantized(s, dir) }
   )
+
+  /** int8 scalar-quantized kNN — see the s09 registry doc. Codes are
+    * array<long> for exact cross-engine replay; a production index would
+    * pack them to 1 byte/dim on write (the 4x lever the operator models).
+    */
+  def knnQuantized(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val amax = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .agg(max(abs(col("vf").cast("double"))).as("a"))
+    val codes = e.crossJoin(broadcast(amax))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("a") === 0, lit(0L))
+            .otherwise(floor(((x.cast("double") * lit(127.0)) / col("a")) + lit(0.5))))
+          .as("codes"))
+    val q = codes.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("qdot"), col("neighbor_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        quantizedDot(col("q_codes"), col("codes")).as("qdot"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("qdot"))
+      .orderBy("q_id", "rnk")
+  }
 }

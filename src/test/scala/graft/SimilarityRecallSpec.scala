@@ -55,6 +55,31 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"MLlib LSH recall $r")
   }
 
+  test("s09 int8 quantization: top-5 overlap vs the exact float-dot ranking ≥ 0.9") {
+    // the quantized score approximates the raw INNER PRODUCT (not cosine),
+    // so its reference is the exact float-dot top-5 — comparing against
+    // the cosine baseline would conflate quantization error with the
+    // dot-vs-cosine norm effect
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("d"), col("neighbor_id"))
+    val exactDot = neighborSets(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          dotProduct(col("q_emb"), col("embedding")).as("d"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("neighbor_id")))
+    val approx = neighborSets(SimilarityQueries.knnQuantized(spark, sf0001))
+    val overlaps = exactDot.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"quantized overlap $mean — 255-level codes should barely perturb ranks")
+  }
+
   test("IVF cell assignment matches the window-form argmax with zero shuffles outside the broadcast index") {
     val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan tree
