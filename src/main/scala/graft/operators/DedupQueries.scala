@@ -1041,6 +1041,38 @@ object DedupQueries {
         .join(collided, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    sql(
+      "d14_ngram13_decontam",
+      "exact 13-gram benchmark decontamination — the published GPT-3/PaLM rule (any single shared 13-gram with an eval document marks a training document contaminated), complementing d10's fuzzy 3-gram CONTAINMENT score with the strict ANY-overlap flag real eval suites use: eval set = doc_id % 5 = 0, train = rest; per dirty train doc report the distinct dirty grams and the distinct eval docs hit. Same inverted-index shape as d10 (one shuffle keyed by gram, never train × eval all-pairs), one shingle-kernel corpus pass split into disjoint train/eval legs (the d13 pattern — no persist needed). Scale posture: at 100 TB the gram key becomes a 64-bit hash (13-gram strings average ~90 B; a fingerprint join moves 8 B keys with negligible FP risk) and the eval side — benchmarks, thousands of docs, not billions — builds a broadcast-able index, turning the check into a map-side semi-join the daily crawl pays at batch size",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(t) - 12),
+        |                       i -> list_reduce(list_slice(t, i, i + 12), (a, b) -> a || ' ' || b))) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT t.doc_id AS train_id,
+        |       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_dirty_grams,
+        |       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_hits
+        |FROM (SELECT * FROM ex WHERE doc_id % 5 <> 0) t
+        |JOIN (SELECT * FROM ex WHERE doc_id % 5 = 0) e ON e.gram = t.gram
+        |GROUP BY train_id
+        |ORDER BY train_id""") { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(HashFunctions.shingleStrings(toks, 13)).as("gram"))
+      // disjoint filters of one scan (the d13 pattern): each leg shingles
+      // only its own subset, so total kernel work is one corpus pass
+      val train = grams.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gram"))
+      val eval_ = grams.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      train.join(eval_, "gram")
+        .groupBy("train_id")
+        .agg(countDistinct(col("gram")).cast("long").as("n_dirty_grams"),
+          countDistinct(col("eval_id")).cast("long").as("n_eval_hits"))
+        .orderBy("train_id")
     }
   )
 

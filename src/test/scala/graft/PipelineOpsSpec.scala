@@ -238,4 +238,27 @@ class PipelineOpsSpec extends SparkSpec {
           s"${r.get(0)}: dropped docs average longer than kept")
     }
   }
+
+  test("d14 13-gram decontamination == in-memory brute force at sf0.001") {
+    val rows = SparkEntry.queries("d14_ngram13_decontam")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_dirty_grams"), r.getAs[Long]("n_eval_hits"))).toMap
+    // brute force over the raw texts with the same tokenizer (split keeps
+    // empty tokens, like Spark's split / DuckDB's string_split)
+    val grams: Map[Long, Set[String]] = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = Option(r.getString(1)).getOrElse("").split(" ", -1)
+        r.getLong(0) -> (if (toks.length < 13) Set.empty[String]
+                         else toks.sliding(13).map(_.mkString(" ")).toSet)
+      }.toMap
+    val evalIds = grams.keySet.filter(_ % 5 == 0)
+    val expected = grams.collect {
+      case (tid, g) if tid % 5 != 0 =>
+        val hits = evalIds.filter(eid => g.exists(grams(eid)))
+        tid -> (hits.flatMap(eid => g & grams(eid)).size.toLong, hits.size.toLong)
+    }.filter(_._2._2 > 0)
+    assert(rows == expected, s"spark=$rows brute=$expected")
+    assert(rows.nonEmpty, "fixture should contain contaminated docs")
+  }
 }
