@@ -796,6 +796,27 @@ object TextQueries {
           sum(when(col("rn") <= 15, col("nc")).otherwise(0L)).cast("long").as("chars_kept"),
           sum(when(col("rn") > 15, col("nc")).otherwise(0L)).cast("long").as("chars_dropped"))
         .orderBy("source")
+    },
+
+    sql(
+      "p08_shard_shuffle",
+      "deterministic global shuffle + fixed-count sharding — the training-export write primitive (training runs need batches decorrelated from crawl/source order, and the permutation must be stable under retries and partition layout, which rules out RNG and orderBy(rand())): shard = splitmix priority % 16, within-shard read order = (pri, doc_id) — one hash realizes both the permutation and the balanced assignment. Output is the full manifest (shard, pos, doc_id, source), bit-replayed in DuckDB HUGEINT. Scale posture: NO global sort — the export is repartition(shard).sortWithinPartitions(pri) + partitionBy(shard) parquet writes (each shard sorts locally); the manifest here ranks with a per-shard window over 16 B rows; shard balance is binomial-tight because the hash, not a round-robin over partitions, assigns membership",
+      s"""WITH src AS (SELECT doc_id, coalesce(source, 'und') AS source FROM documents),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 17L, "doc_id, source")}
+        |SELECT CAST(pri % 16 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY pri % 16 ORDER BY pri, doc_id) AS BIGINT) AS pos,
+        |       doc_id, source
+        |FROM ph4
+        |ORDER BY shard, pos""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val w = Window.partitionBy("shard").orderBy("pri", "doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("source"), lit("und")).as("source"))
+        .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 17L))
+        .withColumn("shard", (col("pri") % 16).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "source")
+        .orderBy("shard", "pos")
     }
   )
 }

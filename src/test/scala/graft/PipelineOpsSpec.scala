@@ -261,4 +261,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows == expected, s"spark=$rows brute=$expected")
     assert(rows.nonEmpty, "fixture should contain contaminated docs")
   }
+
+  test("p08 shard shuffle: exactly-once, binomial-balanced, and actually shuffled") {
+    val rows = SparkEntry.queries("p08_shard_shuffle")(spark, sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.length == total, "every doc assigned exactly one (shard, pos)")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet))
+    // binomial 4-sigma balance bound around n/16 (p=1/16)
+    val mean = total / 16.0
+    val tol = 4 * math.sqrt(total * (1.0 / 16) * (15.0 / 16))
+    byShard.foreach { case (sh, g) =>
+      assert(math.abs(g.length - mean) <= tol, s"shard $sh size ${g.length} vs mean $mean")
+      // pos is a dense 1..k rank within the shard
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // the permutation must not preserve ingest order: within some shard,
+    // read order (pos) and doc_id order disagree somewhere
+    val inverted = byShard.values.exists { g =>
+      val ids = g.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+      ids.zip(ids.tail).exists { case (a, b) => a > b }
+    }
+    assert(inverted, "shuffle left every shard in doc_id order")
+  }
 }
