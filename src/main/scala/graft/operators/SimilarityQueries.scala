@@ -41,6 +41,17 @@ object SimilarityQueries {
   private val LshDim = 64
   private val LshSeed = 42L
 
+  // s10 JL geometry, shared Spark-side and oracle-side the same way.
+  // Declared BEFORE `all`: object vals initialize in declaration order,
+  // and the registry's doc/oracle strings interpolate these eagerly.
+  private val JlDims = 8
+  private val JlSeed = 23L
+  /** 1/sqrt(JlDims) as its exact shortest-round-trip double literal — the
+    * same 17-digit constant is interpolated into the oracle SQL, so both
+    * engines perform the identical IEEE multiply.
+    */
+  private val JlScale = 0.35355339059327373
+
   /** exact top-k: query set broadcast against the full collection. */
   def knnBrute(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -394,8 +405,40 @@ object SimilarityQueries {
         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk
         |      FROM qd)
         |WHERE rnk <= $K
-        |ORDER BY q_id, rnk""") { (s, dir) => knnQuantized(s, dir) }
+        |ORDER BY q_id, rnk""") { (s, dir) => knnQuantized(s, dir) },
+
+    sql(
+      "s10_jl_projection",
+      s"random-projection dimensionality reduction (Johnson-Lindenstrauss / Achlioptas): project every embedding 64 -> $JlDims dims through a Rademacher +-1 matrix scaled by 1/sqrt($JlDims) — the standard pre-ANN compression step (shrink vectors before indexing; Rademacher satisfies the JL distance-preservation lemma with no Gaussian sampling, E[||Px-Py||^2] = ||x-y||^2 exactly). Deterministic end-to-end: plane signs come from the splitmix priority-hash parity of the flat (dim, component) index (the s04 machinery), the +-1 dot is a pure signed left-to-right double sum, and the 1/sqrt($JlDims) scale is one IEEE multiply by the same 17-digit literal in both engines — the whole projected matrix replays bit-exactly in DuckDB. SimilarityRecallSpec asserts the lemma's expectation (mean pairwise squared-distance ratio ~ 1). Scale posture: the matrix is $JlDims x 64 broadcast constants folded into codegen; projection is a zero-shuffle map-side transform — at 100 TB this is one pass that writes the 8x smaller column the ANN index builds on",
+      s"""WITH pidx AS (SELECT j.j, i.i, CAST(j.j * 64 + i.i AS HUGEINT) AS k
+        |              FROM generate_series(0, ${JlDims - 1}) j(j), generate_series(0, 63) i(i)),
+        |${graft.functions.HashFunctions.priorityHashCtes("pidx", "k", JlSeed, "j, i")},
+        |planes AS (SELECT j, list(CAST(CASE WHEN pri % 2 = 1 THEN -1 ELSE 1 END AS DOUBLE) ORDER BY i) AS plane
+        |           FROM ph4 GROUP BY j)
+        |SELECT e.vec_id, p.j AS dim,
+        |       floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) * $JlScale) * 1000000 + 0.5) / 1000000 AS proj
+        |FROM (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0) e
+        |CROSS JOIN planes p
+        |ORDER BY vec_id, dim""") { (s, dir) => jlProject(s, dir) }
   )
+
+  /** JL projection — see the s10 registry doc. Long (vec_id, dim, proj)
+    * output: one row per projected component, replay-friendly.
+    */
+  def jlProject(s: SparkSession, dir: String): DataFrame = {
+    val planes: Seq[Array[Float]] = Seq.tabulate(JlDims)(j => Array.tabulate(64) { i =>
+      val flat = (j * 64 + i).toLong
+      if (graft.functions.HashOps.priorityHash(flat, JlSeed) % 2L == 1L) -1f else 1f
+    })
+    Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), explode(array(planes.zipWithIndex.map { case (p, j) =>
+        struct(lit(j).as("j"),
+          (dotProduct(col("embedding"), lit(p)) * lit(JlScale)).as("proj"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.j").cast("long").as("dim"), r6(col("x.proj")).as("proj"))
+      .orderBy("vec_id", "dim")
+  }
 
   /** int8 scalar-quantized kNN — see the s09 registry doc. Codes are
     * array<long> for exact cross-engine replay; a production index would

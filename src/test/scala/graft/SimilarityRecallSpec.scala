@@ -80,6 +80,34 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"quantized overlap $mean — 255-level codes should barely perturb ranks")
   }
 
+  test("s10 JL projection: mean pairwise squared-distance ratio ~ 1 (the lemma's expectation)") {
+    // Rademacher/sqrt(k) satisfies E[||Px - Py||^2] = ||x - y||^2 per pair;
+    // averaging over all pairs of the first 30 vectors must concentrate
+    // near 1 even at k=8, and no single pair may distort pathologically.
+    val orig = Tables.embeddings(spark, sf0001)
+      .filter(size(col("embedding")) > 0).filter(col("vec_id") < 30)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = SimilarityQueries.jlProject(spark, sf0001)
+      .filter(col("vec_id") < 30).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      den = d2(orig(i), orig(j)) if den > 0
+    } yield d2(proj(i), proj(j)) / den
+    val mean = ratios.sum / ratios.size
+    assert(ratios.nonEmpty && mean > 0.8 && mean < 1.25,
+      s"mean distortion $mean over ${ratios.size} pairs")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"pathological pair distortion: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("IVF cell assignment matches the window-form argmax with zero shuffles outside the broadcast index") {
     val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan tree
