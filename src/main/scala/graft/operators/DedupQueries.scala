@@ -44,6 +44,37 @@ object DedupQueries {
   private[graft] def cacheParts(rows: Long, rowsPerPartition: Long = 4000000L): Int =
     math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
 
+  /** Support-thresholded co-purchase edge list (u < v part pairs sharing
+    * ≥ 2 orders) — the graph g02 (triangles) and g03 (k-core) both run on.
+    * DuckDB side of [[copurchasePairs]]; pre-stripped, callers append
+    * their own CTEs after a comma (the bandKeySql convention).
+    */
+  private val copurchasePairsSql: String =
+    """pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Spark side of [[copurchasePairsSql]]: per-order sorted part array
+    * expanded to i<j combinations — one orderkey shuffle of bounded
+    * (≤7-element) arrays, no fact-table self-join/SMJ; measured 1.6× the
+    * self-join form at sf0.1, and the multiset of (u,v) instances is
+    * identical (x<y filter drops same-part repeats exactly as the join's
+    * u<v did). Un-persisted: callers own caching.
+    */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("p"))
+      .select(col("p.u"), col("p.v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("u", "v")
+
   // Fixed MinHash permutation constants, shared by the Spark impl and the
   // generated DuckDB oracle of d03.
   private val P = 2147483647L
@@ -878,11 +909,7 @@ object DedupQueries {
     sql(
       "g02_triangle_count",
       "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list via two-phase SHUFFLE wedge joins — O(wedges) 16-byte shuffle rows, no broadcast of E, valid at any edge-list size",
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""WITH $copurchasePairsSql,
         |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
         |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
         |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
@@ -898,31 +925,17 @@ object DedupQueries {
         |es  AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
         |SELECT vs.n_nodes, es.n_edges, vs.max_degree, tri.n_triangles
         |FROM vs CROSS JOIN es CROSS JOIN tri""") { (s, dir) =>
-      // Pair build: per-order sorted part array expanded to i<j combinations
-      // — one orderkey shuffle of bounded (≤7-element) arrays, no fact-table
-      // self-join/SMJ; measured 1.6× the self-join form at sf0.1 and the
-      // multiset of (u,v) instances is identical (x<y filter drops same-part
-      // repeats exactly as the join's u<v did). The oracle keeps the
-      // equivalent self-join SQL. persist: this one expensive pass feeds
-      // four branches (deg, ori rebuilds, edge count, wedge probes);
-      // post-threshold it is ~4k rows. Query runners clearCache() after.
+      // Pair build: see copurchasePairs (shared with g03). persist: this
+      // one expensive pass feeds four branches (deg, ori rebuilds, edge
+      // count, wedge probes); post-threshold it is ~4k rows. Query runners
+      // clearCache() after.
       // The support-count aggregation runs at FULL shuffle parallelism: a
       // narrowing coalesce here (r8/r9 carried a .coalesce(4)) collapses
       // into the shuffle stage above it and caps the reduce side of the
       // groupBy(u,v) — which processes the corpus-proportional
       // PRE-threshold pair multiset (1.2M rows at sf0.1, unbounded at
       // 100 TB) — at that constant, regardless of cluster size.
-      val pairsWide = Tables.lineitem(s, dir)
-        .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
-          .as("p"))
-        .select(col("p.u"), col("p.v"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("u", "v")
-        .persist()
+      val pairsWide = copurchasePairs(s, dir).persist()
       // Materialization barrier, not a driver-side result: downstream
       // branches launch together, and an un-populated cache makes each of
       // them run the full fact-table pair build — measured 5× the whole
@@ -975,6 +988,28 @@ object DedupQueries {
       vs.crossJoin(es).crossJoin(tri)
         .select("n_nodes", "n_edges", "max_degree", "n_triangles")
     },
+
+    sql(
+      "g03_kcore",
+      "2-core decomposition of the co-purchase graph (iterative peeling — the graph-density filter beside g01's centrality and g02's triangles; k-cores are how graph-shaped corpora prune low-connectivity noise before community detection): repeatedly delete nodes with fewer than 2 live neighbors until a fixpoint; output every surviving node with its in-core degree. Bounded-round contract: both engines run the SAME ≤16 peel rounds (KCoreSpec measures fixpoint at ≤9 rounds across all three scale factors, so the bound has margin and early-exit-on-no-change is a pure optimization); the oracle unrolls the rounds as chained CTEs over the shared co-purchase edge SQL. Scale posture: each round is two edge-keyed semi-joins + one keyed degree count over the SHRINKING alive set — O(rounds × E) shuffle rows of 8-16 B, the standard distributed peel (Pregel-style); the support-2 threshold already bounds E corpus-proportionally (see g02), caches are cacheParts-sized, and the round count is data-bounded (degeneracy ordering converges in O(log n) rounds on power-law graphs)",
+      {
+        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+        // reference, and each round references its predecessor twice —
+        // un-materialized, the unrolled chain expands 2^16 lineitem scans
+        val rounds = (1 to 16).map { i =>
+          val prev = s"a${i - 1}"
+          s"""a$i AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d_core FROM (
+             |  SELECT e.u AS x FROM ep e JOIN $prev p ON p.node = e.u JOIN $prev q ON q.node = e.v
+             |  UNION ALL
+             |  SELECT e.v FROM ep e JOIN $prev p ON p.node = e.u JOIN $prev q ON q.node = e.v
+             |) GROUP BY x HAVING count(*) >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $copurchasePairsSql,
+          |ep AS MATERIALIZED (SELECT u, v FROM pairs),
+          |a0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM ep UNION ALL SELECT v AS x FROM ep)),
+          |$rounds
+          |SELECT node, d_core FROM a16 ORDER BY node"""
+      }) { (s, dir) => kcorePeel(s, dir)._1 },
 
     sql(
       "d12_paragraph_dedup",
@@ -1079,6 +1114,49 @@ object DedupQueries {
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def contaminationPlan(s: SparkSession, dir: String): DataFrame =
     contaminationImpl(s, dir, materialize = false)
+
+  /** g03's bounded-round 2-core peel; returns (result, roundsRun) so
+    * KCoreSpec can assert the 16-round oracle budget has margin.
+    */
+  private[graft] def kcorePeel(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val edges = copurchasePairs(s, dir).persist()
+    val parts = cacheParts(edges.count())
+    // Each round is checkpointed EAGERLY: the loop references `alive`
+    // twice per round, so carrying the logical plan forward doubles the
+    // tree every iteration — by round 8 plan traversal (Catalyst rules,
+    // explain/telemetry walks) is 2^8 copies of the full edge build and
+    // the driver, not the data, becomes the bottleneck. localCheckpoint
+    // truncates lineage to a LogicalRDD of the (tiny, cacheParts-sized)
+    // round output — the d08/g01 RDD-iteration lesson in DataFrame form.
+    // At 100 TB: same loop with reliable checkpoint(dir) instead of
+    // executor-local blocks, rounds are edge-keyed semi-joins either way.
+    var alive = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().coalesce(parts).localCheckpoint(true)
+    var aliveCount = alive.count()
+    var result: DataFrame = alive.withColumn("d_core", lit(0L)) // replaced in round 1
+    var round = 0
+    var converged = false
+    while (round < 16 && !converged) {
+      round += 1
+      val live = edges
+        .join(alive.select(col("node").as("u")).hint("shuffle_hash"), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")).hint("shuffle_hash"), Seq("v"), "left_semi")
+      val next = live.select(col("u").as("node"))
+        .unionAll(live.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("d_core"))
+        .filter(col("d_core") >= 2)
+        .coalesce(parts).localCheckpoint(true)
+      val c = next.count()
+      // peeling only shrinks the alive set, so equal count == equal set
+      // == this round's d_core equals every later round's (incl. a16)
+      converged = c == aliveCount
+      aliveCount = c
+      alive = next.select("node")
+      result = next
+    }
+    (result.select("node", "d_core").orderBy("node"), round)
+  }
 
   private def contaminationImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
     val g = Tables.documents(s, dir)

@@ -310,4 +310,33 @@ class ScaleSpec extends SparkSpec {
     // monotone non-decreasing (no wrap/overflow at extreme counts)
     assert(cacheParts(Long.MaxValue / 2) > cacheParts(10000000000L))
   }
+
+  test("g03 2-core == in-memory brute-force peel; fixpoint leaves the 16-round oracle budget margin") {
+    val (df, rounds) = graft.operators.DedupQueries.kcorePeel(spark, sf0001)
+    val got = df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d_core")).toMap
+    // the oracle unrolls exactly 16 rounds; the loop must converge well
+    // inside that (measured: 5 at sf0.001, 5 at sf0.01, 8 at sf0.1)
+    assert(rounds <= 9, s"peel took $rounds rounds — oracle budget at risk")
+    // brute force from the raw fact table
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = li.toSeq.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val parts = grp.map(_._2)
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    var edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    var core = edges.flatMap(e => Seq(e._1, e._2))
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, o) => n -> o.size }
+      val keep = core.filter(n => deg.getOrElse(n, 0) >= 2)
+      changed = keep != core
+      core = keep
+      edges = edges.filter(e => core(e._1) && core(e._2))
+    }
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    assert(got == deg, s"spark ${got.size} nodes vs brute ${deg.size}")
+    assert(got.nonEmpty, "fixture 2-core should be non-empty")
+  }
 }
