@@ -799,6 +799,44 @@ object TextQueries {
     },
 
     sql(
+      "t19_context_chunks",
+      "sliding context-window chunking — the long-document complement to t12's packing (packing concatenates SHORT docs up to the budget; chunking splits LONG docs into overlapping max_seq_len windows, the return_overflowing_tokens step of every pretraining tokenizer): L=32 tokens, stride S=24 (8-token overlap), chunk starts at 0, S, 2S, ... with n_chunks = 1 if n <= L else ceil((n-L)/S)+1; emit per chunk the start offset, token count, and the md5 of the rebuilt chunk text (the fingerprint a chunk-level dedup would key on — and the part that makes the oracle exercise the actual token slicing, not just the arithmetic). Pure integer window math + byte-exact md5 in both engines. Scale posture: zero shuffles — chunking is a per-row generator (posexplode of a sequence), embarrassingly parallel; output rows scale by the corpus duplication factor ~n/S which the downstream pack/shard steps absorb",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, ts, n,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE (n - 9) // 24 + 1 END AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, n, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx, ts
+        |  FROM counted)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 24 AS start_tok,
+        |       least(CAST(32 AS BIGINT), n - chunk_idx * 24) AS n_tok,
+        |       md5(array_to_string(ts[(chunk_idx*24+1):(chunk_idx*24 + least(CAST(32 AS BIGINT), n - chunk_idx*24))], ' ')) AS chunk_fp
+        |FROM chunks
+        |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      val ts = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ts.as("ts"), size(ts).cast("long").as("n"))
+        .withColumn("n_chunks",
+          when(col("n") <= 32, lit(1L))
+            // ceil((n-32)/24) + 1 in pure integer math: (n-32+23) div 24 + 1
+            .otherwise(expr("(n - 9) div 24") + 1L))
+        .select(col("doc_id"), col("n"), col("ts"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+        .withColumn("start_tok", col("chunk_idx") * 24L)
+        .withColumn("n_tok", least(lit(32L), col("n") - col("start_tok")))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"),
+          md5(array_join(slice(col("ts"), (col("start_tok") + 1L).cast("int"),
+            col("n_tok").cast("int")), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    sql(
       "p08_shard_shuffle",
       "deterministic global shuffle + fixed-count sharding — the training-export write primitive (training runs need batches decorrelated from crawl/source order, and the permutation must be stable under retries and partition layout, which rules out RNG and orderBy(rand())): shard = splitmix priority % 16, within-shard read order = (pri, doc_id) — one hash realizes both the permutation and the balanced assignment. Output is the full manifest (shard, pos, doc_id, source), bit-replayed in DuckDB HUGEINT. Scale posture: NO global sort — the export is repartition(shard).sortWithinPartitions(pri) + partitionBy(shard) parquet writes (each shard sorts locally); the manifest here ranks with a per-shard window over 16 B rows; shard balance is binomial-tight because the hash, not a round-robin over partitions, assigns membership",
       s"""WITH src AS (SELECT doc_id, coalesce(source, 'und') AS source FROM documents),

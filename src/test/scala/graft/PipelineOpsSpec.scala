@@ -262,6 +262,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.nonEmpty, "fixture should contain contaminated docs")
   }
 
+  test("t19 context chunks == scala sliding-window rebuild (offsets, counts, md5s)") {
+    val rows = SparkEntry.queries("t19_context_chunks")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"), r.getAs[String]("chunk_fp")))
+      .toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val toks = Option(r.getString(1)).getOrElse("").split(" ", -1)
+        val n = toks.length
+        val nChunks = if (n <= 32) 1 else (n - 9) / 24 + 1
+        (0 until nChunks).map { i =>
+          val start = i * 24
+          val len = math.min(32, n - start)
+          (r.getLong(0), i.toLong, start.toLong, len.toLong,
+            md5hex(toks.slice(start, start + len).mkString(" ")))
+        }
+      }.toSet
+    assert(rows == expected)
+    // tiling invariant: consecutive chunks overlap by exactly 8 tokens and
+    // the final chunk ends at the doc's last token
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + 24, s"doc $doc stride broken")
+        case _         =>
+      }
+      val last = sorted.last
+      val n = sorted.head._4 + sorted.head._3 // only valid for 1-chunk docs
+      if (sorted.length == 1) assert(last._3 + last._4 == n)
+    }
+  }
+
   test("p08 shard shuffle: exactly-once, binomial-balanced, and actually shuffled") {
     val rows = SparkEntry.queries("p08_shard_shuffle")(spark, sf0001).collect()
     val total = graft.sources.Tables.documents(spark, sf0001).count()
