@@ -1119,8 +1119,14 @@ object DedupQueries {
     * KCoreSpec can assert the 16-round oracle budget has margin.
     */
   private[graft] def kcorePeel(s: SparkSession, dir: String): (DataFrame, Int) = {
-    val edges = copurchasePairs(s, dir).persist()
-    val parts = cacheParts(edges.count())
+    // Two-step cache (the g02 pattern): the thresholded edge list lands at
+    // 32 shuffle partitions; re-persisting it at a data-derived count keeps
+    // every peel round's stages from paying 32 near-empty tasks × rounds.
+    val edgesWide = copurchasePairs(s, dir).persist()
+    val parts = cacheParts(edgesWide.count())
+    val edges = edgesWide.repartition(parts).persist()
+    edges.count()
+    edgesWide.unpersist(blocking = false)
     // Each round is checkpointed EAGERLY: the loop references `alive`
     // twice per round, so carrying the logical plan forward doubles the
     // tree every iteration — by round 8 plan traversal (Catalyst rules,
