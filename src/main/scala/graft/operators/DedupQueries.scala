@@ -1012,6 +1012,98 @@ object DedupQueries {
       }) { (s, dir) => kcorePeel(s, dir)._1 },
 
     sql(
+      "g04_bfs_distance",
+      "multi-source BFS distance over the co-purchase graph (the reachability / neighborhood-expansion primitive beside g01 centrality, g02 density, and g03 coreness — graph-shaped corpora use bounded BFS for 'everything within k hops of a seed set' expansion queries): seeds = graph nodes with partkey % 50 = 0, distances computed frontier-by-frontier for 4 rounds; output every reached node with its hop distance. Bounded-round contract (the g03 pattern): both engines run the SAME 4 expansion rounds, the oracle unrolls them as chained MATERIALIZED CTEs over the shared co-purchase edge SQL, and the frontier/visited sets are exact (anti-join, not min-dist relaxation — BFS frontiers on an unweighted graph ARE the min distances). Scale posture: each round is one edge-keyed semi-join (frontier against the cached symmetric edge list) + one anti-join against visited — O(rounds × E) shuffle rows of 8 B, the Pregel superstep shape; frontiers are localCheckpoint-truncated so round r's plan never re-derives rounds 1..r-1 (the kcorePeel lineage lesson), and at 100 TB the same loop runs on reliable checkpoints with the visited set growing monotonically (never the full node set per round)",
+      {
+        val rounds = (1 to 4).map { i =>
+          val (pf, pv) = (s"f${i - 1}", s"v${i - 1}")
+          s"""f$i AS MATERIALIZED (
+             |  SELECT DISTINCT s.dst AS node FROM sym s JOIN $pf p ON p.node = s.src
+             |  WHERE s.dst NOT IN (SELECT node FROM $pv)),
+             |v$i AS MATERIALIZED (
+             |  SELECT node, dist FROM $pv
+             |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $copurchasePairsSql,
+          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+          |                     UNION ALL SELECT v, u FROM pairs),
+          |f0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym WHERE src % 50 = 0),
+          |v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0),
+          |$rounds
+          |SELECT node, dist FROM v4 ORDER BY node"""
+      }) { (s, dir) =>
+      // Two-step cache (the g02/g03 pattern): thresholded edges re-persist
+      // at a data-derived partition count before the round loop.
+      val edgesWide = copurchasePairs(s, dir).persist()
+      val parts = cacheParts(edgesWide.count())
+      val edges = edgesWide.repartition(parts).persist()
+      edges.count()
+      edgesWide.unpersist(blocking = false)
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      // seeds restricted to graph nodes: BFS distance is defined on the
+      // graph, and the oracle's f0 derives from sym the same way
+      var frontier = sym.select("src").distinct()
+        .filter(col("src") % 50 === 0).select(col("src").as("node"))
+        .coalesce(parts).localCheckpoint(true)
+      var visited = frontier.withColumn("dist", lit(0L))
+        .coalesce(parts).localCheckpoint(true)
+      for (d <- 1 to 4) {
+        val nbrs = sym
+          .join(frontier.select(col("node").as("src")).hint("shuffle_hash"), Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+        frontier = nbrs
+          .join(visited.select("node").hint("shuffle_hash"), Seq("node"), "left_anti")
+          .coalesce(parts).localCheckpoint(true)
+        visited = visited.unionAll(frontier.withColumn("dist", lit(d.toLong)))
+          .coalesce(parts).localCheckpoint(true)
+      }
+      visited.orderBy("node")
+    },
+
+    sql(
+      "g05_common_neighbors",
+      "common-neighbor link prediction over the co-purchase graph (the similarity/recommendation primitive the g-family was missing: 'parts bought with the same companions' — rank NON-adjacent node pairs by shared-neighbor structure): for every unordered non-edge pair with >= 2 common neighbors, the common-neighbor count and neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Integer wedge counts, r4 ratio; the oracle replays wedge join, degree join, and the existing-edge anti-join exactly. Scale posture: candidate pairs form ONLY through the wedge equi-join on the shared middle vertex (never nodes × nodes), the same O(Σ deg²) bound as g02's wedge phase, which the support-2 edge threshold keeps corpus-proportional; at 100 TB the standard hub cap (drop middles above a degree ceiling, as LSH banding drops mega-bands) bounds the quadratic term — the join SHAPE is unchanged",
+      s"""WITH $copurchasePairsSql,
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |                     UNION ALL SELECT v, u FROM pairs),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |                     FROM sym GROUP BY src),
+        |cn AS (SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+        |       FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT cn.a, cn.b, cn.common FROM cn
+        |       LEFT JOIN pairs p ON p.u = cn.a AND p.v = cn.b WHERE p.u IS NULL)
+        |SELECT ne.a, ne.b, ne.common,
+        |       floor(ne.common * 1.0 / (da.d + db.d - ne.common) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+        |ORDER BY ne.a, ne.b""") { (s, dir) =>
+      val edgesWide = copurchasePairs(s, dir).persist()
+      val parts = cacheParts(edgesWide.count())
+      val edges = edgesWide.repartition(parts).persist()
+      edges.count()
+      edgesWide.unpersist(blocking = false)
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("d"))
+      // wedge join on the middle vertex; shuffle_hash keeps AQE from
+      // broadcasting a side that is only small at bench scale
+      val cn = sym.select(col("src").as("m"), col("dst").as("a"))
+        .join(sym.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
+        .filter(col("common") >= 2)
+      val ne = cn.join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
+        Seq("a", "b"), "left_anti")
+      ne.join(deg.select(col("node").as("a"), col("d").as("da")).hint("shuffle_hash"), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")).hint("shuffle_hash"), "b")
+        .select(col("a"), col("b"), col("common"),
+          r4(col("common") * lit(1.0) / (col("da") + col("db") - col("common"))).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

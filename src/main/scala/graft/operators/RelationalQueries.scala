@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.GraftQuery.sql
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -614,6 +615,52 @@ object RelationalQueries {
         .agg(count(lit(1)).cast("long").as("n_rows"),
           sum(col("k") % 1000003L).cast("long").as("key_fold"))
         .orderBy("change_type")
+    },
+
+    sql(
+      "u06_delete_cascade",
+      "referential delete cascade — the right-to-be-forgotten primitive (a deletion-request list must purge the subject's rows AND every downstream fact that references them, with an auditable per-table count): request set = customers with c_custkey % 97 = 0; cascade customer → their orders → those orders' lineitems; report per table the deleted count, surviving count, and a deleted-key fold so the driver hash pins WHICH rows died, not just how many. All integer counts. Scale posture: the request list is small by contract (deletion requests, not a corpus scan) so it broadcasts; orders filter by a broadcast semi-join, lineitem by a keyed semi-join on orderkey that AQE may itself broadcast — never a full-table anti-join materialization, and the same plan writes deletion vectors instead of counts in a real purge. The three report legs are single-row aggregates (scalar crossJoins, the q06 pattern)",
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |dord AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |dlin AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+        |SELECT 'customer' AS tbl,
+        |       CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted,
+        |       CAST((SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS BIGINT) AS n_kept,
+        |       CAST((SELECT coalesce(sum(c_custkey % 1000003), 0) FROM del) AS BIGINT) AS key_fold
+        |UNION ALL
+        |SELECT 'lineitem',
+        |       CAST((SELECT count(*) FROM dlin) AS BIGINT),
+        |       CAST((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dlin) AS BIGINT),
+        |       CAST((SELECT coalesce(sum(l_orderkey * 7 % 1000003 + l_linenumber), 0) FROM dlin) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders',
+        |       CAST((SELECT count(*) FROM dord) AS BIGINT),
+        |       CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM dord) AS BIGINT),
+        |       CAST((SELECT coalesce(sum(o_orderkey % 1000003), 0) FROM dord) AS BIGINT)
+        |ORDER BY tbl""") { (s, dir) =>
+      val customer = Tables.customer(s, dir)
+      val orders = Tables.orders(s, dir)
+      val lineitem = Tables.lineitem(s, dir)
+      val del = customer.filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val dord = orders
+        .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      val dlin = lineitem
+        .join(dord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber")
+      def leg(tbl: String, deleted: DataFrame, fold: Column, total: DataFrame): DataFrame =
+        deleted.agg(count(lit(1)).cast("long").as("n_deleted"),
+            coalesce(sum(fold), lit(0L)).cast("long").as("key_fold"))
+          .crossJoin(total.agg(count(lit(1)).as("n_total")))
+          .select(lit(tbl).as("tbl"), col("n_deleted"),
+            (col("n_total") - col("n_deleted")).cast("long").as("n_kept"), col("key_fold"))
+      leg("customer", del, col("c_custkey") % 1000003L, customer)
+        .unionAll(leg("lineitem", dlin,
+          col("l_orderkey") * 7L % 1000003L + col("l_linenumber"), lineitem))
+        .unionAll(leg("orders", dord, col("o_orderkey") % 1000003L, orders))
+        .orderBy("tbl")
     },
 
     sql(

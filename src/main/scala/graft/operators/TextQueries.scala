@@ -855,6 +855,37 @@ object TextQueries {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id", "source")
         .orderBy("shard", "pos")
+    },
+
+    sql(
+      "t20_lexical_diversity",
+      "lexical-diversity quality signals — the vocabulary-richness complement to t13's repetition screen (t13 flags repeated 3-gram RUNS; this flags degenerate VOCABULARY, which catches template/boilerplate text whose grams are all distinct but whose word inventory is tiny): per document the type-token ratio (distinct words / words), hapax ratio (words occurring exactly once / distinct words — Zipf-healthy text keeps this high), and the top-type share (most frequent word's fraction of all words — a single dominant token is the classic SEO-spam fingerprint). Integer counts cast explicitly; ratios share the r4 floor formula across engines. Scale posture: explode + two keyed aggregations, both keyed by doc_id (the second by (doc_id, word) first — map-side combinable, never a global vocabulary structure); 100 TB cost is one text-sized shuffle keyed by doc-local word counts, the same shape as t02",
+      """WITH cnt AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       floor(count(*) * 1.0 / sum(c) * 10000 + 0.5) / 10000 AS ttr,
+        |       floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5) / 10000
+        |         AS hapax_ratio,
+        |       floor(max(c) * 1.0 / sum(c) * 10000 + 0.5) / 10000 AS top_type_share
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(when(col("c") === 1, 1).otherwise(0)).cast("long").as("n_hapax"),
+          r4(count(lit(1)) * lit(1.0) / sum("c")).as("ttr"),
+          r4(sum(when(col("c") === 1, 1).otherwise(0)) * lit(1.0) / count(lit(1)))
+            .as("hapax_ratio"),
+          r4(max("c") * lit(1.0) / sum("c")).as("top_type_share"))
+        .orderBy("doc_id")
     }
   )
 }

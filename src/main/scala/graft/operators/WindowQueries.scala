@@ -299,6 +299,33 @@ object WindowQueries {
             .when(col("gr") === 0 && col("gn") === 1, r6(col("rev") / col("total_rev")))
             .otherwise(lit(1.0)).as("share_of_parent"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    sql(
+      "q93_range_frame",
+      "value-RANGE window frame — trailing 90-day spend per customer at every order (the moving-window aggregate ROWS frames cannot express: the frame is bounded by the ORDER key's VALUE, so it widens and narrows with order density instead of counting rows): per order, the sum and count of the same customer's orders dated within the preceding 89 days inclusive. Both engines frame on epoch seconds (Spark rangeBetween over unix_timestamp, DuckDB RANGE over the timestamp with a second-granular interval) so peer sets are identical by construction; the frame sum is decimal-exact (the q31 contract — RANGE frames are evaluated by segment trees in DuckDB and streaming frame scans in Spark, and only decimal addition makes that strategy difference invisible). Scale posture: one shuffle partitioned by the high-cardinality custkey; per-partition state is a bounded sliding frame (90 days of one customer's orders), never the whole partition — the standard distributed time-window analytic",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_orders_90d,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE) * 100 + 0.5) / 100
+        |         AS spend_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7689600 SECOND PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      // 89 days of seconds: the frame includes the current day, so a
+      // "90-day trailing window" reaches back 89 * 86400 s from the
+      // current order's timestamp. Framing on the long epoch value (not
+      // datediff) keeps the contract exact even for corpora with
+      // non-midnight timestamps.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-89L * 86400L, 0L)
+      Tables.orders(s, dir)
+        .withColumn("n_orders_90d", count(lit(1)).over(w).cast("long"))
+        .withColumn("spend_90d",
+          r2(sum(col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double")))
+        .select("o_custkey", "o_orderkey", "n_orders_90d", "spend_90d")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
