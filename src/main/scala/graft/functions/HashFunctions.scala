@@ -235,6 +235,19 @@ object HashOps {
     * Caller guarantees >= n tokens; docs with fewer than w shingles form a
     * single window. Returns selected hashes in position order.
     */
+  /** ALL n-gram shingle hashes in position order (the raw hash stream
+    * winnowing selects from) — exposed directly for content-defined
+    * chunking, where every window fingerprint is a potential cut point.
+    * Empty array below n tokens.
+    */
+  def shingleHashes(arr: ArrayData, n: Int): Array[Long] = {
+    val nSh = math.max(0, arr.numElements() - n + 1)
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) { hs(i) = shingleHash(arr, i, n); i += 1 }
+    hs
+  }
+
   def winnowFingerprints(arr: ArrayData, n: Int, w: Int): Array[Long] = {
     val nSh = arr.numElements() - n + 1
     val hs = new Array[Long](nSh)
@@ -388,6 +401,32 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All n-gram shingle hashes in position order (see
+  * [[HashOps.shingleHashes]]) — the fingerprint stream content-defined
+  * chunking cuts on. Codegen'd; empty array below n tokens.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashOps.shingleHashes(v.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Multiset twin of [[ShingleStrings]]: all n-gram shingles with duplicates
   * preserved (repetition analysis needs the counts, not the set).
   */
@@ -529,6 +568,10 @@ object HashFunctions {
   /** All shingle strings, duplicates preserved (see [[ShingleStringsAll]]). */
   def shingleStringsAll(tokens: Column, n: Int): Column =
     Bridge.column(ShingleStringsAll(Bridge.expression(tokens), n))
+
+  /** All shingle hashes in position order (see [[ShingleHashes]]). */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
 
   /** k-permutation MinHash signature (array<long>) over a token array,
     * composed from builtins — kept as the reference form the fused

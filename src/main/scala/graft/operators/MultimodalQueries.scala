@@ -132,6 +132,63 @@ object MultimodalQueries {
           davg4(col("media.n_chars")).as("avg_chars"),
           r4(dsum(dotProduct(col("media.embedding"), col("media.embedding"))) / count(lit(1))).as("avg_sq_norm"))
         .orderBy("label")
+    },
+
+    sql(
+      "m06_cdc_chunks",
+      "content-defined chunking of binary payloads — the variable-size block dedup primitive (restic/LBFS-style: cut wherever a sliding window fingerprint hits a magic value, so an insertion early in a blob shifts ONE chunk's boundary instead of re-aligning every fixed-size block downstream; chunk content hashes then feed the d01 exact-dedup shape for cross-blob block-level dedup): window = 4 payload bytes hashed by the fused shingle-fnv1a kernel (ShingleHashes — the t18 winnowing stream, cut-on-magic instead of min-selected), cut after any window whose hash ≡ 0 mod 16 (expected chunk ≈ 16 B at the fixture's payload sizes), emit per chunk its 0-based index, 1-based byte offset, length, and md5 (the content address a block store would key on). Payload = the m01/m02 text-as-bytes stub contract (fixture text is pure ASCII, so char positions == byte offsets and the oracle replays the kernel per char in HUGEINT). Scale posture: zero shuffles — chunking is a per-row codegen'd kernel + generator expand (the t19 shape), embarrassingly parallel over any partitioning; at 100 TB the md5 column feeds a chunk-keyed group-by for block dedup, and min/max chunk-size clamps bound state exactly as in FastCDC",
+      """WITH ch AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |                   string_split(text, '') AS cs
+        |            FROM documents WHERE length(text) >= 1),
+        |hu AS (SELECT doc_id, text, n,
+        |         list_transform(generate_series(1, greatest(CAST(0 AS BIGINT), n - 3)), i ->
+        |           list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |             list_transform(string_split(
+        |               cs[i] || chr(31) || cs[i+1] || chr(31) || cs[i+2] || chr(31) || cs[i+3], ''),
+        |               c -> CAST(ascii(c) AS HUGEINT))),
+        |             (a, c) -> (xor(a, c) * 1099511628211) % 18446744073709551616)) AS us
+        |       FROM ch),
+        |cuts AS (SELECT doc_id, text, n,
+        |           list_filter(list_transform(us, (u, i) ->
+        |             CASE WHEN u % 16 = 0 AND i + 3 < n THEN i + 3 ELSE CAST(-1 AS BIGINT) END),
+        |             x -> x > 0) AS bs
+        |         FROM hu),
+        |parts AS (SELECT doc_id, text,
+        |            list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+        |            list_append(bs, n) AS es
+        |          FROM cuts),
+        |idx AS (SELECT doc_id, text, ss, es,
+        |               CAST(unnest(generate_series(1, len(ss))) AS BIGINT) AS k
+        |        FROM parts)
+        |SELECT doc_id, k - 1 AS chunk_idx, ss[k] AS start_pos,
+        |       es[k] - ss[k] + 1 AS chunk_len,
+        |       md5(substr(text, CAST(ss[k] AS INT), CAST(es[k] - ss[k] + 1 AS INT))) AS chunk_md5
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      // windows are 1-char "tokens" (the payload-byte stream): window j
+      // (0-based) covers bytes j+1..j+4, so a magic hash cuts after byte
+      // j+4; the last window never cuts (a zero-length tail chunk is
+      // meaningless). Everything below the explode is array arithmetic on
+      // the codegen'd hash stream — no shuffle, no UDF.
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"),
+          HashFunctions.shingleHashes(split(col("text"), ""), 4).as("hs"))
+        .withColumn("bs", expr(
+          "filter(transform(hs, (h, j) -> CASE WHEN pmod(h, 16) = 0 AND j + 4 < n " +
+            "THEN cast(j + 4 as bigint) ELSE cast(-1 as bigint) END), x -> x > 0)"))
+        .withColumn("ss", expr("concat(array(cast(1 as bigint)), transform(bs, b -> b + 1))"))
+        .withColumn("es", expr("concat(bs, array(n))"))
+        .select(col("doc_id"), col("text"),
+          posexplode(expr(
+            "transform(ss, (s, k) -> struct(s AS start_pos, element_at(es, k + 1) - s + 1 AS chunk_len))"))
+            .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
+          md5(expr("cast(substring(text, cast(c.start_pos as int), cast(c.chunk_len as int)) as binary)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

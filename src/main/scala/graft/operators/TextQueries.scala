@@ -886,6 +886,80 @@ object TextQueries {
             .as("hapax_ratio"),
           r4(max("c") * lit(1.0) / sum("c")).as("top_type_share"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "p09_split_leakage",
+      "train/test split leakage audit — the split-hygiene check that closes the curation loop (p05 assigns the stratified 98/1/1 split; this verifies the TEST split shares no 13-gram with the TRAIN split, the d14 decontamination rule applied across p05's own boundary — dedup-then-split pipelines still leak through near-identical docs landing on opposite sides): per test doc report its distinct 13-gram count, how many of those grams also occur in any train doc, and how many distinct train docs are hit; clean test docs report zeros (left join, not inner — the audit must show silence, not omit it). Membership replays p05's exact splitmix-priority window (same seed 13) and the gram join replays d14's inverted-index shape. Scale posture: the test split is 1% BY CONSTRUCTION, so its gram set broadcasts while the train leg stays a keyed gram join (one text-sized shuffle); at 100 TB grams move as 64-bit fingerprints (the d14 note) and the audit is batch-sized per split refresh",
+      s"""WITH src AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 13L, "doc_id, lang")},
+        |sized AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY lang),
+        |tagged AS (SELECT r.lang, r.doc_id,
+        |                  CASE WHEN r.rn <= (s.n * 98) // 100 THEN 'train'
+        |                       WHEN r.rn <= (s.n * 99) // 100 THEN 'val'
+        |                       ELSE 'test' END AS split
+        |           FROM (SELECT lang, doc_id,
+        |                        row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+        |                 FROM ph4) r JOIN sized s USING (lang)),
+        |g AS (SELECT doc_id,
+        |             list_distinct(list_transform(generate_series(1, length(t) - 12),
+        |                           i -> list_reduce(list_slice(t, i, i + 12), (a, b) -> a || ' ' || b))) AS grams
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |hits AS (SELECT te.doc_id,
+        |                CAST(count(DISTINCT te.gram) AS BIGINT) AS n_dirty_grams,
+        |                CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_hits
+        |         FROM (SELECT e.* FROM ex e JOIN tagged t USING (doc_id) WHERE t.split = 'test') te
+        |         JOIN (SELECT e.* FROM ex e JOIN tagged t USING (doc_id) WHERE t.split = 'train') tr
+        |           ON tr.gram = te.gram
+        |         GROUP BY te.doc_id)
+        |SELECT t.lang, t.doc_id,
+        |       CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(h.n_dirty_grams, 0) AS BIGINT) AS n_dirty_grams,
+        |       CAST(coalesce(h.n_train_hits, 0) AS BIGINT) AS n_train_hits
+        |FROM tagged t
+        |LEFT JOIN (SELECT doc_id, CAST(length(grams) AS BIGINT) AS n_grams FROM g) ng USING (doc_id)
+        |LEFT JOIN hits h ON h.doc_id = t.doc_id
+        |WHERE t.split = 'test'
+        |ORDER BY t.doc_id""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val docs = Tables.documents(s, dir)
+      val src = docs
+        .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"))
+        .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 13L))
+      val sized = src.groupBy("lang").agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+      val tagged = src.withColumn("rn", row_number().over(w))
+        .join(broadcast(sized), "lang")
+        .withColumn("split",
+          when(col("rn") <= expr("n * 98 div 100"), lit("train"))
+            .when(col("rn") <= expr("n * 99 div 100"), lit("val"))
+            .otherwise(lit("test")))
+        .select("doc_id", "lang", "split")
+      // shingleStrings is per-doc-distinct by construction, so gram
+      // multiplicity never inflates the counts
+      val g = docs.select(col("doc_id"),
+        HashFunctions.shingleStrings(TextFunctions.tokens(col("text")), 13).as("grams"))
+      val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      // test side is 1% by construction → broadcast; the train leg stays a
+      // keyed shuffle join (98% of the corpus never broadcasts)
+      val testRows = tagged.filter(col("split") === "test").select("doc_id", "lang")
+      val te = ex.join(broadcast(testRows.select("doc_id")), "doc_id")
+        .select(col("doc_id").as("test_id"), col("gram"))
+      val tr = ex.join(tagged.filter(col("split") === "train").select("doc_id"), "doc_id")
+        .select(col("doc_id").as("train_id"), col("gram"))
+      val hits = te.join(tr, "gram")
+        .groupBy("test_id")
+        .agg(countDistinct("gram").cast("long").as("n_dirty_grams"),
+          countDistinct("train_id").cast("long").as("n_train_hits"))
+      val ng = g.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      testRows.join(ng, Seq("doc_id"), "left")
+        .join(hits, col("doc_id") === col("test_id"), "left")
+        .select(col("lang"), col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dirty_grams"), lit(0L)).as("n_dirty_grams"),
+          coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"))
+        .orderBy("doc_id")
     }
   )
 }
