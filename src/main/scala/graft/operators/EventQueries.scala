@@ -219,6 +219,56 @@ object EventQueries {
     },
 
     sql(
+      "q94_nearest_event",
+      "nearest as-of join with tolerance (AsOfJoin.nearest — the symmetric completion of q68's backward-only as-of: sensor/trade alignment wants the click CLOSEST to each purchase in either direction, not just the latest prior one): each purchase matches the click minimizing |Δt| within ±30 min for the same user; equidistant candidates resolve backward, concurrent clicks resolve to the greatest event_id backward / least forward (the window scan order, pinned in both engines), and out-of-tolerance purchases keep a null match. delta_us is signed (positive = click before purchase). Scale posture: ONE shuffle on the join key — the forward candidate is a first() over the mirrored frame of the same union+window pass that computes the backward one, so nearest costs exactly what backward does (no inequality join, no per-key collect, AQE-skew-splittable)",
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side, event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win_p AS prev_ts,
+        |        last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER win_p AS prev_id,
+        |        first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win_n AS next_ts,
+        |        first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER win_n AS next_id
+        |      FROM u
+        |      WINDOW win_p AS (PARTITION BY user_id
+        |                       ORDER BY ts, side, CASE WHEN side = 0 THEN event_id END NULLS FIRST
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             win_n AS (PARTITION BY user_id
+        |                       ORDER BY ts, side, CASE WHEN side = 0 THEN event_id END NULLS FIRST
+        |                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |ch AS (SELECT event_id AS purchase_id,
+        |              epoch_us(ts) - epoch_us(prev_ts) AS d_prev,
+        |              epoch_us(next_ts) - epoch_us(ts) AS d_next,
+        |              prev_id, next_id
+        |       FROM w WHERE side = 1)
+        |SELECT purchase_id,
+        |       CASE WHEN prev_id IS NOT NULL AND d_prev <= 1800000000
+        |                 AND (next_id IS NULL OR d_next > 1800000000 OR d_prev <= d_next)
+        |            THEN prev_id
+        |            WHEN next_id IS NOT NULL AND d_next <= 1800000000 THEN next_id END AS click_id,
+        |       CASE WHEN prev_id IS NOT NULL AND d_prev <= 1800000000
+        |                 AND (next_id IS NULL OR d_next > 1800000000 OR d_prev <= d_next)
+        |            THEN d_prev
+        |            WHEN next_id IS NOT NULL AND d_next <= 1800000000 THEN -d_next END AS delta_us
+        |FROM ch
+        |ORDER BY purchase_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.nearest(purchases, clicks, key = "user_id",
+          leftTs = "ts", rightTs = "ts", tieBreak = "event_id",
+          toleranceUs = 1800000000L)
+        .select(col("left.event_id").as("purchase_id"),
+          col("right.event_id").as("click_id"),
+          (unix_micros(col("left.ts").cast("timestamp")) -
+            unix_micros(col("right.ts").cast("timestamp"))).as("delta_us"))
+        .orderBy("purchase_id")
+    },
+
+    sql(
       "q69_map_columns",
       "MapType columns: per-user event-type→count map built, carried, and read back (map projected to hashable scalars for the oracle; pivot equivalence also asserted in ScalaTest)",
       """WITH counts AS (

@@ -282,6 +282,36 @@ object StreamingQueries {
       out.select(col("user_id"), col("event_type"),
           col("minute_bucket").cast("timestamp_ntz").as("minute_bucket"))
         .orderBy("user_id", "event_type", "minute_bucket")
+    },
+
+    sql(
+      "st09_stream_outer_join",
+      "watermarked LEFT OUTER stream-stream join (EventStreams.purchaseClickLeftJoin: st03's interval join, null-padding purchases with no click in the preceding hour) executed as a real StreamingQuery in append mode — the drop-off stream st03's inner join silently discards. Outer emission is WATERMARK-GATED state eviction, not batch left-join semantics: matches emit eagerly, but a null-padded row emits only once the global watermark (min over both inputs of max event time - 1h delay) passes the purchase's event time — so purchases inside the final watermark horizon of a bounded replay stay unmatched-and-unemitted, and the oracle reproduces that cutoff arithmetic exactly rather than pretending the stream is a batch. Scale posture: same symmetric hash-join state as st03, keyed by user; the watermark bounds both state size and the outer-emission delay at any corpus rate",
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+        |              - INTERVAL 1 HOUR AS cutoff),
+        |matched AS (SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts
+        |            FROM p JOIN c ON c.user_id = p.user_id
+        |             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR),
+        |unmatched AS (SELECT p.user_id, p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+        |                     p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
+        |              FROM p, wm
+        |              WHERE p.p_ts < wm.cutoff
+        |                AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id))
+        |SELECT user_id, purchase_id, click_id, p_ts, c_ts FROM matched
+        |UNION ALL
+        |SELECT user_id, purchase_id, click_id, p_ts, c_ts FROM unmatched
+        |ORDER BY purchase_id, click_id NULLS FIRST""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.purchaseClickLeftJoin(eventStream(s, dir)), "st09_out",
+        mode = "append")
+      out.select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("p_ts").cast("timestamp_ntz").as("p_ts"),
+          col("c_ts").cast("timestamp_ntz").as("c_ts"))
+        .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
     }
   )
 }

@@ -91,6 +91,32 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Left-outer twin of [[purchaseClickJoin]]: purchases with no click in
+    * the preceding hour STILL emit, null-padded, once the watermark closes
+    * their match window — the funnel-drop-off stream (q91's unmatched
+    * complement) computed without a second batch pass. Outer emission
+    * timing is watermark-driven: matches emit eagerly (append mode), and a
+    * null-padded row emits only when the global watermark passes the
+    * purchase's event time (state eviction), which for a bounded replay
+    * means purchases inside the final watermark horizon never emit
+    * unmatched rows — st09's oracle models exactly that cutoff.
+    */
+  def purchaseClickLeftJoin(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Stream-static join: the streaming side enriched from a broadcastable
     * dimension (here ticker → mean price, mirroring the reference's
     * generator dictionary as a dim table).
