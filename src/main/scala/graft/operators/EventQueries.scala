@@ -269,6 +269,35 @@ object EventQueries {
     },
 
     sql(
+      "q95_sliding_distinct",
+      "sliding distinct cardinality — trailing 7-day active users per observed day (the DAU/WAU rolling-uniques metric): the variant q61's sliding COUNTS cannot express, because count(DISTINCT) is not a window function in either engine and a naive per-day re-scan is O(days × corpus). Both engines compute it as distinct (day, user) pairs expanded to the ≤7 window days each pair serves (bounded explode — the q70 banded-join trick in generator form), then a keyed exact distinct per day, restricted to days that actually observed events. Scale posture: the 7× expansion is of the DISTINCT day-user pair set (already ≤ users × days, tiny vs raw events), the final aggregation is the standard two-phase distinct on a (day, user) key with map-side partials, and no day ever re-scans raw history — at 100 TB this is the textbook rolling-uniques shape (pair dedup once, bounded fan-out, keyed count)",
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, user_id
+        |  FROM events),
+        |obs AS (SELECT DISTINCT day FROM pairs)
+        |SELECT o.day,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users_7d,
+        |       CAST(count(*) AS BIGINT) AS n_active_pairs
+        |FROM obs o JOIN pairs p ON p.day >= o.day - 6 AND p.day <= o.day
+        |GROUP BY o.day
+        |ORDER BY o.day""") { (s, dir) =>
+      val pairs = Tables.events(s, dir)
+        .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+        .distinct()
+      val obs = pairs.select("day").distinct()
+      // each pair serves window days day..day+6; joining back to observed
+      // days replaces the range join with an equi-join on the exploded key
+      pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .join(obs, "day")
+        .groupBy("day")
+        .agg(countDistinct("user_id").cast("long").as("n_users_7d"),
+          count(lit(1)).cast("long").as("n_active_pairs"))
+        .orderBy("day")
+    },
+
+    sql(
       "q69_map_columns",
       "MapType columns: per-user event-type→count map built, carried, and read back (map projected to hashable scalars for the oracle; pivot equivalence also asserted in ScalaTest)",
       """WITH counts AS (

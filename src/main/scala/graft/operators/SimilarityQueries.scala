@@ -419,7 +419,27 @@ object SimilarityQueries {
         |       floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) * $JlScale) * 1000000 + 0.5) / 1000000 AS proj
         |FROM (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0) e
         |CROSS JOIN planes p
-        |ORDER BY vec_id, dim""") { (s, dir) => jlProject(s, dir) }
+        |ORDER BY vec_id, dim""") { (s, dir) => jlProject(s, dir) },
+
+    sql(
+      "s11_range_search",
+      "cosine RANGE search — every vector within similarity >= 0.25 of each of the 10 query vectors (the radius-query complement of s01's top-k: dedup and recommendation ask 'everything this close', not 'the closest k', and the result set size is data-driven, not fixed). The threshold gates on the r6-ROUNDED similarity in BOTH engines, so a last-ulp disagreement in the raw cosine cannot flip a boundary row (the Det float-boundary discipline applied to a predicate, not just an output). Scale posture: query side broadcasts (s01's contract — the scan side never shuffles, one corpus pass serves all queries); at 100 TB the same predicate pushes into the s08 IVF cell-select or the s04 LSH bucket-probe shape, with this brute-force form as their recall oracle",
+      s"""SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |       floor((${cosineSql("q.embedding", "e.embedding")}) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |WHERE q.vec_id < $NQueries
+        |  AND floor((${cosineSql("q.embedding", "e.embedding")}) * 1000000 + 0.5) / 1000000 >= 0.25
+        |ORDER BY q_id, neighbor_id""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          r6(cosineSim(col("q_emb"), col("embedding"))).as("sim"))
+        .filter(col("sim") >= 0.25)
+        .orderBy("q_id", "neighbor_id")
+    }
   )
 
   /** JL projection — see the s10 registry doc. Long (vec_id, dim, proj)

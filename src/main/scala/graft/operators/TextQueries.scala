@@ -960,6 +960,88 @@ object TextQueries {
           coalesce(col("n_dirty_grams"), lit(0L)).as("n_dirty_grams"),
           coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "p10_token_budget",
+      "token-budget waterfilling — exact integer quota allocation of a global token budget (50% of corpus tokens) across sources (the mixture-downsampling step BEFORE p03's per-doc sampling: given 'train on B tokens', decide how many tokens each source contributes; small sources keep everything, large sources cap at a common water level, so no source dominates — the max-min fair allocation): sources sort by token mass ascending, a source is uncapped iff smaller sources' mass plus (remaining sources × its own mass) fits the budget (the waterfill feasibility test, monotone by construction), capped sources share the leftover pool by integer division with the remainder going +1 to the largest (source-name tie-break), so allocations sum EXACTLY to the budget. All integer arithmetic; per source: doc count, token mass, allocation, keep-rate in ppm. Scale posture: per-source token masses are one keyed aggregation (map-side combinable); everything after runs on the |sources|-row table (window + scalar broadcast joins) — at 100 TB the allocation table is the broadcast input that drives p03-style hash sampling per source",
+      """WITH d AS (SELECT coalesce(source, 'und') AS source,
+        |                  CAST(length(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                CAST(sum(nt) AS BIGINT) AS tokens
+        |         FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS m FROM srcs),
+        |bdg AS (SELECT (total * 50) // 100 AS b, m FROM tot),
+        |ranked AS (SELECT s.*,
+        |                  CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+        |                  CAST(sum(tokens) OVER (ORDER BY tokens, source
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref
+        |           FROM srcs s),
+        |feas AS (SELECT r.*, CASE WHEN (pref - tokens) + (bdg.m - i + 1) * tokens <= bdg.b
+        |                          THEN 1 ELSE 0 END AS feasible
+        |         FROM ranked r, bdg),
+        |kk AS (SELECT CAST(coalesce(sum(feasible), 0) AS BIGINT) AS k,
+        |              CAST(coalesce(max(CASE WHEN feasible = 1 THEN pref END), 0) AS BIGINT) AS prefk
+        |       FROM feas),
+        |alloc AS (SELECT f.source, f.n_docs, f.tokens, f.feasible,
+        |                 CASE WHEN bdg.m = kk.k THEN 0
+        |                      ELSE (bdg.b - kk.prefk) // (bdg.m - kk.k) END AS base,
+        |                 CASE WHEN bdg.m = kk.k THEN 0
+        |                      ELSE (bdg.b - kk.prefk) % (bdg.m - kk.k) END AS r,
+        |                 CAST(row_number() OVER (PARTITION BY f.feasible
+        |                      ORDER BY f.tokens DESC, f.source) AS BIGINT) AS rn2
+        |          FROM feas f, bdg, kk)
+        |SELECT source, n_docs, tokens,
+        |       CAST(CASE WHEN feasible = 1 THEN tokens
+        |                 ELSE base + CASE WHEN rn2 <= r THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+        |       CAST(CASE WHEN tokens = 0 THEN 1000000
+        |                 ELSE (CASE WHEN feasible = 1 THEN tokens
+        |                            ELSE base + CASE WHEN rn2 <= r THEN 1 ELSE 0 END END)
+        |                      * 1000000 // tokens END AS BIGINT) AS keep_ppm
+        |FROM alloc
+        |ORDER BY source""") { (s, dir) =>
+      val srcs = Tables.documents(s, dir)
+        .select(coalesce(col("source"), lit("und")).as("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"), sum("nt").cast("long").as("tokens"))
+      val bdg = srcs.agg((sum("tokens") * 50L).cast("long").as("tt"),
+          count(lit(1)).cast("long").as("m"))
+        .select(expr("tt div 100").as("b"), col("m"))
+      val wAsc = Window.orderBy(col("tokens"), col("source"))
+      // |sources|-row table: the global windows and scalar crossJoins all
+      // run on a frame the size of the source list, never the corpus
+      val ranked = srcs
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("pref",
+          sum("tokens").over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+      val feas = ranked.crossJoin(broadcast(bdg))
+        .withColumn("feasible",
+          when((col("pref") - col("tokens")) + (col("m") - col("i") + 1L) * col("tokens")
+            <= col("b"), 1).otherwise(0))
+      val kk = feas.agg(coalesce(sum("feasible"), lit(0L)).cast("long").as("k"),
+        coalesce(max(when(col("feasible") === 1, col("pref"))), lit(0L)).cast("long").as("prefk"))
+      feas.crossJoin(broadcast(kk))
+        .withColumn("base",
+          when(col("m") === col("k"), 0L)
+            .otherwise(expr("(b - prefk) div (m - k)")))
+        .withColumn("r",
+          when(col("m") === col("k"), 0L)
+            .otherwise((col("b") - col("prefk")) % (col("m") - col("k"))))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("feasible").orderBy(desc("tokens"), col("source"))).cast("long"))
+        .withColumn("alloc",
+          when(col("feasible") === 1, col("tokens"))
+            .otherwise(col("base") + when(col("rn2") <= col("r"), 1L).otherwise(0L))
+            .cast("long"))
+        .withColumn("keep_ppm",
+          when(col("tokens") === 0, 1000000L)
+            .otherwise(expr("alloc * 1000000 div tokens")).cast("long"))
+        .select("source", "n_docs", "tokens", "alloc", "keep_ppm")
+        .orderBy("source")
     }
   )
 }

@@ -320,4 +320,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(inverted, "shuffle left every shard in doc_id order")
   }
+
+  test("p10 waterfill: small sources keep all, large sources cap, allocations sum to the budget") {
+    // the fixture corpus is source-balanced (every source caps), so the
+    // UNCAPPED branch needs a skewed corpus: tiny sources under the water
+    // level keep everything, the one big source absorbs the residual pool
+    val dir = java.nio.file.Files.createTempDirectory("p10spec").toFile.getAbsolutePath
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("tok").mkString(" "), "en", src, n.toLong)
+    val docs = Seq(doc(1, "tiny1", 10), doc(2, "tiny2", 20)) ++
+      (3L to 6L).map(i => doc(i, "big", 100))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // total = 430, budget = 215; sorted asc: tiny1(10) tiny2(20) big(400);
+    // waterfill: tiny1/tiny2 feasible, big capped at 215 - 30 = 185
+    val out = SparkEntry.queries("p10_token_budget")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(out == Map("tiny1" -> 10L, "tiny2" -> 20L, "big" -> 185L))
+    assert(out.values.sum == 215L, "allocations must exhaust the budget exactly")
+  }
 }
