@@ -102,13 +102,19 @@ object PlanAudit {
     // the documented oracle-exact global decile (its at-scale twin is q38's
     // sketch); NOTHING else may plan one, so a regression elsewhere can't
     // hide behind q33's known `WindowExec: No Partition Defined` warning.
+    // p10 joins the whitelist: its global windows rank the PER-SOURCE
+    // aggregate (|sources| rows — a handful at any corpus size; the corpus
+    // pass is the keyed token-mass aggregation upstream), so the
+    // single-partition sort is over a dimension-sized frame, the same class
+    // as a broadcast dim build, not a corpus sort.
     import org.apache.spark.sql.execution.window.WindowExec
+    val globalWindowWhitelist = Seq("p10_token_budget", "q33_price_deciles")
     val globalWindowQueries = allPlans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
       plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }
     }.distinct
-    assert(globalWindowQueries == Seq("q33_price_deciles"),
-      s"global (partition-less) windows outside the q33 whitelist: $globalWindowQueries")
-    println(s"global-window whitelist OK (only q33 across ${allPlans.size} audited plans)")
+    assert(globalWindowQueries == globalWindowWhitelist,
+      s"global (partition-less) windows outside the whitelist: $globalWindowQueries")
+    println(s"global-window whitelist OK (only $globalWindowWhitelist across ${allPlans.size} audited plans)")
 
     // Streaming batch-twins: st01–st08 are excluded from the sweep above
     // (they execute real StreamingQueries), but every EventStreams
