@@ -1104,6 +1104,54 @@ object DedupQueries {
     },
 
     sql(
+      "g06_assortativity",
+      "degree assortativity of the co-purchase graph (Newman's r — the graph-profiling scalar that tells you whether hubs link to hubs (r>0, social-style) or to leaves (r<0, dependency-style), which decides whether g02-style wedge work concentrates or spreads and whether a hub degree cap is even needed): every moment (Σjk, Σ(j+k), Σ(j²+k²) over edge-endpoint degree pairs) is an EXACT integer aggregate the driver hash pins directly; floats appear only in the final Pearson assembly, built from the same shared subterms in the same order in both engines (b = S2/2M computed once, then b·b — never pow(), whose libm rounding is not contractual), rounded r6, with a zero-variance guard. Scale posture: one keyed degree aggregation + one edge-keyed degree join (the g02 ori shape) + a single scalar fold — no new join shapes beyond what g02 already pays",
+      s"""WITH $copurchasePairsSql,
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
+        |ed AS (SELECT du.d AS j, dv.d AS k
+        |       FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |                CAST(sum(j * k) AS BIGINT) AS s1,
+        |                CAST(sum(j + k) AS BIGINT) AS s2,
+        |                CAST(sum(j * j + k * k) AS BIGINT) AS s3
+        |         FROM ed),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |terms AS (SELECT m, s1, s2, s3, n_nodes,
+        |                 CAST(s1 AS DOUBLE) / m AS a,
+        |                 CAST(s2 AS DOUBLE) / (2 * m) AS b,
+        |                 CAST(s3 AS DOUBLE) / (2 * m) AS c
+        |          FROM sums, nn)
+        |SELECT n_nodes, m AS n_edges, s1, s2, s3,
+        |       floor((2.0 * m / n_nodes) * 10000 + 0.5) / 10000 AS avg_degree,
+        |       CASE WHEN c - b * b = 0 THEN 0.0
+        |            ELSE floor(((a - b * b) / (c - b * b)) * 1000000 + 0.5) / 1000000 END
+        |         AS assortativity
+        |FROM terms""") { (s, dir) =>
+      val pairs = copurchasePairs(s, dir).persist()
+      pairs.count() // fill barrier: deg + the edge join both read this cache
+      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
+      val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+      val sums = pairs
+        .join(deg.select(col("node").as("u"), col("d").as("j")).hint("shuffle_hash"), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("k")).hint("shuffle_hash"), "v")
+        .agg(count(lit(1)).cast("long").as("m"),
+          sum(col("j") * col("k")).cast("long").as("s1"),
+          sum(col("j") + col("k")).cast("long").as("s2"),
+          sum(col("j") * col("j") + col("k") * col("k")).cast("long").as("s3"))
+      sums.crossJoin(nn)
+        .withColumn("a", col("s1").cast("double") / col("m"))
+        .withColumn("b", col("s2").cast("double") / (col("m") * 2))
+        .withColumn("c", col("s3").cast("double") / (col("m") * 2))
+        .select(col("n_nodes"), col("m").as("n_edges"), col("s1"), col("s2"), col("s3"),
+          r4(lit(2.0) * col("m") / col("n_nodes")).as("avg_degree"),
+          when(col("c") - col("b") * col("b") === 0, lit(0.0))
+            .otherwise(r6((col("a") - col("b") * col("b")) / (col("c") - col("b") * col("b"))))
+            .as("assortativity"))
+    },
+
+    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

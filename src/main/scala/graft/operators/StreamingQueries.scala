@@ -312,6 +312,25 @@ object StreamingQueries {
           col("p_ts").cast("timestamp_ntz").as("p_ts"),
           col("c_ts").cast("timestamp_ntz").as("c_ts"))
         .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+    },
+
+    sql(
+      "st10_stream_append_windows",
+      "APPEND-mode streaming tumbling windows (st01's transform under the OTHER output contract: complete mode re-emits whole state each batch — fine for a memory sink, unpayable into an append-only lake; append mode emits each window EXACTLY ONCE, when the watermark closes it, which is how windowed aggregates actually land in files at scale): same 1-hour tumbling count as st01, but only windows whose end the final watermark (max event time − 1h delay) has passed emit — trailing open windows are withheld, and the oracle reproduces that closure predicate (window_end <= watermark) instead of pretending the bounded replay saw the stream end. The st09 watermark-cutoff discipline applied to aggregation state. Scale posture: identical state to st01; append additionally bounds what each micro-batch WRITES (closed windows only) — the exactly-once file-sink contract",
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM e
+        |GROUP BY window_start, event_type
+        |HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      val out = runToMemory(s,
+        EventStreams.tumblingCounts(eventStream(s, dir)), "st10_out",
+        mode = "append")
+      out.select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
     }
   )
 }

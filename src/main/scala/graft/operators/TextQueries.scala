@@ -1042,6 +1042,34 @@ object TextQueries {
             .otherwise(expr("alloc * 1000000 div tokens")).cast("long"))
         .select("source", "n_docs", "tokens", "alloc", "keep_ppm")
         .orderBy("source")
+    },
+
+    sql(
+      "t21_novelty_score",
+      "per-document n-gram novelty — the incremental-contribution signal dedup thresholds miss (a doc can be <50% similar to every single predecessor yet contribute almost nothing new to the corpus; novelty measures its distinct 3-grams whose FIRST corpus occurrence, by doc_id ingest order, is this document): per doc the distinct-gram count, first-occurrence count, and novelty rate in ppm (exact integer division). One gram-keyed shuffle: the first-occurrence owner is min(doc_id) over a gram-partitioned window, not a groupBy + join-back (halves the gram traffic). Docs too short to shingle carry no grams and are absent in both engines. Scale posture: at 100 TB grams move as 64-bit fingerprints (the d14 note) and ingest order generalizes to any total order on (shard, doc) — the same single keyed pass",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, length(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |f AS (SELECT doc_id, gram,
+        |             min(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |      FROM g)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |         AS novelty_ppm
+        |FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(HashFunctions.shingleStrings(TextFunctions.tokens(col("text")), 3)).as("gram"))
+      g.withColumn("first_doc", min("doc_id").over(Window.partitionBy("gram")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).cast("long").as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams").cast("long"))
+        .orderBy("doc_id")
     }
   )
 }

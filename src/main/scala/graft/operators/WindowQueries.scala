@@ -326,6 +326,25 @@ object WindowQueries {
           r2(sum(col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double")))
         .select("o_custkey", "o_orderkey", "n_orders_90d", "spend_90d")
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    sql(
+      "q96_rank_family",
+      "relative-rank window functions with PEERS — percent_rank and cume_dist of each order's month within its priority class (the rank family q30's row_number cannot express: row_number forces ties apart, while these two define themselves BY the tie group — cume_dist counts the whole peer group as reached, percent_rank counts rows strictly below — so the ORDER key is deliberately low-cardinality, the order month, to make peer handling the thing under test). Both are rank arithmetic over integer counts ((rank-1)/(n-1), peers_reached/n) evaluated by the same IEEE division in both engines, rounded r6. Scale posture: one shuffle partitioned by priority class, linear per-partition rank scan — peers accumulate in counts, never in buffered rows",
+      """SELECT o_orderkey, o_orderpriority,
+        |       floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pr,
+        |       floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(date_trunc("month", col("o_orderdate").cast("timestamp")))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"))
+        .orderBy("o_orderkey")
     }
   )
 }
