@@ -189,6 +189,65 @@ object MultimodalQueries {
           md5(expr("cast(substring(text, cast(c.start_pos as int), cast(c.chunk_len as int)) as binary)"))
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    sql(
+      "m07_phash_pairs",
+      "perceptual-hash near-duplicate pairs over binary payloads — the image-dedup primitive (average-hash: sample a fixed 64-position grid of the payload, threshold each sample against the grid mean, compare 64-bit fingerprints by Hamming distance; re-encoded/resized variants of the same media keep most bits, which byte-exact m01 sha256 dedup cannot see): grid position k reads byte floor((k-1)·n/64)+1, bit_k = 1 iff sample·64 > Σsamples (exact integer compare — no float mean, ties to 0), bits pack into four 16-bit bands, candidate pairs form ONLY via equality on any (band_idx, band_value) key (the d04 LSH-banding shape: Hamming ≤ 8 over 4 bands guarantees ≥ 1 identical band by pigeonhole, so banding is RECALL-LOSSLESS for the threshold), and candidates verify with bit_count(xor) summed across bands. Payload = the m01/m02 text-as-bytes stub contract. Scale posture: fingerprints are map-side codegen arithmetic; the only shuffle is the 10-byte band-key join, never payload×payload; band-bucket skew (e.g. the all-zero hash of blank media) caps exactly like d04's mega-bands",
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs,
+        |                   CAST(length(text) AS BIGINT) AS n
+        |            FROM documents WHERE length(text) >= 1),
+        |sam AS (SELECT doc_id,
+        |               list_transform(generate_series(1, 64),
+        |                 k -> CAST(ascii(cs[CAST(((k-1) * n) // 64 AS BIGINT) + 1]) AS BIGINT)) AS sv
+        |        FROM ch),
+        |bt AS (SELECT doc_id, sv, list_sum(sv) AS s FROM sam),
+        |bands AS (SELECT doc_id,
+        |                 list_transform(generate_series(0, 3), j ->
+        |                   CAST(list_sum(list_transform(generate_series(1, 16), i ->
+        |                     CASE WHEN sv[j*16 + i] * 64 > s THEN CAST(1 AS BIGINT) << (i - 1)
+        |                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bs
+        |          FROM bt),
+        |keys AS (SELECT doc_id, bs, unnest(generate_series(1, 4)) AS j FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |         FROM (SELECT doc_id, j, bs, bs[j] AS key FROM keys) a
+        |         JOIN (SELECT doc_id, j, bs, bs[j] AS key FROM keys) b
+        |           ON b.j = a.j AND b.key = a.key AND b.doc_id > a.doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |               CAST(list_sum(list_transform(generate_series(1, 4),
+        |                 j -> bit_count(xor(ba.bs[j], bb.bs[j])))) AS BIGINT) AS hamming
+        |        FROM cand c JOIN bands ba ON ba.doc_id = c.a JOIN bands bb ON bb.doc_id = c.b)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 8
+        |ORDER BY a, b""") { (s, dir) =>
+      // sampled byte k (1-based): position ((k-1)*n div 64)+1 ∈ [1, n];
+      // bit threshold is the exact integer compare v*64 > Σv (ties → 0)
+      val fp = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), split(col("text"), "").as("cs"),
+          length(col("text")).cast("long").as("n"))
+        .withColumn("sv", expr(
+          "transform(sequence(1, 64), k -> cast(ascii(element_at(cs, cast(((k-1) * n) div 64 as int) + 1)) as bigint))"))
+        .withColumn("s", expr("aggregate(sv, cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("bs", expr(
+          "transform(sequence(0, 3), j -> aggregate(sequence(1, 16), cast(0 as bigint), " +
+            "(acc, i) -> acc + CASE WHEN element_at(sv, j*16 + i) * 64 > s " +
+            "THEN shiftleft(cast(1 as bigint), i - 1) ELSE cast(0 as bigint) END))"))
+        .select(col("doc_id"), col("bs"))
+      val keys = fp.select(col("doc_id"), col("bs"),
+        posexplode(col("bs")).as(Seq("j", "key")))
+      val cand = keys.select(col("doc_id").as("a"), col("j"), col("key"))
+        .join(keys.select(col("doc_id").as("b"), col("j"), col("key")), Seq("j", "key"))
+        .filter(col("b") > col("a"))
+        .select("a", "b").distinct()
+      cand
+        .join(fp.select(col("doc_id").as("a"), col("bs").as("bs_a")), "a")
+        .join(fp.select(col("doc_id").as("b"), col("bs").as("bs_b")), "b")
+        .withColumn("hamming", expr(
+          "aggregate(sequence(1, 4), cast(0 as bigint), " +
+            "(acc, j) -> acc + bit_count(element_at(bs_a, j) ^ element_at(bs_b, j)))"))
+        .filter(col("hamming") <= 8)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
     }
   )
 }

@@ -664,6 +664,32 @@ object RelationalQueries {
     },
 
     sql(
+      "u07_point_in_time",
+      "point-in-time snapshot reconstruction — the time-travel read over u02's SCD2 history (u02 BUILDS the interval versions; this answers 'what did every key look like at T?', the query that reconstructs a training set as of a cutoff so retrains are reproducible): per user the single version whose [valid_from, valid_to) interval covers T = 2024-01-15, i.e. the half-open interval filter valid_from <= T < coalesce(valid_to, infinity) — no argmax needed because SCD2 intervals partition each key's timeline by construction. Values pass through untouched. Scale posture: one key-partitioned window builds the intervals (u02's shape) and the covering filter is a projection over it; on a stored SCD2 table this is a partition-prunable scan (valid_from <= T) with no window at all — the nightly-snapshot read path",
+      """SELECT user_id, event_id AS version_id,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       CAST(valid_to AS TIMESTAMP) AS valid_to,
+        |       value
+        |FROM (SELECT user_id, event_id, ts,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |             value
+        |      FROM events)
+        |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR CAST(valid_to AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id, version_id""") { (s, dir) =>
+      val at = lit("2024-01-15 00:00:00").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .filter(col("ts").cast("timestamp") <= at &&
+          (col("valid_to").isNull || col("valid_to").cast("timestamp") > at))
+        .select(col("user_id"), col("event_id").as("version_id"),
+          col("ts").as("valid_from"), col("valid_to"), col("value"))
+        .orderBy("user_id", "version_id")
+    },
+
+    sql(
       "u02_scd2_versioning",
       "SCD type-2 interval versioning (corpus snapshot history): each per-key change event becomes a [valid_from, valid_to) row via lead() over the key's event-time order, open interval = current version — the dataset-versioning primitive behind point-in-time training-set reconstruction (q68's as-of join is the lookup side). Scale posture: one partitioned window per key (user_id), no global sort; values pass through untouched so no float divergence",
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,
