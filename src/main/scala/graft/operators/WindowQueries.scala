@@ -345,6 +345,38 @@ object WindowQueries {
           r6(percent_rank().over(w)).as("pr"),
           r6(cume_dist().over(w)).as("cd"))
         .orderBy("o_orderkey")
+    },
+
+    sql(
+      "q97_argmax",
+      "group-argmax WITHOUT a window — per priority class the (orderkey, price) of the most and least expensive order, computed as max/min over a lexicographic struct in ONE map-side-combinable aggregation (the scale-correct replacement for the q30 row_number-top-1 idiom: a window shuffles and sorts every row of every partition; struct-argmax partial-aggregates to one candidate per mapper, so the shuffle carries |groups| rows regardless of corpus size — max_by/arg_max semantics with the tie PINNED: equal prices resolve to the smallest orderkey on both extremes, which bare max_by leaves unspecified in both engines, hence the negated-key struct). Oracle mirrors the exact struct comparison as window-free arg extraction via row_number only for readability — values are identical because the tie rule is total",
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice ASC, o_orderkey) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_orderkey,
+        |       floor(max(CASE WHEN rmax = 1 THEN o_totalprice END) * 100 + 0.5) / 100 AS max_price,
+        |       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_orderkey,
+        |       floor(max(CASE WHEN rmin = 1 THEN o_totalprice END) * 100 + 0.5) / 100 AS min_price
+        |FROM ranked
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      // lexicographic struct max: (price asc, -orderkey asc) ⇒ greatest
+      // price, ties to the SMALLEST key; min side mirrors with (price,
+      // orderkey) — one aggregation, no window, partial-combinable
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          max(struct(col("o_totalprice").as("p"), (-col("o_orderkey")).as("nk"))).as("mx"),
+          min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("mn"))
+        .select(col("o_orderpriority"),
+          (-col("mx.nk")).cast("long").as("max_orderkey"), r2(col("mx.p")).as("max_price"),
+          col("mn.k").as("min_orderkey"), r2(col("mn.p")).as("min_price"))
+        .orderBy("o_orderpriority")
     }
   )
 }
