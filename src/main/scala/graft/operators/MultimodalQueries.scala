@@ -194,12 +194,11 @@ object MultimodalQueries {
     sql(
       "m07_phash_pairs",
       "perceptual-hash near-duplicate pairs over binary payloads — the image-dedup primitive (average-hash: sample a fixed 64-position grid of the payload, threshold each sample against the grid mean, compare 64-bit fingerprints by Hamming distance; re-encoded/resized variants of the same media keep most bits, which byte-exact m01 sha256 dedup cannot see): grid position k reads byte floor((k-1)·n/64)+1, bit_k = 1 iff sample·64 > Σsamples (exact integer compare — no float mean, ties to 0), bits pack into four 16-bit bands, candidate pairs form ONLY via equality on any (band_idx, band_value) key (the d04 LSH-banding shape: Hamming ≤ 8 over 4 bands guarantees ≥ 1 identical band by pigeonhole, so banding is RECALL-LOSSLESS for the threshold), and candidates verify with bit_count(xor) summed across bands. Payload = the m01/m02 text-as-bytes stub contract. Scale posture: fingerprints are map-side codegen arithmetic; the only shuffle is the 10-byte band-key join, never payload×payload; band-bucket skew (e.g. the all-zero hash of blank media) caps exactly like d04's mega-bands",
-      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs,
-        |                   CAST(length(text) AS BIGINT) AS n
+      """WITH ch AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
         |            FROM documents WHERE length(text) >= 1),
         |sam AS (SELECT doc_id,
         |               list_transform(generate_series(1, 64),
-        |                 k -> CAST(ascii(cs[CAST(((k-1) * n) // 64 AS BIGINT) + 1]) AS BIGINT)) AS sv
+        |                 k -> CAST(ascii(substr(text, CAST(((k-1) * n) // 64 AS INT) + 1, 1)) AS BIGINT)) AS sv
         |        FROM ch),
         |bt AS (SELECT doc_id, sv, list_sum(sv) AS s FROM sam),
         |bands AS (SELECT doc_id,
@@ -209,10 +208,13 @@ object MultimodalQueries {
         |                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bs
         |          FROM bt),
         |keys AS (SELECT doc_id, bs, unnest(generate_series(1, 4)) AS j FROM bands),
+        |kx AS (SELECT doc_id, j, bs[j] AS key FROM keys),
+        |kf AS (SELECT k.* FROM kx k
+        |       WHERE NOT EXISTS (SELECT 1 FROM (SELECT j, key FROM kx GROUP BY j, key
+        |                                        HAVING count(*) > 200) big
+        |                         WHERE big.j = k.j AND big.key = k.key)),
         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |         FROM (SELECT doc_id, j, bs, bs[j] AS key FROM keys) a
-        |         JOIN (SELECT doc_id, j, bs, bs[j] AS key FROM keys) b
-        |           ON b.j = a.j AND b.key = a.key AND b.doc_id > a.doc_id),
+        |         FROM kf a JOIN kf b ON b.j = a.j AND b.key = a.key AND b.doc_id > a.doc_id),
         |ham AS (SELECT c.a, c.b,
         |               CAST(list_sum(list_transform(generate_series(1, 4),
         |                 j -> bit_count(xor(ba.bs[j], bb.bs[j])))) AS BIGINT) AS hamming
@@ -221,22 +223,46 @@ object MultimodalQueries {
         |ORDER BY a, b""") { (s, dir) =>
       // sampled byte k (1-based): position ((k-1)*n div 64)+1 ∈ [1, n];
       // bit threshold is the exact integer compare v*64 > Σv (ties → 0)
-      val fp = Tables.documents(s, dir)
+      // substring(pos, 1), not split-then-index: sampling 64 bytes must not
+      // materialize a |payload|-element char array per row
+      val fpWide = Tables.documents(s, dir)
         .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), split(col("text"), "").as("cs"),
+        .select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n"))
         .withColumn("sv", expr(
-          "transform(sequence(1, 64), k -> cast(ascii(element_at(cs, cast(((k-1) * n) div 64 as int) + 1)) as bigint))"))
+          "transform(sequence(1, 64), k -> cast(ascii(substring(text, cast(((k-1) * n) div 64 as int) + 1, 1)) as bigint))"))
         .withColumn("s", expr("aggregate(sv, cast(0 as bigint), (acc, x) -> acc + x)"))
         .withColumn("bs", expr(
           "transform(sequence(0, 3), j -> aggregate(sequence(1, 16), cast(0 as bigint), " +
             "(acc, i) -> acc + CASE WHEN element_at(sv, j*16 + i) * 64 > s " +
             "THEN shiftleft(cast(1 as bigint), i - 1) ELSE cast(0 as bigint) END))"))
         .select(col("doc_id"), col("bs"))
-      val keys = fp.select(col("doc_id"), col("bs"),
+        .persist()
+      // Materialization barrier (the g02/d04 lesson, and this operator's
+      // hard-won version of it): the fingerprint chain is a payload-sized
+      // split + lambda cascade that collapse-projection would otherwise
+      // INLINE into every downstream reference — the candidate join, both
+      // verification joins, and the 4-term hamming fold would each re-run
+      // string_split(text) PER JOINED ROW, interpreted (measured: a single
+      // AQE-coalesced task burned 33 cpu-MINUTES at sf0.1 before this
+      // persist; with it the whole query is sub-second). The cache is
+      // |docs| rows × 4 longs — always the smallest thing in the plan.
+      fpWide.count()
+      val fp = fpWide
+      val keys = fp.select(col("doc_id"),
         posexplode(col("bs")).as(Seq("j", "key")))
-      val cand = keys.select(col("doc_id").as("a"), col("j"), col("key"))
-        .join(keys.select(col("doc_id").as("b"), col("j"), col("key")), Seq("j", "key"))
+      // degenerate-bucket cap: a band value shared by >200 payloads (e.g.
+      // the all-above-mean 0xFFFF band of uniform media) is low-information
+      // and quadratic in candidates — drop the BUCKET, as stop-grams are
+      // dropped from inverted indexes. Recall cost is confined to pairs
+      // whose ONLY shared band is degenerate; the oracle applies the same
+      // rule, and at the fixture scales no bucket reaches the cap (max 117
+      // at sf0.1), so the gate results are cap-invariant.
+      val big = keys.groupBy("j", "key").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 200).select("j", "key")
+      val kf = keys.join(broadcast(big), Seq("j", "key"), "left_anti")
+      val cand = kf.select(col("doc_id").as("a"), col("j"), col("key"))
+        .join(kf.select(col("doc_id").as("b"), col("j"), col("key")), Seq("j", "key"))
         .filter(col("b") > col("a"))
         .select("a", "b").distinct()
       cand
