@@ -930,7 +930,7 @@ object DedupQueries {
       // count, wedge probes); post-threshold it is ~4k rows. Query runners
       // clearCache() after.
       // The support-count aggregation runs at FULL shuffle parallelism: a
-      // narrowing coalesce here (r8/r9 carried a .coalesce(4)) collapses
+      // narrowing coalesce here (r8/r9 carried a four-partition one) collapses
       // into the shuffle stage above it and caps the reduce side of the
       // groupBy(u,v) — which processes the corpus-proportional
       // PRE-threshold pair multiset (1.2M rows at sf0.1, unbounded at
