@@ -44,6 +44,27 @@ object DedupQueries {
   private[graft] def cacheParts(rows: Long, rowsPerPartition: Long = 4000000L): Int =
     math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
 
+  /** Two-step compact cache for an expensive small result (the g02 pattern,
+    * shared by every [[copurchasePairs]] consumer — CompactPersistSpec
+    * enforces that convention): persist the wide plan, fill it with one
+    * count() (a materialization barrier, and the row count that sizes the
+    * cache), re-persist at the data-derived [[cacheParts]] partitioning,
+    * then drop the wide copy. Cached plans keep their materialized
+    * partitioning, so without the re-persist a post-threshold ~4k-row frame
+    * cached at full shuffle parallelism charges every downstream stage the
+    * full task count (the bulk of r7's 164 s g02 executor blowup, and r10's
+    * 51 s g06 wart). Returns the compact frame and its partition count;
+    * the caller owns the eventual unpersist.
+    */
+  private[graft] def persistCompact(wide: DataFrame): (DataFrame, Int) = {
+    val w = wide.persist()
+    val parts = cacheParts(w.count())
+    val compact = w.repartition(parts).persist()
+    compact.count()
+    w.unpersist(blocking = false)
+    (compact, parts)
+  }
+
   /** Support-thresholded co-purchase edge list (u < v part pairs sharing
     * ≥ 2 orders) — the graph g02 (triangles) and g03 (k-core) both run on.
     * DuckDB side of [[copurchasePairs]]; pre-stripped, callers append
@@ -935,27 +956,13 @@ object DedupQueries {
       // groupBy(u,v) — which processes the corpus-proportional
       // PRE-threshold pair multiset (1.2M rows at sf0.1, unbounded at
       // 100 TB) — at that constant, regardless of cluster size.
-      val pairsWide = copurchasePairs(s, dir).persist()
-      // Materialization barrier, not a driver-side result: downstream
-      // branches launch together, and an un-populated cache makes each of
-      // them run the full fact-table pair build — measured 5× the whole
-      // query at 10× sf0.1. One count() fills the cache once AND returns
-      // the edge count that sizes every cache partitioning below
-      // (|deg| ≤ 2·|E|, |ori| = |E|) — no hard-coded partition constants.
-      val nEdges = pairsWide.count()
-      val edgeParts = cacheParts(nEdges)
-      // Re-persist the thresholded edge list at a data-derived partition
-      // count (cached plans keep their materialized partitioning — AQE's
-      // shuffle coalescing does not apply to cache scans, and
-      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is off
-      // by default — so left at 32 shuffle partitions the ~4k-row cache
-      // would charge every downstream stage 32 near-empty tasks, the bulk
-      // of r7's 164 s executor blowup). The repartition is one extra
-      // shuffle of only the POST-threshold rows; the wide copy is dropped
-      // once the compact cache is filled.
-      val pairs = pairsWide.repartition(edgeParts).persist()
-      pairs.count()
-      pairsWide.unpersist(blocking = false)
+      // Two-step compact cache (see persistCompact): the fill count() is a
+      // materialization barrier — downstream branches launch together, and
+      // an un-populated cache makes each of them run the full fact-table
+      // pair build, measured 5× the whole query at 10× sf0.1 — and its row
+      // count sizes every cache partitioning below (|deg| ≤ 2·|E|,
+      // |ori| = |E|) with no hard-coded partition constants.
+      val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
       // deg feeds ori (twice) and the n_nodes/max_degree branch; persisting
       // it once replaces three cache-scan+shuffle recomputes with one.
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
@@ -1032,13 +1039,10 @@ object DedupQueries {
           |$rounds
           |SELECT node, dist FROM v4 ORDER BY node"""
       }) { (s, dir) =>
-      // Two-step cache (the g02/g03 pattern): thresholded edges re-persist
-      // at a data-derived partition count before the round loop.
-      val edgesWide = copurchasePairs(s, dir).persist()
-      val parts = cacheParts(edgesWide.count())
-      val edges = edgesWide.repartition(parts).persist()
-      edges.count()
-      edgesWide.unpersist(blocking = false)
+      // Two-step compact cache (the shared persistCompact pattern):
+      // thresholded edges re-persist at a data-derived partition count
+      // before the round loop.
+      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       // seeds restricted to graph nodes: BFS distance is defined on the
@@ -1078,11 +1082,7 @@ object DedupQueries {
         |       floor(ne.common * 1.0 / (da.d + db.d - ne.common) * 10000 + 0.5) / 10000 AS jaccard
         |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
         |ORDER BY ne.a, ne.b""") { (s, dir) =>
-      val edgesWide = copurchasePairs(s, dir).persist()
-      val parts = cacheParts(edgesWide.count())
-      val edges = edgesWide.repartition(parts).persist()
-      edges.count()
-      edgesWide.unpersist(blocking = false)
+      val (edges, _) = persistCompact(copurchasePairs(s, dir))
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       val deg = sym.groupBy(col("src").as("node"))
@@ -1128,8 +1128,12 @@ object DedupQueries {
         |            ELSE floor(((a - b * b) / (c - b * b)) * 1000000 + 0.5) / 1000000 END
         |         AS assortativity
         |FROM terms""") { (s, dir) =>
-      val pairs = copurchasePairs(s, dir).persist()
-      pairs.count() // fill barrier: deg + the edge join both read this cache
+      // Two-step compact cache (the shared persistCompact pattern — r10's
+      // one weak flag was this site skipping it: the wide cache, left at
+      // full shuffle parallelism post-r10's full-parallel support agg,
+      // charged the deg agg + two edge joins 51 s of near-empty executor
+      // tasks for a one-row answer).
+      val (pairs, _) = persistCompact(copurchasePairs(s, dir))
       val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
       val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
@@ -1259,14 +1263,11 @@ object DedupQueries {
     * KCoreSpec can assert the 16-round oracle budget has margin.
     */
   private[graft] def kcorePeel(s: SparkSession, dir: String): (DataFrame, Int) = {
-    // Two-step cache (the g02 pattern): the thresholded edge list lands at
-    // 32 shuffle partitions; re-persisting it at a data-derived count keeps
-    // every peel round's stages from paying 32 near-empty tasks × rounds.
-    val edgesWide = copurchasePairs(s, dir).persist()
-    val parts = cacheParts(edgesWide.count())
-    val edges = edgesWide.repartition(parts).persist()
-    edges.count()
-    edgesWide.unpersist(blocking = false)
+    // Two-step compact cache (the shared persistCompact pattern): the
+    // thresholded edge list lands at 32 shuffle partitions; re-persisting
+    // it at a data-derived count keeps every peel round's stages from
+    // paying 32 near-empty tasks × rounds.
+    val (edges, parts) = persistCompact(copurchasePairs(s, dir))
     // Each round is checkpointed EAGERLY: the loop references `alive`
     // twice per round, so carrying the logical plan forward doubles the
     // tree every iteration — by round 8 plan traversal (Catalyst rules,
