@@ -996,9 +996,11 @@ object TextQueries {
         |SELECT source, n_docs, tokens,
         |       CAST(CASE WHEN feasible = 1 THEN tokens
         |                 ELSE base + CASE WHEN rn2 <= r THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+        |       -- HUGEINT widen before *1e6: BIGINT wraps/raises past ~9.2e12
+        |       -- tokens per source, inside the advertised scale (the p04 rule)
         |       CAST(CASE WHEN tokens = 0 THEN 1000000
-        |                 ELSE (CASE WHEN feasible = 1 THEN tokens
-        |                            ELSE base + CASE WHEN rn2 <= r THEN 1 ELSE 0 END END)
+        |                 ELSE CAST((CASE WHEN feasible = 1 THEN tokens
+        |                            ELSE base + CASE WHEN rn2 <= r THEN 1 ELSE 0 END END) AS HUGEINT)
         |                      * 1000000 // tokens END AS BIGINT) AS keep_ppm
         |FROM alloc
         |ORDER BY source""") { (s, dir) =>
@@ -1037,9 +1039,14 @@ object TextQueries {
           when(col("feasible") === 1, col("tokens"))
             .otherwise(col("base") + when(col("rn2") <= col("r"), 1L).otherwise(0L))
             .cast("long"))
+        // DECIMAL(38,0) widen before *1e6 (the p04 rule): Spark's non-ANSI
+        // BIGINT multiply wraps silently past ~9.2e12 tokens per source —
+        // inside the 100 TB posture — where DuckDB raises; widened, both
+        // engines agree at any token mass and the quotient (≤1e6) lands
+        // back in BIGINT exactly
         .withColumn("keep_ppm",
           when(col("tokens") === 0, 1000000L)
-            .otherwise(expr("alloc * 1000000 div tokens")).cast("long"))
+            .otherwise(expr("cast(alloc AS DECIMAL(38,0)) * 1000000 div tokens")).cast("long"))
         .select("source", "n_docs", "tokens", "alloc", "keep_ppm")
         .orderBy("source")
     },
@@ -1057,7 +1064,8 @@ object TextQueries {
         |SELECT doc_id,
         |       CAST(count(*) AS BIGINT) AS n_grams,
         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |       CAST(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS HUGEINT)
+        |              * 1000000 // count(*) AS BIGINT)
         |         AS novelty_ppm
         |FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       import graft.functions.HashFunctions
@@ -1068,7 +1076,9 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).cast("long").as("n_novel"))
-        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams").cast("long"))
+        // DECIMAL widen before *1e6 (the p04 rule; see p10's keep_ppm note)
+        .withColumn("novelty_ppm",
+          expr("cast(n_novel AS DECIMAL(38,0)) * 1000000 div n_grams").cast("long"))
         .orderBy("doc_id")
     }
   )

@@ -99,7 +99,16 @@ object TradeQueries {
         |SELECT tradeType, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_nulls
         |FROM trades GROUP BY tradeType ORDER BY tradeType""") { (s, dir) =>
       val trades = TradeSource.trades(s, N).toDF()
-      val wire = trades.select(to_json(struct(trades.columns.map(col): _*)).as("json"))
+      // Producer leg rides the codegen'd encodeFast template (CodecSpec
+      // proves it byte-identical to to_json over the full generated
+      // domain, so the wire under test is unchanged); the consumer leg
+      // stays the REAL interpreted PERMISSIVE from_json — that is the
+      // wire-fidelity claim this entry exists to prove. Before the swap
+      // the double interpreted Jackson pass was the bench's largest CPU
+      // line (~52-60 s at sf0.1, ~11 µs/row); encodeFast halves it
+      // without weakening the contract.
+      val wire = graft.streaming.Envelope.encodeFast(trades)
+        .select(col("data").cast("string").as("json"))
       val back = wire.select(from_json(col("json"), StockTrade.schema).as("t")).select("t.*")
       back.groupBy("tradeType")
         .agg(count(lit(1)).as("n"),

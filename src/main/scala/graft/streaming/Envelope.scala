@@ -57,17 +57,26 @@ object Envelope {
     * PRECONDITION: non-null fields and escape-free strings (the trade
     * generator guarantees both). For arbitrary frames use [[encode]] —
     * Jackson OMITS null fields where concat would null the whole record.
+    * The precondition is ENFORCED, not conventional: concat
+    * null-propagates, so a generator drift introducing a null field would
+    * otherwise silently null every payload downstream; the coalesce over
+    * raise_error turns that into a loud job failure at the first bad row,
+    * costs one null check per row (lazy — the error expression never
+    * evaluates on the happy path), and stays inside whole-stage codegen.
     */
   def encodeFast(trades: DataFrame, shards: Int = DefaultShards): DataFrame =
     trades.select(
       col("tickerSymbol").as("partitionKey"),
-      concat(
-        lit("{\"tickerSymbol\":\""), col("tickerSymbol"),
-        lit("\",\"tradeType\":\""), col("tradeType"),
-        lit("\",\"price\":"), col("price").cast("string"),
-        lit(",\"quantity\":"), col("quantity").cast("string"),
-        lit(",\"id\":"), col("id").cast("string"),
-        lit("}")).cast("binary").as("data"),
+      coalesce(
+        concat(
+          lit("{\"tickerSymbol\":\""), col("tickerSymbol"),
+          lit("\",\"tradeType\":\""), col("tradeType"),
+          lit("\",\"price\":"), col("price").cast("string"),
+          lit(",\"quantity\":"), col("quantity").cast("string"),
+          lit(",\"id\":"), col("id").cast("string"),
+          lit("}")),
+        raise_error(lit("Envelope.encodeFast: null trade field (precondition violated) — use encode() for arbitrary frames"))
+      ).cast("binary").as("data"),
       col("id").cast("string").as("sequenceNumber"),
       current_timestamp().as("approximateArrivalTimestamp"),
       concat(lit("shardId-"), lpad(pmod(hash(col("tickerSymbol")), lit(shards)).cast("string"), 12, "0"))

@@ -62,13 +62,32 @@ class CodecSpec extends SparkSpec {
     val fast = Envelope.encodeFast(trades)
       .select(col("partitionKey").as("pk2"), col("data").cast("string").as("f"),
         col("sequenceNumber").as("sq2"), col("shardId").as("sh2"))
-    val diffs = jackson.join(fast, col("sequenceNumber") === col("sq2"))
-      .filter(col("j") =!= col("f") || col("partitionKey") =!= col("pk2") ||
-        col("shardId") =!= col("sh2"))
+    // null-safe inequality (<=>): a systematically-null fast column would
+    // make plain =!= yield NULL rows the filter drops, masking the diff;
+    // the join-cardinality assert below catches dropped/duplicated keys
+    val joined = jackson.join(fast, col("sequenceNumber") === col("sq2"))
+    assert(joined.count() == 200000L, "encodeFast must keep every sequenceNumber exactly once")
+    val diffs = joined
+      .filter(!(col("j") <=> col("f")) || !(col("partitionKey") <=> col("pk2")) ||
+        !(col("shardId") <=> col("sh2")))
       .count()
     assert(diffs == 0, s"$diffs rows diverge between encodeFast and to_json")
     // and the fast bytes still decode through the real PERMISSIVE consumer
     val decoded = Envelope.decode(Envelope.encodeFast(trades))
     assert(decoded.filter(col("tickerSymbol").isNull).count() == 0)
+  }
+
+  test("encodeFast fails loudly on a null trade field instead of nulling the payload") {
+    // concat null-propagates; without the raise_error guard a generator
+    // drift introducing a null field would silently null every payload
+    val trades = TradeSource.trades(spark, 10).toDF()
+      .withColumn("price", when(col("id") === 5, lit(null).cast("double")).otherwise(col("price")))
+    val ex = intercept[Exception] {
+      Envelope.encodeFast(trades).select("data").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("encodeFast: null trade field")),
+      s"expected the encodeFast precondition error, got: $ex")
   }
 }

@@ -417,6 +417,58 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalStateException](admin.validate("s1"))
   }
 
+  // --- Watermark eviction boundaries (st09/st10 oracle contracts) -------
+  // The st09/st10 oracles hand-encode Spark's eviction predicates: STRICT
+  // p_ts < cutoff for outer-join null-padding, NON-STRICT window_end <=
+  // watermark for append-mode window closure. The corpus fixtures don't
+  // pin events exactly ON those cutoffs, so these tests do — an off-by-one
+  // in either direction fails here before it can silently diverge from
+  // the oracle on an unlucky corpus.
+
+  private def boundaryEvent(id: Long, t: String, u: Long, typ: String) =
+    EventStreams.Event(id, java.sql.Timestamp.valueOf(t), u, typ, 1.0)
+
+  private def runAppend(name: String, df: org.apache.spark.sql.DataFrame) = {
+    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("append windows: a window ending EXACTLY on the final watermark emits (non-strict closure)") {
+    val ms = MemoryStream[EventStreams.Event](spark)
+    ms.addData(Seq(
+      boundaryEvent(1, "2026-01-01 10:15:00", 1, "click"),
+      boundaryEvent(2, "2026-01-01 10:45:00", 1, "click"),
+      boundaryEvent(3, "2026-01-01 11:30:00", 1, "click"), // open window, withheld
+      boundaryEvent(4, "2026-01-01 12:00:00", 1, "click"))) // max ts → watermark 11:00
+    val out = runAppend("wm_append_windows", EventStreams.tumblingCounts(ms.toDF()))
+    val rows = out.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    // [10:00,11:00) has window_end == watermark == 11:00 → emits (<=);
+    // [11:00,12:00) and [12:00,13:00) end past the watermark → withheld
+    assert(rows == Map(java.sql.Timestamp.valueOf("2026-01-01 10:00:00") -> 2L),
+      s"append closure must be window_end <= watermark, non-strict; got ${rows.toSeq.sorted}")
+  }
+
+  test("outer join: a purchase EXACTLY on the watermark cutoff stays unemitted (strict eviction)") {
+    val ms = MemoryStream[EventStreams.Event](spark)
+    ms.addData(Seq(
+      // anchor both stream maxima at 13:00 → global watermark = 12:00
+      boundaryEvent(1, "2026-01-01 13:00:00", 99, "purchase"),
+      boundaryEvent(2, "2026-01-01 13:00:00", 99, "click"),
+      boundaryEvent(3, "2026-01-01 12:00:00", 1, "purchase"),  // == cutoff: withheld
+      boundaryEvent(4, "2026-01-01 11:59:00", 2, "purchase"))) // < cutoff: null-padded
+    val out = runAppend("wm_outer_join", EventStreams.purchaseClickLeftJoin(ms.toDF()))
+    val unmatchedUsers = out.filter(col("click_id").isNull)
+      .collect().map(_.getLong(0)).toSet
+    // a click at exactly c_ts == watermark is still admissible (late iff
+    // c_ts < watermark), so a purchase AT the cutoff could still match
+    // and must not null-pad yet — the oracle's strict p_ts < cutoff
+    assert(unmatchedUsers == Set(2L),
+      s"outer eviction must be strict p_ts < cutoff; null-padded users: $unmatchedUsers")
+    assert(out.filter(col("user_id") === 99L && col("click_id").isNotNull).count() == 1)
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
