@@ -1156,6 +1156,69 @@ object DedupQueries {
     },
 
     sql(
+      "g07_label_prop",
+      "synchronous label-propagation community detection over the co-purchase graph (the community-assignment primitive beside g01 centrality, g02 density, g03 coreness: which parts cluster into co-bought families — the graph analog of the d08/p06 duplicate-cluster representative step): labels start as node ids and for 4 synchronous rounds every node adopts its neighbors' MOST FREQUENT label, ties broken by smallest label — the classic LPA update made fully deterministic (no async sweep order, no RNG), so every round is an exact integer relation both engines reproduce; output = per final community its size and min/max member. Bounded-round contract (the g03/g04 pattern): both engines run the SAME 4 rounds, the oracle unrolls them as chained MATERIALIZED CTEs over the shared co-purchase edge SQL. Scale posture: each round is one edge-keyed equi-join (labels against the cached symmetric edge list) + two keyed aggregations — O(rounds x E) shuffle rows of 8-16 B, the Pregel superstep shape; labels are localCheckpoint-truncated per round (the kcorePeel lineage lesson), the edge list is the persistCompact-cached support-2 graph (corpus-proportional, see g02), and at 100 TB the same loop runs on reliable checkpoints with a hub degree cap exactly as g05 documents",
+      {
+        // round k: per-node neighbor-label frequencies, then the
+        // deterministic argmax (count DESC, label ASC). MATERIALIZED for
+        // the same reason as g03/g04: each round's CTE is referenced by
+        // the next, and DuckDB would otherwise inline the whole chain.
+        val rounds = (1 to 4).map { i =>
+          val prev = s"l${i - 1}"
+          s"""n$i AS (SELECT s.src, l.label, CAST(count(*) AS BIGINT) AS c
+             |        FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT src AS node, label FROM (
+             |    SELECT src, label,
+             |           row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $copurchasePairsSql,
+          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+          |                     UNION ALL SELECT v, u FROM pairs),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
+          |$rounds
+          |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+          |       min(node) AS min_member, max(node) AS max_member
+          |FROM l4 GROUP BY label ORDER BY community"""
+      }) { (s, dir) =>
+      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
+      // sym feeds every round's join probe; one compact cache instead of
+      // four re-derivations from the edge cache
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+        .coalesce(parts).persist()
+      sym.count()
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .coalesce(parts).localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val nbr = sym
+          .join(labels.select(col("node").as("dst"), col("label")).hint("shuffle_hash"), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        // deterministic argmax via struct ordering: min over (-count,
+        // label) = highest frequency, then smallest label — no window,
+        // no sort, one keyed aggregation
+        labels = nbr
+          .groupBy(col("src").as("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+          .select(col("node"), col("m.label").as("label"))
+          .coalesce(parts).localCheckpoint(true)
+      }
+      val out = labels.groupBy("label")
+        .agg(count(lit(1)).as("n_members"),
+          min("node").as("min_member"), max("node").as("max_member"))
+        .select(col("label").as("community"), col("n_members"),
+          col("min_member"), col("max_member"))
+        .orderBy("community")
+        .persist()
+      out.count()
+      sym.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      out
+    },
+
+    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
