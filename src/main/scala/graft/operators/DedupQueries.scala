@@ -1219,6 +1219,73 @@ object DedupQueries {
     },
 
     sql(
+      "g08_clustering_coeff",
+      "per-degree local clustering-coefficient profile of the co-purchase graph (the transitivity / local-density diagnostic that completes the g-family: g02 counts triangles globally, g08 asks WHERE the closure lives — do high-degree hub parts sit in closed co-bought families or in open stars, the structural signal a graph-curation pass uses to separate organic clusters from crawl/spam hubs): per-node triangle participation t(v) comes from the SAME degree-ordered oriented wedge-close join as g02 — each closed triangle a->b->c emits its three member nodes exactly once — and the report groups nodes by degree so the average coefficient avg(2t / d(d-1)) is computable as one exact expression 2*sum(t) / (d*(d-1)*n) per bucket: integers end-to-end until a single IEEE division, no per-node float averaging whose accumulation order could diverge between engines. Scale posture: identical to g02 (one order-keyed pair build, support-2 threshold bounding E, O(wedges) 16-byte shuffle rows through two shuffle_hash equi-joins), plus one node-keyed explode/count of the triangle triples and one degree-keyed aggregation over |V| rows — the output is degree-histogram-sized, never node-sized",
+      s"""WITH $copurchasePairsSql,
+        |deg AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
+        |ori AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
+        |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |         FROM ori e1
+        |         JOIN ori e2 ON e2.src = e1.dst
+        |         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+        |         FROM (SELECT unnest([a, b, c]) AS node FROM tris) GROUP BY node)
+        |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(t) AS BIGINT) AS tri_sum,
+        |       CASE WHEN d >= 2
+        |            THEN floor((2.0 * sum(t) / (d * (d - 1) * count(*))) * 1000000 + 0.5) / 1000000
+        |            ELSE 0.0 END AS avg_local_cc
+        |FROM (SELECT deg.node, deg.d, COALESCE(tc.t, 0) AS t
+        |      FROM deg LEFT JOIN tcnt tc ON tc.node = deg.node)
+        |GROUP BY d ORDER BY degree""") { (s, dir) =>
+      // Same cached edge/degree/orientation build as g02 (persistCompact +
+      // compact deg cache); the only new plan pieces are the triple
+      // explode (3 rows per triangle) and the degree-keyed rollup.
+      val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
+      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .coalesce(edgeParts).persist()
+      deg.count()
+      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val ori = pairs
+        .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"))
+        .coalesce(edgeParts).persist()
+      ori.count()
+      val e1 = ori.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = ori.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
+      // each triangle closes exactly once under the orientation (g02), so
+      // exploding its member triple credits every node once per triangle
+      val tcnt = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b"))
+        .join(e3.hint("shuffle_hash"), col("a3") === col("a") && col("c3") === col("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      val out = deg.join(tcnt, Seq("node"), "left")
+        .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+        .groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"), sum("t").as("tri_sum"))
+        .select(col("degree"), col("n_nodes"), col("tri_sum"),
+          when(col("degree") >= 2,
+            r6(lit(2.0) * col("tri_sum") /
+              (col("degree") * (col("degree") - lit(1)) * col("n_nodes"))))
+            .otherwise(lit(0.0)).as("avg_local_cc"))
+        .orderBy("degree")
+        .persist()
+      out.count()
+      ori.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      out
+    },
+
+    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -849,6 +849,52 @@ object EventQueries {
           regexp_count(col("seq"), lit("s[^p]*p")).cast("long").as("n_signup_conv"))
         .withColumn("converted", col("n_funnels") > 0)
         .orderBy("user_id")
+    },
+
+    sql(
+      "q98_autocorrelation",
+      "lag-1 autocorrelation per event-type series — the time-series self-dependence diagnostic (is the metric a random walk, mean-reverting, or i.i.d.?) that monitoring stacks run before alerting thresholds, done in EXACT integer co-moments: values snap to a 1e6 grid (the q85 contract), consecutive pairs come from lag(1) over the deterministic (ts, event_id) order, and Pearson r over the pairs is assembled from integer sums n/Sx/Sy/Sxx/Syy/Sxy — every sum exact in DECIMAL(38,0)/HUGEINT (squares of 1e6-snapped values reach ~1e22 over the corpus, past BIGINT — the p04 widening), so the only floating-point steps are one cast, two sqrt's, and one division on identical inputs in both engines. Scale posture: one event_type-keyed window for the lag (partition-parallel, state = one row), then one keyed aggregation with map-side partials — co-moment accumulation is associative/commutative so it distributes; at 100 TB the same six sums compute per shard and merge, the textbook distributed-Pearson shape, with no per-partition float accumulation order anywhere",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs,
+        |         lag(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+        |           OVER (PARTITION BY event_type
+        |                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ls
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cm AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(vs) AS HUGEINT) AS sx, CAST(sum(ls) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(vs AS HUGEINT) * vs) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(ls AS HUGEINT) * ls) AS HUGEINT) AS syy,
+        |         CAST(sum(CAST(vs AS HUGEINT) * ls) AS HUGEINT) AS sxy
+        |  FROM g WHERE ls IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_pairs,
+        |       floor((CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |              / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |                 * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5)
+        |       / 1000000 AS corr_lag1
+        |FROM cm ORDER BY event_type""") { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(expr("unix_micros(cast(ts as timestamp))"), col("event_id"))
+      val g = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+        .withColumn("ls", lag("vs", 1).over(w))
+        .filter(col("ls").isNotNull)
+      val d38 = "decimal(38,0)"
+      val cm = g.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("vs").cast(d38)).as("sx"), sum(col("ls").cast(d38)).as("sy"),
+        sum(col("vs").cast(d38) * col("vs")).as("sxx"),
+        sum(col("ls").cast(d38) * col("ls")).as("syy"),
+        sum(col("vs").cast(d38) * col("ls")).as("sxy"))
+      cm.select(col("event_type"), col("n_pairs"),
+          r6((col("n_pairs").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n_pairs").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n_pairs").cast(d38) * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_lag1"))
+        .orderBy("event_type")
     }
   )
 }
