@@ -690,6 +690,60 @@ object RelationalQueries {
     },
 
     sql(
+      "u08_deletion_vectors",
+      "deletion-vector merge-on-read — the lakehouse delete mechanic (Delta deletion vectors / Iceberg positional deletes) that u06's key-based anti-join deliberately is NOT: a delete commit writes only (file_id, position) pairs, and every subsequent read subtracts those POSITIONS from the immutable base files without rewriting a byte — the delete is O(deleted rows) instead of O(table), the difference between a 100 TB copy-on-write rewrite and a KB-sized tombstone file. Modeled faithfully: files are the l_orderkey%16 buckets, position is row_number over the file's (l_orderkey, l_linenumber) order (the physical row order both engines reproduce exactly), the DV holds positions of returned-early rows, and the READ path touches only (file_id, pos) — a left-anti join, never re-evaluating the delete predicate. Output is the per-file maintenance report (live rows, DV cardinality, live revenue) a compaction planner consumes to decide when accumulated DVs justify rewriting a file. Scale posture: the anti-join shuffles on (file_id, pos) but in production the DV side is file-local and TINY (positions, not rows) — per-file broadcast/bitmap-probe with zero shuffle of the base, exactly how the readers implement it; the report is one file-keyed aggregation with map-side partials",
+      """WITH base AS (
+        |  SELECT l_returnflag, l_shipdate, l_extendedprice, l_discount,
+        |         CAST(l_orderkey % 16 AS INTEGER) AS file_id,
+        |         CAST(row_number() OVER (PARTITION BY l_orderkey % 16
+        |                                 ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+        |                                          l_discount, l_shipdate, l_returnflag) AS BIGINT) AS pos
+        |  FROM lineitem),
+        |dv AS (SELECT file_id, pos FROM base
+        |       WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1996-01-01'),
+        |live AS (SELECT b.file_id, b.l_extendedprice, b.l_discount
+        |         FROM base b ANTI JOIN dv d ON d.file_id = b.file_id AND d.pos = b.pos)
+        |SELECT l.file_id, l.n_live, COALESCE(d.n_deleted, 0) AS n_deleted, l.live_revenue
+        |FROM (SELECT file_id, CAST(count(*) AS BIGINT) AS n_live,
+        |             floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) * 100 + 0.5) / 100 AS live_revenue
+        |      FROM live GROUP BY file_id) l
+        |LEFT JOIN (SELECT file_id, CAST(count(*) AS BIGINT) AS n_deleted
+        |           FROM dv GROUP BY file_id) d USING (file_id)
+        |ORDER BY file_id""") { (s, dir) =>
+      // position order spans EVERY column the query reads: the fixture's
+      // (l_orderkey, l_linenumber) is not unique, and rows tied on the full
+      // list are interchangeable in both the predicate and the aggregate,
+      // so either engine's tie placement yields the same live multiset
+      val w = Window.partitionBy("file_id").orderBy(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"), col("l_returnflag"))
+      // base persists because three branches read it (DV build, anti-join
+      // probe, and the anti-join's base side); in production it is the
+      // immutable file scan, not a cache
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("file_id", pmod(col("l_orderkey"), lit(16)).cast("int"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .persist()
+      val dv = base
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-01-01'"))
+        .select(col("file_id").as("d_file"), col("pos").as("d_pos"))
+      val live = base.join(dv,
+          col("file_id") === col("d_file") && col("pos") === col("d_pos"), "left_anti")
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_live"),
+          dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("live_revenue"))
+      val dvAgg = dv.groupBy(col("d_file").as("file_id"))
+        .agg(count(lit(1)).as("n_deleted"))
+      live.join(dvAgg, Seq("file_id"), "left")
+        .select(col("file_id"), col("n_live"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"), col("live_revenue"))
+        .orderBy("file_id")
+    },
+
+    sql(
       "u02_scd2_versioning",
       "SCD type-2 interval versioning (corpus snapshot history): each per-key change event becomes a [valid_from, valid_to) row via lead() over the key's event-time order, open interval = current version — the dataset-versioning primitive behind point-in-time training-set reconstruction (q68's as-of join is the lookup side). Scale posture: one partitioned window per key (user_id), no global sort; values pass through untouched so no float divergence",
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,

@@ -439,6 +439,32 @@ object SimilarityQueries {
           r6(cosineSim(col("q_emb"), col("embedding"))).as("sim"))
         .filter(col("sim") >= 0.25)
         .orderBy("q_id", "neighbor_id")
+    },
+
+    sql(
+      "s12_mips",
+      "maximum-inner-product search (MIPS) top-5 — the retrieval objective recommenders and two-tower rankers actually optimize: raw dot product, where vector NORM carries signal (item popularity / confidence), deliberately distinct from s01's cosine which normalizes it away; over the same 10 query vectors so the two rankings are directly comparable. Engine-exact by the s01 contract: both engines fold the identical IEEE double dot left-to-right (the codegen'd DotProduct expression vs list_dot_product over CAST DOUBLE[]), ranking is on the raw double with neighbor_id tie-break, output rounds r6. Scale posture: brute force is the recall oracle exactly as s01 is for s04/s08 — the query side broadcasts, the collection side never shuffles, one corpus pass serves all queries; at 100 TB MIPS reduces to cosine ANN by norm augmentation (append sqrt(M^2 - |x|^2) to each item, 0 to each query, M = max norm — inner products become monotone in the augmented cosine), after which the s08 IVF cell-select or s04 LSH bucket-probe machinery applies unchanged",
+      s"""SELECT q_id, rnk, neighbor_id, floor((dot) * 1000000 + 0.5) / 1000000 AS dot
+        |FROM (SELECT q_id, neighbor_id, dot,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dot
+        |            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |            WHERE q.vec_id < $NQueries))
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("dot"), col("neighbor_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          dotProduct(col("q_emb"), col("embedding")).as("dot"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("dot")).as("dot"))
+        .orderBy("q_id", "rnk")
     }
   )
 

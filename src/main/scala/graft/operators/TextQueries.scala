@@ -1080,6 +1080,43 @@ object TextQueries {
         .withColumn("novelty_ppm",
           expr("cast(n_novel AS DECIMAL(38,0)) * 1000000 div n_grams").cast("long"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t22_token_entropy",
+      "per-document Shannon token entropy + its length-normalized form — the information-density quality signal that completes the t-family's degenerate-text screens (t13 catches repeated RUNS, t20 catches tiny VOCABULARY; entropy catches skewed DISTRIBUTIONS: a doc can have many types and no runs yet spend 95% of its tokens on three words — keyword-stuffed SEO text — and entropy is the one number that sees it; it is also the analytic stand-in for the compression-ratio filters production curation uses, H/ln(V) in [0,1] comparable across lengths). Determinism contract: each (doc, type) contributes an INTEGERIZED term floor((c/L)*ln(L/c)*1e6 + 0.5) — the t14/t17 ULP-parity assumption on ln, oracle-validated every round — and the per-doc sum is then BIGINT addition, order-independent by construction; the normalized form divides two already-exact numbers (term sum, ln(V)) in one IEEE step. Scale posture: one (doc_id, token)-keyed count (map-side combinable, t02's shape), a doc_id-partitioned window sum for L (doc-local, partition-parallel), one doc_id rollup — text-sized shuffle, no global vocabulary",
+      """WITH cnt AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t),
+        |terms AS (
+        |  SELECT doc_id, c, l,
+        |         CAST(floor((c * 1.0 / l) * ln(l * 1.0 / c) * 1000000 + 0.5) AS BIGINT) AS term_ppm
+        |  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS l FROM cnt))
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(term_ppm) AS BIGINT) AS entropy_ppm,
+        |       CASE WHEN count(*) > 1
+        |            THEN floor((sum(term_ppm) / 1000000.0) / ln(count(*) * 1.0) * 10000 + 0.5) / 10000
+        |            ELSE 0.0 END AS norm_entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("c"))
+      val terms = cnt
+        .withColumn("l", sum("c").over(Window.partitionBy("doc_id")))
+        .withColumn("term_ppm",
+          floor((col("c") * lit(1.0) / col("l"))
+            * log(col("l") * lit(1.0) / col("c")) * 1000000 + lit(0.5)).cast("long"))
+      terms.groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum("term_ppm").cast("long").as("entropy_ppm"))
+        .withColumn("norm_entropy",
+          when(col("n_types") > 1,
+            r4((col("entropy_ppm") / lit(1000000.0)) / log(col("n_types") * lit(1.0))))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
     }
   )
 }

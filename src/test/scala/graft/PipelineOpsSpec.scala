@@ -339,4 +339,82 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map("tiny1" -> 10L, "tiny2" -> 20L, "big" -> 185L))
     assert(out.values.sum == 215L, "allocations must exhaust the budget exactly")
   }
+
+  test("u08 deletion vectors: per-file conservation, live revenue == direct predicate complement") {
+    val res = SparkEntry.queries("u08_deletion_vectors")(spark, sf0001).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    assert(res.map(r => r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted")).sum == li.count())
+    // the positional anti-join must remove exactly the predicate rows:
+    // compare against the complement computed directly, no positions at all
+    val direct = li.filter(!(col("l_returnflag") === "R" &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-01-01'")))
+      .groupBy(pmod(col("l_orderkey"), lit(16)).cast("int").as("file_id"))
+      .agg(graft.operators.Det.dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .collect().map(r => r.getAs[Int]("file_id") -> r.getAs[Double]("rev")).toMap
+    res.foreach { r =>
+      assert(r.getAs[Double]("live_revenue") == direct(r.getAs[Int]("file_id")),
+        s"file ${r.getAs[Int]("file_id")}")
+    }
+  }
+
+  test("q98 autocorrelation: linear ramp gives +1, alternating series gives -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q98spec").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(base.getTime + i * 60000L)
+    val ramp = (1 to 20).map(i => (i.toLong, ts(i), 1L, "ramp", i.toDouble))
+    val alt = (1 to 20).map(i => (100L + i, ts(i), 1L, "alt", if (i % 2 == 0) 1.0 else -1.0))
+    (ramp ++ alt).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q98_autocorrelation")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("corr_lag1")))).toMap
+    assert(m("ramp") == ((19L, 1.0)), m.toString)
+    assert(m("alt") == ((19L, -1.0)), m.toString)
+  }
+
+  test("t22 token entropy: uniform doc saturates norm_entropy, constant doc zeroes it, skew sits between") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t22spec").toString
+    Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("t22_token_entropy")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("norm_entropy") == 1.0)
+    assert(m(2L).getAs[Long]("entropy_ppm") == 0L)
+    assert(m(2L).getAs[Double]("norm_entropy") == 0.0)
+    val e3 = m(3L).getAs[Long]("entropy_ppm")
+    assert(e3 > 0 && e3 < m(1L).getAs[Long]("entropy_ppm"))
+    // hand value: H(3/4, 1/4) = 0.25 ln 4 + 0.75 ln(4/3), integerized ±2ppm
+    val h = 0.25 * math.log(4.0) + 0.75 * math.log(4.0 / 3.0)
+    assert(math.abs(e3 - math.rint(h * 1e6)) <= 2, s"e3=$e3 expected~${h * 1e6}")
+  }
+
+  test("s12 MIPS: registry top-5 == in-memory brute force, and the norm-augmented cosine preserves it") {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val e = graft.sources.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val m2 = e.values.map(v => dot(v, v)).max
+    val reg = SparkEntry.queries("s12_mips")(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq }
+    for (q <- 0L until 10L) {
+      val qv = e(q)
+      val brute = e.iterator.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(qv, v)) }.toSeq
+        .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1)
+      assert(reg(q) == brute, s"q=$q")
+      // the documented scale path: append sqrt(M^2-|x|^2) to items, 0 to the
+      // query — the augmented cosine must induce the same top-5 set
+      val aug = e.iterator.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, dot(qv, v) / (math.sqrt(dot(qv, qv)) * math.sqrt(m2)))
+        }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(aug == brute, s"augmentation broke ranking for q=$q")
+    }
+  }
 }

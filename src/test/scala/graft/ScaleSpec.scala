@@ -293,6 +293,27 @@ class ScaleSpec extends SparkSpec {
     assert(row.getAs[Long]("n_triangles") == 4, s"n_triangles (C(4,3)): $row")
   }
 
+  test("g08 clustering coefficient: K4 closes fully, a support-2 star stays open, buckets mix exactly") {
+    // K4 on parts 1-4 (orders 1,2 → every pair support 2): each node sits
+    // in C(3,2)=3 triangles at degree 3, cc=1. Star: center 10 pairs with
+    // each leaf 11-13 via two dedicated orders (support 2), leaves never
+    // co-occur → no triangles; center degree 3 cc=0, leaves degree 1 cc=0.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g08spec").toString
+    (Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 1L -> 4L,
+         2L -> 1L, 2L -> 2L, 2L -> 3L, 2L -> 4L) ++
+     Seq(21L, 22L).flatMap(o => Seq(o -> 10L, o -> 11L)) ++
+     Seq(23L, 24L).flatMap(o => Seq(o -> 10L, o -> 12L)) ++
+     Seq(25L, 26L).flatMap(o => Seq(o -> 10L, o -> 13L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("g08_clustering_coeff")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("tri_sum"), r.getAs[Double]("avg_local_cc"))).toList
+    // degree-3 bucket: K4's four cc=1 nodes + the open center → 2*12/(3*2*5)
+    assert(rows == List((1L, 3L, 0L, 0.0), (3L, 5L, 12L, 0.8)), rows.toString)
+  }
+
   test("cacheParts grows linearly past bench scale: 1 partition at sf0.1/10x, >1 at 100 TB-implied counts") {
     import graft.operators.DedupQueries.cacheParts
     // bench-scale thresholded edge lists (~4k rows at sf0.1, ~40k at the
