@@ -833,6 +833,42 @@ object RelationalQueries {
     },
 
     sql(
+      "q99_zone_maps",
+      "zone-map / data-skipping planner report — the file-statistics pruning mechanic (parquet row-group min/max, Delta file stats, ORC stripe indexes) made explicit and testable: rows land in 16 equal key-width 'files' (file_id = key*16 div (max+1), the ingest-ordered range layout a sorted-write produces), each file carries its min/max zone stats for l_orderkey and l_shipdate, and two planner verdicts per file say whether it is skippable for (a) a key-band predicate [m/4, m/2) — which the range layout prunes perfectly, the q77 story in one dimension — and (b) a shipdate cutoff, which this layout prunes NOT AT ALL because shipdate is uncorrelated with the layout key: the report is exactly the evidence a table optimizer reads before deciding to re-cluster (q77's z-order) on the filtered column. All stats exact (integer keys, timestamp min/max, the band bounds data-derived integers — scale-independent). Scale posture: one scalar max (broadcast back), one file-keyed aggregation with map-side partials; output is file-count-sized; at 100 TB this IS the metadata-only planning scan — zone stats live in the footer/manifest and the fact table is never touched at plan time",
+      """WITH mk AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem),
+        |f AS (SELECT CAST((l_orderkey * 16) // m AS INTEGER) AS file_id,
+        |             l_orderkey, l_shipdate, m
+        |      FROM lineitem CROSS JOIN mk),
+        |z AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |             CAST(max(l_orderkey) AS BIGINT) AS max_key,
+        |             CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+        |             CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship,
+        |             min(m) AS m
+        |      FROM f GROUP BY file_id)
+        |SELECT file_id, n_rows, min_key, max_key, min_ship, max_ship,
+        |       (max_key < m // 4 OR min_key >= m // 2) AS skip_key,
+        |       (max_ship < TIMESTAMP '1997-01-01') AS skip_date
+        |FROM z ORDER BY file_id""") { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val mk = li.agg((max("l_orderkey") + 1).as("m"))
+      li.crossJoin(broadcast(mk))
+        .select(expr("cast((l_orderkey * 16) div m as int)").as("file_id"),
+          col("l_orderkey"), col("l_shipdate"), col("m"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+          min("m").as("m"))
+        .select(col("file_id"), col("n_rows"), col("min_key"), col("max_key"),
+          col("min_ship"), col("max_ship"),
+          (col("max_key") < expr("m div 4") || col("min_key") >= expr("m div 2"))
+            .as("skip_key"),
+          (col("max_ship") < expr("TIMESTAMP_NTZ '1997-01-01'")).as("skip_date"))
+        .orderBy("file_id")
+    },
+
+    sql(
       "q86_column_profile",
       "single-pass column profiling of the orders table — the data-quality primitive every ingestion pipeline runs first: per column, exact null count and exact distinct cardinality, computed in ONE aggregation over the table (Spark's Expand handles the 6 simultaneous COUNT DISTINCTs; one pass over 100 TB, not six) and unpivoted to a row per column. All outputs are exact integers. At 100 TB the exact distincts would usually relax to approx_count_distinct — kept exact here because approximate sketches are engine-specific and this row must replay bit-exactly in the oracle (a06 carries the sketch variant)",
       """WITH s AS (SELECT count(*) AS nr,

@@ -1083,6 +1083,70 @@ object TextQueries {
     },
 
     sql(
+      "p11_curation_e2e",
+      "end-to-end curation composition — the four-stage funnel every training corpus actually runs, chained inside ONE query so stage interactions are covered, not just the singletons: (1) quality gate on t04's exact composite score (threshold 0.7 on the ROUNDED value — the s11 boundary discipline, so no last-ulp flip can move a doc across the gate), (2) exact content dedup among SURVIVORS (d01's min-doc_id-per-md5 — run after the gate because quality-rejected copies must not shadow a kept duplicate), (3) surviving per-source token mass, (4) p04's α=0.5 temperature weights over that SURVIVING mass (the weights a sampler would actually use — computing them on raw mass, as the singleton necessarily does, overweights sources whose mass was about to be deduped away). Report per source: raw docs, post-gate docs, post-dedup docs, surviving tokens, temperature ppm. Sources that lose every doc stay in the report with zeros (LEFT joins from the raw spine — the funnel must show WHERE a source died, not drop it). Scale posture: the gate is a map-side predicate, dedup shuffles once on the 128-bit content hash (never text x text), the mass rollup and weight table are source-dimension-sized with one scalar broadcast — each stage keeps its singleton's plan shape, and the composition adds zero new shuffle classes",
+      """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |         floor((0.5 * (length(list_distinct(string_split(text, ' '))) * 1.0
+        |                       / length(string_split(text, ' ')))
+        |              + 0.5 * (1 - length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) * 1.0
+        |                       / length(string_split(text, ' ')))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM documents),
+        |kept AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.7),
+        |ded AS (SELECT doc_id, source, text FROM (
+        |          SELECT doc_id, source, text,
+        |                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |          FROM kept) WHERE rn = 1),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY source),
+        |kq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality FROM kept GROUP BY source),
+        |kd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dedup,
+        |              CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |       FROM ded GROUP BY source),
+        |wts AS (SELECT source, n_dedup, n_tokens,
+        |               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_scaled
+        |        FROM kd),
+        |tot AS (SELECT sum(w_scaled) AS t FROM wts)
+        |SELECT r.source, r.n_raw, COALESCE(k.n_quality, 0) AS n_quality,
+        |       COALESCE(w.n_dedup, 0) AS n_dedup,
+        |       COALESCE(w.n_tokens, 0) AS n_tokens,
+        |       COALESCE(CAST(CAST(w.w_scaled AS HUGEINT) * 1000000 // tot.t AS BIGINT), 0) AS temp_ppm
+        |FROM raw r LEFT JOIN kq k USING (source) LEFT JOIN wts w USING (source)
+        |CROSS JOIN tot
+        |ORDER BY source""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+      // kept feeds two branches (the post-gate count and the dedup window);
+      // persisting avoids re-tokenizing the corpus for the second pass
+      val kept = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          r4(lit(0.5) * (size(array_distinct(toks)) * lit(1.0) / size(toks))
+            + lit(0.5) * (lit(1) - size(filter(toks, t => length(t) <= 2)) * lit(1.0) / size(toks)))
+            .as("quality"))
+        .filter(col("quality") >= 0.7)
+        .select("doc_id", "source", "text")
+        .persist()
+      val ded = kept
+        .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val kq = kept.groupBy("source").agg(count(lit(1)).as("n_quality"))
+      val kd = ded.groupBy("source").agg(count(lit(1)).as("n_dedup"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+      val wts = kd.withColumn("w_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000 + lit(0.5)).cast("long"))
+      val tot = wts.agg(sum("w_scaled").as("t"))
+      raw.join(kq, Seq("source"), "left").join(wts, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(expr("cast(w_scaled AS DECIMAL(38,0)) * 1000000 div t"), lit(0L))
+            .as("temp_ppm"))
+        .orderBy("source")
+    },
+
+    sql(
       "t22_token_entropy",
       "per-document Shannon token entropy + its length-normalized form — the information-density quality signal that completes the t-family's degenerate-text screens (t13 catches repeated RUNS, t20 catches tiny VOCABULARY; entropy catches skewed DISTRIBUTIONS: a doc can have many types and no runs yet spend 95% of its tokens on three words — keyword-stuffed SEO text — and entropy is the one number that sees it; it is also the analytic stand-in for the compression-ratio filters production curation uses, H/ln(V) in [0,1] comparable across lengths). Determinism contract: each (doc, type) contributes an INTEGERIZED term floor((c/L)*ln(L/c)*1e6 + 0.5) — the t14/t17 ULP-parity assumption on ln, oracle-validated every round — and the per-doc sum is then BIGINT addition, order-independent by construction; the normalized form divides two already-exact numbers (term sum, ln(V)) in one IEEE step. Scale posture: one (doc_id, token)-keyed count (map-side combinable, t02's shape), a doc_id-partitioned window sum for L (doc-local, partition-parallel), one doc_id rollup — text-sized shuffle, no global vocabulary",
       """WITH cnt AS (

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operator set over event streams (SURVEY.md §7 M3): watermarked
   * tumbling/sliding/session windows, in-watermark dedup, and arbitrary
@@ -25,6 +25,8 @@ object EventStreams {
       event_type: String, value: Double)
 
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  final case class ClosedSession(user_id: Long, n_events: Long, duration_us: Long)
 
   /** Tumbling 1-hour window counts (streaming twin of q60). */
   def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
@@ -170,6 +172,85 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Session CLOSER on transformWithState EVENT-TIME TIMERS — the timer
+    * surface of the Spark 4 stateful API, which st04 (no time mode) and
+    * st05 (fMGWS, no timeout) leave unexercised: each user keeps ONE armed
+    * timer at (last event + gap); a new batch for the user disarms and
+    * re-arms it, and when the event-time watermark finally passes the
+    * expiry, `handleExpiredTimer` emits the CLOSED session and evicts the
+    * state — emit-on-silence, which no input-driven operator can express
+    * (a user who stops sending is exactly the one with no rows to react
+    * to). A gap WITHIN a batch closes inline in `handleInputRows` — the
+    * two emission paths produce the same ClosedSession shape.
+    *
+    * Determinism contract (spec-tested, not oracle-backed: timer firing
+    * depends on watermark progression, which is a property of the REPLAY,
+    * not of the data): within a batch events fold in (ts, event_id) order;
+    * late events behind the session frontier are dropped exactly as
+    * [[statefulSessions]] documents. Scale posture: per-user state is
+    * three longs + one registered timer, both in the state store (RocksDB
+    * off-heap at 100 TB); timers are stored per shuffle partition, so
+    * expiry scans never cross executors.
+    */
+  final class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    // (sessionStartUs, lastEventUs, nEvents)
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var (start, last, n) = if (sess.exists()) sess.get() else (Long.MinValue, Long.MinValue, 0L)
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        if (start == Long.MinValue) { start = t; last = t; n = 1L }
+        else if (t >= last) { // late events behind the frontier are dropped
+          if (t - last > gapMs * 1000L) { // batch-internal gap: close inline
+            closed += ClosedSession(user, n, last - start)
+            start = t; n = 0L
+          }
+          last = t; n += 1L
+        }
+      }
+      sess.update((start, last, n))
+      // exactly one armed timer per user: disarm whatever was pending,
+      // re-arm at the new frontier + gap
+      getHandle.listTimers().foreach(exp => getHandle.deleteTimer(exp.asInstanceOf[Long]))
+      getHandle.registerTimer(Math.floorDiv(last, 1000L) + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // a firing timer means no event re-armed it since registration, so
+      // the open session is silent past the gap: close and evict
+      if (sess.exists()) {
+        val (start, last, n) = sess.get()
+        sess.clear()
+        Iterator.single(ClosedSession(user, n, last - start))
+      } else Iterator.empty
+    }
+  }
+
+  /** Closed sessions via [[SessionTimerProcessor]] (event-time timers). */
+  def timerSessions(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000, watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape

@@ -314,6 +314,28 @@ class ScaleSpec extends SparkSpec {
     assert(rows == List((1L, 3L, 0L, 0.0), (3L, 5L, 12L, 0.8)), rows.toString)
   }
 
+  test("g07 label propagation: clique collapses to its min label, star oscillates bipartitely") {
+    // Same K4 + support-2 star fixture as g08. Synchronous LPA, 4 rounds:
+    // K4 converges to label 1 by round 2 (min-label tie-breaks), while the
+    // star is bipartite and OSCILLATES — center and leaves swap labels each
+    // round (the classic sync-LPA behavior, deterministic by construction):
+    // l4 = center 10, leaves 11. Hand-traced, independent of the oracle.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g07spec").toString
+    (Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 1L -> 4L,
+         2L -> 1L, 2L -> 2L, 2L -> 3L, 2L -> 4L) ++
+     Seq(21L, 22L).flatMap(o => Seq(o -> 10L, o -> 11L)) ++
+     Seq(23L, 24L).flatMap(o => Seq(o -> 10L, o -> 12L)) ++
+     Seq(25L, 26L).flatMap(o => Seq(o -> 10L, o -> 13L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("g07_label_prop")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("min_member"), r.getAs[Long]("max_member"))).toList
+    assert(rows == List((1L, 4L, 1L, 4L), (10L, 1L, 10L, 10L), (11L, 3L, 11L, 13L)),
+      rows.toString)
+  }
+
   test("cacheParts grows linearly past bench scale: 1 partition at sf0.1/10x, >1 at 100 TB-implied counts") {
     import graft.operators.DedupQueries.cacheParts
     // bench-scale thresholded edge lists (~4k rows at sf0.1, ~40k at the

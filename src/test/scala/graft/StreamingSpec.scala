@@ -469,6 +469,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 99L && col("click_id").isNotNull).count() == 1)
   }
 
+  test("event-time timers: silence closes a session via handleExpiredTimer, gaps close inline") {
+    // gap 30 min, watermark 10 min. Batch 1: user 1 has a 2-event session
+    // (10:00, 10:05); user 2 has 10:00 then 11:00 — a 60-min batch-internal
+    // gap that must close inline. After batch 1 the watermark (10:50)
+    // already passes user 1's timer (10:35) → the no-data batch fires it.
+    // Batch 2's anchor (13:00 → watermark 12:50) passes user 2's re-armed
+    // timer (11:30) → closes its second session. User 99 stays open: its
+    // timer (13:30) is past the final watermark and must never fire.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      ms.addData(Seq(
+        boundaryEvent(1, "2026-01-01 10:00:00", 1, "click"),
+        boundaryEvent(2, "2026-01-01 10:05:00", 1, "click"),
+        boundaryEvent(3, "2026-01-01 10:00:00", 2, "click"),
+        boundaryEvent(4, "2026-01-01 11:00:00", 2, "click")))
+      val q = EventStreams.timerSessions(spark, ms.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("timer_sessions").start()
+      q.processAllAvailable()
+      ms.addData(Seq(boundaryEvent(5, "2026-01-01 13:00:00", 99, "click")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("timer_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byUser = rows.groupBy(_._1)
+      assert(byUser(1L).toSeq == Seq((1L, 2L, 300000000L)),
+        s"user 1 must close by TIMER with both events: $rows")
+      assert(byUser(2L).length == 2 && byUser(2L).forall(t => t._2 == 1L && t._3 == 0L),
+        s"user 2 must close once inline and once by timer: $rows")
+      assert(!byUser.contains(99L), s"user 99's session must stay open: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
