@@ -331,6 +331,55 @@ object StreamingQueries {
       out.select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
+    },
+
+    sql(
+      "st11_stream_timer_sessions",
+      "EVENT-TIME TIMERS as a real StreamingQuery (EventStreams.SessionTimerProcessor behind the oracle gate — st04/st05 cover the stateful API's input-driven paths; this covers its CLOCK-driven path, emit-on-silence, which no input-driven operator can express): per user one armed timer at (last event + 30 min); batch-internal gaps close sessions inline, and the final watermark's no-data batch fires handleExpiredTimer for every user whose frontier has gone silent past the gap. The bounded single-batch replay (requireSingleBatch, st06's guard) makes firing DETERMINISTIC and SQL-expressible: a session closes iff it is not its user's last, OR its end's timer expiry (end_ms + 30 min) has passed the final watermark (max_ts_ms - 10 min) — millisecond arithmetic because Spark floors event-time stats and timer expiries to ms; the StreamingSpec boundary test pins the <= firing predicate exactly as st09/st10 pin their eviction/closure predicates. Report = per-user closed-session count, event and duration mass. Scale posture: per-user state is three longs + one registered timer in the RocksDB store; timers are partition-local (expiry scans never cross executors), and the no-data-batch firing cadence is the same mechanism production uses to flush idle keys at watermark pace",
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+        |           FROM events WHERE ts IS NOT NULL),
+        |wm AS (SELECT max(tus) // 1000 - 600000 AS wm_ms FROM ev),
+        |flagged AS (
+        |  SELECT user_id, tus, event_id,
+        |         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |numbered AS (
+        |  SELECT user_id, tus,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |                min(tus) AS s_us, max(tus) AS e_us
+        |         FROM numbered GROUP BY user_id, sid),
+        |lastid AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id),
+        |closed AS (SELECT s.user_id, s.n_events, s.e_us - s.s_us AS duration_us
+        |           FROM sess s JOIN lastid l ON l.user_id = s.user_id CROSS JOIN wm
+        |           WHERE s.sid < l.last_sid
+        |              OR s.e_us // 1000 + 1800000 <= wm.wm_ms)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_closed,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST(sum(duration_us) AS BIGINT) AS total_duration_us
+        |FROM closed GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val events = typedEventStream(s, dir)
+        val out = runToMemory(s,
+          EventStreams.timerSessions(s, events).toDF(),
+          "st11_out", mode = "append", requireSingleBatch = true)
+        out.groupBy("user_id").agg(
+            count(lit(1)).as("n_closed"),
+            sum("n_events").as("total_events"),
+            sum("duration_us").as("total_duration_us"))
+          .orderBy("user_id")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
   )
 }

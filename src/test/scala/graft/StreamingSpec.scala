@@ -510,6 +510,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers: an expiry EXACTLY on the watermark fires (non-strict, pins st11's oracle)") {
+    // user 1's frontier is 10:00:00 → timer expiry 10:30:00. The anchor at
+    // 10:40:00 puts the watermark at exactly 10:30:00. st11's oracle
+    // encodes expiry_ms <= watermark_ms (non-strict); this fixture is the
+    // tie case the corpus may never produce, locking the predicate the
+    // same way the st09/st10 boundary tests lock theirs.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      ms.addData(Seq(
+        boundaryEvent(1, "2026-01-01 10:00:00", 1, "click"),
+        boundaryEvent(2, "2026-01-01 10:40:00", 99, "click")))
+      val q = EventStreams.timerSessions(spark, ms.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("timer_boundary").start()
+      q.processAllAvailable()
+      q.stop()
+      val users = spark.table("timer_boundary").collect().map(_.getLong(0)).toSet
+      assert(users == Set(1L),
+        s"expiry == watermark must fire (and the 99 anchor must stay open): $users")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
