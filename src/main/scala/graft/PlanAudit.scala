@@ -106,9 +106,13 @@ object PlanAudit {
     // aggregate (|sources| rows — a handful at any corpus size; the corpus
     // pass is the keyed token-mass aggregation upstream), so the
     // single-partition sort is over a dimension-sized frame, the same class
-    // as a broadcast dim build, not a corpus sort.
+    // as a broadcast dim build, not a corpus sort. u09 (r11) is the same
+    // class: its prefix-sum window runs over the per-FILE stats aggregate
+    // (the manifest — ~800k KB-sized rows at 100 TB, never data rows), the
+    // metadata frame every table-maintenance planner iterates single-node.
     import org.apache.spark.sql.execution.window.WindowExec
-    val globalWindowWhitelist = Seq("p10_token_budget", "q33_price_deciles")
+    val globalWindowWhitelist =
+      Seq("p10_token_budget", "q33_price_deciles", "u09_compaction_plan")
     val globalWindowQueries = allPlans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
       plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => name }
     }.distinct

@@ -869,6 +869,49 @@ object RelationalQueries {
     },
 
     sql(
+      "u09_compaction_plan",
+      "sorted compaction planning — the OPTIMIZE step that consumes q99's zone-map report: the 16 key-range files bin into 4 contiguous compaction groups by exact integer prefix arithmetic (group = 4*rows_before div total — the sorted bin-packing that PRESERVES the range clustering, so the rewritten files keep prunable zone maps, unlike size-only FFD packing which interleaves key ranges and destroys them), and the plan reports each group's file count, row mass, the contiguous key span it will cover, and its row share in ppm against the ideal quarter. Everything is metadata-sized integers: the planner never reads data rows, only the per-file stats — exactly how table-maintenance services schedule rewrites. Scale posture: file stats are one keyed aggregation (the q99 scan); the prefix-sum window runs over FILE COUNT rows (~800k files at 100 TB — KB-scale state, one partition is correct and cheap because the frame is the manifest, not the data); the emitted plan is group-count-sized",
+      """WITH mk AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem),
+        |f AS (SELECT CAST((l_orderkey * 16) // m AS INTEGER) AS file_id, l_orderkey
+        |      FROM lineitem CROSS JOIN mk),
+        |fs AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |              CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |       FROM f GROUP BY file_id),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM fs),
+        |planned AS (
+        |  SELECT file_id, n_rows, min_key, max_key, total,
+        |         CAST(COALESCE(sum(n_rows) OVER (ORDER BY file_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4 // total
+        |              AS BIGINT) AS grp
+        |  FROM fs CROSS JOIN tot)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |       min(min_key) AS min_key, max(max_key) AS max_key,
+        |       CAST(CAST(sum(n_rows) AS HUGEINT) * 1000000 // min(total) AS BIGINT) AS rows_ppm
+        |FROM planned GROUP BY grp ORDER BY grp""") { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val mk = li.agg((max("l_orderkey") + 1).as("m"))
+      val fs = li.crossJoin(broadcast(mk))
+        .groupBy(expr("cast((l_orderkey * 16) div m as int)").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+      val tot = fs.agg(sum("n_rows").as("total"))
+      // the prefix window's frame is the FILE MANIFEST (16 rows here, file
+      // count in production) — single-partition by design, metadata-sized
+      val wPrefix = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      fs.crossJoin(broadcast(tot))
+        .withColumn("before", coalesce(sum("n_rows").over(wPrefix), lit(0L)))
+        .withColumn("grp", expr("before * 4 div total"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+          min("min_key").as("min_key"), max("max_key").as("max_key"),
+          expr("cast(sum(n_rows) AS DECIMAL(38,0)) * 1000000 div min(total)").as("rows_ppm"))
+        .orderBy("grp")
+    },
+
+    sql(
       "q86_column_profile",
       "single-pass column profiling of the orders table — the data-quality primitive every ingestion pipeline runs first: per column, exact null count and exact distinct cardinality, computed in ONE aggregation over the table (Spark's Expand handles the 6 simultaneous COUNT DISTINCTs; one pass over 100 TB, not six) and unpivoted to a row per column. All outputs are exact integers. At 100 TB the exact distincts would usually relax to approx_count_distinct — kept exact here because approximate sketches are engine-specific and this row must replay bit-exactly in the oracle (a06 carries the sketch variant)",
       """WITH s AS (SELECT count(*) AS nr,

@@ -465,8 +465,89 @@ object SimilarityQueries {
         .filter(col("rnk") <= K)
         .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("dot")).as("dot"))
         .orderBy("q_id", "rnk")
-    }
+    },
+
+    sql(
+      "s13_pq_adc",
+      "product-quantization ADC search — THE billion-scale ANN index format (FAISS IVFPQ's compression half): the 64-dim space splits into 4 x 16-dim subspaces, every vector encodes to 4 small codes (nearest sub-codebook entry per subspace — 4 bytes/vector here vs 256 raw, the memory lever that puts a 100 TB corpus's index in RAM), and query scoring is ASYMMETRIC DISTANCE COMPUTATION: one 10-entry dot-product table per (query, subspace), then every candidate scores by 4 table LOOKUPS + 3 adds — no full-width arithmetic per candidate, which is the entire point at scale. Deterministic end-to-end via the s08 selection-codebook trick (sub-codebooks = subslices of the min-vec_id-per-label vectors — zero float arithmetic in training), argmax codes tie-break (dot DESC, cent_id), and the ADC sum assembled as four conditionally-picked terms added in FIXED subspace order t0+t1+t2+t3 — never a float SUM() whose accumulation order could differ between engines. SimilarityRecallSpec asserts ADC@5 recall against s01's exact ranking. Scale posture: codebooks are a broadcast (10 x 4 slices), encoding is one codegen'd scan emitting 4 ints/vector, the score join is keyed on (subspace, code) against a 40-row broadcast table — the corpus side shuffles NOTHING and reads only codes, exactly how a PQ index scans",
+      s"""WITH minid AS (SELECT label, min(vec_id) AS mvid FROM embeddings GROUP BY label),
+        |cents AS (SELECT CAST(e.label AS BIGINT) AS cent_id, e.embedding AS cemb
+        |          FROM embeddings e JOIN minid mi ON e.label = mi.label AND e.vec_id = mi.mvid),
+        |subs AS (SELECT CAST(g.s AS INTEGER) AS s FROM generate_series(0, 3) g(s)),
+        |csl AS (SELECT u.s, c.cent_id, CAST(c.cemb[u.s*16+1 : u.s*16+16] AS DOUBLE[]) AS cslice
+        |        FROM cents c CROSS JOIN subs u),
+        |vsl AS (SELECT e.vec_id, u.s, CAST(e.embedding[u.s*16+1 : u.s*16+16] AS DOUBLE[]) AS vslice
+        |        FROM embeddings e CROSS JOIN subs u),
+        |codes AS (SELECT vec_id, s, cent_id AS code FROM (
+        |  SELECT v.vec_id, v.s, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id, v.s
+        |                            ORDER BY list_dot_product(v.vslice, c.cslice) DESC, c.cent_id) AS rn
+        |  FROM vsl v JOIN csl c ON c.s = v.s) WHERE rn = 1),
+        |qt AS (SELECT v.vec_id AS q_id, v.s, c.cent_id AS qcent,
+        |              list_dot_product(v.vslice, c.cslice) AS t
+        |       FROM vsl v JOIN csl c ON c.s = v.s WHERE v.vec_id < $NQueries),
+        |adc AS (SELECT q.q_id, k.vec_id AS neighbor_id,
+        |               sum(CASE WHEN k.s = 0 THEN q.t END) AS t0,
+        |               sum(CASE WHEN k.s = 1 THEN q.t END) AS t1,
+        |               sum(CASE WHEN k.s = 2 THEN q.t END) AS t2,
+        |               sum(CASE WHEN k.s = 3 THEN q.t END) AS t3
+        |        FROM codes k JOIN qt q ON q.s = k.s AND q.qcent = k.code
+        |        WHERE k.vec_id <> q.q_id
+        |        GROUP BY q.q_id, k.vec_id)
+        |SELECT q_id, rnk, neighbor_id, floor((t0 + t1 + t2 + t3) * 1000000 + 0.5) / 1000000 AS adc
+        |FROM (SELECT q_id, neighbor_id, t0, t1, t2, t3,
+        |             CAST(row_number() OVER (PARTITION BY q_id
+        |                                     ORDER BY t0 + t1 + t2 + t3 DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM adc)
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) => pqAdc(s, dir) }
   )
+
+  /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,
+    * selection sub-codebooks (s08's trick applied per-slice), ADC scores
+    * summed in fixed subspace order t0+t1+t2+t3 so no float accumulation
+    * order exists to diverge.
+    */
+  def pqAdc(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val minid = e.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val cents = e.join(minid, Seq("label", "vec_id"))
+      .select(col("label").cast("long").as("cent_id"), col("embedding").as("cemb"))
+    def slices(vec: Column) = explode(array((0 until 4).map(sub =>
+      struct(lit(sub).as("s"), slice(vec, sub * 16 + 1, 16).as("sl"))): _*))
+    val csl = cents.select(col("cent_id"), slices(col("cemb")).as("x"))
+      .select(col("x.s").as("cs"), col("cent_id"), col("x.sl").as("cslice"))
+    val vsl = e.select(col("vec_id"), slices(col("embedding")).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sl").as("vslice"))
+    // encode: windowless argmax per (vec, subspace) — q97's negated-key
+    // struct-min, ties to the smallest cent_id exactly as the oracle's
+    // row_number(ORDER BY d DESC, cent_id)
+    val codes = vsl.join(broadcast(csl), col("cs") === col("s"))
+      .select(col("vec_id"), col("s"), col("cent_id"),
+        dotProduct(col("vslice"), col("cslice")).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct((-col("d")).as("nd"), col("cent_id"))).as("mm"))
+      .select(col("vec_id"), col("s"), col("mm.cent_id").as("code"))
+    val qt = vsl.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("vslice"))
+      .join(broadcast(csl), col("cs") === col("qs"))
+      .select(col("q_id"), col("qs"), col("cent_id").as("qcent"),
+        dotProduct(col("vslice"), col("cslice")).as("t"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("adc"), col("neighbor_id"))
+    codes.join(broadcast(qt), col("qs") === col("s") && col("qcent") === col("code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(when(col("s") === 0, col("t"))).as("t0"),
+        sum(when(col("s") === 1, col("t"))).as("t1"),
+        sum(when(col("s") === 2, col("t"))).as("t2"),
+        sum(when(col("s") === 3, col("t"))).as("t3"))
+      .select(col("q_id"), col("neighbor_id"),
+        (col("t0") + col("t1") + col("t2") + col("t3")).as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("adc")).as("adc"))
+      .orderBy("q_id", "rnk")
+  }
 
   /** JL projection — see the s10 registry doc. Long (vec_id, dim, proj)
     * output: one row per projected component, replay-friendly.

@@ -80,6 +80,27 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"quantized overlap $mean — 255-level codes should barely perturb ranks")
   }
 
+  test("s13 PQ/ADC: recall@5 vs the exact dot ranking far above chance, scores track true dots") {
+    // ADC approximates DOT (s12's objective), not cosine — its baseline is
+    // the exact MIPS top-5. 10-entry selection sub-codebooks over 4
+    // subspaces are deliberately coarse (4 B/vector); on the near-random
+    // fixture they deliver ~0.28 recall@5 vs a 5/500 = 0.01 random
+    // baseline (real clustered embeddings + trained codebooks score far
+    // higher — this pins the machinery, not state-of-the-art recall).
+    def dotSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(_.getLong(2)).toSet
+      }
+    val exactDot = dotSets(
+      SparkEntry.queries("s12_mips")(spark, sf0001))
+    val adc = dotSets(SimilarityQueries.pqAdc(spark, sf0001))
+    val hits = exactDot.map { case (q, truth) =>
+      adc.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val r = hits.sum / hits.size
+    assert(r >= 0.15, s"ADC recall@5 $r (random baseline 0.01)")
+  }
+
   test("s10 JL projection: mean pairwise squared-distance ratio ~ 1 (the lemma's expectation)") {
     // Rademacher/sqrt(k) satisfies E[||Px - Py||^2] = ||x - y||^2 per pair;
     // averaging over all pairs of the first 30 vectors must concentrate
