@@ -853,7 +853,7 @@ object EventQueries {
 
     sql(
       "q98_autocorrelation",
-      "lag-1 autocorrelation per event-type series — the time-series self-dependence diagnostic (is the metric a random walk, mean-reverting, or i.i.d.?) that monitoring stacks run before alerting thresholds, done in EXACT integer co-moments: values snap to a 1e6 grid (the q85 contract), consecutive pairs come from lag(1) over the deterministic (ts, event_id) order, and Pearson r over the pairs is assembled from integer sums n/Sx/Sy/Sxx/Syy/Sxy — every sum exact in DECIMAL(38,0)/HUGEINT (squares of 1e6-snapped values reach ~1e22 over the corpus, past BIGINT — the p04 widening), so the only floating-point steps are one cast, two sqrt's, and one division on identical inputs in both engines. Scale posture: one event_type-keyed window for the lag (partition-parallel, state = one row), then one keyed aggregation with map-side partials — co-moment accumulation is associative/commutative so it distributes; at 100 TB the same six sums compute per shard and merge, the textbook distributed-Pearson shape, with no per-partition float accumulation order anywhere",
+      "lag-1 autocorrelation per event-type series — the time-series self-dependence diagnostic (is the metric a random walk, mean-reverting, or i.i.d.?) that monitoring stacks run before alerting thresholds, done in EXACT integer co-moments: values snap to a 1e6 grid (the q85 contract), consecutive pairs come from lag(1) over the deterministic (ts, event_id) order, and Pearson r over the pairs is assembled from integer sums n/Sx/Sy/Sxx/Syy/Sxy — every sum exact in DECIMAL(38,0)/HUGEINT (squares of 1e6-snapped values reach ~1e22 over the corpus, past BIGINT — the p04 widening), so the only floating-point steps are one cast, two sqrt's, and one division on identical inputs in both engines. Scale posture: the lag is SEGMENTED — consecutive pairs assemble from day-bounded (type, day) windows (parallel across the corpus; a naive per-type window would sort each whole series in one task) plus one boundary pair per adjacent segment from a per-segment endpoint summary whose stitch window spans day-COUNT rows (dimension-sized at any scale); the pair set is provably the global consecutive set, so the oracle keeps the single-window form; then one keyed aggregation with map-side partials — co-moment accumulation is associative/commutative so it distributes, the textbook distributed-Pearson shape with no per-partition float accumulation order anywhere",
       """WITH g AS (
         |  SELECT event_type,
         |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs,
@@ -874,14 +874,36 @@ object EventQueries {
         |                 * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5)
         |       / 1000000 AS corr_lag1
         |FROM cm ORDER BY event_type""") { (s, dir) =>
-      val w = Window.partitionBy("event_type")
-        .orderBy(expr("unix_micros(cast(ts as timestamp))"), col("event_id"))
-      val g = Tables.events(s, dir)
+      // SEGMENTED lag — the distributed form: a per-type window would sort
+      // each whole series in ONE task (5 types = 5 tasks at any corpus
+      // size). Instead consecutive pairs assemble from (a) lag inside
+      // (type, day) segments — day-bounded frames, parallel across the
+      // whole corpus — and (b) one boundary pair per adjacent segment
+      // pair, from a per-segment first/last summary whose stitch window
+      // spans segment COUNT rows (days — dimension-sized at any scale).
+      // The union is exactly the global (ts, event_id)-consecutive pair
+      // set, so the oracle keeps the simple single-window form.
+      val ev = Tables.events(s, dir)
         .filter(col("value").isNotNull && col("ts").isNotNull)
-        .select(col("event_type"), col("ts"), col("event_id"),
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"),
           floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
-        .withColumn("ls", lag("vs", 1).over(w))
+        .withColumn("seg", expr("tus div 86400000000"))
+      val wSeg = Window.partitionBy("event_type", "seg").orderBy("tus", "event_id")
+      val intra = ev.withColumn("ls", lag("vs", 1).over(wSeg))
         .filter(col("ls").isNotNull)
+        .select("event_type", "vs", "ls")
+      // windowless per-segment endpoints: (tus, event_id) is unique, so the
+      // lexicographic struct min/max carry the endpoint's value exactly
+      val summ = ev.groupBy("event_type", "seg").agg(
+        min(struct(col("tus"), col("event_id"), col("vs"))).as("first"),
+        max(struct(col("tus"), col("event_id"), col("vs"))).as("last"))
+      val wDays = Window.partitionBy("event_type").orderBy("seg")
+      val bounds = summ.withColumn("prev_last", lag("last", 1).over(wDays))
+        .filter(col("prev_last").isNotNull)
+        .select(col("event_type"), col("first.vs").as("vs"),
+          col("prev_last.vs").as("ls"))
+      val g = intra.unionAll(bounds)
       val d38 = "decimal(38,0)"
       val cm = g.groupBy("event_type").agg(
         count(lit(1)).as("n_pairs"),

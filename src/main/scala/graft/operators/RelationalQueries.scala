@@ -713,7 +713,10 @@ object RelationalQueries {
       // position order spans EVERY column the query reads: the fixture's
       // (l_orderkey, l_linenumber) is not unique, and rows tied on the full
       // list are interchangeable in both the predicate and the aggregate,
-      // so either engine's tie placement yields the same live multiset
+      // so either engine's tie placement yields the same live multiset.
+      // The window exists only because the fixture must DERIVE positions;
+      // stored files carry them physically, so at scale each frame is
+      // bounded by one file's rows (~128 MB) and parallelism = file count
       val w = Window.partitionBy("file_id").orderBy(
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         col("l_discount"), col("l_shipdate"), col("l_returnflag"))

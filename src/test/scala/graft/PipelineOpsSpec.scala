@@ -364,13 +364,23 @@ class PipelineOpsSpec extends SparkSpec {
     def ts(i: Int) = new java.sql.Timestamp(base.getTime + i * 60000L)
     val ramp = (1 to 20).map(i => (i.toLong, ts(i), 1L, "ramp", i.toDouble))
     val alt = (1 to 20).map(i => (100L + i, ts(i), 1L, "alt", if (i % 2 == 0) 1.0 else -1.0))
-    (ramp ++ alt).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // a ramp STRADDLING midnight: the (day 1 last, day 2 first) pair comes
+    // from the segmented lag's boundary stitch, not the intra-day window —
+    // n_pairs = 3 proves the stitch emits exactly one pair, corr = 1 proves
+    // it pairs the right endpoints
+    val xday = Seq(
+      (201L, java.sql.Timestamp.valueOf("2024-01-01 23:58:00"), 1L, "xday", 1.0),
+      (202L, java.sql.Timestamp.valueOf("2024-01-01 23:59:00"), 1L, "xday", 2.0),
+      (203L, java.sql.Timestamp.valueOf("2024-01-02 00:01:00"), 1L, "xday", 3.0),
+      (204L, java.sql.Timestamp.valueOf("2024-01-02 00:02:00"), 1L, "xday", 4.0))
+    (ramp ++ alt ++ xday).toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val m = SparkEntry.queries("q98_autocorrelation")(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
         ((r.getAs[Long]("n_pairs"), r.getAs[Double]("corr_lag1")))).toMap
     assert(m("ramp") == ((19L, 1.0)), m.toString)
     assert(m("alt") == ((19L, -1.0)), m.toString)
+    assert(m("xday") == ((3L, 1.0)), m.toString)
   }
 
   test("t22 token entropy: uniform doc saturates norm_entropy, constant doc zeroes it, skew sits between") {
