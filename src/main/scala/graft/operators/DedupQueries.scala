@@ -96,6 +96,61 @@ object DedupQueries {
       .filter(col("sup") >= 2)
       .select("u", "v")
 
+  /** DuckDB side of the degree-ordered orientation: `deg` + `ori` CTEs
+    * over [[copurchasePairsSql]]'s `pairs`. Shared by the g02 and g08
+    * oracles exactly as [[orientedTriangles]] is shared by their Spark
+    * bodies — the tie-break lives in ONE string. MATERIALIZED because both
+    * consumers reference `ori` three times (the wedge join's e1/e2/e3).
+    */
+  private val orientedEdgesSql: String =
+    """deg AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
+      |ori AS MATERIALIZED (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
+      |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v)""".stripMargin
+
+  /** Cached support-2 pairs, degree table, degree-ordered oriented edges,
+    * and the two-phase shuffle wedge-close triangle triples (a, b, c) —
+    * the machinery g02 (global count) and g08 (per-node credit) share, so
+    * the orientation tie-break and the shuffle_hash hints cannot drift
+    * between them (the persistCompact lesson applied one level up; r10's
+    * g06 wart was exactly a sibling skipping the shared pattern).
+    *
+    * Two-step compact caches (see persistCompact): each fill count() is a
+    * materialization barrier — downstream branches launch together, and an
+    * un-populated cache makes each of them run the full fact-table pair
+    * build (measured 5× the whole query at 10× sf0.1). deg feeds ori twice
+    * plus the callers' degree branches; the wedge join is two SHUFFLE
+    * equi-joins (O(wedges) 16 B rows, no broadcast of E — valid at any
+    * edge-list size; shuffle_hash keeps AQE from re-planning tiny
+    * bench-scale sides back into broadcasts). Each triangle closes exactly
+    * once under the orientation. Callers own unpersist of pairs/deg/ori.
+    */
+  private def orientedTriangles(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
+    val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
+    val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .coalesce(edgeParts).persist()
+    deg.count()
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = pairs
+      .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+      .coalesce(edgeParts).persist()
+    ori.count()
+    val e1 = ori.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = ori.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
+    val tris = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b"))
+      .join(e3.hint("shuffle_hash"), col("a3") === col("a") && col("c3") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    (pairs, deg, ori, tris, edgeParts)
+  }
+
   // Fixed MinHash permutation constants, shared by the Spark impl and the
   // generated DuckDB oracle of d03.
   private val P = 2147483647L
@@ -931,11 +986,7 @@ object DedupQueries {
       "g02_triangle_count",
       "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list via two-phase SHUFFLE wedge joins — O(wedges) 16-byte shuffle rows, no broadcast of E, valid at any edge-list size",
       s"""WITH $copurchasePairsSql,
-        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
-        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
-        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
-        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
-        |        FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |$orientedEdgesSql,
         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
         |        FROM ori e1
         |        JOIN ori e2 ON e2.src = e1.dst
@@ -946,50 +997,13 @@ object DedupQueries {
         |es  AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
         |SELECT vs.n_nodes, es.n_edges, vs.max_degree, tri.n_triangles
         |FROM vs CROSS JOIN es CROSS JOIN tri""") { (s, dir) =>
-      // Pair build: see copurchasePairs (shared with g03). persist: this
-      // one expensive pass feeds four branches (deg, ori rebuilds, edge
-      // count, wedge probes); post-threshold it is ~4k rows. Query runners
-      // clearCache() after.
-      // The support-count aggregation runs at FULL shuffle parallelism: a
-      // narrowing coalesce here (r8/r9 carried a four-partition one) collapses
-      // into the shuffle stage above it and caps the reduce side of the
-      // groupBy(u,v) — which processes the corpus-proportional
-      // PRE-threshold pair multiset (1.2M rows at sf0.1, unbounded at
-      // 100 TB) — at that constant, regardless of cluster size.
-      // Two-step compact cache (see persistCompact): the fill count() is a
-      // materialization barrier — downstream branches launch together, and
-      // an un-populated cache makes each of them run the full fact-table
-      // pair build, measured 5× the whole query at 10× sf0.1 — and its row
-      // count sizes every cache partitioning below (|deg| ≤ 2·|E|,
-      // |ori| = |E|) with no hard-coded partition constants.
-      val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
-      // deg feeds ori (twice) and the n_nodes/max_degree branch; persisting
-      // it once replaces three cache-scan+shuffle recomputes with one.
-      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-        .coalesce(edgeParts).persist()
-      deg.count()
-      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-      val ori = pairs
-        .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
-          when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .coalesce(edgeParts).persist()
-      ori.count()
-      // Two-phase shuffle wedge join (r7 verdict #5): wedges a→b→c form by
-      // an equi-join on the middle vertex, then a second shuffle equi-join
-      // closes them against the edge list on (a,c). O(wedges) shuffle rows
-      // of 16 B — no broadcast of E, no driver-side relation build, valid
-      // at any edge-list size (the broadcast form capped out at what fits
-      // the driver). shuffle_hash hints keep AQE from re-planning the tiny
-      // bench-scale sides back into broadcasts.
-      val e1 = ori.select(col("src").as("a1"), col("dst").as("b1"))
-      val e2 = ori.select(col("src").as("b2"), col("dst").as("c2"))
-      val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
-      val tri = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b1"))
-        .join(e3.hint("shuffle_hash"), col("a3") === col("a1") && col("c3") === col("c2"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // Edge/degree/orientation/wedge machinery lives in orientedTriangles
+      // (shared with g08 — tie-break and hints in one place; its scaladoc
+      // carries the r7/r8/r10 history: full-parallel support aggregation,
+      // the two-phase shuffle wedge join, the compact-cache barriers).
+      // Query runners clearCache() the persisted intermediates after.
+      val (pairs, deg, _, tris, _) = orientedTriangles(s, dir)
+      val tri = tris.agg(count(lit(1)).as("n_triangles"))
       val vs = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
       val es = pairs.agg(count(lit(1)).as("n_edges"))
       vs.crossJoin(es).crossJoin(tri)
@@ -1222,12 +1236,7 @@ object DedupQueries {
       "g08_clustering_coeff",
       "per-degree local clustering-coefficient profile of the co-purchase graph (the transitivity / local-density diagnostic that completes the g-family: g02 counts triangles globally, g08 asks WHERE the closure lives — do high-degree hub parts sit in closed co-bought families or in open stars, the structural signal a graph-curation pass uses to separate organic clusters from crawl/spam hubs): per-node triangle participation t(v) comes from the SAME degree-ordered oriented wedge-close join as g02 — each closed triangle a->b->c emits its three member nodes exactly once — and the report groups nodes by degree so the average coefficient avg(2t / d(d-1)) is computable as one exact expression 2*sum(t) / (d*(d-1)*n) per bucket: integers end-to-end until a single IEEE division, no per-node float averaging whose accumulation order could diverge between engines. Scale posture: identical to g02 (one order-keyed pair build, support-2 threshold bounding E, O(wedges) 16-byte shuffle rows through two shuffle_hash equi-joins), plus one node-keyed explode/count of the triangle triples and one degree-keyed aggregation over |V| rows — the output is degree-histogram-sized, never node-sized",
       s"""WITH $copurchasePairsSql,
-        |deg AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
-        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
-        |ori AS MATERIALIZED (
-        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
-        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
-        |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |$orientedEdgesSql,
         |tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         |         FROM ori e1
         |         JOIN ori e2 ON e2.src = e1.dst
@@ -1242,29 +1251,13 @@ object DedupQueries {
         |FROM (SELECT deg.node, deg.d, COALESCE(tc.t, 0) AS t
         |      FROM deg LEFT JOIN tcnt tc ON tc.node = deg.node)
         |GROUP BY d ORDER BY degree""") { (s, dir) =>
-      // Same cached edge/degree/orientation build as g02 (persistCompact +
-      // compact deg cache); the only new plan pieces are the triple
-      // explode (3 rows per triangle) and the degree-keyed rollup.
-      val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
-      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-        .coalesce(edgeParts).persist()
-      deg.count()
-      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-      val ori = pairs
-        .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
-          when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .coalesce(edgeParts).persist()
-      ori.count()
-      val e1 = ori.select(col("src").as("a"), col("dst").as("b"))
-      val e2 = ori.select(col("src").as("b2"), col("dst").as("c"))
-      val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
-      // each triangle closes exactly once under the orientation (g02), so
-      // exploding its member triple credits every node once per triangle
-      val tcnt = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b"))
-        .join(e3.hint("shuffle_hash"), col("a3") === col("a") && col("c3") === col("c"))
+      // Shared edge/degree/orientation/wedge build (orientedTriangles, with
+      // g02); the only new plan pieces are the triple explode (3 rows per
+      // triangle — each triangle closes exactly once under the orientation,
+      // so the explode credits every node once per triangle) and the
+      // degree-keyed rollup.
+      val (pairs, deg, ori, tris, _) = orientedTriangles(s, dir)
+      val tcnt = tris
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("t"))
       val out = deg.join(tcnt, Seq("node"), "left")

@@ -869,10 +869,12 @@ object EventQueries {
         |         CAST(sum(CAST(vs AS HUGEINT) * ls) AS HUGEINT) AS sxy
         |  FROM g WHERE ls IS NOT NULL GROUP BY event_type)
         |SELECT event_type, n_pairs,
-        |       floor((CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-        |              / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-        |                 * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5)
-        |       / 1000000 AS corr_lag1
+        |       CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+        |            THEN 0.0
+        |            ELSE floor((CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |                        / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |                           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5)
+        |                 / 1000000 END AS corr_lag1
         |FROM cm ORDER BY event_type""") { (s, dir) =>
       // SEGMENTED lag — the distributed form: a per-type window would sort
       // each whole series in ONE task (5 types = 5 tasks at any corpus
@@ -911,10 +913,17 @@ object EventQueries {
         sum(col("vs").cast(d38) * col("vs")).as("sxx"),
         sum(col("ls").cast(d38) * col("ls")).as("syy"),
         sum(col("vs").cast(d38) * col("ls")).as("sxy"))
-      cm.select(col("event_type"), col("n_pairs"),
-          r6((col("n_pairs").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n_pairs").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double"))
-              * sqrt((col("n_pairs").cast(d38) * col("syy") - col("sy") * col("sy")).cast("double"))))
+      // zero-variance guard (the g06 contract): a constant series or a
+      // single pair makes a denominator term exactly 0 — DuckDB's 0/0
+      // renders NaN while Spark's floor collapses NaN to 0, so the guard
+      // must be the EXACT decimal compare in both engines, not the float
+      cm.withColumn("vxx", col("n_pairs").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vyy", col("n_pairs").cast(d38) * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("n_pairs"),
+          when(col("vxx") === 0 || col("vyy") === 0, lit(0.0))
+            .otherwise(
+              r6((col("n_pairs").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt(col("vxx").cast("double")) * sqrt(col("vyy").cast("double")))))
             .as("corr_lag1"))
         .orderBy("event_type")
     }

@@ -200,21 +200,12 @@ object StreamingQueries {
         |GROUP BY user_id
         |ORDER BY user_id""") { (s, dir) =>
       import s.implicits._
-      // transformWithState's backing contract (also the 100 TB setting)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      EventStreams.withRocksDBStateStore(s) {
         val events = typedEventStream(s, dir)
         val out = runToMemory(s,
           EventStreams.runningCounts(s, events).toDF("user_id", "n"),
           "st04_out", mode = "update")
         out.groupBy("user_id").agg(max("n").as("n")).orderBy("user_id")
-      } finally {
-        prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
       }
     },
 
@@ -361,10 +352,7 @@ object StreamingQueries {
         |       CAST(sum(n_events) AS BIGINT) AS total_events,
         |       CAST(sum(duration_us) AS BIGINT) AS total_duration_us
         |FROM closed GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      EventStreams.withRocksDBStateStore(s) {
         val events = typedEventStream(s, dir)
         val out = runToMemory(s,
           EventStreams.timerSessions(s, events).toDF(),
@@ -374,11 +362,6 @@ object StreamingQueries {
             sum("n_events").as("total_events"),
             sum("duration_us").as("total_duration_us"))
           .orderBy("user_id")
-      } finally {
-        prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
       }
     }
   )

@@ -28,6 +28,23 @@ object EventStreams {
 
   final case class ClosedSession(user_id: Long, n_events: Long, duration_us: Long)
 
+  /** Runs `body` with the RocksDB state-store provider set (the
+    * transformWithState backing contract and the 100 TB deployment
+    * setting), restoring the previous provider after — the save/restore
+    * block st04/st11 and three StreamingSpec tests would otherwise each
+    * carry verbatim.
+    */
+  def withRocksDBStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Tumbling 1-hour window counts (streaming twin of q60). */
   def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

@@ -373,7 +373,11 @@ class PipelineOpsSpec extends SparkSpec {
       (202L, java.sql.Timestamp.valueOf("2024-01-01 23:59:00"), 1L, "xday", 2.0),
       (203L, java.sql.Timestamp.valueOf("2024-01-02 00:01:00"), 1L, "xday", 3.0),
       (204L, java.sql.Timestamp.valueOf("2024-01-02 00:02:00"), 1L, "xday", 4.0))
-    (ramp ++ alt ++ xday).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // constant series: zero variance → guarded 0.0, never NaN (DuckDB's
+    // 0/0 is NaN while Spark's floor collapses NaN to 0 — the guard keeps
+    // both engines on the same literal)
+    val flat = (1 to 10).map(i => (300L + i, ts(i), 1L, "flat", 7.5))
+    (ramp ++ alt ++ xday ++ flat).toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val m = SparkEntry.queries("q98_autocorrelation")(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
@@ -381,6 +385,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("ramp") == ((19L, 1.0)), m.toString)
     assert(m("alt") == ((19L, -1.0)), m.toString)
     assert(m("xday") == ((3L, 1.0)), m.toString)
+    assert(m("flat") == ((9L, 0.0)), m.toString)
   }
 
   test("t22 token entropy: uniform doc saturates norm_entropy, constant doc zeroes it, skew sits between") {
@@ -399,6 +404,25 @@ class PipelineOpsSpec extends SparkSpec {
     // hand value: H(3/4, 1/4) = 0.25 ln 4 + 0.75 ln(4/3), integerized ±2ppm
     val h = 0.25 * math.log(4.0) + 0.75 * math.log(4.0 / 3.0)
     assert(math.abs(e3 - math.rint(h * 1e6)) <= 2, s"e3=$e3 expected~${h * 1e6}")
+  }
+
+  test("p11's quality gate == t04's published score at the 0.7 threshold (coupling is tested, not assumed)") {
+    // p11's registry doc claims its gate is 't04's exact composite score';
+    // the formula is textually duplicated in both entries (and both
+    // oracles), so this asserts the per-source gate counts equal filtering
+    // t04's own output — a drift in either copy fails here
+    val t04 = SparkEntry.queries("t04_quality_score")(spark, sf0001)
+      .select("doc_id", "quality")
+    val docs = graft.sources.Tables.documents(spark, sf0001).select("doc_id", "source")
+    val expect = t04.join(docs, "doc_id").filter(col("quality") >= 0.7)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("p11_curation_e2e")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_quality")).toMap
+    assert(got.keySet.nonEmpty)
+    got.foreach { case (src, n) =>
+      assert(n == expect.getOrElse(src, 0L), s"source $src: p11 gate $n vs t04 filter ${expect.get(src)}")
+    }
   }
 
   test("s12 MIPS: registry top-5 == in-memory brute force, and the norm-augmented cosine preserves it") {

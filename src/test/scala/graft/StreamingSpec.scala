@@ -109,10 +109,7 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState running counts == batch per-user counts") {
     // the transformWithState API is backed by the RocksDB state store
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    EventStreams.withRocksDBStateStore(spark) {
       val (ms, events) = eventStream()
       val q = EventStreams.runningCounts(spark, ms.toDS())
         .toDF("user_id", "n")
@@ -123,11 +120,6 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val batch = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
       assert(streamed == batch)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -304,9 +296,6 @@ class StreamingSpec extends SparkSpec {
     // mode + parquet sink, so every emission is durable and exactly-once.
     val root = tmp("graft-ckpt-state")
     val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     def run(): Unit = {
       val q = spark.readStream
         .schema("ts TIMESTAMP, k STRING")
@@ -328,7 +317,7 @@ class StreamingSpec extends SparkSpec {
     def write(ts: String*): Unit =
       ts.map(t => (java.sql.Timestamp.valueOf(t), "u")).toSeq.toDF("ts", "k")
         .coalesce(1).write.mode("append").json(src)
-    try {
+    EventStreams.withRocksDBStateStore(spark) {
       // run 1: H0 closes (2), H1 closes (1); H2 holds 2 events in state
       // (watermark 02:25-10m = 02:15 < H2's 03:00 close)
       write("2024-01-01 00:10:00", "2024-01-01 00:20:00", "2024-01-01 01:15:00",
@@ -343,9 +332,6 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getTimestamp(0).toString.substring(11, 13) -> r.getLong(2)).toMap
       assert(emitted == Map("00" -> 2L, "01" -> 1L, "02" -> 5L, "03" -> 1L),
         s"expected H0=2 H1=1 H2=5 H3=1 exactly once across the restart, got $emitted")
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -477,10 +463,7 @@ class StreamingSpec extends SparkSpec {
     // Batch 2's anchor (13:00 → watermark 12:50) passes user 2's re-armed
     // timer (11:30) → closes its second session. User 99 stays open: its
     // timer (13:30) is past the final watermark and must never fire.
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    EventStreams.withRocksDBStateStore(spark) {
       val ms = MemoryStream[EventStreams.Event](spark)
       ms.addData(Seq(
         boundaryEvent(1, "2026-01-01 10:00:00", 1, "click"),
@@ -502,11 +485,6 @@ class StreamingSpec extends SparkSpec {
       assert(byUser(2L).length == 2 && byUser(2L).forall(t => t._2 == 1L && t._3 == 0L),
         s"user 2 must close once inline and once by timer: $rows")
       assert(!byUser.contains(99L), s"user 99's session must stay open: $rows")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -516,10 +494,7 @@ class StreamingSpec extends SparkSpec {
     // encodes expiry_ms <= watermark_ms (non-strict); this fixture is the
     // tie case the corpus may never produce, locking the predicate the
     // same way the st09/st10 boundary tests lock theirs.
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    EventStreams.withRocksDBStateStore(spark) {
       val ms = MemoryStream[EventStreams.Event](spark)
       ms.addData(Seq(
         boundaryEvent(1, "2026-01-01 10:00:00", 1, "click"),
@@ -532,11 +507,6 @@ class StreamingSpec extends SparkSpec {
       val users = spark.table("timer_boundary").collect().map(_.getLong(0)).toSet
       assert(users == Set(1L),
         s"expiry == watermark must fire (and the 99 anchor must stay open): $users")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
