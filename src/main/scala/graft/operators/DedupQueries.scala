@@ -6,7 +6,7 @@ import graft.functions.{HashFunctions, TextFunctions}
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 import graft.operators.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1342,6 +1342,54 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 0)
         .join(collided, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "d15_bloom_index_dedup",
+      "bloom-shipped incremental dedup — d13's daily-crawl check with the INDEX SHIPPING problem solved the q72 way: at 100 TB the corpus band-key index is corpus-sized, and joining a batch against it shuffles the batch across the whole index layout; instead the index folds into a 16 KB Bloom bitset (word-OR mergeable, built in one pass, broadcast to every executor), the batch's keys pre-filter MAP-SIDE against it, and only might-contain keys — true collisions plus a bounded false-positive trickle — reach the exact (band, key) semi-join that removes the FPs. The result is EXACTLY d13's survivor set (Bloom filters have no false negatives, so no collision escapes; a spec asserts set equality), which is why the oracle is the exact-join form: the bloom is a plan-side shipping optimization, invisible to semantics. Output adds each survivor's band-key count (0 = too short to shingle — survives vacuously). Scale posture: corpus pass builds the bitset once per index epoch (in production: read back, not rebuilt); daily cost = batch keys x one broadcast probe + an exact join over the pruned residue — batch-sized, never corpus-shuffle-sized",
+      s"""$bandKeySql,
+        |bk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_keys
+        |       FROM keys WHERE doc_id % 10 = 0 GROUP BY doc_id),
+        |collided AS (SELECT DISTINCT n.doc_id
+        |             FROM keys n JOIN keys o ON o.band = n.band AND o.key = n.key
+        |             WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+        |SELECT d.doc_id, d.source, COALESCE(bk.n_keys, 0) AS n_keys
+        |FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      import graft.functions.{Aggregators, BloomOps}
+      val NumBits = 1 << 17
+      val NumHashes = 5
+      val docs = Tables.documents(s, dir)
+      val banded = docs
+        .select(col("doc_id"),
+          posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
+            .as(Seq("band", "key")))
+      // fold (band, key) to one long for the bitset (xor with a
+      // prime-scaled band — overflow-free under ANSI); both build and
+      // probe use the same fold, and the exact join removes any fold- or
+      // bloom-induced false positive
+      def fp(band: Column, key: Column): Column =
+        key.bitwiseXOR(band * lit(2654435761L))
+      val bloom = udaf(new Aggregators.BloomFilter(NumBits, NumHashes))
+      val corpus = banded.filter(col("doc_id") % 10 =!= 0)
+      val bits = broadcast(corpus.agg(bloom(fp(col("band"), col("key"))).as("bits")))
+      val batch = banded.filter(col("doc_id") % 10 === 0)
+      val candidates = batch.crossJoin(bits)
+        .filter(BloomOps.bloomMightContain(col("bits"),
+          fp(col("band"), col("key")), NumBits, NumHashes))
+        .drop("bits")
+      val collided = candidates
+        .join(corpus.select(col("band").as("o_band"), col("key").as("o_key")),
+          col("band") === col("o_band") && col("key") === col("o_key"), "left_semi")
+        .select("doc_id").distinct()
+      val bk = batch.groupBy("doc_id").agg(count(lit(1)).as("n_keys"))
+      docs.filter(col("doc_id") % 10 === 0)
+        .join(bk, Seq("doc_id"), "left")
+        .join(collided, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), coalesce(col("n_keys"), lit(0L)).as("n_keys"))
         .orderBy("doc_id")
     },
 

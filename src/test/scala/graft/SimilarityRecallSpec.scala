@@ -206,4 +206,18 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(truth.subsetOf(lsh), s"missed pairs: ${truth.diff(lsh)}")
     assert(lsh == truth, s"false positives: ${lsh.diff(truth)}")
   }
+
+  test("d15 bloom-shipped dedup survivors == d13's exact-join survivors (no false negatives)") {
+    // the bloom is a shipping optimization, not a semantics change: its
+    // no-false-negative contract means every true collision still reaches
+    // the exact join, so the survivor sets must be identical
+    def ids(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, sf0001).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = ids("d13_incremental_dedup")
+    val bloom = ids("d15_bloom_index_dedup")
+    assert(exact.nonEmpty)
+    assert(bloom == exact,
+      s"bloom path diverged: missing=${exact.diff(bloom)} extra=${bloom.diff(exact)}")
+  }
 }
