@@ -128,7 +128,11 @@ class ScaleSpec extends SparkSpec {
     val names = Seq("q01_pricing_summary", "q62_sessionization", "a06_hll_replay",
       "a08_cms_replay", "d04_lsh_near_dups", "p03_mixture_sampling",
       "s08_knn_ivf_select", "q78_salted_agg", "q80_interval_coverage",
-      "u04_cdc_apply")
+      "u04_cdc_apply",
+      // r11 representatives: cached-graph wedge build, segmented lag,
+      // position-window deletion vectors, broadcast-bloom index shipping
+      "g08_clustering_coeff", "q98_autocorrelation", "u08_deletion_vectors",
+      "d15_bloom_index_dedup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -154,7 +158,11 @@ class ScaleSpec extends SparkSpec {
     val names = Seq("q01_pricing_summary", "q62_sessionization", "a06_hll_replay",
       "a08_cms_replay", "d04_lsh_near_dups", "p03_mixture_sampling",
       "s08_knn_ivf_select", "q78_salted_agg", "q80_interval_coverage",
-      "u04_cdc_apply")
+      "u04_cdc_apply",
+      // r11 representatives: cached-graph wedge build, segmented lag,
+      // position-window deletion vectors, broadcast-bloom index shipping
+      "g08_clustering_coeff", "q98_autocorrelation", "u08_deletion_vectors",
+      "d15_bloom_index_dedup")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
