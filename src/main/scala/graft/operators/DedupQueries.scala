@@ -96,6 +96,20 @@ object DedupQueries {
       .filter(col("sup") >= 2)
       .select("u", "v")
 
+  /** DuckDB side of the customer↔supplier bipartite trade graph (suppliers
+    * offset by 1e6 into a disjoint id space): `e0`/`edges`/`nodes`/`deg`
+    * CTEs shared by the g01 (global PageRank) and g09 (personalized
+    * PageRank) oracles — the edge derivation and the degree table live in
+    * one string exactly as [[orientedEdgesSql]] does for g02/g08.
+    */
+  private val tradeGraphSql: String =
+    """e0 AS (
+      |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c, CAST(l.l_suppkey AS BIGINT) + 1000000 AS s
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s AS src, c AS dst FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)""".stripMargin
+
   /** DuckDB side of the degree-ordered orientation: `deg` + `ori` CTEs
     * over [[copurchasePairsSql]]'s `pairs`. Shared by the g02 and g08
     * oracles exactly as [[orientedTriangles]] is shared by their Spark
@@ -813,13 +827,8 @@ object DedupQueries {
     sql(
       "g01_pagerank",
       "graph centrality (PageRank, 2 unrolled iterations) over the customer↔supplier bipartite trade graph — the source-authority signal a curation pipeline uses to weight domains. Ranks live on a 1e12 integer grid and every step is integer division/sum, so both engines compute bit-identical ranks (no float drift across iterations). Scale posture: each iteration is one edge-keyed join + dst-keyed aggregation (the d08 shape — at 100 TB the edge list is hash-partitioned once and every round joins narrowly against it); the node-count scalar is a broadcast",
-      """WITH e0 AS (
-        |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c, CAST(l.l_suppkey AS BIGINT) + 1000000 AS s
-        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s AS src, c AS dst FROM e0),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      s"""WITH $tradeGraphSql,
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
         |r0 AS (SELECT node, (1000000000000 // n) AS r FROM nodes CROSS JOIN nn),
         |c1 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
         |       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
@@ -979,6 +988,88 @@ object DedupQueries {
       out.count()
       edgeRdd.unpersist()
       nodeDeg.unpersist()
+      out
+    },
+
+    sql(
+      "g09_personalized_pagerank",
+      "personalized PageRank from a seed set (2 unrolled iterations, restart mass on suppliers 1-3) over the same trade graph as g01 — SEEDED relevance vs g01's global authority: the recommendation/similar-entity primitive ('what is close to THESE nodes'), and the curation variant that scores documents by proximity to a trusted seed domain set rather than by global degree. Same 1e12 integer grid and integer-division contract as g01 (bit-identical ranks, no float drift), with the restart term (15% of the mass, split over |S| seeds) landing ONLY on seeds. Sparse-frontier shape: r0 is nonzero on 3 nodes, round 1 touches their neighborhoods, round 2 two hops — the Spark side filters r > 0 before the contribution join, so each round's join probe is frontier-sized, not graph-sized (semantically free: zero ranks contribute zero). Scale posture: this forward-push sparsity is exactly why production PPR (GraphX/Pregel personalized variants) scales as O(frontier x rounds) per seed batch while global PageRank pays O(V) per round; the edge list builds once (one order-keyed join) and each round is one edge-keyed join + dst-keyed sum, the g01 shape on a shrinking-from-sparse frontier",
+      s"""WITH $tradeGraphSql,
+        |seeds AS (SELECT node FROM nodes WHERE node >= 1000001 AND node <= 1000003),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+        |r0 AS (SELECT n0.node,
+        |              CASE WHEN sd.node IS NOT NULL THEN (1000000000000 // ns.n) ELSE 0 END AS r
+        |       FROM nodes n0 CROSS JOIN ns LEFT JOIN seeds sd ON sd.node = n0.node),
+        |c1 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
+        |       FROM edges e JOIN r0 r ON r.node = e.src AND r.r > 0
+        |       JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n0.node,
+        |              CASE WHEN sd.node IS NOT NULL THEN (150000000000 // ns.n) ELSE 0 END
+        |              + (85 * coalesce(c1.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN ns
+        |       LEFT JOIN seeds sd ON sd.node = n0.node
+        |       LEFT JOIN c1 ON c1.node = n0.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
+        |       FROM edges e JOIN r1 r ON r.node = e.src AND r.r > 0
+        |       JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n0.node,
+        |              CASE WHEN sd.node IS NOT NULL THEN (150000000000 // ns.n) ELSE 0 END
+        |              + (85 * coalesce(c2.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN ns
+        |       LEFT JOIN seeds sd ON sd.node = n0.node
+        |       LEFT JOIN c2 ON c2.node = n0.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_scaled
+        |FROM r2 WHERE r > 0 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
+      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("s"))
+        .distinct()
+      val (edges, edgeParts) = persistCompact(
+        e0.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(e0.select(col("s").as("src"), col("c").as("dst"))))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .coalesce(edgeParts).persist()
+      deg.count()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .coalesce(edgeParts).persist()
+      nodes.count()
+      val seeds = nodes.filter(col("node") >= 1000001L && col("node") <= 1000003L)
+      val ns = broadcast(seeds.agg(count(lit(1)).as("n")))
+      def restart(pct: Long) =
+        when(col("is_seed"), expr(s"$pct div n")).otherwise(lit(0L))
+      val base = nodes.crossJoin(ns)
+        .join(seeds.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+        .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+        .coalesce(edgeParts).localCheckpoint(true)
+      var r = base.select(col("node"), restart(1000000000000L).as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 2) {
+        // sparse-frontier push: only r > 0 rows probe the edge join
+        val contrib = edges
+          .join(r.filter(col("r") > 0).select(col("node").as("src"), col("r"))
+            .hint("shuffle_hash"), "src")
+          .join(deg.hint("shuffle_hash"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("r div d")).as("m"))
+        r = base
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (restart(150000000000L)
+              + expr("85 * coalesce(m, 0) div 100")).as("r"))
+          .coalesce(edgeParts).localCheckpoint(true)
+      }
+      val out = r.filter(col("r") > 0)
+        .select(col("node"), col("r").as("rank_scaled"))
+        .orderBy(desc("rank_scaled"), col("node")).limit(20)
+        .persist()
+      out.count()
+      nodes.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       out
     },
 

@@ -322,6 +322,23 @@ class ScaleSpec extends SparkSpec {
     assert(rows == List((1L, 3L, 0L, 0.0), (3L, 5L, 12L, 0.8)), rows.toString)
   }
 
+  test("g09 personalized pagerank: mass stays in the seed's component, hand-traced to the grid") {
+    // Two disjoint customer-supplier pairs; only supplier 1 (node 1000001)
+    // is a seed. Trace on the 1e12 grid: r0 = 1e12 on the seed;
+    // r1 = {seed: 15e10, cust 1: 85e10}; r2 = {seed: 15e10 + 85%*85e10 =
+    // 8.725e11, cust 1: 85%*15e10 = 1.275e11}. The disconnected pair
+    // (cust 2, supplier 5) must stay at rank 0 and not appear.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g09spec").toString
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 5L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("g09_personalized_pagerank")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled"))).toList
+    assert(rows == List((1000001L, 872500000000L), (1L, 127500000000L)), rows.toString)
+  }
+
   test("g07 label propagation: clique collapses to its min label, star oscillates bipartitely") {
     // Same K4 + support-2 star fixture as g08. Synchronous LPA, 4 rounds:
     // K4 converges to label 1 by round 2 (min-label tie-breaks), while the
