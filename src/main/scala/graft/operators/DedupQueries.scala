@@ -110,6 +110,26 @@ object DedupQueries {
       |nodes AS (SELECT DISTINCT src AS node FROM edges),
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)""".stripMargin
 
+  /** Spark side of [[tradeGraphSql]]: the symmetrized customer↔supplier
+    * edge list (suppliers offset 1e6), shared by g01 and g09 so the graph
+    * definition cannot drift between them. NOT persisted deliberately
+    * (g01's r7 measured A/B: the columnar cache build + cached-scan decode
+    * costs ~3× the recompute — warm executor CPU 13-17 s unpersisted vs
+    * 43-92 s persisted — because AQE's ReuseExchange already shares the
+    * one expensive shuffle under multiple consumers); callers cache
+    * downstream where it pays (g01's row-format edgeRdd, g09's
+    * persistCompact).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + 1000000L).as("s"))
+      .distinct()
+    e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+  }
+
   /** DuckDB side of the degree-ordered orientation: `deg` + `ori` CTEs
     * over [[copurchasePairsSql]]'s `pairs`. Shared by the g02 and g08
     * oracles exactly as [[orientedTriangles]] is shared by their Spark
@@ -881,21 +901,10 @@ object DedupQueries {
       import s.implicits._
       import org.apache.spark.HashPartitioner
       import org.apache.spark.storage.StorageLevel
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + 1000000L).as("s"))
-        .distinct()
-      // NOT persisted deliberately (r7): caching the symmetrized edge list
-      // looks like the obvious reuse win (it feeds the degree agg AND the
-      // edge⋈degree self-join), but a measured A/B showed the columnar
-      // cache build + cached-scan decode costs ~3× the recompute — warm
-      // executor CPU 13-17 s unpersisted vs 43-92 s persisted — because
-      // AQE's ReuseExchange already shares the one expensive shuffle under
-      // both consumers. The RDD-side persist of edgeRdd below (row format,
-      // loop-side) is the one that pays off.
-      val edgesDf = e0.select(col("c").as("src"), col("s").as("dst"))
-        .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      // shared edge derivation (tradeEdges — its scaladoc carries the r7
+      // do-not-persist A/B); the RDD-side persist of edgeRdd below (row
+      // format, loop-side) is the one that pays off.
+      val edgesDf = tradeEdges(s, dir)
       // Size the loop partitioner by EDGE volume, not node count (r7): a
       // round moves ~|E| rows, and |E| ≈ |lineitem| is the cheap upper
       // bound (parquet row-count metadata). The r6 node-count rule
@@ -1022,15 +1031,7 @@ object DedupQueries {
         |       LEFT JOIN c2 ON c2.node = n0.node)
         |SELECT node, CAST(r AS BIGINT) AS rank_scaled
         |FROM r2 WHERE r > 0 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + 1000000L).as("s"))
-        .distinct()
-      val (edges, edgeParts) = persistCompact(
-        e0.select(col("c").as("src"), col("s").as("dst"))
-          .unionAll(e0.select(col("s").as("src"), col("c").as("dst"))))
+      val (edges, edgeParts) = persistCompact(tradeEdges(s, dir))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .coalesce(edgeParts).persist()
       deg.count()
@@ -1454,10 +1455,16 @@ object DedupQueries {
       val NumBits = 1 << 17
       val NumHashes = 5
       val docs = Tables.documents(s, dir)
+      // persisted (the d04 pattern): four consumers read it — the bloom
+      // build + the exact-join build side on the corpus leg, the bloom
+      // probe + the n_keys count on the batch leg — and unpersisted the
+      // fused shingle kernel would run for each (ReuseExchange can't dedup
+      // them: different exchanges). Runner clearCache() covers cleanup.
       val banded = docs
         .select(col("doc_id"),
           posexplode(HashFunctions.shingleMinHashBands(toks, k = 32, n = 3, bands = 16, rows = 2))
             .as(Seq("band", "key")))
+        .persist()
       // fold (band, key) to one long for the bitset (xor with a
       // prime-scaled band — overflow-free under ANSI); both build and
       // probe use the same fold, and the exact join removes any fold- or
