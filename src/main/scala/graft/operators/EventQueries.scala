@@ -926,6 +926,152 @@ object EventQueries {
                 / (sqrt(col("vxx").cast("double")) * sqrt(col("vyy").cast("double")))))
             .as("corr_lag1"))
         .orderBy("event_type")
+    },
+
+    sql(
+      "q100_ab_lift",
+      "A/B experiment lift analysis — the experimentation primitive (arm assignment + per-arm metric + relative lift) this registry's curation/analytics surface lacked: users assign to control/treatment by the parity of the SAME splitmix priority hash p03/p05/p08 sample with (retry/replica-stable, no RNG, and the DuckDB oracle replays the assignment bit-exactly in HUGEINT via the shared priorityHashCtes), per-(event_type, arm) means come from exact integer sums of 1e6-grid-snapped values, and the lift (mean_t − mean_c)/mean_c is assembled as one exact DECIMAL/HUGEINT cross-difference (Sv_t·n_c − Sv_c·n_t over Sv_c·n_t) cast to DOUBLE for a single sign-safe IEEE division — deliberately NOT an integer div, whose truncate-vs-floor semantics DIVERGE between engines on negative lifts. Scale posture: assignment is one hash over the user dim (map-side), the metric is one (type, arm)-keyed aggregation with map-side partials over snapped integers, and the lift table is dimension-sized; at 100 TB this is a broadcast-joined assignment column plus the q01 aggregation shape — the standard experimentation pipeline",
+      s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+        |${graft.functions.HashFunctions.priorityHashCtes("users", "user_id", 77L, "user_id")},
+        |arms AS (SELECT user_id, CAST(pri % 2 AS BIGINT) AS arm FROM ph4),
+        |m AS (SELECT e.event_type, a.arm, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sv
+        |      FROM events e JOIN arms a ON a.user_id = e.user_id
+        |      WHERE e.value IS NOT NULL
+        |      GROUP BY 1, 2)
+        |SELECT c.event_type, c.n AS n_control, t.n AS n_treat,
+        |       floor((c.sv * 1.0 / c.n / 1000000) * 10000 + 0.5) / 10000 AS mean_control,
+        |       floor((t.sv * 1.0 / t.n / 1000000) * 10000 + 0.5) / 10000 AS mean_treat,
+        |       floor((CAST(CAST(t.sv AS HUGEINT) * c.n - CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)
+        |              / CAST(CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS lift
+        |FROM m c JOIN m t ON t.event_type = c.event_type AND c.arm = 0 AND t.arm = 1
+        |ORDER BY c.event_type""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val arms = Tables.events(s, dir).select("user_id").distinct()
+        .withColumn("arm", pmod(HashFunctions.priorityHash(col("user_id"), 77L), lit(2)))
+      val m = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .join(arms, "user_id")
+        .groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("sv"))
+      val c = m.filter(col("arm") === 0)
+        .select(col("event_type"), col("n").as("n_control"), col("sv").as("sv_c"))
+      val t = m.filter(col("arm") === 1)
+        .select(col("event_type").as("et_t"), col("n").as("n_treat"), col("sv").as("sv_t"))
+      c.join(t, col("et_t") === col("event_type"))
+        .select(col("event_type"), col("n_control"), col("n_treat"),
+          r4(col("sv_c") * lit(1.0) / col("n_control") / lit(1000000)).as("mean_control"),
+          r4(col("sv_t") * lit(1.0) / col("n_treat") / lit(1000000)).as("mean_treat"),
+          r6(expr("cast(cast(sv_t AS DECIMAL(38,0)) * n_control - cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")
+            / expr("cast(cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")).as("lift"))
+        .orderBy("event_type")
+    },
+
+    sql(
+      "q101_trend_slope",
+      "per-series OLS trend slope (value vs event day) — the monitoring primitive that turns q98's 'is it self-correlated' into 'how fast is it moving, in units per day': the slope (nΣxy − ΣxΣy)/(nΣxx − Σx²) assembles from exact integer co-moments over (epoch-day, 1e6-snapped value) pairs, widened DECIMAL(38,0)/HUGEINT (day·value products reach ~1e18 over the corpus), with the q98/g06 zero-variance guard on the denominator (a single-day series has no trend — exact-integer compare, never a float 0/0 whose NaN the engines render differently); the one IEEE division happens on identical exact inputs and rounds r6 after rescaling off the value grid. Scale posture: one keyed aggregation with map-side partials — co-moments are associative/commutative, the distributed-regression textbook shape; no window, no sort",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |              CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |              CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |       FROM g GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |            ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+        |                        / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000) * 1000000 + 0.5)
+        |                 / 1000000 END AS slope_per_day
+        |FROM cm ORDER BY event_type""") { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val g = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("x"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("y"))
+      val cm = g.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      cm.withColumn("den", col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        .select(col("event_type"), col("n"),
+          when(col("den") === 0, lit(0.0))
+            .otherwise(r6((col("n").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+              / col("den").cast("double") / lit(1000000)))
+            .as("slope_per_day"))
+        .orderBy("event_type")
+    },
+
+    sql(
+      "q102_drift_detection",
+      "two-sample distribution drift per series — the data-drift monitor every production feature pipeline runs (has this metric's DISTRIBUTION changed, not just its mean?): each event_type's history splits at its midpoint timestamp (the exact integer compare 2·t <= min+max — no division, no float), values bin on a fixed 50-unit grid (capped at bin 11), and the two halves compare via the q87 χ² machinery — the full half×observed-bin grid (zero cells included via the grid join, because a bin present in only one half is exactly the drift signal), every cell contribution the exact integer (O·N − rt·ct)²·1e6 div (N·rt·ct) with rt=0 guarded, summed as BIGINTs. Output per series: half sizes, observed-bin count, and the scaled χ² drift score — engine-exact end to end. Scale posture: one keyed count builds the (type, half, bin) cells; everything after runs on the cells table (≤ 2×12 per type — dimension-sized windows, the q87 shape); the raw corpus is touched once",
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |rng AS (SELECT event_type, min(tus) AS mn, max(tus) AS mx FROM ev GROUP BY event_type),
+        |binned AS (
+        |  SELECT e.event_type,
+        |         CASE WHEN 2 * e.tus <= r.mn + r.mx THEN 0 ELSE 1 END AS half,
+        |         least(e.vs // 50000000, 11) AS bin
+        |  FROM ev e JOIN rng r ON r.event_type = e.event_type),
+        |cells AS (SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS o
+        |          FROM binned GROUP BY 1, 2, 3),
+        |grid AS (SELECT b.event_type, h.half, b.bin, COALESCE(c.o, 0) AS o
+        |         FROM (SELECT DISTINCT event_type, bin FROM cells) b
+        |         CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) h
+        |         LEFT JOIN cells c ON c.event_type = b.event_type
+        |                          AND c.half = h.half AND c.bin = b.bin),
+        |tot AS (SELECT event_type, half, bin, o,
+        |               sum(o) OVER (PARTITION BY event_type, half) AS rt,
+        |               sum(o) OVER (PARTITION BY event_type, bin) AS ct,
+        |               sum(o) OVER (PARTITION BY event_type) AS n
+        |        FROM grid)
+        |SELECT event_type,
+        |       CAST(max(CASE WHEN half = 0 THEN rt ELSE 0 END) AS BIGINT) AS n_first,
+        |       CAST(max(CASE WHEN half = 1 THEN rt ELSE 0 END) AS BIGINT) AS n_second,
+        |       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+        |       CAST(sum(CASE WHEN rt = 0 THEN 0
+        |                     ELSE (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |                          * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |                          * 1000000 // (CAST(n AS HUGEINT) * rt * ct) END) AS BIGINT)
+        |         AS chi2_scaled
+        |FROM tot GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tus"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      val rng = ev.groupBy("event_type").agg(min("tus").as("mn"), max("tus").as("mx"))
+      val cells = ev.join(broadcast(rng), "event_type")
+        .select(col("event_type"),
+          when(lit(2) * col("tus") <= col("mn") + col("mx"), lit(0L)).otherwise(lit(1L)).as("half"),
+          least(expr("vs div 50000000"), lit(11L)).as("bin"))
+        .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("o"))
+      val halves = s.range(2).toDF("half")
+      val grid = cells.select("event_type", "bin").distinct()
+        .crossJoin(broadcast(halves))
+        .join(cells, Seq("event_type", "half", "bin"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val tot = grid
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type", "half")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("event_type", "bin")))
+        .withColumn("n", sum("o").over(Window.partitionBy("event_type")))
+      tot.groupBy("event_type").agg(
+          max(when(col("half") === 0, col("rt")).otherwise(lit(0L))).as("n_first"),
+          max(when(col("half") === 1, col("rt")).otherwise(lit(0L))).as("n_second"),
+          countDistinct("bin").as("n_bins"),
+          sum(when(col("rt") === 0, lit(0L)).otherwise(
+            expr("""(cast(o AS DECIMAL(38,0)) * n - cast(rt AS DECIMAL(38,0)) * ct)
+                   |* (cast(o AS DECIMAL(38,0)) * n - cast(rt AS DECIMAL(38,0)) * ct)
+                   |* 1000000 div (cast(n AS DECIMAL(38,0)) * rt * ct)""".stripMargin)))
+            .cast("long").as("chi2_scaled"))
+        .orderBy("event_type")
     }
   )
 }

@@ -425,6 +425,62 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q100 A/B lift == in-memory recomputation from the same hash assignment") {
+    import graft.functions.HashOps
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def arm(u: Long): Long = math.floorMod(HashOps.priorityHash(u, 77L), 2L)
+    val byType = events.groupBy(_._2)
+    val got = SparkEntry.queries("q100_ab_lift")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    byType.foreach { case (et, es) =>
+      val (c, t) = es.partition(e => arm(e._1) == 0L)
+      val (svc, svt) = (c.map(e => math.floor(e._3 * 1e6 + 0.5).toLong).sum,
+        t.map(e => math.floor(e._3 * 1e6 + 0.5).toLong).sum)
+      val r = got(et)
+      assert(r.getAs[Long]("n_control") == c.length && r.getAs[Long]("n_treat") == t.length, et)
+      val lift = (BigDecimal(svt) * c.length - BigDecimal(svc) * t.length).toDouble /
+        (BigDecimal(svc) * t.length).toDouble
+      assert(r.getAs[Double]("lift") == math.floor(lift * 1e6 + 0.5) / 1e6, et)
+    }
+  }
+
+  test("q101 trend slope: daily ramp recovers its rate, a one-day series guards to zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q101spec").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val lin = (0 until 10).map(i => (i.toLong, ts(i), 1L, "lin", 2.5 * i))
+    val oneday = (0 until 5).map(i => (100L + i, ts(0), 1L, "oneday", i.toDouble))
+    (lin ++ oneday).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q101_trend_slope")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("slope_per_day")).toMap
+    assert(m("lin") == 2.5, m.toString)
+    assert(m("oneday") == 0.0, m.toString)
+  }
+
+  test("q102 drift: identical halves score zero, complete separation scores N x 1e6") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q102spec").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // same: both halves hold values {10, 60} — zero drift by symmetry
+    val same = Seq(10.0, 60.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, ts(0), 1L, "same", v), (100L + i, ts(10), 1L, "same", v))
+    }
+    // split: first half all bin 0, second half all bin 2 → chi2 == N
+    val split = (0 until 4).map(i => (200L + i, ts(0), 1L, "split", 10.0)) ++
+      (0 until 4).map(i => (300L + i, ts(10), 1L, "split", 110.0))
+    (same ++ split).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q102_drift_detection")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_first"), r.getAs[Long]("n_second"), r.getAs[Long]("chi2_scaled")))).toMap
+    assert(m("same") == ((2L, 2L, 0L)), m.toString)
+    assert(m("split") == ((4L, 4L, 8000000L)), m.toString)
+  }
+
   test("s12 MIPS: registry top-5 == in-memory brute force, and the norm-augmented cosine preserves it") {
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
