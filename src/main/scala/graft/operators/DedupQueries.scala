@@ -198,7 +198,7 @@ object DedupQueries {
     * callers append their own CTEs after a comma. Pre-stripped — the sql()
     * helper's stripMargin leaves these lines untouched.
     */
-  private val bandKeySql: String =
+  private[operators] val bandKeySql: String =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),

@@ -930,7 +930,7 @@ object EventQueries {
 
     sql(
       "q100_ab_lift",
-      "A/B experiment lift analysis — the experimentation primitive (arm assignment + per-arm metric + relative lift) this registry's curation/analytics surface lacked: users assign to control/treatment by the parity of the SAME splitmix priority hash p03/p05/p08 sample with (retry/replica-stable, no RNG, and the DuckDB oracle replays the assignment bit-exactly in HUGEINT via the shared priorityHashCtes), per-(event_type, arm) means come from exact integer sums of 1e6-grid-snapped values, and the lift (mean_t − mean_c)/mean_c is assembled as one exact DECIMAL/HUGEINT cross-difference (Sv_t·n_c − Sv_c·n_t over Sv_c·n_t) cast to DOUBLE for a single sign-safe IEEE division — deliberately NOT an integer div, whose truncate-vs-floor semantics DIVERGE between engines on negative lifts. Scale posture: assignment is one hash over the user dim (map-side), the metric is one (type, arm)-keyed aggregation with map-side partials over snapped integers, and the lift table is dimension-sized; at 100 TB this is a broadcast-joined assignment column plus the q01 aggregation shape — the standard experimentation pipeline",
+      "A/B experiment lift analysis — the experimentation primitive (arm assignment + per-arm metric + relative lift) this registry's curation/analytics surface lacked: users assign to control/treatment by the parity of the SAME splitmix priority hash p03/p05/p08 sample with (retry/replica-stable, no RNG, and the DuckDB oracle replays the assignment bit-exactly in HUGEINT via the shared priorityHashCtes), per-(event_type, arm) means come from exact integer sums of 1e6-grid-snapped values, and the lift (mean_t − mean_c)/mean_c is assembled as one exact DECIMAL/HUGEINT cross-difference (Sv_t·n_c − Sv_c·n_t over Sv_c·n_t) cast to DOUBLE for a single sign-safe IEEE division — deliberately NOT an integer div, whose truncate-vs-floor semantics DIVERGE between engines on negative lifts; a control arm whose snapped sum is exactly 0 short-circuits to lift 0.0 via the same exact-integer guard q98/q101 carry (never a float Infinity/NaN whose rendering differs per engine). Scale posture: assignment is one hash over the user dim (map-side), the metric is one (type, arm)-keyed aggregation with map-side partials over snapped integers, and the lift table is dimension-sized; at 100 TB this is a broadcast-joined assignment column plus the q01 aggregation shape — the standard experimentation pipeline",
       s"""WITH users AS (SELECT DISTINCT user_id FROM events),
         |${graft.functions.HashFunctions.priorityHashCtes("users", "user_id", 77L, "user_id")},
         |arms AS (SELECT user_id, CAST(pri % 2 AS BIGINT) AS arm FROM ph4),
@@ -942,8 +942,10 @@ object EventQueries {
         |SELECT c.event_type, c.n AS n_control, t.n AS n_treat,
         |       floor((c.sv * 1.0 / c.n / 1000000) * 10000 + 0.5) / 10000 AS mean_control,
         |       floor((t.sv * 1.0 / t.n / 1000000) * 10000 + 0.5) / 10000 AS mean_treat,
-        |       floor((CAST(CAST(t.sv AS HUGEINT) * c.n - CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)
-        |              / CAST(CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS lift
+        |       CASE WHEN c.sv = 0 THEN 0.0
+        |            ELSE floor((CAST(CAST(t.sv AS HUGEINT) * c.n - CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)
+        |                        / CAST(CAST(c.sv AS HUGEINT) * t.n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |       END AS lift
         |FROM m c JOIN m t ON t.event_type = c.event_type AND c.arm = 0 AND t.arm = 1
         |ORDER BY c.event_type""") { (s, dir) =>
       import graft.functions.HashFunctions
@@ -963,8 +965,11 @@ object EventQueries {
         .select(col("event_type"), col("n_control"), col("n_treat"),
           r4(col("sv_c") * lit(1.0) / col("n_control") / lit(1000000)).as("mean_control"),
           r4(col("sv_t") * lit(1.0) / col("n_treat") / lit(1000000)).as("mean_treat"),
-          r6(expr("cast(cast(sv_t AS DECIMAL(38,0)) * n_control - cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")
-            / expr("cast(cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")).as("lift"))
+          when(col("sv_c") === 0, lit(0.0))
+            .otherwise(
+              r6(expr("cast(cast(sv_t AS DECIMAL(38,0)) * n_control - cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")
+                / expr("cast(cast(sv_c AS DECIMAL(38,0)) * n_treat AS DOUBLE)")))
+            .as("lift"))
         .orderBy("event_type")
     },
 
@@ -1009,7 +1014,7 @@ object EventQueries {
 
     sql(
       "q102_drift_detection",
-      "two-sample distribution drift per series — the data-drift monitor every production feature pipeline runs (has this metric's DISTRIBUTION changed, not just its mean?): each event_type's history splits at its midpoint timestamp (the exact integer compare 2·t <= min+max — no division, no float), values bin on a fixed 50-unit grid (capped at bin 11), and the two halves compare via the q87 χ² machinery — the full half×observed-bin grid (zero cells included via the grid join, because a bin present in only one half is exactly the drift signal), every cell contribution the exact integer (O·N − rt·ct)²·1e6 div (N·rt·ct) with rt=0 guarded, summed as BIGINTs. Output per series: half sizes, observed-bin count, and the scaled χ² drift score — engine-exact end to end. Scale posture: one keyed count builds the (type, half, bin) cells; everything after runs on the cells table (≤ 2×12 per type — dimension-sized windows, the q87 shape); the raw corpus is touched once",
+      "two-sample distribution drift per series — the data-drift monitor every production feature pipeline runs (has this metric's DISTRIBUTION changed, not just its mean?): each event_type's history splits at its midpoint timestamp (the exact integer compare 2·t <= min+max — no division, no float), values bin on a fixed 50-unit grid clamped to [0, 11] (the lower clamp is load-bearing: Spark's `div` truncates toward zero while DuckDB's `//` floors, so an unclamped negative value would land in different bins per engine — clamping to 0 collapses every negative onto one agreed bin), and the two halves compare via the q87 χ² machinery — the full half×observed-bin grid (zero cells included via the grid join, because a bin present in only one half is exactly the drift signal), every cell contribution the exact integer (O·N − rt·ct)²·1e6 div (N·rt·ct) with rt=0 guarded, summed as BIGINTs. Output per series: half sizes, observed-bin count, and the scaled χ² drift score — engine-exact end to end. Scale posture: one keyed count builds the (type, half, bin) cells; everything after runs on the cells table (≤ 2×12 per type — dimension-sized windows, the q87 shape); the raw corpus is touched once",
       """WITH ev AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
         |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
@@ -1018,7 +1023,7 @@ object EventQueries {
         |binned AS (
         |  SELECT e.event_type,
         |         CASE WHEN 2 * e.tus <= r.mn + r.mx THEN 0 ELSE 1 END AS half,
-        |         least(e.vs // 50000000, 11) AS bin
+        |         greatest(least(e.vs // 50000000, 11), 0) AS bin
         |  FROM ev e JOIN rng r ON r.event_type = e.event_type),
         |cells AS (SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS o
         |          FROM binned GROUP BY 1, 2, 3),
@@ -1051,7 +1056,7 @@ object EventQueries {
       val cells = ev.join(broadcast(rng), "event_type")
         .select(col("event_type"),
           when(lit(2) * col("tus") <= col("mn") + col("mx"), lit(0L)).otherwise(lit(1L)).as("half"),
-          least(expr("vs div 50000000"), lit(11L)).as("bin"))
+          greatest(least(expr("vs div 50000000"), lit(11L)), lit(0L)).as("bin"))
         .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("o"))
       val halves = s.range(2).toDF("half")
       val grid = cells.select("event_type", "bin").distinct()

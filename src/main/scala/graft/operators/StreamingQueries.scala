@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.GraftQuery.sql
-import graft.streaming.EventStreams
+import graft.sources.Tables
+import graft.streaming.{DocStreams, EventStreams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -46,8 +47,22 @@ object StreamingQueries {
     //    directory path makes FileStreamSource discover partitions exactly
     //    like the batch reader.
     val src = if (new java.io.File(path).isDirectory) path else s"$path*"
-    graft.sources.Tables.normalizeEventTs(s.readStream.schema(schema).parquet(src))
+    Tables.normalizeEventTs(s.readStream.schema(schema).parquet(src))
       .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Bounded streaming read of `documents.parquet` for st12. Documents
+    * carry no event time, so the stream assigns a deterministic synthetic
+    * one — epoch 2024-01-01 UTC + doc_id seconds — which makes watermark
+    * and timer arithmetic replayable (and irrelevant to the single-batch
+    * oracle, which sees the whole corpus inside the horizon).
+    */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val src = if (new java.io.File(path).isDirectory) path else s"$path*"
+    s.readStream.schema(schema).parquet(src)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
   }
 
   /** Typed event ingest for the stateful processors (st04/st05): rows
@@ -362,6 +377,34 @@ object StreamingQueries {
             sum("n_events").as("total_events"),
             sum("duration_us").as("total_duration_us"))
           .orderBy("user_id")
+      }
+    },
+
+    sql(
+      "st12_stream_lsh_dedup",
+      "STREAMING near-duplicate dedup (DocStreams.bandDedup) — the LLM-pipeline dedup family's streaming representative: batch near-dup (d04/d13/d15) is a banding self-join, but a stream cannot join its own history, so the history lives AS STATE — the same fused ShingleMinHash band-key kernel d04 runs (k=32, 3-gram shingles, 16 bands × 2 rows) feeds a transformWithState processor keyed by (band, key) whose one-long state remembers the smallest doc_id holding the key, flags every later-arriving larger doc_id (d04's candidate predicate a.doc_id < b.doc_id, evaluated incrementally), and evicts via an event-time timer once the watermark passes (newest occurrence + 30 min) — dropDuplicatesWithinWatermark's horizon contract generalized to NEAR-dup keys. The bounded single-batch replay (requireSingleBatch, st06's guard) makes the state minimum the GLOBAL minimum per key, so the oracle is d04's banding join: a document's n_dup_bands counts bands where a smaller document shares its band key, and is_near_dup flags any such band. Documents carry no event time, so the stream assigns a deterministic synthetic one (epoch + doc_id seconds) — replayable watermark arithmetic, irrelevant to the single-batch result. Scale posture: 16 state cells × one long per corpus document in RocksDB, timer-bounded to the dedup horizon; band keys shuffle-partition like any high-cardinality key — no broadcast, no all-pairs, the d04 join cost amortized to O(new docs) per batch",
+      s"""${DedupQueries.bandKeySql},
+        |dups AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_bands FROM (
+        |           SELECT DISTINCT b.doc_id, b.band
+        |           FROM keys a JOIN keys b
+        |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |         GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(u.n_dup_bands, 0) AS BIGINT) AS n_dup_bands,
+        |       CAST(CASE WHEN u.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_near_dup
+        |FROM documents d LEFT JOIN dups u ON u.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        val out = runToMemory(s,
+          DocStreams.bandDedup(s, docStream(s, dir)).toDF(),
+          "st12_out", mode = "append", requireSingleBatch = true)
+        val dups = out.groupBy("doc_id").agg(count(lit(1)).as("n_dup_bands"))
+        Tables.documents(s, dir).select("doc_id")
+          .join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_bands"), lit(0L)).as("n_dup_bands"),
+            when(col("n_dup_bands").isNull, lit(0L)).otherwise(lit(1L)).as("is_near_dup"))
+          .orderBy("doc_id")
       }
     }
   )

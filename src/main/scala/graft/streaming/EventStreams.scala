@@ -242,7 +242,9 @@ object EventStreams {
       sess.update((start, last, n))
       // exactly one armed timer per user: disarm whatever was pending,
       // re-arm at the new frontier + gap
-      getHandle.listTimers().foreach(exp => getHandle.deleteTimer(exp.asInstanceOf[Long]))
+      // materialize before deleting: mutating the timer store while its
+      // iterator is open is implementation-defined in the state-store API
+      getHandle.listTimers().toList.foreach(exp => getHandle.deleteTimer(exp.asInstanceOf[Long]))
       getHandle.registerTimer(Math.floorDiv(last, 1000L) + gapMs)
       closed.iterator
     }

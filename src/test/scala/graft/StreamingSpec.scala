@@ -510,6 +510,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def doc(id: Long, text: String, ts: String): DocStreams.Doc =
+    DocStreams.Doc(id, text, java.sql.Timestamp.valueOf(ts))
+
+  test("streaming LSH dedup: identical text collides on all 16 bands, distinct text on none") {
+    // st12's in-horizon semantics pinned against d04's candidate predicate:
+    // doc 2 repeats doc 1's text → identical MinHash signature → all 16
+    // band keys collide with the smaller doc 1, so exactly 16 evidence
+    // rows for doc 2; doc 50's unrelated shingle set collides on none.
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[DocStreams.Doc](spark)
+      ms.addData(Seq(
+        doc(1, "the quick brown fox jumps over the lazy dog", "2026-01-01 10:00:00"),
+        doc(2, "the quick brown fox jumps over the lazy dog", "2026-01-01 10:00:05"),
+        doc(50, "entirely different words in an unrelated order here", "2026-01-01 10:00:10")))
+      val q = DocStreams.bandDedup(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lsh_dedup_batch1").start()
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("lsh_dedup_batch1").collect().map(_.getLong(0))
+      assert(hits.count(_ == 2L) == 16, s"doc 2 must collide on all 16 bands: ${hits.toSeq}")
+      assert(!hits.contains(1L) && !hits.contains(50L),
+        s"band minimum and unrelated doc must pass: ${hits.toSeq}")
+    }
+  }
+
+  test("streaming LSH dedup: eviction boundary — a duplicate after the horizon is NOT flagged") {
+    // The watermark/TTL contract st12's doc promises: doc 2 repeats doc 1
+    // within the 30-min horizon → flagged; the 12:00 anchor advances the
+    // watermark to 11:50, past the text-A keys' eviction timers
+    // (10:05 + 30 min), so the no-data batch clears their state; doc 3
+    // then repeats the same text and must arrive to EMPTY state — it
+    // becomes the new band minimum instead of a duplicate (exactly
+    // dropDuplicatesWithinWatermark's re-admission semantics, generalized
+    // to near-dup keys).
+    EventStreams.withRocksDBStateStore(spark) {
+      val text = "the quick brown fox jumps over the lazy dog"
+      val ms = MemoryStream[DocStreams.Doc](spark)
+      ms.addData(Seq(doc(1, text, "2026-01-01 10:00:00")))
+      val q = DocStreams.bandDedup(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lsh_dedup_evict").start()
+      q.processAllAvailable()
+      ms.addData(Seq(doc(2, text, "2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData(Seq(doc(90, "an unrelated watermark anchor document for timer firing", "2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      ms.addData(Seq(doc(3, text, "2026-01-01 12:01:00")))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("lsh_dedup_evict").collect().map(_.getLong(0))
+      assert(hits.count(_ == 2L) == 16, s"in-horizon duplicate must flag on all bands: ${hits.toSeq}")
+      assert(!hits.contains(3L), s"post-eviction repeat must NOT be flagged: ${hits.toSeq}")
+      assert(!hits.contains(1L) && !hits.contains(90L), s"minima must pass: ${hits.toSeq}")
+    }
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
