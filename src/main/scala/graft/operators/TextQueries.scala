@@ -1181,6 +1181,51 @@ object TextQueries {
             r4((col("entropy_ppm") / lit(1000000.0)) / log(col("n_types") * lit(1.0))))
             .otherwise(lit(0.0)))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "p12_quality_classifier",
+      "linear quality-classifier INFERENCE (the fastText/CCNet-style scoring step real curation stacks run, which the rule-based t04/t11 gates approximate): the model is DATA, not code — a one-row weight table (w_ttr, w_short, w_cpt, bias) broadcast against the corpus, dotted with three integer-grid t04-family features (type-token ratio and short-token fraction exactly as t04 publishes them, snapped by integer division onto the 1e6 grid; chars-per-token widened DECIMAL(38,0)/HUGEINT before its grid divide — the p04 overflow posture). The logit is therefore an exact integer in BOTH engines; the probability squash is the rational fast-sigmoid 0.5 + z/(2(1+|z|)) — only +,*,/,abs on identical doubles, every one an IEEE-754 correctly-rounded basic op, so the engines agree bit-for-bit with NO libm transcendental (exp differs per engine; this is the q100 single-IEEE-division pattern extended to a fixed op tree) — and the keep decision thresholds the INTEGER logit at 0, so no float ulp can flip a document across the gate (the s11/p11 boundary discipline). Scale posture: pure map-side — one broadcast-literal join, per-doc feature extraction fused into the scan projection, no shuffle at all until the final order; swapping the weight row for a learned checkpoint changes nothing in the plan",
+      """WITH w AS (SELECT CAST(8 AS BIGINT) AS w_ttr, CAST(-4 AS BIGINT) AS w_short,
+        |                 CAST(1 AS BIGINT) AS w_cpt, CAST(-10000000 AS BIGINT) AS bias),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+        |           // length(string_split(text, ' ')) AS f_ttr,
+        |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS BIGINT) * 1000000
+        |           // length(string_split(text, ' ')) AS f_short,
+        |         CAST(CAST(n_chars AS HUGEINT) * 1000000
+        |           // length(string_split(text, ' ')) AS BIGINT) AS f_cpt
+        |  FROM documents),
+        |z AS (SELECT doc_id, f_ttr, f_short, f_cpt,
+        |             w.bias + w.w_ttr * f_ttr + w.w_short * f_short + w.w_cpt * f_cpt AS logit_2e6
+        |      FROM f CROSS JOIN w)
+        |SELECT doc_id, f_ttr, f_short, f_cpt, logit_2e6,
+        |       floor((0.5 + (CAST(logit_2e6 AS DOUBLE) / 2000000.0)
+        |                    / (2.0 * (1.0 + abs(CAST(logit_2e6 AS DOUBLE) / 2000000.0))))
+        |             * 1000000 + 0.5) / 1000000 AS score,
+        |       CAST(CASE WHEN logit_2e6 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM z ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val w = broadcast(Seq((8L, -4L, 1L, -10000000L))
+        .toDF("w_ttr", "w_short", "w_cpt", "bias"))
+      val zf = col("logit_2e6").cast("double") / lit(2000000.0)
+      Tables.documents(s, dir)
+        .withColumn("tk", TextFunctions.tokens(col("text")))
+        .withColumn("f_ttr",
+          expr("cast(size(array_distinct(tk)) AS BIGINT) * 1000000 div size(tk)"))
+        .withColumn("f_short",
+          expr("cast(size(filter(tk, t -> length(t) <= 2)) AS BIGINT) * 1000000 div size(tk)"))
+        .withColumn("f_cpt",
+          expr("cast(cast(n_chars AS DECIMAL(38,0)) * 1000000 div size(tk) AS BIGINT)"))
+        .crossJoin(w)
+        .withColumn("logit_2e6",
+          col("bias") + col("w_ttr") * col("f_ttr")
+            + col("w_short") * col("f_short") + col("w_cpt") * col("f_cpt"))
+        .select(col("doc_id"), col("f_ttr"), col("f_short"), col("f_cpt"), col("logit_2e6"),
+          r6(lit(0.5) + zf / (lit(2.0) * (lit(1.0) + abs(zf)))).as("score"),
+          when(col("logit_2e6") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

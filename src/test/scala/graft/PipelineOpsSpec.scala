@@ -507,4 +507,37 @@ class PipelineOpsSpec extends SparkSpec {
       assert(aug == brute, s"augmentation broke ranking for q=$q")
     }
   }
+
+  test("p12 classifier features == t04's published features on the integer grid, keep == sign(logit)") {
+    // p12's doc claims its feature vector IS the t04 family snapped by
+    // integer division onto the 1e6 grid; recompute every feature from the
+    // raw text in plain Scala (same whitespace tokenization) and replay
+    // the dot product + threshold, so a drift in either the feature
+    // extraction or the weight row fails here, not at the oracle gate
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val rows = SparkEntry.queries("p12_quality_classifier")(spark, sf0001).collect()
+    assert(rows.length == docs.size)
+    var kept = 0
+    rows.foreach { r =>
+      val (id, fTtr, fShort, fCpt, logit, score, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6))
+      val (text, nChars) = docs(id)
+      val tk = text.split(" ", -1)
+      assert(fTtr == tk.distinct.length.toLong * 1000000L / tk.length, s"doc $id f_ttr")
+      assert(fShort == tk.count(_.length <= 2).toLong * 1000000L / tk.length, s"doc $id f_short")
+      assert(fCpt == nChars * 1000000L / tk.length, s"doc $id f_cpt")
+      assert(logit == -10000000L + 8L * fTtr - 4L * fShort + fCpt, s"doc $id logit")
+      assert(keep == (if (logit >= 0) 1L else 0L), s"doc $id keep != sign(logit)")
+      val zf = logit.toDouble / 2000000.0
+      val want = math.floor((0.5 + zf / (2.0 * (1.0 + math.abs(zf)))) * 1000000 + 0.5) / 1000000
+      assert(score == want, s"doc $id score $score vs $want")
+      assert(score > 0.0 && score < 1.0, s"doc $id score out of (0,1)")
+      if (keep == 1L) kept += 1
+    }
+    // the threshold report must be non-degenerate: both classes populated
+    assert(kept > 0 && kept < rows.length, s"degenerate classifier: $kept/${rows.length} kept")
+  }
 }
