@@ -84,12 +84,12 @@ object PlanAudit {
     // filter on a partition-dir column MUST show non-empty PartitionFilters —
     // the scan then lists only the matching directories, which is the 100 TB
     // partition-pruning claim executed instead of plan-inspected.
+    val pruned = Seq(
+      "q03_shipping_priority" -> "c_mktsegment",
+      "q10_returned_items" -> "l_returnflag",
+      "q65_top_purchasers" -> "event_type",
+      "p01_curation_pipeline" -> "lang")
     if (new java.io.File(s"$sfDir/customer.parquet").isDirectory) {
-      val pruned = Seq(
-        "q03_shipping_priority" -> "c_mktsegment",
-        "q10_returned_items" -> "l_returnflag",
-        "q65_top_purchasers" -> "event_type",
-        "p01_curation_pipeline" -> "lang")
       pruned.foreach { case (n, c) =>
         assert(partitionPruned(plans(n)),
           s"$n: no PartitionFilters on $c over the partitioned layout:\n${plans(n)}")
@@ -118,7 +118,9 @@ object PlanAudit {
     }.distinct
     assert(globalWindowQueries == globalWindowWhitelist,
       s"global (partition-less) windows outside the whitelist: $globalWindowQueries")
-    println(s"global-window whitelist OK (only $globalWindowWhitelist across ${allPlans.size} audited plans)")
+    println("global-window whitelist OK (only " +
+      globalWindowWhitelist.mkString("{", ", ", "}") +
+      s" across ${allPlans.size} audited plans)")
 
     // Streaming batch-twins: st01–st08 are excluded from the sweep above
     // (they execute real StreamingQueries), but every EventStreams
@@ -126,7 +128,7 @@ object PlanAudit {
     // watermarks become no-ops, state ops plan as their batch equivalents.
     // Assert the two unscalable shapes are absent: a partition-less
     // WindowExec (single-partition sort) and a cartesian join.
-    locally {
+    val twinNames: Seq[String] = locally {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       val events = graft.sources.Tables.events(spark, sfDir)
@@ -153,6 +155,44 @@ object PlanAudit {
         assert(!planStr.contains("BroadcastNestedLoopJoin"), s"$name fell back to NLJ:\n$planStr")
         println(s"== $name :: no-global-window=true no-cartesian=true")
       }
+      twins.map(_._1)
+    }
+
+    // PLANS.md header + footer, emitted by the TOOL (r10/r11 verdicts both
+    // flagged hand-edited header claims lagging the enforced assertions —
+    // the whitelist, the audited-plan count, and the pruning column list
+    // below are interpolated from THIS run, and tools/regen_plans.py
+    // copies them verbatim instead of composing its own wording). The one
+    // fact PlanAudit cannot know — LayoutCheck's equivalence count — stays
+    // a placeholder that regen_plans.py fills from a LayoutCheck log.
+    if (args.contains("--full")) {
+      val wl = globalWindowWhitelist.mkString("{", ", ", "}")
+      val prunedStr = pruned.map { case (n, c) => s"$n on $c" }.mkString(", ")
+      println("=== PLANS.md HEADER ===")
+      println(
+        s"""# Physical plans — representative queries (partitioned multi-file sf0.01 layout, AQE off for stable text)
+           |
+           |Emitted by `SPARK_GRAFT_SF_DIR=target/graft-layout/sf0.01 sbt "runMain graft.PlanAudit --full"`
+           |(this header and the footer are printed by PlanAudit itself and copied
+           |verbatim by `tools/regen_plans.py`, so every count and list below is
+           |interpolated from the run's enforced assertions and cannot drift from
+           |the code) over the `graft.sources.Layout` corpus (hive partition dirs
+           |on the coarse filter column per table, multiple bounded files,
+           |z-ordered lineitem) — the SURVEY §9 file-layout policy executed, not
+           |just plan-inspected. The flags line per query reports: parquet filter
+           |pushdown, non-empty PartitionFilters (directory pruning — real only on
+           |this layout), broadcast hash join presence, cartesian products (must
+           |be false), and whole-stage codegen coverage; `*(n)` prefixes mark
+           |whole-stage-codegen spans. PlanAudit additionally asserts partition
+           |pruning for $prunedStr; that $wl
+           |are the ONLY queries among the ${allPlans.size} audited whose executed plan
+           |contains a partition-less (single-partition) WindowExec (each runs its
+           |global window over a dimension- or manifest-sized frame — rationale at
+           |the whitelist in PlanAudit.scala); and that the ${twinNames.size} streaming batch
+           |twins (${twinNames.head}..${twinNames.last}) plan without global
+           |windows or cartesian joins.
+           |Layout-equivalence: `runMain graft.LayoutCheck` — {LAYOUT_EQUIVALENCE}.""".stripMargin)
+      println("=== END PLANS.md HEADER ===")
     }
     println("PLAN AUDIT OK")
     spark.stop()

@@ -1226,6 +1226,58 @@ object TextQueries {
           r6(lit(0.5) + zf / (lit(2.0) * (lit(1.0) + abs(zf)))).as("score"),
           when(col("logit_2e6") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t23_boilerplate_strip",
+      "HTML/boilerplate-strip normalization (the first stage of every web-crawl curation stack — CCNet/RefinedWeb run exactly this before any t-family feature touches the text): the corpus is tag-free word salad, so a deterministic HTML wrapper is synthesized per-doc from (doc_id, source) identically in both dialects (p02's synthesize-then-process discipline) — head/title, nav menu, an even-doc cookie banner, and a copyright footer around the real text — then normalized in three regex stages: (1) boilerplate ELEMENTS drop with their content (head/nav/footer/cookie-div — non-greedy `.*?`, the Java-regex ∩ RE2 common subset), (2) remaining tags strip to spaces, (3) runs of spaces collapse and trim. The md5 of the cleaned text makes the compare byte-exact, and `roundtrip` asserts clean == original text per row — the synthesis is exactly inverted, so the oracle proves the normalizer removes ALL injected boilerplate and NOTHING else (an engine-visible end-to-end property, not a similarity heuristic). DuckDB replaces first-match-only by default, so its regexp_replace carries the 'g' flag to match Spark's replace-all. Scale posture: pure codegen'd map over document partitions, zero shuffle — at 100 TB this is scan-bandwidth-bound, the normalization fuses into the first projection",
+      """WITH synth AS (
+        |  SELECT doc_id, text,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+        |         || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        |         || CASE WHEN doc_id % 2 = 0
+        |                 THEN '<div class="cookie-banner">We use cookies to improve your experience. Accept</div>'
+        |                 ELSE '' END
+        |         || '<p>' || text || '</p>'
+        |         || '<footer>Copyright 2024 ' || source || '. All rights reserved.</footer></body></html>'
+        |         AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, text, html,
+        |         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(html,
+        |           '<head>.*?</head>|<nav>.*?</nav>|<footer>.*?</footer>|<div class="cookie-banner">.*?</div>',
+        |           '', 'g'), '<[^>]*>', ' ', 'g'), ' {2,}', ' ', 'g')) AS clean
+        |  FROM synth)
+        |SELECT doc_id, n_tags,
+        |       CAST(length(html) AS BIGINT) AS n_chars_html,
+        |       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+        |       md5(clean) AS clean_md5,
+        |       CAST(CASE WHEN clean = text THEN 1 ELSE 0 END AS BIGINT) AS roundtrip
+        |FROM stripped
+        |ORDER BY doc_id""") { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body>"),
+        lit("""<nav><a href="/">Home</a> <a href="/about">About</a></nav>"""),
+        when(col("doc_id") % 2 === 0,
+          lit("""<div class="cookie-banner">We use cookies to improve your experience. Accept</div>"""))
+          .otherwise(lit("")),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<footer>Copyright 2024 "), col("source"),
+        lit(". All rights reserved.</footer></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), html.as("html"))
+        .withColumn("n_tags", size(expr("regexp_extract_all(html, '<[^>]*>', 0)")).cast("long"))
+        .withColumn("clean", trim(regexp_replace(regexp_replace(regexp_replace(col("html"),
+          """<head>.*?</head>|<nav>.*?</nav>|<footer>.*?</footer>|<div class="cookie-banner">.*?</div>""",
+          ""), "<[^>]*>", " "), " {2,}", " ")))
+        .select(col("doc_id"), col("n_tags"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          length(col("clean")).cast("long").as("n_chars_clean"),
+          md5(col("clean")).as("clean_md5"),
+          when(col("clean") === col("text"), lit(1L)).otherwise(lit(0L)).as("roundtrip"))
+        .orderBy("doc_id")
     }
   )
 }

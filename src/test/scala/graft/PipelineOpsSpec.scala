@@ -540,4 +540,18 @@ class PipelineOpsSpec extends SparkSpec {
     // the threshold report must be non-degenerate: both classes populated
     assert(kept > 0 && kept < rows.length, s"degenerate classifier: $kept/${rows.length} kept")
   }
+
+  test("t23 boilerplate strip round-trips every document (strips ALL injected markup, NOTHING else)") {
+    // roundtrip == 1 means clean == original text byte-for-byte; a single 0
+    // would mean the normalizer either left boilerplate behind or ate real
+    // content — the two failure modes an HTML stripper can have
+    val rows = SparkEntry.queries("t23_boilerplate_strip")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter(_.getAs[Long]("roundtrip") != 1L)
+    assert(bad.isEmpty, s"${bad.length} docs failed round-trip: ${bad.take(3).mkString(" | ")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tags") >= 9L, s"doc ${r.getLong(0)}: wrapper must inject >= 9 tags")
+      assert(r.getAs[Long]("n_chars_html") > r.getAs[Long]("n_chars_clean"))
+    }
+  }
 }
