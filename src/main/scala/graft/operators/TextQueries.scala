@@ -1278,6 +1278,72 @@ object TextQueries {
           md5(col("clean")).as("clean_md5"),
           when(col("clean") === col("text"), lit(1L)).otherwise(lit(0L)).as("roundtrip"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t24_bpe_merges",
+      "BPE tokenizer TRAINING (the pair-merge loop itself, not t08's segmentation counting — the step that produces the vocabulary every LLM pipeline tokenizes with): 5 merge rounds, each counting corpus-frequency-weighted adjacent symbol pairs, taking the argmax (count desc, then lexicographic pair — a total order, so no RNG and no engine drift), and applying the merge greedily left-to-right. The greedy application is the subtle part: symbols are kept as a chr(31)-wrapped string (each symbol delimited on both sides), so merging (a,b) is ONE literal replace of sep+a+sep+sep+b+sep with sep+a+b+sep — and because each replacement consumes its trailing delimiter, overlapping self-pair runs collapse left-to-right exactly as reference BPE does ('aaa' + merge(a,a) -> ['aa','a']), identically in Spark's replace and DuckDB's replace (both scan left-to-right, non-overlapping). Output: the 5 merges with their pair counts at merge time — the actual trained merge table. Scale posture: the corpus collapses to the word-frequency table in ONE pass (the only corpus-scale shuffle — exactly the word-count pre-pass production BPE trainers run); every training round then operates on the vocab table (dimension-sized), the argmax is a 1-row TakeOrdered, and the merge applies via a broadcast single-row cross join — per-round cost is O(vocab), independent of corpus size. Rounds materialize eagerly behind persist barriers (the d03/g01 iterative discipline), so the registry fn runs jobs at construction and is listed in PlanAudit's eager set",
+      {
+        val sep = "chr(31)"
+        val rounds = (1 to 5).map { r =>
+          val prev = s"s${r - 1}"
+          s"""p$r AS (SELECT (p).a AS a, (p).b AS b, CAST(sum(f) AS BIGINT) AS n FROM (
+             |  SELECT f, unnest(list_transform(generate_series(1, len(l)-1), i -> {'a': l[i], 'b': l[i+1]})) AS p
+             |  FROM (SELECT f, string_split(substr(s, 2, length(s)-2), $sep||$sep) AS l FROM $prev)
+             |) GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+             |s$r AS (SELECT w, f, replace(s, $sep||a||$sep||$sep||b||$sep, $sep||a||b||$sep) AS s
+             |        FROM $prev CROSS JOIN b$r)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, n AS pair_count FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""WITH wf AS (
+           |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           |  WHERE tok != '' GROUP BY tok),
+           |s0 AS (SELECT w, f, $sep || array_to_string(string_split(w, ''), $sep||$sep) || $sep AS s FROM wf),
+           |$rounds
+           |SELECT * FROM ($out)
+           |ORDER BY merge_rank""".stripMargin
+      }) { (s, dir) =>
+      val sep2 = "\u001f\u001f"
+      val wf = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      // Java's split("", -1) keeps a trailing zero-width match that DuckDB's
+      // char split doesn't produce; filter empties so both seed identically
+      val chars = filter(split(col("w"), ""), c => length(c) === 1)
+      var cur = wf.withColumn("s",
+        concat(lit("\u001f"), array_join(chars, sep2), lit("\u001f"))).persist()
+      cur.count()
+      val caches = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](cur)
+      val bests = (1 to 5).map { r =>
+        val symbols = cur.withColumn("l", split(expr("substr(s, 2, length(s)-2)"), sep2))
+        val pairs = symbols.select(col("f"),
+          explode(when(size(col("l")) >= 2, expr(
+            "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
+            .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
+        val best = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("f").cast("long").as("n"))
+          .orderBy(desc("n"), col("a"), col("b")).limit(1)
+          .persist()
+        best.count() // barrier: pin the argmax before the merge rewrites cur
+        caches += best
+        cur = cur.crossJoin(broadcast(best))
+          .withColumn("s", expr(
+            "replace(s, char(31)||a||char(31)||char(31)||b||char(31), char(31)||a||b||char(31))"))
+          .select("w", "f", "s").persist()
+        cur.count()
+        caches += cur
+        best.select(lit(r.toLong).as("merge_rank"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("n").as("pair_count"))
+      }
+      val outF = bests.reduce(_ unionAll _).orderBy("merge_rank").persist()
+      outF.count()
+      caches.foreach(_.unpersist(blocking = false))
+      outF
     }
   )
 }

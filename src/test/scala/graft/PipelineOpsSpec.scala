@@ -541,6 +541,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length, s"degenerate classifier: $kept/${rows.length} kept")
   }
 
+  test("t24 BPE merges: greedy left-to-right self-pair collapse, lexicographic tie-break, exhaustion") {
+    // Hand-traced fixtures pin the three behaviors the oracle can't isolate:
+    // (1) 'aaa' + merge(a,a) must collapse LEFT-to-right to [aa, a] (so
+    // round 2 merges (aa, a), never (a, aa)); (2) equal counts break by
+    // lexicographic pair order; (3) when the vocabulary exhausts before 5
+    // rounds, only the achievable merges emit (no padding rows).
+    def run(texts: Seq[String]): Seq[(Long, String, String, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("t24_bpe_merges")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    assert(run(Seq("aaa aaa ab")) == Seq(
+      (1L, "a", "a", 4L),   // two (a,a) pairs per 'aaa', f=2
+      (2L, "aa", "a", 2L),  // greedy: 'aaa' -> [aa, a], NOT [a, aa]
+      (3L, "a", "b", 1L)))  // then exhaustion: 3 rows, not 5
+    assert(run(Seq("xy xz")) == Seq(
+      (1L, "x", "y", 1L),   // tie with (x,z) broken lexicographically
+      (2L, "x", "z", 1L)))
+  }
+
   test("t23 boilerplate strip round-trips every document (strips ALL injected markup, NOTHING else)") {
     // roundtrip == 1 means clean == original text byte-for-byte; a single 0
     // would mean the normalizer either left boilerplate behind or ate real
