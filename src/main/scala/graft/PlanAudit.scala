@@ -35,7 +35,7 @@ object PlanAudit {
     // and inspect an InMemoryTableScan instead of the real plan, so they
     // are audited through their lazy `*Plan` twins below instead.
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
-      "t24_bpe_merges", // 5 persist-barriered merge rounds run at construction
+      "t24_bpe_merges", "t25_bpe_segment", // BPE training rounds run at construction
       "p06_cluster_representative", // runs d08's label-propagation loop at construction
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",

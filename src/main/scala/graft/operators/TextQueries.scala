@@ -16,6 +16,88 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Number of BPE merge rounds trained by t24 and applied by t25. */
+  private val BpeRounds = 5
+
+  /** DuckDB CTE chain for BPE training, shared by the t24 and t25 oracles
+    * (the bandKeySql convention — pre-stripped, ends with the per-round
+    * argmax CTEs `b1..bN` and the post-merge vocab `sN`; callers append
+    * their select, or further CTEs after a comma): word-frequency table →
+    * chr(31)-wrapped symbol strings → per round: weighted adjacent-pair
+    * counts, (count desc, pair lexicographic) argmax, greedy left-to-right
+    * merge via one literal replace.
+    */
+  private val bpeCtesSql: String = {
+    val sep = "chr(31)"
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT (p).a AS a, (p).b AS b, CAST(sum(f) AS BIGINT) AS n FROM (
+         |  SELECT f, unnest(list_transform(generate_series(1, len(l)-1), i -> {'a': l[i], 'b': l[i+1]})) AS p
+         |  FROM (SELECT f, string_split(substr(s, 2, length(s)-2), $sep||$sep) AS l FROM $prev)
+         |) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS (SELECT w, f, replace(s, $sep||a||$sep||$sep||b||$sep, $sep||a||b||$sep) AS s
+         |        FROM $prev CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok != '' GROUP BY tok),
+       |s0 AS (SELECT w, f, $sep || array_to_string(string_split(w, ''), $sep||$sep) || $sep AS s FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  /** Spark side of [[bpeCtesSql]]: runs the BpeRounds merge rounds behind
+    * per-round persist barriers (the d03/g01 iterative discipline — each
+    * argmax must pin before the merge rewrites the vocab it was counted
+    * on) and returns the materialized 5-row merge table
+    * (merge_rank, left_sym, right_sym, pair_count); all intermediate
+    * caches are released before returning. Shared by t24 (which returns it
+    * directly) and t25 (which collects it as the trained model and applies
+    * it to the corpus).
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val wf = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // Java's split("", -1) keeps a trailing zero-width match that DuckDB's
+    // char split doesn't produce; filter empties so both seed identically
+    val chars = filter(split(col("w"), ""), c => length(c) === 1)
+    var cur = wf.withColumn("s",
+      concat(lit(sep), array_join(chars, sep2), lit(sep))).persist()
+    cur.count()
+    val caches = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](cur)
+    val bests = (1 to BpeRounds).map { r =>
+      val symbols = cur.withColumn("l", split(expr("substr(s, 2, length(s)-2)"), sep2))
+      val pairs = symbols.select(col("f"),
+        explode(when(size(col("l")) >= 2, expr(
+          "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
+          .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
+      val best = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").cast("long").as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .persist()
+      best.count() // barrier: pin the argmax before the merge rewrites cur
+      caches += best
+      cur = cur.crossJoin(broadcast(best))
+        .withColumn("s", expr(
+          "replace(s, char(31)||a||char(31)||char(31)||b||char(31), char(31)||a||b||char(31))"))
+        .select("w", "f", "s").persist()
+      cur.count()
+      caches += cur
+      best.select(lit(r.toLong).as("merge_rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("n").as("pair_count"))
+    }
+    val outF = bests.reduce(_ unionAll _).orderBy("merge_rank").persist()
+    outF.count()
+    caches.foreach(_.unpersist(blocking = false))
+    outF
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sql(
       "t01_token_stats",
@@ -1283,67 +1365,64 @@ object TextQueries {
     sql(
       "t24_bpe_merges",
       "BPE tokenizer TRAINING (the pair-merge loop itself, not t08's segmentation counting — the step that produces the vocabulary every LLM pipeline tokenizes with): 5 merge rounds, each counting corpus-frequency-weighted adjacent symbol pairs, taking the argmax (count desc, then lexicographic pair — a total order, so no RNG and no engine drift), and applying the merge greedily left-to-right. The greedy application is the subtle part: symbols are kept as a chr(31)-wrapped string (each symbol delimited on both sides), so merging (a,b) is ONE literal replace of sep+a+sep+sep+b+sep with sep+a+b+sep — and because each replacement consumes its trailing delimiter, overlapping self-pair runs collapse left-to-right exactly as reference BPE does ('aaa' + merge(a,a) -> ['aa','a']), identically in Spark's replace and DuckDB's replace (both scan left-to-right, non-overlapping). Output: the 5 merges with their pair counts at merge time — the actual trained merge table. Scale posture: the corpus collapses to the word-frequency table in ONE pass (the only corpus-scale shuffle — exactly the word-count pre-pass production BPE trainers run); every training round then operates on the vocab table (dimension-sized), the argmax is a 1-row TakeOrdered, and the merge applies via a broadcast single-row cross join — per-round cost is O(vocab), independent of corpus size. Rounds materialize eagerly behind persist barriers (the d03/g01 iterative discipline), so the registry fn runs jobs at construction and is listed in PlanAudit's eager set",
+      s"""$bpeCtesSql
+        |SELECT * FROM (${(1 to BpeRounds).map(r =>
+           s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, n AS pair_count FROM b$r")
+           .mkString(" UNION ALL ")})
+        |ORDER BY merge_rank""".stripMargin) { (s, dir) => bpeTrain(s, dir) },
+
+    sql(
+      "t25_bpe_segment",
+      "BPE tokenizer APPLICATION — the inference half of t24's train/apply pair, and what every ingest job actually runs once a vocabulary exists: the trained merge table (t24's 5 rows — the model checkpoint) loads driver-side exactly like p12's weight row loads as data, then applies to every corpus word as a fixed chain of 5 literal replaces over the same chr(31)-wrapped symbol strings training used (identical greedy left-to-right semantics, so the segmentation is the one the trained vocab defines). Per document: word count, character-token count (the pre-merge floor), BPE-token count after the merges, and the exact-integer compression ratio (n_bpe x 1e6 div n_char — DECIMAL(38,0)/HUGEINT widened, the p04 posture). The oracle replays training AND application in one CTE chain, so the compare covers the full train->segment path end to end. Scale posture: training cost is t24's (one corpus pass + vocab-sized rounds); application is a pure map — 5 codegen'd literal replaces fused into the token projection, then one doc-keyed aggregation; the merge table rides the closure like any broadcast model artifact. Runs training jobs at construction (PlanAudit eager set)",
       {
         val sep = "chr(31)"
-        val rounds = (1 to 5).map { r =>
-          val prev = s"s${r - 1}"
-          s"""p$r AS (SELECT (p).a AS a, (p).b AS b, CAST(sum(f) AS BIGINT) AS n FROM (
-             |  SELECT f, unnest(list_transform(generate_series(1, len(l)-1), i -> {'a': l[i], 'b': l[i+1]})) AS p
-             |  FROM (SELECT f, string_split(substr(s, 2, length(s)-2), $sep||$sep) AS l FROM $prev)
-             |) GROUP BY 1, 2),
-             |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-             |s$r AS (SELECT w, f, replace(s, $sep||a||$sep||$sep||b||$sep, $sep||a||b||$sep) AS s
-             |        FROM $prev CROSS JOIN b$r)""".stripMargin
-        }.mkString(",\n")
-        val out = (1 to 5).map(r =>
-          s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, n AS pair_count FROM b$r")
-          .mkString(" UNION ALL ")
-        s"""WITH wf AS (
-           |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-           |  WHERE tok != '' GROUP BY tok),
-           |s0 AS (SELECT w, f, $sep || array_to_string(string_split(w, ''), $sep||$sep) || $sep AS s FROM wf),
-           |$rounds
-           |SELECT * FROM ($out)
-           |ORDER BY merge_rank""".stripMargin
+        val wrapped = s"$sep || array_to_string(string_split(w, ''), $sep||$sep) || $sep"
+        val applied = (1 to BpeRounds).foldLeft(wrapped) { (acc, r) =>
+          s"replace($acc, $sep||m$r.a||$sep||$sep||m$r.b||$sep, $sep||m$r.a||m$r.b||$sep)"
+        }
+        s"""$bpeCtesSql,
+          |app AS (SELECT doc_id, tok AS w
+          |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |        WHERE tok != ''),
+          |seg AS (SELECT doc_id, length(w) AS n_char,
+          |               $applied AS s
+          |        FROM app ${(1 to BpeRounds).map(r => s"CROSS JOIN b$r m$r").mkString(" ")}),
+          |cnt AS (SELECT doc_id, n_char,
+          |               len(string_split(substr(s, 2, length(s)-2), $sep||$sep)) AS n_bpe
+          |        FROM seg)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+          |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+          |       CAST(CAST(sum(n_bpe) AS HUGEINT) * 1000000 // sum(n_char) AS BIGINT) AS compression_ppm
+          |FROM cnt GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val sep2 = "\u001f\u001f"
-      val wf = Tables.documents(s, dir)
-        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      val sep = "\u001f"
+      val sep2 = sep + sep
+      // load the model: the 5 (left, right) merges in rank order
+      val merges = bpeTrain(s, dir).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("f"))
-      // Java's split("", -1) keeps a trailing zero-width match that DuckDB's
-      // char split doesn't produce; filter empties so both seed identically
       val chars = filter(split(col("w"), ""), c => length(c) === 1)
-      var cur = wf.withColumn("s",
-        concat(lit("\u001f"), array_join(chars, sep2), lit("\u001f"))).persist()
-      cur.count()
-      val caches = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](cur)
-      val bests = (1 to 5).map { r =>
-        val symbols = cur.withColumn("l", split(expr("substr(s, 2, length(s)-2)"), sep2))
-        val pairs = symbols.select(col("f"),
-          explode(when(size(col("l")) >= 2, expr(
-            "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
-            .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
-        val best = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("f").cast("long").as("n"))
-          .orderBy(desc("n"), col("a"), col("b")).limit(1)
-          .persist()
-        best.count() // barrier: pin the argmax before the merge rewrites cur
-        caches += best
-        cur = cur.crossJoin(broadcast(best))
-          .withColumn("s", expr(
-            "replace(s, char(31)||a||char(31)||char(31)||b||char(31), char(31)||a||b||char(31))"))
-          .select("w", "f", "s").persist()
-        cur.count()
-        caches += cur
-        best.select(lit(r.toLong).as("merge_rank"), col("a").as("left_sym"),
-          col("b").as("right_sym"), col("n").as("pair_count"))
+      val applied = merges.foldLeft(
+        concat(lit(sep), array_join(chars, sep2), lit(sep))) { case (acc, (a, b)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep))
       }
-      val outF = bests.reduce(_ unionAll _).orderBy("merge_rank").persist()
-      outF.count()
-      caches.foreach(_.unpersist(blocking = false))
-      outF
+      words
+        .select(col("doc_id"), length(col("w")).cast("long").as("n_char"),
+          applied.as("s"))
+        .withColumn("n_bpe", size(split(expr("substr(s, 2, length(s)-2)"), sep2)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_char").as("n_char_tokens"),
+          sum("n_bpe").as("n_bpe_tokens"),
+          expr("cast(cast(sum(n_bpe) AS DECIMAL(38,0)) * 1000000 div sum(n_char) AS BIGINT)")
+            .as("compression_ppm"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -563,6 +563,23 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "x", "z", 1L)))
   }
 
+  test("t25 segmentation is bounded by its floor and ceiling (words <= bpe tokens <= chars)") {
+    // every merge strictly reduces symbol count, never below one symbol
+    // per word; compression_ppm is the exact integer ratio of the two sums
+    val rows = SparkEntry.queries("t25_bpe_segment")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var merged = 0
+    rows.foreach { r =>
+      val (w, ch, bpe, ppm) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_char_tokens"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("compression_ppm"))
+      assert(w <= bpe && bpe <= ch, s"doc ${r.getLong(0)}: $w <= $bpe <= $ch violated")
+      assert(ppm == bpe * 1000000L / ch, s"doc ${r.getLong(0)}: ppm not the exact ratio")
+      if (bpe < ch) merged += 1
+    }
+    // the trained merges must actually fire on the corpus they were trained on
+    assert(merged == rows.length, s"only $merged/${rows.length} docs compressed")
+  }
+
   test("t23 boilerplate strip round-trips every document (strips ALL injected markup, NOTHING else)") {
     // roundtrip == 1 means clean == original text byte-for-byte; a single 0
     // would mean the normalizer either left boilerplate behind or ate real
