@@ -47,55 +47,62 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
-  /** Spark side of [[bpeCtesSql]]: runs the BpeRounds merge rounds behind
-    * per-round persist barriers (the d03/g01 iterative discipline — each
-    * argmax must pin before the merge rewrites the vocab it was counted
-    * on) and returns the materialized 5-row merge table
-    * (merge_rank, left_sym, right_sym, pair_count); all intermediate
-    * caches are released before returning. Shared by t24 (which returns it
-    * directly) and t25 (which collects it as the trained model and applies
-    * it to the corpus).
+  /** Spark side of [[bpeCtesSql]]: trains the BpeRounds merges and
+    * returns them in rank order as (rank, left, right, pair_count). One
+    * corpus pass builds the word-frequency vocab (cached as one compact
+    * partition — it is dimension-sized, and spreading it over 32 shuffle
+    * partitions made every training job pay a round of near-empty tasks:
+    * 13.5 s warm wall for 3 s cpu at sf0.1 in the first form). Each round
+    * is then ONE job: count weighted adjacent pairs over the cached vocab
+    * with the accumulated merges applied as a literal replace chain, and
+    * collect the single argmax row — the loop-control scalar every
+    * iterative trainer reads back (the g01 convergence-check discipline;
+    * this is a 1-row collect, not a data collect). Merging as literals
+    * means no per-round persist, no crossJoin, no growing plan: 6 jobs
+    * total, and the merge table needs no further computation. An empty
+    * argmax (vocabulary exhausted) ends training early, exactly as the
+    * oracle's empty-CTE cascade stops emitting rows. Shared by t24 (which
+    * tabulates the merges) and t25 (which applies them to the corpus).
     */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
     val sep = "\u001f"
     val sep2 = sep + sep
-    val wf = Tables.documents(s, dir)
+    val chars = filter(split(col("w"), ""), c => length(c) === 1)
+    // Java's split("", -1) keeps a trailing zero-width match that DuckDB's
+    // char split doesn't produce; the length filter drops it so both
+    // engines seed identical symbol strings
+    val vocab = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
-    // Java's split("", -1) keeps a trailing zero-width match that DuckDB's
-    // char split doesn't produce; filter empties so both seed identically
-    val chars = filter(split(col("w"), ""), c => length(c) === 1)
-    var cur = wf.withColumn("s",
-      concat(lit(sep), array_join(chars, sep2), lit(sep))).persist()
-    cur.count()
-    val caches = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](cur)
-    val bests = (1 to BpeRounds).map { r =>
-      val symbols = cur.withColumn("l", split(expr("substr(s, 2, length(s)-2)"), sep2))
-      val pairs = symbols.select(col("f"),
-        explode(when(size(col("l")) >= 2, expr(
-          "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
-          .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
-      val best = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("f").cast("long").as("n"))
-        .orderBy(desc("n"), col("a"), col("b")).limit(1)
-        .persist()
-      best.count() // barrier: pin the argmax before the merge rewrites cur
-      caches += best
-      cur = cur.crossJoin(broadcast(best))
-        .withColumn("s", expr(
-          "replace(s, char(31)||a||char(31)||char(31)||b||char(31), char(31)||a||b||char(31))"))
-        .select("w", "f", "s").persist()
-      cur.count()
-      caches += cur
-      best.select(lit(r.toLong).as("merge_rank"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("n").as("pair_count"))
-    }
-    val outF = bests.reduce(_ unionAll _).orderBy("merge_rank").persist()
-    outF.count()
-    caches.foreach(_.unpersist(blocking = false))
-    outF
+      .select(col("f"), concat(lit(sep), array_join(chars, sep2), lit(sep)).as("s"))
+      .repartition(1).persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var applied: org.apache.spark.sql.Column = col("s")
+      for (r <- 1 to BpeRounds if merges.size == r - 1) {
+        val best = vocab
+          .select(col("f"), applied.as("s"))
+          .withColumn("l", split(expr("substr(s, 2, length(s)-2)"), sep2))
+          .select(col("f"),
+            explode(when(size(col("l")) >= 2, expr(
+              "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
+              .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("f").cast("long").as("n"))
+          .orderBy(desc("n"), col("a"), col("b")).limit(1)
+          .collect()
+        best.foreach { row =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          merges += ((r.toLong, a, b, row.getLong(2)))
+          applied = org.apache.spark.sql.functions.replace(applied,
+            lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep))
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    merges.toSeq
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -1369,7 +1376,12 @@ object TextQueries {
         |SELECT * FROM (${(1 to BpeRounds).map(r =>
            s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, n AS pair_count FROM b$r")
            .mkString(" UNION ALL ")})
-        |ORDER BY merge_rank""".stripMargin) { (s, dir) => bpeTrain(s, dir) },
+        |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      bpeTrain(s, dir)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    },
 
     sql(
       "t25_bpe_segment",
@@ -1401,8 +1413,7 @@ object TextQueries {
       val sep = "\u001f"
       val sep2 = sep + sep
       // load the model: the 5 (left, right) merges in rank order
-      val merges = bpeTrain(s, dir).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = bpeTrain(s, dir).map(m => (m._2, m._3))
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
