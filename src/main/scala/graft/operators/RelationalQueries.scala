@@ -1088,6 +1088,71 @@ object RelationalQueries {
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), col("s_name"))
+    },
+
+    sql(
+      "q103_rfm_segments",
+      "RFM customer segmentation (the recency/frequency/monetary quartile analysis every commerce warehouse runs): per customer — days since last order relative to the corpus max date, order count, and exact-cent lifetime monetary value (the Det.dsum DECIMAL posture times 100, so money is a BIGINT from the first aggregate on) — then ntile(4) quartile scores on each axis and a rule-based segment label (champions / new / at_risk_loyal / lost / core) over the (r,f,m) cell grid. Determinism contract: every windowed ordering carries a custkey tie-break so ntile's bucket assignment is a total order in both engines (both implement the standard larger-buckets-first ntile); recency is integer day arithmetic on DATE-cast timestamps (the q-family datediff convention); the label CASE compares only integers. Scale posture: the tiling windows are PARTITIONED BY market segment — quartiles-within-segment is both the more honest analysis (cross-segment spend isn't comparable) and the partition-parallel plan (no global sort; the per-segment dimension slice sorts within its own shuffle partition, the same shape as every partitioned window in the w-family); upstream is one orders->customer dim join and a custkey-keyed agg, downstream one coarse cell rollup",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |rfm AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+        |         CAST(date_diff('day', max(CAST(o.o_orderdate AS DATE)), max(mx.maxd)) AS BIGINT) AS r_days,
+        |         CAST(count(*) AS BIGINT) AS f_orders,
+        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(24,6))) * 100 AS BIGINT) AS m_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey CROSS JOIN mx
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |scored AS (
+        |  SELECT segment, custkey, r_days, f_orders, m_cents,
+        |         CAST(ntile(4) OVER (PARTITION BY segment ORDER BY r_days, custkey) AS BIGINT) AS r_tile,
+        |         CAST(ntile(4) OVER (PARTITION BY segment ORDER BY f_orders DESC, custkey) AS BIGINT) AS f_tile,
+        |         CAST(ntile(4) OVER (PARTITION BY segment ORDER BY m_cents DESC, custkey) AS BIGINT) AS m_tile
+        |  FROM rfm)
+        |SELECT segment, r_tile, f_tile, m_tile,
+        |       CASE WHEN r_tile = 1 AND f_tile = 1 AND m_tile = 1 THEN 'champions'
+        |            WHEN r_tile = 1 AND f_tile >= 3 THEN 'new'
+        |            WHEN r_tile >= 3 AND f_tile = 1 THEN 'at_risk_loyal'
+        |            WHEN r_tile = 4 AND f_tile = 4 THEN 'lost'
+        |            ELSE 'core' END AS rfm_label,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(f_orders) AS BIGINT) AS n_orders,
+        |       CAST(sum(m_cents) AS BIGINT) AS m_cents
+        |FROM scored
+        |GROUP BY segment, r_tile, f_tile, m_tile
+        |ORDER BY segment, r_tile, f_tile, m_tile""") { (s, dir) =>
+      val mx = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("maxd"))
+      val rfm = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("custkey"))
+        .agg(
+          max(col("o_orderdate").cast("date")).as("lastd"),
+          max(col("maxd")).as("maxd"),
+          count(lit(1)).cast("long").as("f_orders"),
+          (sum(col("o_totalprice").cast("decimal(24,6)")) * 100).cast("long").as("m_cents"))
+        .select(col("segment"), col("custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("r_days"),
+          col("f_orders"), col("m_cents"))
+      def tile(order: Column*): Column =
+        ntile(4).over(Window.partitionBy("segment").orderBy(order: _*)).cast("long")
+      val scored = rfm
+        .withColumn("r_tile", tile(col("r_days"), col("custkey")))
+        .withColumn("f_tile", tile(desc("f_orders"), col("custkey")))
+        .withColumn("m_tile", tile(desc("m_cents"), col("custkey")))
+      scored
+        .withColumn("rfm_label",
+          when(col("r_tile") === 1 && col("f_tile") === 1 && col("m_tile") === 1, lit("champions"))
+            .when(col("r_tile") === 1 && col("f_tile") >= 3, lit("new"))
+            .when(col("r_tile") >= 3 && col("f_tile") === 1, lit("at_risk_loyal"))
+            .when(col("r_tile") === 4 && col("f_tile") === 4, lit("lost"))
+            .otherwise(lit("core")))
+        .groupBy("segment", "r_tile", "f_tile", "m_tile", "rfm_label")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum("f_orders").cast("long").as("n_orders"),
+          sum("m_cents").cast("long").as("m_cents"))
+        .select(col("segment"), col("r_tile"), col("f_tile"), col("m_tile"),
+          col("rfm_label"), col("n_customers"), col("n_orders"), col("m_cents"))
+        .orderBy("segment", "r_tile", "f_tile", "m_tile")
     }
   )
 }

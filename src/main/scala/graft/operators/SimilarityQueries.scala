@@ -52,6 +52,12 @@ object SimilarityQueries {
     */
   private val JlScale = 0.35355339059327373
 
+  // s14 integer-grid Lloyd geometry, shared Spark-side and oracle-side
+  // (declared before `all` — registry strings interpolate eagerly).
+  private val KmK = 8
+  private val KmRounds = 3
+  private val KmDim = 64
+
   /** exact top-k: query set broadcast against the full collection. */
   def knnBrute(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -500,7 +506,51 @@ object SimilarityQueries {
         |                                     ORDER BY t0 + t1 + t2 + t3 DESC, neighbor_id) AS BIGINT) AS rnk
         |      FROM adc)
         |WHERE rnk <= $K
-        |ORDER BY q_id, rnk""") { (s, dir) => pqAdc(s, dir) }
+        |ORDER BY q_id, rnk""") { (s, dir) => pqAdc(s, dir) },
+
+    sql(
+      "s14_kmeans_grid",
+      s"s07's Lloyd k-means TRAINER put behind the hash-exact oracle gate — the same move s08 made for s03's float index build: snap every coordinate onto the 1e6 integer grid ONCE (one correctly-rounded float->double->floor chain per value), and from there the ENTIRE training loop is integer arithmetic — BIGINT squared-L2 E-step with (distance, cent_id) lexicographic tie-break, floor-division M-step means (exact: the true quotient is >= 1/n from any integer while the correctly-rounded double quotient errs by <1 ulp, so floor cannot straddle) — so $KmRounds full Lloyd rounds + the final assignment replay bit-exactly in DuckDB, putting an ITERATIVE trainer's every centroid coordinate, membership count and within-cluster scatter behind the driver's hash compare (t24's argmax-loop discipline extended from one scalar per round to the whole model state). This IS IVF codebook training (s03/s08/s13 consume such codebooks; this row produces one). Scale posture: centroids are driver-held model state exactly like t24's merge table — each E-step is a zero-shuffle codegen'd scan (codebook rides the closure as literals, distance = one fused zip_with/aggregate fold, argmin = least() over $KmK struct terms — no explode, no join, no window), each M-step one (cell,pos)-keyed agg collecting a codebook-sized ${KmK}x$KmDim row set (the loop-control collect, model-sized not data-sized); rounds are a fixed small constant. Overflow audit: |coord| <= 0.58 -> |g| <= 6e5, per-pair squared diff <= 1.5e12, x$KmDim dims x corpus rows keeps every sum far inside BIGINT",
+      {
+        val rounds = (1 to KmRounds).map { r =>
+          s"""a$r AS (SELECT vec_id, g, cent_id, d,
+             |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+             |        FROM (SELECT p.vec_id, p.g, c.cent_id,
+             |                     list_sum(list_transform(generate_series(1, $KmDim),
+             |                              i -> (p.g[i]-c.c[i])*(p.g[i]-c.c[i]))) AS d
+             |              FROM pts p CROSS JOIN c${r - 1} c)),
+             |c$r AS (SELECT cent_id, list(m ORDER BY pos) AS c FROM (
+             |          SELECT cent_id, (u).pos AS pos,
+             |                 CAST(floor(CAST(sum((u).v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+             |          FROM (SELECT cent_id,
+             |                       unnest(list_transform(generate_series(1, $KmDim),
+             |                              i -> {'pos': i, 'v': g[i]})) AS u
+             |                FROM a$r WHERE rn = 1)
+             |          GROUP BY cent_id, (u).pos) GROUP BY cent_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pts AS (
+          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          |                 v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS g
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cent_id, g AS c FROM pts WHERE vec_id < $KmK),
+          |$rounds,
+          |fin AS (SELECT vec_id, cent_id, d,
+          |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          |        FROM (SELECT p.vec_id, c.cent_id,
+          |                     list_sum(list_transform(generate_series(1, $KmDim),
+          |                              i -> (p.g[i]-c.c[i])*(p.g[i]-c.c[i]))) AS d
+          |              FROM pts p CROSS JOIN c$KmRounds c)),
+          |stats AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_pts,
+          |                 CAST(sum(d) AS BIGINT) AS wcss
+          |          FROM fin WHERE rn = 1 GROUP BY cent_id),
+          |cdig AS (SELECT cent_id,
+          |                CAST(list_sum(c) AS BIGINT) AS cent_sum,
+          |                CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS cent_norm2
+          |         FROM c$KmRounds)
+          |SELECT s.cent_id, s.n_pts, s.wcss, cd.cent_sum, cd.cent_norm2
+          |FROM stats s JOIN cdig cd ON s.cent_id = cd.cent_id
+          |ORDER BY s.cent_id""".stripMargin
+      }) { (s, dir) => kmeansGrid(s, dir) }
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,
@@ -547,6 +597,52 @@ object SimilarityQueries {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("adc")).as("adc"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** Integer-grid Lloyd training — see the s14 registry doc. Centroids are
+    * driver-held model state (t24's loop-control discipline): each round's
+    * E-step runs with the codebook as literals (zero shuffle — distance is
+    * a fused zip_with/aggregate fold per centroid and the argmin is
+    * `least` over [[KmK]] (d, cent_id) structs, whose lexicographic struct
+    * order IS the oracle's `ORDER BY d, cent_id` tie-break), and the
+    * M-step collects one codebook-sized (cell, pos, mean) row set.
+    */
+  def kmeansGrid(s: SparkSession, dir: String, rounds: Int = KmRounds): DataFrame = {
+    import s.implicits._
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("g"))
+    var cents: Seq[(Long, Seq[Long])] = pts.filter(col("vec_id") < KmK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    // argmin over the literal codebook: one (d, cent_id) struct per
+    // centroid, `least` picks the lexicographic minimum
+    def best: Column = least(cents.map { case (id, c) =>
+      val carr = array(c.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("g"), carr, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(id).as("cent_id"))
+    }: _*)
+    for (_ <- 1 to rounds) {
+      val moved = pts.select(best.getField("cent_id").as("cell"), col("g"))
+        .select(col("cell"), posexplode(col("g")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cents = moved.groupBy(_._1).map { case (id, rows) =>
+        (id, rows.sortBy(_._2).map(_._3).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    val cdig = cents.map { case (id, c) =>
+      (id, c.sum, c.map(x => x * x).sum)
+    }.toDF("cent_id", "cent_sum", "cent_norm2")
+    pts.select(col("vec_id"), best.getField("cent_id").as("cell"), best.getField("d").as("d"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_pts"), sum("d").cast("long").as("wcss"))
+      .join(broadcast(cdig), "cent_id")
+      .select(col("cent_id"), col("n_pts"), col("wcss"), col("cent_sum"), col("cent_norm2"))
+      .orderBy("cent_id")
   }
 
   /** JL projection — see the s10 registry doc. Long (vec_id, dim, proj)

@@ -406,6 +406,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(e3 - math.rint(h * 1e6)) <= 2, s"e3=$e3 expected~${h * 1e6}")
   }
 
+  test("t26 bigram LM: hand-traced add-one NLL, bigramless doc scores 0/keep, repeated bigram cheapens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t26spec").toString
+    Seq((1L, "a b a b"), (2L, "x a"), (3L, "z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("t26_bigram_lm_score")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus: c12 = {(a,b):2,(b,a):1,(x,a):1}; c1 = {a:2,b:1,x:1}; V=4 (a,b,x,z)
+    val nllAb = math.floor(math.log(6.0 / 3.0) * 1e6 + 0.5).toLong // ln((2+4)/(2+1))
+    val nllBa = math.floor(math.log(5.0 / 2.0) * 1e6 + 0.5).toLong // ln((1+4)/(1+1))
+    assert(m(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(m(1L).getAs[Long]("nll_ppm") == 2 * nllAb + nllBa)
+    assert(m(2L).getAs[Long]("nll_ppm") == nllBa) // (x,a) same smoothed mass as (b,a)
+    assert(m(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(m(3L).getAs[Double]("avg_nll") == 0.0)
+    assert(m.values.forall(_.getAs[Long]("keep") == 1L))
+    // the twice-seen bigram is cheaper per occurrence than the once-seen ones
+    assert(nllAb < nllBa)
+  }
+
+  test("q103 RFM: hand-traced quartiles on an 8-customer ladder, labels land on the rule grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q103spec").toString
+    // customer k: k orders, last on 2024-01-0k, each worth 10.00*k —
+    // every axis orders customers identically, so tiles are fully known
+    val orders = (1 to 8).flatMap { k =>
+      (1 to k).map { i =>
+        (k.toLong * 100 + i, k.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-0$k%d 00:00:00"), 10.0 * k)
+      }
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1 to 8).map(k => (k.toLong, "S"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q103_rfm_segments")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      (1L, "champions", 2L, 15L, 113000L),
+      (2L, "core", 2L, 11L, 61000L),
+      (3L, "core", 2L, 7L, 25000L),
+      (4L, "lost", 2L, 3L, 5000L)), got.mkString(", "))
+  }
+
   test("p11's quality gate == t04's published score at the 0.7 threshold (coupling is tested, not assumed)") {
     // p11's registry doc claims its gate is 't04's exact composite score';
     // the formula is textually duplicated in both entries (and both

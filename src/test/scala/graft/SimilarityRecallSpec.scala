@@ -220,4 +220,57 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(bloom == exact,
       s"bloom path diverged: missing=${exact.diff(bloom)} extra=${bloom.diff(exact)}")
   }
+
+  test("s14 integer-grid k-means == an independent driver-side Lloyd reimplementation, bit for bit") {
+    // 40 synthetic 64-dim vectors in 4 planted clusters; the distributed
+    // trainer must agree with a from-scratch sequential Lloyd on every
+    // output cell: counts, scatter, centroid digests.
+    import spark.implicits._
+    val dim = 64
+    val raw: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { j =>
+        val base = if (j % 4 == c) 0.4f else -0.1f
+        base + ((i * 31 + j * 17) % 101 - 50) / 1000.0f
+      })
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s14spec").toString
+    raw.map { case (id, v) => (id, v, (id % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // reference: plain-Scala Lloyd with the identical integer contract
+    val pts: Map[Long, Array[Long]] = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong)
+    }.toMap
+    def assign(cs: Seq[(Long, Array[Long])]): Seq[(Long, Long, Long)] =
+      pts.toSeq.sortBy(_._1).map { case (vid, g) =>
+        val (d, cid) = cs.map { case (cid, c) =>
+          (g.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min
+        (vid, cid, d)
+      }
+    var cents: Seq[(Long, Array[Long])] =
+      pts.filter(_._1 < 8).toSeq.sortBy(_._1)
+    for (_ <- 1 to 3) {
+      val a = assign(cents)
+      cents = a.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, mem) =>
+        val gs = mem.map(m => pts(m._1))
+        (cid, Array.tabulate(dim) { j =>
+          math.floor(gs.map(_(j)).sum.toDouble / gs.size).toLong
+        })
+      }
+    }
+    val fin = assign(cents)
+    val want = fin.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, mem) =>
+      val c = cents.find(_._1 == cid).get._2
+      (cid, mem.size.toLong, mem.map(_._3).sum, c.sum, c.map(x => x * x).sum)
+    }
+    val got = SimilarityQueries.kmeansGrid(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // the planted structure actually exercises reassignment: some of the 8
+    // seed cells must have emptied or absorbed satellites
+    assert(got.map(_._2).max >= 6, s"cluster sizes ${got.map(_._2)}")
+  }
 }
