@@ -1434,70 +1434,6 @@ object TextQueries {
           expr("cast(cast(sum(n_bpe) AS DECIMAL(38,0)) * 1000000 div sum(n_char) AS BIGINT)")
             .as("compression_ppm"))
         .orderBy("doc_id")
-    },
-
-    sql(
-      "t26_bigram_lm_score",
-      "bigram language-model perplexity scoring (the CCNet/KenLM-style STATISTICAL quality filter that sits beside the rule-based t04/t11 gates and the learned p12 classifier in every production curation stack: train an add-one-smoothed bigram LM on the corpus itself, then score each document by its mean negative log-likelihood — fluent in-distribution text scores low, boilerplate-mangled or shuffled-token text scores high). Determinism contract: the LM is integerized ONCE per distinct bigram — nll_ppm = floor(ln((c1+V)/(c12+1)) * 1e6 + 0.5) where c12/c1/V are exact BIGINT corpus counts (the t14/t17/t22 ln-ULP-parity assumption, oracle-validated every round) — so a document's score is a SUM of integers over its bigram occurrences, order-independent by construction; the mean divides two exact integers in a fixed two-step IEEE chain, and the keep gate compares nll_sum <= T*n in PURE INTEGER arithmetic (the p12 discipline: no float ulp can flip a document across the threshold). Scale posture: two map-side-combinable keyed counts (bigram, then its w1 rollup — both 16-24-byte rows), one vocab-size scalar riding a 1-row broadcast, and ONE (w1,w2)-keyed scoring join — the LM table is vocabulary-bounded (dimension-sized next to the corpus, broadcastable at real scale), the corpus side shuffles only its bigram stream, and the final rollup is doc-keyed",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |bg AS (
-        |  SELECT doc_id, (p).w1 AS w1, (p).w2 AS w2
-        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
-        |                i -> {'w1': l[i], 'w2': l[i+1]})) AS p
-        |        FROM toks)),
-        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
-        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-        |      FROM (SELECT unnest(l) AS tok FROM toks)),
-        |lm AS (SELECT p.w1, p.w2,
-        |              CAST(floor(ln((c1.c1 + v.v) * 1.0 / (p.c12 + 1)) * 1000000 + 0.5) AS BIGINT) AS nll_ppm
-        |       FROM c12 p JOIN c1 ON p.w1 = c1.w1 CROSS JOIN v),
-        |scored AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |                  CAST(sum(lm.nll_ppm) AS BIGINT) AS nll_ppm
-        |           FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
-        |           GROUP BY b.doc_id)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |       CAST(COALESCE(s.nll_ppm, 0) AS BIGINT) AS nll_ppm,
-        |       CASE WHEN s.n_bigrams IS NULL THEN 0.0
-        |            ELSE floor(CAST(s.nll_ppm AS DOUBLE) / s.n_bigrams / 1000000.0 * 10000 + 0.5) / 10000 END AS avg_nll,
-        |       CAST(CASE WHEN s.n_bigrams IS NULL OR s.nll_ppm <= 5000000 * s.n_bigrams
-        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""") { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("l"))
-      val bg = toks
-        .select(col("doc_id"),
-          explode(when(size(col("l")) >= 2, expr(
-            "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
-            .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
-      val c1 = c12.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
-      val v = toks.select(explode(col("l")).as("tok"))
-        .agg(countDistinct("tok").cast("long").as("v"))
-      val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
-        .select(col("w1"), col("w2"),
-          floor(log((col("c1") + col("v")) * lit(1.0) / (col("c12") + lit(1)))
-            * 1000000 + lit(0.5)).cast("long").as("nll_ppm"))
-      val scored = bg.join(lm, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum("nll_ppm").cast("long").as("nll_ppm"))
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("nll_ppm"), lit(0L)).as("nll_ppm_out"),
-          when(col("n_bigrams").isNull, lit(0.0))
-            .otherwise(r4(col("nll_ppm").cast("double") / col("n_bigrams") / lit(1000000.0)))
-            .as("avg_nll"),
-          when(col("n_bigrams").isNull || col("nll_ppm") <= lit(5000000L) * col("n_bigrams"),
-            lit(1L)).otherwise(lit(0L)).as("keep"))
-        .withColumnRenamed("nll_ppm_out", "nll_ppm")
-        .orderBy("doc_id")
     }
   )
 }

@@ -406,27 +406,6 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(e3 - math.rint(h * 1e6)) <= 2, s"e3=$e3 expected~${h * 1e6}")
   }
 
-  test("t26 bigram LM: hand-traced add-one NLL, bigramless doc scores 0/keep, repeated bigram cheapens") {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("t26spec").toString
-    Seq((1L, "a b a b"), (2L, "x a"), (3L, "z"))
-      .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val m = SparkEntry.queries("t26_bigram_lm_score")(spark, dir).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // corpus: c12 = {(a,b):2,(b,a):1,(x,a):1}; c1 = {a:2,b:1,x:1}; V=4 (a,b,x,z)
-    val nllAb = math.floor(math.log(6.0 / 3.0) * 1e6 + 0.5).toLong // ln((2+4)/(2+1))
-    val nllBa = math.floor(math.log(5.0 / 2.0) * 1e6 + 0.5).toLong // ln((1+4)/(1+1))
-    assert(m(1L).getAs[Long]("n_bigrams") == 3L)
-    assert(m(1L).getAs[Long]("nll_ppm") == 2 * nllAb + nllBa)
-    assert(m(2L).getAs[Long]("nll_ppm") == nllBa) // (x,a) same smoothed mass as (b,a)
-    assert(m(3L).getAs[Long]("n_bigrams") == 0L)
-    assert(m(3L).getAs[Double]("avg_nll") == 0.0)
-    assert(m.values.forall(_.getAs[Long]("keep") == 1L))
-    // the twice-seen bigram is cheaper per occurrence than the once-seen ones
-    assert(nllAb < nllBa)
-  }
-
   test("q103 RFM: hand-traced quartiles on an 8-customer ladder, labels land on the rule grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q103spec").toString
