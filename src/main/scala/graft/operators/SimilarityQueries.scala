@@ -550,7 +550,49 @@ object SimilarityQueries {
           |SELECT s.cent_id, s.n_pts, s.wcss, cd.cent_sum, cd.cent_norm2
           |FROM stats s JOIN cdig cd ON s.cent_id = cd.cent_id
           |ORDER BY s.cent_id""".stripMargin
-      }) { (s, dir) => kmeansGrid(s, dir) }
+      }) { (s, dir) => kmeansGrid(s, dir) },
+
+    sql(
+      "s15_hard_negatives",
+      "contrastive triplet mining — the embedding-TRAINING-data op beside the s-family's search ops (SimCSE/CLIP-style pipelines mine exactly this: for every anchor, the most-similar vectors of a DIFFERENT label are the hard negatives that teach the margin, and the least-similar vector of the SAME label is the hard positive that defines its reach): per anchor, top-3 hard negatives (cosine DESC over label<>anchor) and the 1 hardest positive (cosine ASC over label=anchor), each window ordered with a neighbor_id tie-break so ranking is total in both engines (the s01 discipline — identical left-to-right IEEE dot/norm folds, floor-rounded only at the output). Scale posture: the anchor set is tiny and broadcast, so the corpus streams ONCE through a codegen'd cosine with no shuffle before the per-anchor top-k windows (anchor-partitioned, dimension-sized); at 100 TB the same mining runs over an s04/s08 ANN candidate shortlist instead of the exhaustive join — the windows and tie-breaks are unchanged, only the candidate generator swaps, which is why the exact form is the right oracle",
+      s"""WITH sims AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+        |         ${cosineSql("q.embedding", "e.embedding")} AS sim
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $NQueries),
+        |neg AS (SELECT q_id, 'neg' AS kind,
+        |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |               neighbor_id, sim
+        |        FROM sims WHERE n_label <> q_label),
+        |pos AS (SELECT q_id, 'pos' AS kind,
+        |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim ASC, neighbor_id) AS BIGINT) AS rnk,
+        |               neighbor_id, sim
+        |        FROM sims WHERE n_label = q_label)
+        |SELECT q_id, kind, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT * FROM neg WHERE rnk <= 3 UNION ALL SELECT * FROM pos WHERE rnk = 1)
+        |ORDER BY q_id, kind, rnk""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"),
+          cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      val wneg = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
+      val wpos = Window.partitionBy("q_id").orderBy(col("sim"), col("neighbor_id"))
+      val neg = sims.filter(col("n_label") =!= col("q_label"))
+        .withColumn("rnk", row_number().over(wneg).cast("long"))
+        .filter(col("rnk") <= 3).withColumn("kind", lit("neg"))
+      val pos = sims.filter(col("n_label") === col("q_label"))
+        .withColumn("rnk", row_number().over(wpos).cast("long"))
+        .filter(col("rnk") === 1).withColumn("kind", lit("pos"))
+      neg.unionByName(pos)
+        .select(col("q_id"), col("kind"), col("rnk"), col("neighbor_id"),
+          r6(col("sim")).as("sim"))
+        .orderBy("q_id", "kind", "rnk")
+    }
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,

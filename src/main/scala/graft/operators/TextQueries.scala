@@ -1434,6 +1434,73 @@ object TextQueries {
           expr("cast(cast(sum(n_bpe) AS DECIMAL(38,0)) * 1000000 div sum(n_char) AS BIGINT)")
             .as("compression_ppm"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t26_zipf_profile",
+      "per-language Zipf rank-frequency profile — the corpus-level STATISTICAL diagnostic the doc-level t-family screens don't see (natural language follows count ~ C/rank^s with s~1; template spam, token soup and boilerplate floods bend the log-log line, so the fitted exponent + its R^2 is the one-glance corpus-health dashboard every curation run prints per language): rank tokens by corpus count (count DESC, token ASC tie-break — total order both engines), integerize x=ln(rank), y=ln(count) onto a 1e3 grid (the t14/t17 ln-ULP-parity assumption at 1e3 where a 1-ulp libm divergence is 3 orders below the grid step), then an EXACT-integer ordinary-least-squares fit: all five co-moment sums are BIGINT (order-independent), the covariance/variance combinations widen through DECIMAL(38,0)/HUGEINT (the p04 overflow posture — at a 1e7-type language nSxy alone passes 1e22), and slope/R^2 each collapse to a fixed two-op IEEE chain on correctly-rounded double casts, r4-rounded. Degenerate single-type languages short-circuit to 0.0 on the exact integer variance (the q98 zero-variance guard). Scale posture: one (lang,token)-keyed map-side-combinable count, a lang-partitioned rank window (vocabulary-sized, partition-parallel), one lang rollup — no global anything",
+      """WITH cnt AS (
+        |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT coalesce(lang, 'und') AS lang, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY lang, t),
+        |xy AS (SELECT lang, c,
+        |              CAST(floor(ln(rk * 1.0) * 1000 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(c * 1.0) * 1000 + 0.5) AS BIGINT) AS y
+        |       FROM (SELECT lang, t, c,
+        |                    CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS BIGINT) AS rk
+        |             FROM cnt)),
+        |mom AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |               CAST(sum(c) AS BIGINT) AS n_tokens,
+        |               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |               CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+        |               CAST(sum(x*y) AS HUGEINT) AS sxy
+        |        FROM xy GROUP BY lang),
+        |fit AS (SELECT lang, n_types, n_tokens,
+        |               n_types * sxy - sx * sy AS cov,
+        |               n_types * sxx - sx * sx AS vx,
+        |               n_types * syy - sy * sy AS vy
+        |        FROM mom)
+        |SELECT lang, n_types, n_tokens,
+        |       CASE WHEN vx = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)) * 10000 + 0.5) / 10000
+        |            END AS zipf_slope,
+        |       CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+        |                        / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))) * 10000 + 0.5) / 10000
+        |            END AS fit_r2
+        |FROM fit ORDER BY lang""") { (s, dir) =>
+      val cnt = Tables.documents(s, dir)
+        .select(coalesce(col("lang"), lit("und")).as("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).cast("long").as("c"))
+      val wr = Window.partitionBy("lang").orderBy(desc("c"), col("t"))
+      val xy = cnt
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .select(col("lang"), col("c"),
+          floor(log(col("rk") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("x"),
+          floor(log(col("c") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("y"))
+      val d38 = "decimal(38,0)"
+      val mom = xy.groupBy("lang").agg(
+        count(lit(1)).cast("long").as("n_types"),
+        sum("c").cast("long").as("n_tokens"),
+        sum("x").cast(d38).as("sx"), sum("y").cast(d38).as("sy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"))
+      val fit = mom.select(col("lang"), col("n_types"), col("n_tokens"),
+        (col("n_types").cast(d38) * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n_types").cast(d38) * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("n_types").cast(d38) * col("syy") - col("sy") * col("sy")).as("vy"))
+      fit.select(col("lang"), col("n_types"), col("n_tokens"),
+        when(col("vx") === 0, lit(0.0))
+          .otherwise(r4(col("cov").cast("double") / col("vx").cast("double")))
+          .as("zipf_slope"),
+        when(col("vx") === 0 || col("vy") === 0, lit(0.0))
+          .otherwise(r4(col("cov").cast("double") * col("cov").cast("double")
+            / (col("vx").cast("double") * col("vy").cast("double"))))
+          .as("fit_r2"))
+        .orderBy("lang")
     }
   )
 }

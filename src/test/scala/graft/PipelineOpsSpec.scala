@@ -406,6 +406,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(e3 - math.rint(h * 1e6)) <= 2, s"e3=$e3 expected~${h * 1e6}")
   }
 
+  test("t26 zipf: an exact count~6/r corpus fits slope -1 with r2 1, mirrored integer OLS agrees bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t26spec").toString
+    // counts 6,3,2 ARE 6/rank exactly, so ln y = ln 6 - ln rank: slope -1, perfect fit
+    Seq((1L, "a a a a a a b b b c c", "en"), (2L, "z", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("t26_zipf_profile")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // independent integer-OLS mirror on the hand corpus
+    val counts = Seq(6L, 3L, 2L)
+    val x = counts.indices.map(i => math.floor(math.log((i + 1).toDouble) * 1000 + 0.5).toLong)
+    val y = counts.map(c => math.floor(math.log(c.toDouble) * 1000 + 0.5).toLong)
+    val n = counts.size.toLong
+    val (sx, sy) = (x.sum, y.sum)
+    val (sxx, syy, sxy) =
+      (x.map(v => v * v).sum, y.map(v => v * v).sum, x.zip(y).map { case (a, b) => a * b }.sum)
+    val (cov, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    def r4(d: Double) = math.floor(d * 10000 + 0.5) / 10000
+    val en = m("en")
+    assert(en.getAs[Long]("n_types") == 3L && en.getAs[Long]("n_tokens") == 11L)
+    assert(en.getAs[Double]("zipf_slope") == r4(cov.toDouble / vx.toDouble), en.toString)
+    assert(en.getAs[Double]("fit_r2") ==
+      r4(cov.toDouble * cov.toDouble / (vx.toDouble * vy.toDouble)), en.toString)
+    // the planted law is recovered: slope within a grid-rounding hair of -1, fit essentially perfect
+    assert(math.abs(en.getAs[Double]("zipf_slope") + 1.0) < 0.002, en.toString)
+    assert(en.getAs[Double]("fit_r2") > 0.9999, en.toString)
+    // single-type language: zero variance short-circuits, never NaN
+    val fr = m("fr")
+    assert(fr.getAs[Long]("n_types") == 1L)
+    assert(fr.getAs[Double]("zipf_slope") == 0.0 && fr.getAs[Double]("fit_r2") == 0.0)
+  }
+
   test("q103 RFM: hand-traced quartiles on an 8-customer ladder, labels land on the rule grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q103spec").toString

