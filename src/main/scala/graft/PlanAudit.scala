@@ -36,6 +36,7 @@ object PlanAudit {
     // are audited through their lazy `*Plan` twins below instead.
     val eager = Set("d03_minhash_signature", "d08_dup_clusters", "s07_kmeans_centroids",
       "t24_bpe_merges", "t25_bpe_segment", // BPE training rounds run at construction
+      "s14_kmeans_grid", // Lloyd rounds collect the codebook at construction
       "p06_cluster_representative", // runs d08's label-propagation loop at construction
       "d04_lsh_near_dups", "d10_contamination",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",

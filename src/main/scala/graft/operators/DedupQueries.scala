@@ -198,7 +198,13 @@ object DedupQueries {
     * callers append their own CTEs after a comma. Pre-stripped — the sql()
     * helper's stripMargin leaves these lines untouched.
     */
-  private[operators] val bandKeySql: String =
+  /** First half of [[bandKeySql]]: tokenize → 3-gram shingle fnv1a →
+    * 32 xor-multiply avalanche permutations → signed-long minima. Ends
+    * with the `sig(doc_id, j, sv)` CTE; [[bandKeySql]] appends the 16×2
+    * band folds, and d16's banding audit consumes the raw signature
+    * directly (its band keys are value tuples, not folds).
+    */
+  private[operators] val sigSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
@@ -216,7 +222,10 @@ object DedupQueries {
       |m5 AS (SELECT doc_id, j, xor(x, x >> 33) AS x FROM m4),
       |sig AS (SELECT doc_id, j,
       |          min(CAST(CASE WHEN x >= 9223372036854775808 THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS sv
-      |        FROM m5 GROUP BY doc_id, j),
+      |        FROM m5 GROUP BY doc_id, j)""".stripMargin
+
+  private[operators] val bandKeySql: String =
+    s"""$sigSql,
       |bk0 AS (SELECT doc_id, j // 2 AS band, j % 2 AS r,
       |          CASE WHEN sv < 0 THEN CAST(sv AS HUGEINT) + 18446744073709551616 ELSE CAST(sv AS HUGEINT) END AS u
       |        FROM sig),
@@ -1521,6 +1530,93 @@ object DedupQueries {
         .agg(countDistinct(col("gram")).cast("long").as("n_dirty_grams"),
           countDistinct(col("eval_id")).cast("long").as("n_eval_hits"))
         .orderBy("train_id")
+    },
+
+    sql(
+      "d16_lsh_tuning_audit",
+      "LSH banding-parameter audit — the MEASURE-DON'T-GUESS step that must run before any corpus-scale near-dup job commits to a (bands x rows) choice (d04/d13/d15 all hard-wire 16x2; this operator produces the empirical S-curve table that justifies or retunes it): on a deterministic 50% document sample (doc_id parity — retry-stable, the p03/p05 hash-sample discipline), evaluate five banding configurations of the SAME 32-hash MinHash signature — (16x2) production, (10x3), (8x4), (6x5), (4x6) — and report per config the candidate-pair count, the exact-Jaccard>=0.5 truth count, hits, and integer-ppm precision/recall. Band keys here are raw signature-value TUPLES (comma-joined in deterministic j order), not fnv folds — configs stay comparable and the oracle replays them with string_agg; the signature itself is the shared fused HUGEINT kernel (sigSql), so the WHOLE audit is bit-exact in DuckDB. Scale posture: the banding legs are pure keyed group-bys and (band,key) equi-joins on the SAMPLE (half the corpus here; at 100 TB the sample rate is chosen so sample-pairs fit the truth leg's budget — the audit is statistics, not production dedup, and its estimates are unbiased for the full-corpus S-curve); the truth leg's all-pairs join is the audit's deliberate, sample-bounded cost and the one thing this table exists to avoid ever running corpus-wide",
+      s"""$sigSql,
+        |cfg AS (SELECT * FROM (VALUES (16, 2), (10, 3), (8, 4), (6, 5), (4, 6)) AS t(b, r)),
+        |bandkeys AS (
+        |  SELECT c.b, c.r, s.doc_id, s.j // c.r AS band,
+        |         string_agg(CAST(s.sv AS VARCHAR), ',' ORDER BY s.j) AS key
+        |  FROM sig s JOIN cfg c ON s.j < c.b * c.r
+        |  WHERE s.doc_id % 2 = 0
+        |  GROUP BY c.b, c.r, s.doc_id, s.j // c.r),
+        |cand AS (SELECT DISTINCT k1.b, k1.r, k1.doc_id AS id_a, k2.doc_id AS id_b
+        |         FROM bandkeys k1 JOIN bandkeys k2
+        |           ON k1.b = k2.b AND k1.r = k2.r AND k1.band = k2.band
+        |          AND k1.key = k2.key AND k1.doc_id < k2.doc_id),
+        |grams AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |          FROM tok WHERE len(tk) >= 3 AND doc_id % 2 = 0),
+        |tru AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |        WHERE length(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0
+        |              / (length(a.g) + length(b.g)
+        |                 - length(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5),
+        |nc AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY b, r),
+        |hit AS (SELECT c.b, c.r, CAST(count(*) AS BIGINT) AS n_hits
+        |        FROM cand c JOIN tru t ON c.id_a = t.id_a AND c.id_b = t.id_b GROUP BY c.b, c.r),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru)
+        |SELECT CAST(c.b AS BIGINT) AS bands, CAST(c.r AS BIGINT) AS rows_per_band,
+        |       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |       nt.n_true,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN coalesce(nc.n_candidates, 0) = 0 THEN 0
+        |            ELSE coalesce(h.n_hits, 0) * 1000000 // nc.n_candidates END AS BIGINT) AS precision_ppm,
+        |       CAST(CASE WHEN nt.n_true = 0 THEN 0
+        |            ELSE coalesce(h.n_hits, 0) * 1000000 // nt.n_true END AS BIGINT) AS recall_ppm
+        |FROM cfg c
+        |LEFT JOIN nc ON nc.b = c.b AND nc.r = c.r
+        |LEFT JOIN hit h ON h.b = c.b AND h.r = c.r
+        |CROSS JOIN nt
+        |ORDER BY rows_per_band, bands""") { (s, dir) =>
+      import s.implicits._
+      val sample = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0 && size(toks) >= 3)
+      val sig = sample
+        .select(col("doc_id"),
+          posexplode(HashFunctions.shingleMinHash(toks, k = 32, n = 3)).as(Seq("j", "sv")))
+      val cfg = Seq((16, 2), (10, 3), (8, 4), (6, 5), (4, 6)).toDF("b", "r")
+      val bandkeys = sig.join(broadcast(cfg), col("j") < col("b") * col("r"))
+        .groupBy(col("b"), col("r"), col("doc_id"), expr("j div r").as("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("sv")))),
+            x => x.getField("sv").cast("string")), ",").as("key"))
+      val cand = bandkeys.as("k1")
+        .join(bandkeys.as("k2"),
+          col("k1.b") === col("k2.b") && col("k1.r") === col("k2.r") &&
+            col("k1.band") === col("k2.band") && col("k1.key") === col("k2.key") &&
+            col("k1.doc_id") < col("k2.doc_id"))
+        .select(col("k1.b").as("b"), col("k1.r").as("r"),
+          col("k1.doc_id").as("id_a"), col("k2.doc_id").as("id_b"))
+        .distinct()
+      val grams = sample
+        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("g"))
+      val tru = grams.as("a").join(grams.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+          (size(col("a.g")) + size(col("b.g"))).as("tot"))
+        .filter(col("inter") * lit(1.0) / (col("tot") - col("inter")) >= 0.5)
+        .select("id_a", "id_b")
+      val nc = cand.groupBy("b", "r").agg(count(lit(1)).cast("long").as("n_candidates"))
+      val hit = cand.join(tru, Seq("id_a", "id_b"))
+        .groupBy("b", "r").agg(count(lit(1)).cast("long").as("n_hits"))
+      val nt = tru.agg(count(lit(1)).cast("long").as("n_true"))
+      cfg
+        .join(nc, Seq("b", "r"), "left")
+        .join(hit, Seq("b", "r"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("b").cast("long").as("bands"), col("r").cast("long").as("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(coalesce(col("n_candidates"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("coalesce(n_hits, 0L) * 1000000 div n_candidates")).as("precision_ppm"),
+          when(col("n_true") === 0, lit(0L))
+            .otherwise(expr("coalesce(n_hits, 0L) * 1000000 div n_true")).as("recall_ppm"))
+        .orderBy("rows_per_band", "bands")
     }
   )
 

@@ -243,6 +243,25 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(byAnchor.size == 10)
   }
 
+  test("d16 banding audit: one row per config, shared truth, ppm arithmetic mirrors, production 16x2 trades precision for full recall") {
+    val rows = SparkEntry.queries("d16_lsh_tuning_audit")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val trues = rows.map(_.getAs[Long]("n_true")).distinct
+    assert(trues.toSeq == Seq(12L), s"truth leg must be config-independent: ${trues.toSeq}")
+    rows.foreach { r =>
+      val (nc, nt, nh) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"), r.getAs[Long]("n_hits"))
+      assert(nh <= nc && nh <= nt, r.toString)
+      assert(r.getAs[Long]("precision_ppm") == (if (nc == 0) 0L else nh * 1000000 / nc), r.toString)
+      assert(r.getAs[Long]("recall_ppm") == (if (nt == 0) 0L else nh * 1000000 / nt), r.toString)
+    }
+    val byCfg = rows.map(r => r.getAs[Long]("rows_per_band") -> r).toMap
+    // the S-curve the audit exists to show: 2-row bands catch every true
+    // pair but admit false candidates; 6-row bands are pickier everywhere
+    assert(byCfg(2L).getAs[Long]("recall_ppm") == 1000000L)
+    assert(byCfg(2L).getAs[Long]("n_candidates") > byCfg(2L).getAs[Long]("n_hits"))
+    assert(byCfg(6L).getAs[Long]("n_candidates") <= byCfg(2L).getAs[Long]("n_candidates"))
+  }
+
   test("s14 integer-grid k-means == an independent driver-side Lloyd reimplementation, bit for bit") {
     // 40 synthetic 64-dim vectors in 4 planted clusters; the distributed
     // trainer must agree with a from-scratch sequential Lloyd on every
