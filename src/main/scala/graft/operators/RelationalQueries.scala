@@ -1098,7 +1098,7 @@ object RelationalQueries {
         |  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
         |         CAST(date_diff('day', max(CAST(o.o_orderdate AS DATE)), max(mx.maxd)) AS BIGINT) AS r_days,
         |         CAST(count(*) AS BIGINT) AS f_orders,
-        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(24,6))) * 100 AS BIGINT) AS m_cents
+        |         CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(24,6))) * 100) AS BIGINT) AS m_cents
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey CROSS JOIN mx
         |  GROUP BY c.c_mktsegment, o.o_custkey),
         |scored AS (
@@ -1129,7 +1129,10 @@ object RelationalQueries {
           max(col("o_orderdate").cast("date")).as("lastd"),
           max(col("maxd")).as("maxd"),
           count(lit(1)).cast("long").as("f_orders"),
-          (sum(col("o_totalprice").cast("decimal(24,6)")) * 100).cast("long").as("m_cents"))
+          // floor on the exact decimal in BOTH dialects: DuckDB's
+          // decimal→BIGINT cast rounds while Spark's truncates, so a
+          // sub-cent corpus would diverge without the shared floor
+          floor(sum(col("o_totalprice").cast("decimal(24,6)")) * 100).cast("long").as("m_cents"))
         .select(col("segment"), col("custkey"),
           datediff(col("maxd"), col("lastd")).cast("long").as("r_days"),
           col("f_orders"), col("m_cents"))
