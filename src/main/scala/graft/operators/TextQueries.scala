@@ -1501,6 +1501,68 @@ object TextQueries {
             / (col("vx").cast("double") * col("vy").cast("double"))))
           .as("fit_r2"))
         .orderBy("lang")
+    },
+
+    sql(
+      "p13_importance_weights",
+      "DSIR-style hashed-unigram importance weighting (Xie et al. 2023, the data-selection step between rule gates and classifier gates: score every raw document by how target-like its token distribution is, then keep the top slice — the technique that built the DoReMi/DSIR pretraining mixes): the TARGET distribution is the lang='en' slice (stand-in for any curated in-domain seed corpus), the RAW distribution is the whole corpus, and the feature space is the d04 fnv1a token hash folded into B=64 buckets (pmod — hashing is what bounds the model at 64 integers regardless of vocabulary, the published trick that makes this corpus-scale). Per bucket, ONE integerized log-likelihood-ratio lr_ppm = floor(ln((c_t+1)(N_r+64) / ((c_r+1)(N_t+64)))*1e6 + 0.5) with add-one smoothing (t14's grid; numerator/denominator assembled as EXACT integers — DECIMAL(38,0)/HUGEINT widened, the p04 posture — so ln sees the identical double in both engines, one IEEE division, the t14/t17 ULP-parity assumption and nothing else); per document the log-importance-weight is then a BIGINT SUM of bucket scores over its token occurrences — order-independent, no float accumulation. Selection is deterministic per-SOURCE top-25% by (logw_ppm desc, doc_id) with the exact p05 integer boundary rn <= ns*25 div 100 — retry/replica-stable, no RNG, and the per-domain budget shape p07 established (DSIR's global Gumbel resample trades that determinism away; the stratified form is what a production re-run-stable pipeline ships). Scale posture: the bucket model is ONE map-side-combinable 64-key aggregation (the corpus collapses to 64 rows + 2 scalars in a single pass), lr broadcasts everywhere, the per-doc sum is one doc-keyed text-sized shuffle, and the windows are source-partitioned (never global; at 100 TB a skewed source swaps in the a03 per-bucket bottom-k merge unchanged)",
+      """WITH tok AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |           list_transform(string_split(t, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |           (a, c) -> (xor(a, c) * 1099511628211) % 18446744073709551616) % 64 AS BIGINT) AS bkt
+        |  FROM tok),
+        |tots AS (SELECT CAST(count(*) AS BIGINT) AS n_r,
+        |                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+        |         FROM occ),
+        |cnts AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_r,
+        |                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |         FROM occ GROUP BY bkt),
+        |lr AS (SELECT bkt,
+        |         CAST(floor(ln(CAST(CAST(c_t + 1 AS HUGEINT) * (n_r + 64) AS DOUBLE)
+        |                       / CAST(CAST(c_r + 1 AS HUGEINT) * (n_t + 64) AS DOUBLE))
+        |                    * 1000000 + 0.5) AS BIGINT) AS lr_ppm
+        |       FROM cnts CROSS JOIN tots),
+        |dw AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              CAST(sum(lr_ppm) AS BIGINT) AS logw_ppm
+        |       FROM occ JOIN lr USING (bkt) GROUP BY doc_id, source),
+        |rk AS (SELECT doc_id, source, n_tokens, logw_ppm,
+        |              row_number() OVER (PARTITION BY source ORDER BY logw_ppm DESC, doc_id) AS rn,
+        |              count(*) OVER (PARTITION BY source) AS ns
+        |       FROM dw)
+        |SELECT doc_id, source, n_tokens, logw_ppm, CAST(rn AS BIGINT) AS rn,
+        |       CAST(CASE WHEN rn <= ns * 25 // 100 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM rk ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val d38 = "decimal(38,0)"
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(HashFunctions.shingleHashes(TextFunctions.tokens(col("text")), 1)).as("h"))
+        .withColumn("bkt", pmod(col("h"), lit(64L)))
+      val tots = occ.agg(
+        count(lit(1)).cast("long").as("n_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("n_t"))
+      val lr = occ.groupBy("bkt")
+        .agg(count(lit(1)).cast("long").as("c_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("c_t"))
+        .crossJoin(broadcast(tots))
+        .withColumn("lr_ppm",
+          floor(log(((col("c_t") + 1).cast(d38) * (col("n_r") + 64)).cast("double")
+            / ((col("c_r") + 1).cast(d38) * (col("n_t") + 64)).cast("double"))
+            * 1000000 + lit(0.5)).cast("long"))
+        .select("bkt", "lr_ppm")
+      val dw = occ.join(broadcast(lr), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum("lr_ppm").cast("long").as("logw_ppm"))
+      dw.withColumn("rn",
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("logw_ppm").desc, col("doc_id"))).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("logw_ppm"), col("rn"),
+          when(col("rn") <= expr("ns * 25 div 100"), lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -651,4 +651,60 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_chars_html") > r.getAs[Long]("n_chars_clean"))
     }
   }
+
+  test("p13 importance weights == sequential DSIR reimplementation; target slice scores higher") {
+    // Full independent replay in plain Scala (the s14 discipline): hash every
+    // token with the same fnv1a kernel, fold to 64 buckets, build the
+    // add-one-smoothed log-ratio model, sum per doc, rank per source with the
+    // exact integer 25% boundary — a drift anywhere (hash, smoothing, grid
+    // snap, tie-break, boundary) fails here with the first diverging doc
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val occ = docs.flatMap { case (id, lang, src, text) =>
+      text.split(" ", -1).map { t =>
+        val b = {
+          val h = graft.functions.HashOps.fnv1a(t.getBytes("UTF-8"))
+          ((h % 64) + 64) % 64
+        }
+        (id, lang, src, b)
+      }
+    }
+    val nR = occ.length.toLong
+    val nT = occ.count(_._2 == "en").toLong
+    val lrPpm: Map[Long, Long] = occ.groupBy(_._4).map { case (b, os) =>
+      val cR = os.length.toLong
+      val cT = os.count(_._2 == "en").toLong
+      val ratio = ((cT + 1) * (nR + 64)).toDouble / ((cR + 1) * (nT + 64)).toDouble
+      b -> math.floor(math.log(ratio) * 1000000 + 0.5).toLong
+    }
+    val want = occ.groupBy(o => (o._1, o._3)).map { case ((id, src), os) =>
+      (id, src, os.length.toLong, os.map(o => lrPpm(o._4)).sum)
+    }.toSeq
+    val bySrc = want.groupBy(_._2).flatMap { case (src, ds) =>
+      val ranked = ds.sortBy { case (id, _, _, w) => (-w, id) }.zipWithIndex
+      val ns = ds.length.toLong
+      ranked.map { case ((id, _, nTok, w), i) =>
+        id -> ((nTok, w, i + 1L, if (i + 1L <= ns * 25L / 100L) 1L else 0L))
+      }
+    }
+    val rows = SparkEntry.queries("p13_importance_weights")(spark, sf0001).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (nTok, w, rn, keep) = bySrc(id)
+      assert(r.getAs[Long]("n_tokens") == nTok, s"doc $id n_tokens")
+      assert(r.getAs[Long]("logw_ppm") == w, s"doc $id logw_ppm")
+      assert(r.getAs[Long]("rn") == rn, s"doc $id rn")
+      assert(r.getAs[Long]("keep") == keep, s"doc $id keep")
+    }
+    // the model must point the right way: the target slice (en) must average
+    // a strictly higher importance weight than the rest — otherwise the
+    // selection is noise, not DSIR
+    val (en, rest) = want.partition { case (id, _, _, _) => docs.find(_._1 == id).get._2 == "en" }
+    assert(en.nonEmpty && rest.nonEmpty)
+    val meanEn = en.map(_._4).sum.toDouble / en.length
+    val meanRest = rest.map(_._4).sum.toDouble / rest.length
+    assert(meanEn > meanRest, s"target slice does not outscore the rest: $meanEn <= $meanRest")
+  }
 }
