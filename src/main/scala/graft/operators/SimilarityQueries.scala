@@ -153,10 +153,17 @@ object SimilarityQueries {
   def knnIvfSelect(s: SparkSession, dir: String, k: Int = K, nq: Int = NQueries,
       nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    ivfSearch(e, selectionCentroids(e), k, nq, nprobe)
+  }
+
+  /** SELECTION centroids (the min-vec_id vector per label) — zero float
+    * arithmetic in the index build, shared by s08's search and s16's
+    * nprobe audit so the two can never index differently.
+    */
+  private def selectionCentroids(e: DataFrame): DataFrame = {
     val minIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
-    val cents = e.join(minIds, Seq("label", "vec_id"))
+    e.join(minIds, Seq("label", "vec_id"))
       .select(col("label").cast("long").as("cent_id"), col("embedding").as("centroid"))
-    ivfSearch(e, cents, k, nq, nprobe)
   }
 
   /** Lloyd-style k-means over the embedding corpus, cosine assignment:
@@ -592,6 +599,85 @@ object SimilarityQueries {
         .select(col("q_id"), col("kind"), col("rnk"), col("neighbor_id"),
           r6(col("sim")).as("sim"))
         .orderBy("q_id", "kind", "rnk")
+    },
+
+    sql(
+      "s16_ivf_nprobe_audit",
+      s"IVF nprobe recall-vs-cost sweep (the s-family twin of d16's LSH banding audit — measure, don't guess): the one table every IVF deployment tunes from, built here over the s08 selection-centroid index so the WHOLE audit replays hash-exactly. For each nprobe in {1,2,4,8} (of ${10} cells): how many candidates the probes admit (the COST axis — each candidate is one full-precision cosine at rerank), how many of the exact brute-force top-$K each query recovers (the RECALL axis, vs the same ranking s01 gates), and the recall in ppm via exact integer division. The assignment and probe rankings are computed ONCE — probes carry their rank and the nprobe dimension joins on prnk <= np (a 4-row broadcast), so the sweep costs one index pass, not four. Output is ALL-INTEGER (counts and an integer-division ppm; similarity floats exist only inside the rankings both engines already agree on through s01/s08's gates) — no rounding caveat anywhere. Scale posture: the audit inherits s08's shapes — broadcast codebook, cell-keyed candidate join, bounded query set; on a real corpus this exact query decides nprobe before the index ships, which is why it belongs IN the engine rather than in a notebook",
+      s"""WITH minid AS (SELECT label, min(vec_id) AS mvid FROM embeddings GROUP BY label),
+        |cents AS (SELECT CAST(e.label AS BIGINT) AS cent_id, e.embedding AS cemb
+        |          FROM embeddings e JOIN minid m ON e.label = m.label AND e.vec_id = m.mvid),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cent_id) AS rn
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT q_id, qemb, cell, prnk FROM (
+        |  SELECT q.vec_id AS q_id, q.embedding AS qemb, c.cent_id AS cell,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cent_id) AS prnk
+        |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NQueries) WHERE prnk <= 8),
+        |nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+        |cand AS (SELECT n.np, p.q_id, a.vec_id AS neighbor_id,
+        |                ${cosineSql("p.qemb", "a.embedding")} AS sim
+        |         FROM probes p JOIN nps n ON p.prnk <= n.np
+        |         JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+        |top5 AS (SELECT np, q_id, neighbor_id FROM (
+        |  SELECT np, q_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY np, q_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM cand) WHERE rnk <= $K),
+        |exact AS (SELECT q_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $NQueries) WHERE rnk <= $K),
+        |h AS (SELECT t.np, CAST(count(*) AS BIGINT) AS hits
+        |      FROM top5 t JOIN exact x ON x.q_id = t.q_id AND x.neighbor_id = t.neighbor_id
+        |      GROUP BY t.np),
+        |ca AS (SELECT np, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+        |              CAST(count(*) AS BIGINT) AS n_cand
+        |       FROM cand GROUP BY np),
+        |ret AS (SELECT np, CAST(count(*) AS BIGINT) AS n_returned FROM top5 GROUP BY np)
+        |SELECT ca.np AS nprobe, ca.n_queries, ca.n_cand, ret.n_returned,
+        |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |       CAST(COALESCE(h.hits, 0) * 1000000 // (ca.n_queries * $K) AS BIGINT) AS recall_ppm
+        |FROM ca JOIN ret USING (np) LEFT JOIN h USING (np)
+        |ORDER BY nprobe""") { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = broadcast(selectionCentroids(e))
+      val assigned = assignCells(e, centroidArray(cents))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probeW = Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cent_id"))
+      val probes = q.crossJoin(cents)
+        .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
+        .withColumn("prnk", row_number().over(probeW))
+        .filter(col("prnk") <= 8)
+        .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"), col("prnk"))
+      val nps = broadcast(Seq(1L, 2L, 4L, 8L).toDF("np"))
+      val cand = probes.join(nps, col("prnk") <= col("np"))
+        .join(assigned, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("np"), col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      val top5 = cand
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("np", "q_id").orderBy(desc("sim"), col("neighbor_id"))))
+        .filter(col("rnk") <= K)
+        .select(col("np"), col("q_id"), col("neighbor_id"))
+      val exact = knnBrute(s, dir).select(col("q_id"), col("neighbor_id"))
+      val hits = top5.join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("np").agg(count(lit(1)).cast("long").as("hits"))
+      val ca = cand.groupBy("np").agg(
+        countDistinct("q_id").cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_cand"))
+      val ret = top5.groupBy("np").agg(count(lit(1)).cast("long").as("n_returned"))
+      ca.join(ret, "np").join(hits, Seq("np"), "left").na.fill(0L, Seq("hits"))
+        .select(col("np").as("nprobe"), col("n_queries"), col("n_cand"), col("n_returned"),
+          col("hits"), expr(s"hits * 1000000 div (n_queries * $K)").as("recall_ppm"))
+        .orderBy("nprobe")
     }
   )
 

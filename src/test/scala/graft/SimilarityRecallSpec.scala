@@ -314,4 +314,28 @@ class SimilarityRecallSpec extends SparkSpec {
     // seed cells must have emptied or absorbed satellites
     assert(got.map(_._2).max >= 6, s"cluster sizes ${got.map(_._2)}")
   }
+
+  test("s16 nprobe audit: recall monotone in nprobe, cost strictly increasing, ppm exact") {
+    // the audit is only trustworthy if it shows the trade-off it claims to
+    // measure: more probes must admit strictly more candidates and never
+    // lose recall (candidate sets are supersets by construction), and the
+    // ppm column must be the exact integer ratio of its own count columns
+    val rows = SparkEntry.queries("s16_ivf_nprobe_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (np, nq, nCand, nRet, hits, ppm) =>
+      assert(nRet == nq * 5, s"np=$np returned $nRet != ${nq * 5} (top-5 per query)")
+      assert(hits <= nRet, s"np=$np hits $hits > returned $nRet")
+      assert(ppm == hits * 1000000L / (nq * 5), s"np=$np ppm not the exact ratio")
+      assert(nCand >= nRet, s"np=$np fewer candidates than returned rows")
+    }
+    rows.sliding(2).foreach { case Array((np1, _, c1, _, h1, _), (np2, _, c2, _, h2, _)) =>
+      assert(c2 > c1, s"candidates not strictly increasing: np=$np1 c=$c1 -> np=$np2 c=$c2")
+      assert(h2 >= h1, s"recall decreased: np=$np1 hits=$h1 -> np=$np2 hits=$h2")
+    }
+    // the knob must matter on this corpus, else the audit table is vacuous
+    assert(rows.last._5 > rows.head._5,
+      s"nprobe sweep flat: hits ${rows.head._5} -> ${rows.last._5}")
+  }
 }
