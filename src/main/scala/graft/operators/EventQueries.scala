@@ -1077,6 +1077,69 @@ object EventQueries {
                    |* 1000000 div (cast(n AS DECIMAL(38,0)) * rt * ct)""".stripMargin)))
             .cast("long").as("chi2_scaled"))
         .orderBy("event_type")
+    },
+
+    sql(
+      "q104_survival_km",
+      "Kaplan-Meier survival curves — time-to-first-ERROR per signup-day cohort with right-censoring (the reliability/churn staple no retention matrix replaces: q83 counts who was active, KM estimates the survival FUNCTION when some subjects are censored — here a 5-day administrative follow-up horizon, the fixed-window convention product reliability reviews use; a user whose follow-up (least of horizon, activity span) passes without an error is CENSORED at that time, not counted as failed — dropping them instead would bias every survival number down, which is the whole reason KM exists): per user, birth = first-event epoch day, dur = days to first error if it lands inside the follow-up (event), else the follow-up length (censored). At each distinct event duration t within a cohort: at_risk = users with dur >= t (censored users count until their censor time — the deaths-before-censorings convention), deaths = first-errors at exactly t, hazard_ppm = deaths*1e6 div at_risk (exact integer), and the product-limit estimate carried in LOG space: per-step li = floor(ln((at_risk-deaths)/at_risk)*1e6 + 0.5) — one exact integer ratio into one IEEE division into ln, the t22/t14 ULP-parity contract — summed by a cohort-PARTITIONED running window (BIGINT, order-fixed by duration), so log_surv_ppm is exact-integer end to end and monotone non-increasing by construction; the degenerate step (deaths == at_risk, S -> 0, ln -> -inf) clamps to the grid's resolution floor -13815511 (= ln(1e-6)*1e6: survival below one ppm) identically in both engines via a shared literal, BEFORE ln is evaluated. Scale posture: the corpus collapses to the per-user (birth, last, first_error) table in ONE user-keyed pass (the only event-scale shuffle — q83's discipline); every later step — the step x member KM join, the running window — runs on cohort-grain rows (|users| not |events|), and the windows are cohort-partitioned, never global; at 100 TB the curve tables are dashboard-sized",
+      """WITH ud AS (SELECT user_id, event_type,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |            FROM events WHERE ts IS NOT NULL),
+        |u AS (SELECT user_id, min(d) AS birth, max(d) AS last,
+        |             min(CASE WHEN event_type = 'error' THEN d END) AS ferr
+        |      FROM ud GROUP BY user_id),
+        |lab AS (SELECT user_id, birth AS cohort_day,
+        |               CASE WHEN ferr IS NOT NULL AND ferr - birth <= least(last - birth, 5)
+        |                    THEN ferr - birth ELSE least(last - birth, 5) END AS dur,
+        |               CASE WHEN ferr IS NOT NULL AND ferr - birth <= least(last - birth, 5)
+        |                    THEN 1 ELSE 0 END AS failed
+        |        FROM u),
+        |steps AS (SELECT DISTINCT cohort_day, dur AS t FROM lab WHERE failed = 1),
+        |km AS (SELECT s.cohort_day, s.t,
+        |              CAST(sum(CASE WHEN l.dur >= s.t THEN 1 ELSE 0 END) AS BIGINT) AS at_risk,
+        |              CAST(sum(CASE WHEN l.failed = 1 AND l.dur = s.t THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+        |       FROM steps s JOIN lab l ON l.cohort_day = s.cohort_day
+        |       GROUP BY s.cohort_day, s.t),
+        |li AS (SELECT cohort_day, t, at_risk, deaths,
+        |              CAST(CASE WHEN deaths = at_risk THEN -13815511
+        |                        ELSE floor(ln((at_risk - deaths) * 1.0 / at_risk) * 1000000 + 0.5)
+        |                   END AS BIGINT) AS li
+        |       FROM km)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day, CAST(t AS BIGINT) AS dur_days,
+        |       at_risk, deaths,
+        |       CAST(deaths * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
+        |       CAST(sum(li) OVER (PARTITION BY cohort_day ORDER BY t
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS log_surv_ppm
+        |FROM li ORDER BY cohort_day, dur_days""") { (s, dir) =>
+      val ud = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"))
+      val u = ud.groupBy("user_id").agg(min("d").as("birth"), max("d").as("last"),
+        min(when(col("event_type") === "error", col("d"))).as("ferr"))
+      val fup = least(col("last") - col("birth"), lit(5L))
+      val isEvent = col("ferr").isNotNull && (col("ferr") - col("birth")) <= fup
+      val lab = u.select(col("user_id"), col("birth").as("cohort_day"),
+        when(isEvent, col("ferr") - col("birth")).otherwise(fup).as("dur"),
+        when(isEvent, 1L).otherwise(0L).as("failed"))
+      val steps = lab.filter(col("failed") === 1)
+        .select(col("cohort_day"), col("dur").as("t")).distinct()
+      val km = steps.join(lab, "cohort_day")
+        .groupBy("cohort_day", "t")
+        .agg(sum(when(col("dur") >= col("t"), 1).otherwise(0)).cast("long").as("at_risk"),
+          sum(when(col("failed") === 1 && col("dur") === col("t"), 1).otherwise(0))
+            .cast("long").as("deaths"))
+      km.withColumn("li",
+          when(col("deaths") === col("at_risk"), lit(-13815511L))
+            .otherwise(floor(log((col("at_risk") - col("deaths")) * lit(1.0) / col("at_risk"))
+              * 1000000 + lit(0.5)).cast("long")))
+        .select(col("cohort_day").cast("long").as("cohort_day"),
+          col("t").cast("long").as("dur_days"), col("at_risk"), col("deaths"),
+          expr("deaths * 1000000 div at_risk").as("hazard_ppm"),
+          sum("li").over(Window.partitionBy("cohort_day").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long").as("log_surv_ppm"))
+        .orderBy("cohort_day", "dur_days")
     }
   )
 }

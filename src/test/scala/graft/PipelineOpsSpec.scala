@@ -707,4 +707,57 @@ class PipelineOpsSpec extends SparkSpec {
     val meanRest = rest.map(_._4).sum.toDouble / rest.length
     assert(meanEn > meanRest, s"target slice does not outscore the rest: $meanEn <= $meanRest")
   }
+
+  test("q104 KM curve == sequential product-limit reimplementation; survival monotone, censoring honored") {
+    // Recompute the whole estimator in plain Scala from the raw events:
+    // per-user (birth, last, first-error), the 5-day follow-up, the
+    // deaths-before-censorings at-risk sets, the clamped log grid, the
+    // cohort-ordered running sum — any drift in censoring, step selection,
+    // or the at-risk convention fails on the first diverging row
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).map { case (uid, es) =>
+      val birth = es.map(_._3).min
+      val last = es.map(_._3).max
+      val ferr = es.filter(_._2 == "error").map(_._3).sorted.headOption
+      val fup = math.min(last - birth, 5L)
+      val isEvent = ferr.exists(f => f - birth <= fup)
+      (uid, birth, if (isEvent) ferr.get - birth else fup, if (isEvent) 1L else 0L)
+    }.toSeq
+    val want = byUser.groupBy(_._2).toSeq.flatMap { case (cd, members) =>
+      val steps = members.filter(_._4 == 1L).map(_._3).distinct.sorted
+      var cum = 0L
+      steps.map { t =>
+        val atRisk = members.count(_._3 >= t).toLong
+        val deaths = members.count(m => m._4 == 1L && m._3 == t).toLong
+        val li = if (deaths == atRisk) -13815511L
+          else math.floor(math.log((atRisk - deaths).toDouble / atRisk) * 1000000 + 0.5).toLong
+        cum += li
+        (cd, t, atRisk, deaths, deaths * 1000000L / atRisk, cum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q104_survival_km")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == want, s"got=${got.take(5)}...\nwant=${want.take(5)}...")
+    assert(got.nonEmpty, "KM table empty: no failure events inside the follow-up window")
+    // product-limit invariants the estimator must satisfy on ANY input
+    got.groupBy(_._1).values.foreach { curve =>
+      val c = curve.sortBy(_._2)
+      c.sliding(2).foreach {
+        case Seq((_, t1, r1, _, _, s1), (_, t2, r2, _, _, s2)) =>
+          assert(r2 < r1, s"at-risk not strictly decreasing at t=$t2")
+          assert(s2 < s1, s"log-survival not strictly decreasing at t=$t2")
+          assert(t2 > t1)
+        case _ =>
+      }
+      c.foreach { case (_, t, r, d, h, _) =>
+        assert(d >= 1 && d <= r, s"t=$t deaths=$d outside [1, at_risk=$r]")
+        assert(h == d * 1000000L / r, s"t=$t hazard not the exact ratio")
+      }
+    }
+  }
 }
