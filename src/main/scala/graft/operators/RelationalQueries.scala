@@ -1156,6 +1156,73 @@ object RelationalQueries {
         .select(col("segment"), col("r_tile"), col("f_tile"), col("m_tile"),
           col("rfm_label"), col("n_customers"), col("n_orders"), col("m_cents"))
         .orderBy("segment", "r_tile", "f_tile", "m_tile")
+    },
+
+    sql(
+      "u10_wap_audit",
+      "write-audit-publish gate (the Iceberg WAP / Delta-constraints commit protocol u01-u09 presuppose: a staged batch is NOT visible until a battery of integrity audits passes, and the publish decision is itself data): the staged batch is synthesized deterministically in both dialects (the t23/p02 discipline) — every 97th order key as the incoming delta, plus four planted violations that each trip exactly one audit (a duplicated primary key, an orphan o_custkey=-1 foreign key, a NULL o_orderdate, a negative o_totalprice). Five audits run against the stage: pk_duplicates (keys with >1 row), fk_orphans (anti-join to customer), null_orderdate, negative_price, and size_bound (batch must stay under 5% of the base table — the fat-finger/backfill-gone-wrong guard, exact integer cross-multiply n*20 > base so no ratio float). The report is one row per audit (violation count + pass bit) plus the publish row folding them: publish passes iff every audit does — the bit a commit service reads before swapping snapshot pointers. All counts exact integers. Scale posture: every audit is batch-sized except fk_orphans, which anti-joins the batch (broadcast — it is bounded by the 5%% gate itself) against the dimension; the base table contributes ONE count(*); the verdict fold is 5 rows. At 100 TB this is exactly why WAP works: audits cost O(batch), not O(table)",
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |              FROM orders WHERE o_orderkey % 97 = 0),
+        |mo AS (SELECT min(o_orderkey) AS mk, min(o_custkey) AS mc FROM base),
+        |staged AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT mk, mc, 1.0, TIMESTAMP '2024-01-01 00:00:00' FROM mo
+        |  UNION ALL SELECT -1, -1, 1.0, TIMESTAMP '2024-01-01 00:00:00' FROM mo
+        |  UNION ALL SELECT -2, mc, 1.0, NULL FROM mo
+        |  UNION ALL SELECT -3, mc, -1.0, TIMESTAMP '2024-01-01 00:00:00' FROM mo),
+        |checks AS (
+        |  SELECT 'pk_duplicates' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM (SELECT o_orderkey FROM staged GROUP BY o_orderkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'fk_orphans', CAST(count(*) AS BIGINT) FROM staged s
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.o_custkey)
+        |  UNION ALL
+        |  SELECT 'null_orderdate', CAST(count(*) AS BIGINT) FROM staged WHERE o_orderdate IS NULL
+        |  UNION ALL
+        |  SELECT 'negative_price', CAST(count(*) AS BIGINT) FROM staged WHERE o_totalprice < 0
+        |  UNION ALL
+        |  SELECT 'size_bound',
+        |         CAST(CASE WHEN (SELECT count(*) FROM staged) * 20 > (SELECT count(*) FROM orders)
+        |              THEN 1 ELSE 0 END AS BIGINT)),
+        |rep AS (
+        |  SELECT check_name, n_violations FROM checks
+        |  UNION ALL
+        |  SELECT 'publish', CAST(sum(n_violations) AS BIGINT) FROM checks)
+        |SELECT check_name, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM rep ORDER BY check_name""") { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val base = orders.filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val mo = base.agg(min("o_orderkey").as("mk"), min("o_custkey").as("mc"))
+      val ts0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val staged = base
+        .unionAll(mo.select(col("mk"), col("mc"), lit(1.0), ts0))
+        .unionAll(mo.select(lit(-1L), lit(-1L), lit(1.0), ts0))
+        .unionAll(mo.select(lit(-2L), col("mc"), lit(1.0), lit(null).cast("timestamp")))
+        .unionAll(mo.select(lit(-3L), col("mc"), lit(-1.0), ts0))
+      def one(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("check_name"), col("v").as("n_violations"))
+      val pk = one("pk_duplicates", staged.groupBy("o_orderkey").count()
+        .filter(col("count") > 1).agg(count(lit(1)).cast("long").as("v")))
+      val fk = one("fk_orphans", staged.join(
+          Tables.customer(s, dir).select(col("c_custkey")),
+          staged("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("v")))
+      val nl = one("null_orderdate",
+        staged.filter(col("o_orderdate").isNull).agg(count(lit(1)).cast("long").as("v")))
+      val ng = one("negative_price",
+        staged.filter(col("o_totalprice") < 0).agg(count(lit(1)).cast("long").as("v")))
+      val sz = one("size_bound", staged.agg(count(lit(1)).as("ns"))
+        .crossJoin(orders.agg(count(lit(1)).as("nb")))
+        .select(when(col("ns") * 20 > col("nb"), 1L).otherwise(0L).as("v")))
+      val checks = pk.unionAll(fk).unionAll(nl).unionAll(ng).unionAll(sz)
+      checks
+        .unionAll(checks.agg(sum("n_violations").cast("long").as("v"))
+          .select(lit("publish").as("check_name"), col("v").as("n_violations")))
+        .select(col("check_name"), col("n_violations"),
+          when(col("n_violations") === 0, 1L).otherwise(0L).as("passed"))
+        .orderBy("check_name")
     }
   )
 }

@@ -708,6 +708,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meanEn > meanRest, s"target slice does not outscore the rest: $meanEn <= $meanRest")
   }
 
+  test("u10 WAP gate: every planted violation caught by exactly its own audit, publish blocked") {
+    // the fixture batch is naturally clean (verified: zero natural dups /
+    // orphans / nulls / negatives among the 97-step keys), so each audit
+    // must report EXACTLY its one planted violation — more means a false
+    // positive, fewer means the audit would wave a bad commit through
+    val rows = SparkEntry.queries("u10_wap_audit")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size == 6, s"expected 5 audits + publish, got ${rows.keys}")
+    Seq("pk_duplicates", "fk_orphans", "null_orderdate", "negative_price").foreach { c =>
+      assert(rows(c) == ((1L, 0L)), s"$c: ${rows(c)} != (1 violation, failed)")
+    }
+    assert(rows("size_bound") == ((0L, 1L)), s"size_bound: ${rows("size_bound")}")
+    val expectedTotal = rows.filterKeys(_ != "publish").values.map(_._1).sum
+    assert(rows("publish") == ((expectedTotal, 0L)),
+      s"publish row ${rows("publish")} != fold ($expectedTotal, blocked)")
+  }
+
   test("q104 KM curve == sequential product-limit reimplementation; survival monotone, censoring honored") {
     // Recompute the whole estimator in plain Scala from the raw events:
     // per-user (birth, last, first-error), the 5-day follow-up, the
