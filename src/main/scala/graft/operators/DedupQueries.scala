@@ -1617,6 +1617,68 @@ object DedupQueries {
           when(col("n_true") === 0, lit(0L))
             .otherwise(expr("coalesce(n_hits, 0L) * 1000000 div n_true")).as("recall_ppm"))
         .orderBy("rows_per_band", "bands")
+    },
+
+    sql(
+      "d17_corpus_overlap",
+      "cross-corpus MinHash overlap triage (the step BEFORE d10/d14 document-level decontamination: given two corpora, estimate how much shingle mass they share from two tiny sketches — if the estimate is near zero you skip the full cross-corpus dedup join entirely, which at 100 TB is the difference between a metadata compare and a corpus-by-corpus shuffle; the Broder resemblance-sketch application MinHash was invented for): corpora here are the language slices, and each corpus's k=32 signature is the PERMUTATION-WISE MIN over its documents' d04 signatures — min-over-docs of min-over-shingles IS min-over-the-corpus-shingle-set, so corpus sketches compose from the per-doc sketches the dedup pipeline already materializes (sketch maintenance is one keyed MIN aggregation, no second corpus pass; at 100 TB the sketch per corpus is 256 bytes and union-composes incrementally as batches land). For every lang pair: exact distinct-shingle counts and true Jaccard (the audit reference — the expensive leg the sketch replaces, kept here as d16 keeps its exact-Jaccard truth column), signature match count of 32, the estimate matches*1e6 div 32, and the absolute error — the measure-don't-guess evidence that k=32 suffices for triage. All counts exact integers; the signature replay is d04's sigSql avalanche in HUGEINT. Scale posture: gram sets are a lang-keyed distinct (the d14 inverted-index shape), the pair grid is |corpora|^2 dimension-sized, and the sketch compare is 32 rows per pair",
+      s"""$sigSql,
+        |ls AS (SELECT d.lang, s.j, min(s.sv) AS sv
+        |       FROM sig s JOIN documents d USING (doc_id) GROUP BY d.lang, s.j),
+        |gr AS (SELECT DISTINCT d.lang, sh.s AS g FROM sh JOIN documents d USING (doc_id)),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng FROM gr GROUP BY lang),
+        |com AS (SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_common
+        |        FROM gr a JOIN gr b ON b.g = a.g AND a.lang < b.lang GROUP BY 1, 2),
+        |mt AS (SELECT x.lang AS lang_a, y.lang AS lang_b, CAST(count(*) AS BIGINT) AS sig_matches
+        |       FROM ls x JOIN ls y ON y.j = x.j AND x.lang < y.lang AND y.sv = x.sv GROUP BY 1, 2),
+        |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.ng AS n_grams_a, b.ng AS n_grams_b
+        |       FROM cnt a JOIN cnt b ON a.lang < b.lang),
+        |rep AS (SELECT pr.lang_a, pr.lang_b, pr.n_grams_a, pr.n_grams_b,
+        |               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+        |               CAST(COALESCE(c.n_common, 0) * 1000000
+        |                    // (pr.n_grams_a + pr.n_grams_b - COALESCE(c.n_common, 0)) AS BIGINT) AS j_exact_ppm,
+        |               CAST(COALESCE(m.sig_matches, 0) AS BIGINT) AS sig_matches,
+        |               CAST(COALESCE(m.sig_matches, 0) * 1000000 // 32 AS BIGINT) AS j_est_ppm
+        |        FROM pr LEFT JOIN com c ON c.lang_a = pr.lang_a AND c.lang_b = pr.lang_b
+        |                LEFT JOIN mt m ON m.lang_a = pr.lang_a AND m.lang_b = pr.lang_b)
+        |SELECT lang_a, lang_b, n_grams_a, n_grams_b, n_common, j_exact_ppm,
+        |       sig_matches, j_est_ppm,
+        |       CAST(abs(j_est_ppm - j_exact_ppm) AS BIGINT) AS err_ppm
+        |FROM rep ORDER BY lang_a, lang_b""") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val toks = TextFunctions.tokens(col("text"))
+      val base = d.filter(size(toks) >= 3)
+      val grams = base
+        .select(col("lang"), explode(HashFunctions.shingleStrings(toks, 3)).as("g"))
+        .distinct()
+      val cnt = grams.groupBy("lang").agg(count(lit(1)).cast("long").as("ng"))
+      val com = grams.as("a").join(grams.as("b"),
+          col("b.g") === col("a.g") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      val sigs = base
+        .select(col("lang"),
+          posexplode(HashFunctions.shingleMinHash(toks, 32, 3)).as(Seq("j", "v")))
+        .groupBy("lang", "j").agg(min("v").as("sv"))
+      val mt = sigs.as("x").join(sigs.as("y"),
+          col("y.j") === col("x.j") && col("x.lang") < col("y.lang")
+            && col("y.sv") === col("x.sv"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).cast("long").as("sig_matches"))
+      // the pair grid is |corpora|^2 — a dimension-sized inequality join
+      val pr = cnt.select(col("lang").as("lang_a"), col("ng").as("n_grams_a"))
+        .join(cnt.select(col("lang").as("lang_b"), col("ng").as("n_grams_b")),
+          col("lang_a") < col("lang_b"))
+      pr.join(com, Seq("lang_a", "lang_b"), "left")
+        .join(mt, Seq("lang_a", "lang_b"), "left")
+        .select(col("lang_a"), col("lang_b"), col("n_grams_a"), col("n_grams_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr("coalesce(n_common, 0L) * 1000000 div (n_grams_a + n_grams_b - coalesce(n_common, 0L))")
+            .as("j_exact_ppm"),
+          coalesce(col("sig_matches"), lit(0L)).as("sig_matches"),
+          expr("coalesce(sig_matches, 0L) * 1000000 div 32").as("j_est_ppm"))
+        .withColumn("err_ppm", abs(col("j_est_ppm") - col("j_exact_ppm")))
+        .orderBy("lang_a", "lang_b")
     }
   )
 

@@ -708,6 +708,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meanEn > meanRest, s"target slice does not outscore the rest: $meanEn <= $meanRest")
   }
 
+  test("d17 corpus overlap: identical corpora sketch to exactly 1e6, disjoint to exactly 0") {
+    // The two analytic endpoints pin the sketch against its own truth
+    // column with NO sampling slack: identical gram sets must agree on all
+    // 32 permutation minima (J_est == J_exact == 1.0) and disjoint gram
+    // sets on none (a cross-corpus minimum collision would need an
+    // fnv+avalanche collision on distinct shingles) — so err_ppm must be
+    // EXACTLY 0 at both ends, not merely small
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17").toString
+    val mk = (ids: Range, text: String, lang: String) => ids.map(i => (i.toLong, text, lang))
+    (mk(0 to 2, "w1 w2 w3 w4 w5 w6", "aa")
+      ++ mk(10 to 12, "w1 w2 w3 w4 w5 w6", "bb")
+      ++ mk(20 to 22, "x1 x2 x3 x4 x5 x6", "cc"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d17_corpus_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(rows.size == 3)
+    // aa-bb identical: 4 shingles each, all common, 32/32 matches, err 0
+    assert(rows(("aa", "bb")) == ((4L, 4L, 4L, 1000000L, 32L, 1000000L, 0L)), rows(("aa", "bb")))
+    // disjoint pairs: zero overlap on both legs, err 0
+    Seq(("aa", "cc"), ("bb", "cc")).foreach { p =>
+      assert(rows(p) == ((4L, 4L, 0L, 0L, 0L, 0L, 0L)), s"$p -> ${rows(p)}")
+    }
+    // and on the real fixture the estimate must sit inside the k=32
+    // binomial envelope around its own truth column (~3.5 sigma at J~0.1)
+    val real = SparkEntry.queries("d17_corpus_overlap")(spark, sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("err_ppm") <= 200000L,
+        s"${r.getString(0)}-${r.getString(1)}: err ${r.getAs[Long]("err_ppm")} outside the sketch envelope")
+    }
+  }
+
   test("u10 WAP gate: every planted violation caught by exactly its own audit, publish blocked") {
     // the fixture batch is naturally clean (verified: zero natural dups /
     // orphans / nulls / negatives among the 97-step keys), so each audit
