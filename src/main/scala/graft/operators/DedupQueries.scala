@@ -1534,7 +1534,7 @@ object DedupQueries {
 
     sql(
       "d16_lsh_tuning_audit",
-      "LSH banding-parameter audit — the MEASURE-DON'T-GUESS step that must run before any corpus-scale near-dup job commits to a (bands x rows) choice (d04/d13/d15 all hard-wire 16x2; this operator produces the empirical S-curve table that justifies or retunes it): on a deterministic 50% document sample (doc_id parity — retry-stable, the p03/p05 hash-sample discipline), evaluate five banding configurations of the SAME 32-hash MinHash signature — (16x2) production, (10x3), (8x4), (6x5), (4x6) — and report per config the candidate-pair count, the exact-Jaccard>=0.5 truth count, hits, and integer-ppm precision/recall. Band keys here are raw signature-value TUPLES (comma-joined in deterministic j order), not fnv folds — configs stay comparable and the oracle replays them with string_agg; the signature itself is the shared fused HUGEINT kernel (sigSql), so the WHOLE audit is bit-exact in DuckDB. Scale posture: the banding legs are pure keyed group-bys and (band,key) equi-joins on the SAMPLE (half the corpus here; at 100 TB the sample rate is chosen so sample-pairs fit the truth leg's budget — the audit is statistics, not production dedup, and its estimates are unbiased for the full-corpus S-curve); the truth leg's all-pairs join is the audit's deliberate, sample-bounded cost and the one thing this table exists to avoid ever running corpus-wide",
+      "LSH banding-parameter audit — the MEASURE-DON'T-GUESS step that must run before any corpus-scale near-dup job commits to a (bands x rows) choice (d04/d13/d15 all hard-wire 16x2; this operator produces the empirical S-curve table that justifies or retunes it): on a deterministic 50% document sample (doc_id parity — retry-stable, the p03/p05 hash-sample discipline), evaluate five banding configurations of the SAME 32-hash MinHash signature — (16x2) production, (10x3), (8x4), (6x5), (4x6) — and report per config the candidate-pair count, the exact-Jaccard>=0.5 truth count, hits, and integer-ppm precision/recall. Band keys here are raw signature-value TUPLES (comma-joined in deterministic j order), not fnv folds — configs stay comparable and the oracle replays them with string_agg; the signature itself is the shared fused HUGEINT kernel (sigSql), so the WHOLE audit is bit-exact in DuckDB. Scale posture: the banding legs are pure keyed group-bys and (band,key) equi-joins on the SAMPLE (half the corpus here; at 100 TB the sample rate bounds the truth leg's budget — the audit is statistics, not production dedup, and its estimates are unbiased for the full-corpus S-curve); the truth leg is the d10/d14 inverted-index shape — a gram-keyed equi-join counting shared grams per pair (pairs sharing zero grams never materialize; measured 319k join rows vs 3.1M all-pairs on the sf0.1 sample, which is why the r12 rewrite dropped the original all-pairs array-intersect leg from 109 s to the d04 band) — with the Jaccard>=0.5 threshold as ONE exact integer cross-multiply 3*inter >= |A|+|B| (algebraically identical to inter/union >= 0.5, no float compare at the boundary)",
       s"""$sigSql,
         |cfg AS (SELECT * FROM (VALUES (16, 2), (10, 3), (8, 4), (6, 5), (4, 6)) AS t(b, r)),
         |bandkeys AS (
@@ -1547,14 +1547,17 @@ object DedupQueries {
         |         FROM bandkeys k1 JOIN bandkeys k2
         |           ON k1.b = k2.b AND k1.r = k2.r AND k1.band = k2.band
         |          AND k1.key = k2.key AND k1.doc_id < k2.doc_id),
-        |grams AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |gx AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
         |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
-        |          FROM tok WHERE len(tk) >= 3 AND doc_id % 2 = 0),
-        |tru AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        |        WHERE length(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0
-        |              / (length(a.g) + length(b.g)
-        |                 - length(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5),
+        |       FROM tok WHERE len(tk) >= 3 AND doc_id % 2 = 0),
+        |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM gx GROUP BY doc_id),
+        |pin AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |        FROM gx a JOIN gx b ON b.g = a.g AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |tru AS (SELECT p.id_a, p.id_b
+        |        FROM pin p JOIN szs sa ON sa.doc_id = p.id_a
+        |                   JOIN szs sb ON sb.doc_id = p.id_b
+        |        WHERE p.inter * 3 >= sa.ng + sb.ng),
         |nc AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY b, r),
         |hit AS (SELECT c.b, c.r, CAST(count(*) AS BIGINT) AS n_hits
         |        FROM cand c JOIN tru t ON c.id_a = t.id_a AND c.id_b = t.id_b GROUP BY c.b, c.r),
@@ -1592,13 +1595,20 @@ object DedupQueries {
         .select(col("k1.b").as("b"), col("k1.r").as("r"),
           col("k1.doc_id").as("id_a"), col("k2.doc_id").as("id_b"))
         .distinct()
-      val grams = sample
-        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("g"))
-      val tru = grams.as("a").join(grams.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
-          (size(col("a.g")) + size(col("b.g"))).as("tot"))
-        .filter(col("inter") * lit(1.0) / (col("tot") - col("inter")) >= 0.5)
+      // truth leg as the d10/d14 inverted-index join: pairs sharing zero
+      // grams never materialize (319k join rows vs 3.1M all-pairs on this
+      // sample), and the threshold is one exact integer cross-multiply
+      val gx = sample
+        .select(col("doc_id"), explode(HashFunctions.shingleStrings(toks, 3)).as("g"))
+      val szs = gx.groupBy("doc_id").agg(count(lit(1)).cast("long").as("ng"))
+      val tru = gx.as("ga")
+        .join(gx.as("gb"),
+          col("gb.g") === col("ga.g") && col("ga.doc_id") < col("gb.doc_id"))
+        .groupBy(col("ga.doc_id").as("id_a"), col("gb.doc_id").as("id_b"))
+        .agg(count(lit(1)).cast("long").as("inter"))
+        .join(szs.select(col("doc_id").as("id_a"), col("ng").as("na")), "id_a")
+        .join(szs.select(col("doc_id").as("id_b"), col("ng").as("nb")), "id_b")
+        .filter(col("inter") * 3 >= col("na") + col("nb"))
         .select("id_a", "id_b")
       val nc = cand.groupBy("b", "r").agg(count(lit(1)).cast("long").as("n_candidates"))
       val hit = cand.join(tru, Seq("id_a", "id_b"))
