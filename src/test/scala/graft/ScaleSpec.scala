@@ -132,7 +132,12 @@ class ScaleSpec extends SparkSpec {
       // r11 representatives: cached-graph wedge build, segmented lag,
       // position-window deletion vectors, broadcast-bloom index shipping
       "g08_clustering_coeff", "q98_autocorrelation", "u08_deletion_vectors",
-      "d15_bloom_index_dedup")
+      "d15_bloom_index_dedup",
+      // r12 representatives: bucket-model importance weights, nprobe sweep,
+      // KM censoring windows, corpus-sketch minima, WAP audit fold,
+      // inverted-index banding truth leg
+      "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
+      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -162,7 +167,12 @@ class ScaleSpec extends SparkSpec {
       // r11 representatives: cached-graph wedge build, segmented lag,
       // position-window deletion vectors, broadcast-bloom index shipping
       "g08_clustering_coeff", "q98_autocorrelation", "u08_deletion_vectors",
-      "d15_bloom_index_dedup")
+      "d15_bloom_index_dedup",
+      // r12 representatives: bucket-model importance weights, nprobe sweep,
+      // KM censoring windows, corpus-sketch minima, WAP audit fold,
+      // inverted-index banding truth leg
+      "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
+      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
