@@ -1223,6 +1223,101 @@ object RelationalQueries {
         .select(col("check_name"), col("n_violations"),
           when(col("n_violations") === 0, 1L).otherwise(0L).as("passed"))
         .orderBy("check_name")
+    },
+
+    sql(
+      "q105_assoc_rules",
+      "market-basket association-rule mining (A-priori shape): baskets are each order's DISTINCT brand set; directional rules a→b with integer-ppm support, confidence and lift, kept at support ≥ 2% of baskets. The Spark side never self-joins the basket table — baskets group once, and the 2-combinations explode MAP-SIDE from each order's sorted item array (flatten(transform(slice))), so pair generation costs zero extra shuffle beyond the basket groupBy; item supports and the basket count are broadcast back onto the pair aggregate. At 100 TB this is the textbook A-priori layout: one shuffle to form baskets, combinations local, dimension-sized (|items|²) rule table — the oracle keeps the classical self-join formulation to prove the combination kernel equivalent. All metrics are integer ppm via flooring division on non-negative operands (Spark div = DuckDB // there); lift_ppm = 1e6·n_ab·N / (n_a·n_b) stays well inside BIGINT at every fixture SF (and the doc records DECIMAL(38,0) as the 100 TB widening)",
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+        |isup AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY b),
+        |pairs AS (SELECT x.b AS pa, y.b AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |          FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b GROUP BY x.b, y.b),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab AS n_both,
+        |       ia.n_b AS n_ante, ic.n_b AS n_cons,
+        |       (1000000 * r.n_ab) // n.n_orders AS support_ppm,
+        |       (1000000 * r.n_ab) // ia.n_b AS confidence_ppm,
+        |       (1000000 * r.n_ab * n.n_orders) // (ia.n_b * ic.n_b) AS lift_ppm
+        |FROM rules r JOIN isup ia ON ia.b = r.antecedent
+        |             JOIN isup ic ON ic.b = r.consequent
+        |             CROSS JOIN n
+        |WHERE (1000000 * r.n_ab) // n.n_orders >= 20000
+        |ORDER BY antecedent, consequent""") { (s, dir) =>
+      val ob = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val baskets = ob.groupBy("o").agg(sort_array(collect_set(col("b"))).as("items"))
+      val nOrders = baskets.agg(count(lit(1)).cast("long").as("n_orders"))
+      val isup = ob.groupBy(col("b")).agg(count(lit(1)).cast("long").as("n_b"))
+      // 2-combinations generated locally from each basket's sorted item
+      // array: element i pairs with every later element (slice is 1-based,
+      // transform's index 0-based, hence i + 2).
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), y -> struct(x AS pa, y AS pb))))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).cast("long").as("n_ab"))
+      val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_ab"))
+        .unionAll(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("n_ab")))
+      rules
+        .join(broadcast(isup.withColumnRenamed("b", "antecedent").withColumnRenamed("n_b", "n_ante")), "antecedent")
+        .join(broadcast(isup.withColumnRenamed("b", "consequent").withColumnRenamed("n_b", "n_cons")), "consequent")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support_ppm", expr("(1000000 * n_ab) div n_orders"))
+        .filter(col("support_ppm") >= 20000)
+        .select(col("antecedent"), col("consequent"), col("n_ab").as("n_both"),
+          col("n_ante"), col("n_cons"), col("support_ppm"),
+          expr("(1000000 * n_ab) div n_ante").as("confidence_ppm"),
+          expr("(1000000 * n_ab * n_orders) div (n_ante * n_cons)").as("lift_ppm"))
+        .orderBy("antecedent", "consequent")
+    },
+
+    sql(
+      "u11_snapshot_expiry",
+      "snapshot-expiry / orphan-file GC planning — the retention half of table maintenance beside u09's compaction half (Iceberg expire_snapshots / Delta VACUUM dry-run): the snapshot log is synthesized deterministically from the data (p02/u09 discipline) — one snapshot per o_orderdate month, each committing 4 data files (the month's orders sliced by o_orderkey % 4, so file row-masses are DATA-derived, not invented), each file later rewritten at removed_ym = ym + 2 + file_id % 3 (files outliving max_ym stay live). Retention keeps the trailing 5-month window; the plan lists every EXPIRED snapshot with its file count, written row mass, and — the actual GC decision — how many of its files are deletable because no RETAINED snapshot still references them (file referenced over [ym, removed_ym), retained window (max_ym−5, max_ym], so deletable ⇔ removed_ym ≤ max_ym−5). All integer month arithmetic; the month watermark comes from a broadcast 1-row max, NOT a global window — retention-by-watermark is how production services actually expire, and it keeps the plan off the global-window whitelist. Scale posture: one keyed aggregation over the data to size files, then pure manifest-sized arithmetic — the GC planner never re-reads data rows",
+      """WITH mo AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+        |                  CAST(o_orderkey % 4 AS BIGINT) AS k FROM orders),
+        |mx AS (SELECT CAST(max(ym) AS BIGINT) AS max_ym FROM mo),
+        |fs AS (SELECT CAST(ym AS BIGINT) AS ym, k, CAST(ym * 4 + k AS BIGINT) AS file_id,
+        |              CAST(count(*) AS BIGINT) AS n_rows
+        |       FROM mo GROUP BY ym, k),
+        |fl AS (SELECT fs.ym, fs.file_id, fs.n_rows,
+        |              fs.ym + 2 + fs.file_id % 3 AS removed_ym, max_ym
+        |       FROM fs CROSS JOIN mx)
+        |SELECT ym AS snap_ym, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_rows_written,
+        |       CAST(sum(CASE WHEN removed_ym <= max_ym - 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_deletable_files,
+        |       CAST(sum(CASE WHEN removed_ym <= max_ym - 5 THEN n_rows ELSE 0 END) AS BIGINT)
+        |         AS n_rows_reclaimed
+        |FROM fl WHERE ym <= max_ym - 5
+        |GROUP BY ym ORDER BY ym""") { (s, dir) =>
+      val mo = Tables.orders(s, dir)
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"),
+          (col("o_orderkey") % 4).cast("long").as("k"))
+      val mx = mo.agg(max("ym").as("max_ym"))
+      val fs = mo.groupBy("ym", "k")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+        .withColumn("file_id", (col("ym") * 4 + col("k")).cast("long"))
+      fs.crossJoin(broadcast(mx))
+        .withColumn("removed_ym", col("ym") + 2 + col("file_id") % 3)
+        .filter(col("ym") <= col("max_ym") - 5)
+        .groupBy(col("ym").as("snap_ym"))
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum("n_rows").cast("long").as("n_rows_written"),
+          sum(when(col("removed_ym") <= col("max_ym") - 5, 1L).otherwise(0L))
+            .cast("long").as("n_deletable_files"),
+          sum(when(col("removed_ym") <= col("max_ym") - 5, col("n_rows")).otherwise(0L))
+            .cast("long").as("n_rows_reclaimed"))
+        .orderBy("snap_ym")
     }
   )
 }

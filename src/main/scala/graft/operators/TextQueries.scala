@@ -1563,6 +1563,47 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("logw_ppm"), col("rn"),
           when(col("rn") <= expr("ns * 25 div 100"), lit(1L)).otherwise(lit(0L)).as("keep"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t27_readability",
+      "Flesch-Kincaid readability grading, fully integerized: the classic curation feature (CCNet buckets by an LM proxy, many stacks gate on FK-style grade bands) computed without a single engine-divergent float. Syllables use the standard vowel-run heuristic — count of maximal [aeiouy]+ runs (run count = length delta between replacing each run with one char and deleting it outright; spaces are non-vowels so runs never span words) plus a +1 floor for vowel-less words, mirroring 'every word has at least one syllable'. The fixture corpus is punctuation-free word salad, so sentence segmentation falls back to fixed 8-token segments (1 + (w-1) div 8) — deterministic and documented rather than a fake '.'-count that is always zero. FK grade = 0.39 w/s + 11.8 y/w − 15.59, carried as centi-grade integers: (39w) div s + (1180y) div w − 1559 — all operands non-negative before the final exact subtraction, so Spark's truncating div and DuckDB's flooring // agree everywhere. Scale posture: pure codegen'd map over document partitions, zero shuffle — scan-bandwidth-bound at 100 TB, fuses into the first projection like t23",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |              - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)
+        |         + CAST(length(list_filter(string_split(text, ' '),
+        |                                   t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT)
+        |           AS n_syllables
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_words,
+        |             CAST(1 + (n_words - 1) // 8 AS BIGINT) AS n_sentences, n_syllables
+        |      FROM f)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CAST((39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559
+        |            AS BIGINT) AS fk_centigrade,
+        |       CASE WHEN (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 < 600
+        |            THEN 'easy'
+        |            WHEN (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 < 1000
+        |            THEN 'medium' ELSE 'hard' END AS band
+        |FROM g ORDER BY doc_id""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val low = lower(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          ((length(regexp_replace(low, "[aeiouy]+", "V"))
+            - length(regexp_replace(low, "[aeiouy]+", ""))).cast("long")
+            + size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long")).as("n_syllables"))
+        .withColumn("n_sentences", expr("1 + (n_words - 1) div 8").cast("long"))
+        .withColumn("fk_centigrade",
+          expr("(39 * n_words) div n_sentences + (1180 * n_syllables) div n_words - 1559"))
+        .withColumn("band",
+          when(col("fk_centigrade") < 600, "easy")
+            .when(col("fk_centigrade") < 1000, "medium").otherwise("hard"))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "fk_centigrade", "band")
+        .orderBy("doc_id")
     }
   )
 }

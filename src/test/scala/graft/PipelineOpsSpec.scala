@@ -811,4 +811,72 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("t27 FK readability: hand-traced syllable runs, vowel-less floor, 8-token sentences, band cuts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t27spec").toString
+    Seq(
+      (1L, "the cat sat"),               // 3 words, 1 run each: fk = 117 + 1180 - 1559
+      (2L, "zz bcd"),                    // zero vowel runs; +1-per-word floor supplies both syllables
+      (3L, "banana banana banana"),      // 3 runs per word: y/w = 3 pushes into 'hard'
+      (4L, Seq.fill(17)("ox").mkString(" "))) // 17 words => 3 fixed 8-token sentences
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("t27_readability")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(m(1L) == ((3L, 1L, 3L, 117L + 1180L - 1559L, "easy")), m(1L).toString)
+    assert(m(2L) == ((2L, 1L, 2L, 78L + 1180L - 1559L, "easy")), m(2L).toString)
+    assert(m(3L) == ((3L, 1L, 9L, 117L + 3540L - 1559L, "hard")), m(3L).toString)
+    // 17 one-syllable words: s = 1 + 16 div 8 = 3; 39*17 div 3 = 221
+    assert(m(4L) == ((17L, 3L, 17L, 221L + 1180L - 1559L, "easy")), m(4L).toString)
+  }
+
+  test("q105 assoc rules: hand-traced 5-basket corpus — support/confidence/lift exact, dup line distinct'd") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q105spec").toString
+    // baskets: o1{A,B} o2{A,B} o3{A,C} o4{B} o5{C}; (o1,A) duplicated to
+    // prove the DISTINCT basket build ignores line-level multiplicity
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 2L), (5L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q105_assoc_rules")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    // N=5, n_A=3 n_B=3 n_C=2; pairs (A,B)=2 (A,C)=1; every support >= 2%
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 3L, 3L, 400000L, 666666L, 1111111L),
+      ("A", "C", 1L, 3L, 2L, 200000L, 333333L, 833333L),
+      ("B", "A", 2L, 3L, 3L, 400000L, 666666L, 1111111L),
+      ("C", "A", 1L, 2L, 3L, 200000L, 500000L, 833333L)), got.mkString(", "))
+  }
+
+  test("u11 snapshot expiry: plan equals an independent month-arithmetic mirror; retained window untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("u11spec").toString
+    // month i of 2024 holds i orders with keys i*100+1..i*100+i
+    val orders = (1 to 10).flatMap { i =>
+      (1 to i).map(j =>
+        (i.toLong * 100 + j, java.sql.Timestamp.valueOf(f"2024-$i%02d-15 00:00:00")))
+    }
+    orders.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("u11_snapshot_expiry")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent mirror from first principles
+    val maxYm = 2024L * 12 + 10
+    val expected = (1 to 10).map { i =>
+      val ym = 2024L * 12 + i
+      val files = (1 to i).map(j => (i.toLong * 100 + j) % 4).groupBy(identity)
+        .map { case (k, rows) => (ym * 4 + k, rows.size.toLong) }.toSeq
+      val del = files.filter { case (fid, _) => ym + 2 + fid % 3 <= maxYm - 5 }
+      (ym, files.size.toLong, i.toLong, del.size.toLong, del.map(_._2).sum)
+    }.filter(_._1 <= maxYm - 5)
+    assert(got.toSeq == expected, s"got ${got.mkString(", ")}\nexp ${expected.mkString(", ")}")
+    // retained trailing 5 months never appear in the expiry plan
+    assert(got.forall(_._1 <= maxYm - 5))
+  }
 }

@@ -137,7 +137,9 @@ class ScaleSpec extends SparkSpec {
       // KM censoring windows, corpus-sketch minima, WAP audit fold,
       // inverted-index banding truth leg
       "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
-      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit")
+      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit",
+      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic
+      "q105_assoc_rules", "u11_snapshot_expiry")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -172,7 +174,9 @@ class ScaleSpec extends SparkSpec {
       // KM censoring windows, corpus-sketch minima, WAP audit fold,
       // inverted-index banding truth leg
       "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
-      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit")
+      "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit",
+      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic
+      "q105_assoc_rules", "u11_snapshot_expiry")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
