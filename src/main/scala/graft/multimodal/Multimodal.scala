@@ -110,6 +110,70 @@ object Multimodal {
     }
   }
 
+  /** Per-document audio VAD summary (see [[vadTrim]]). */
+  final case class AudioVad(
+      doc_id: Long,
+      n_frames: Long,
+      n_silent: Long,
+      lead_silent: Long,
+      trail_silent: Long,
+      trimmed_frames: Long,
+      total_energy: Long)
+
+  /** Voice-activity-detection STUB over audio payloads: the payload is
+    * treated as 8-bit PCM, sliced into `frameLen`-byte frames, and each
+    * frame scored by the integer energy Σ(b−128)² — the real VAD shape
+    * (frame, energy, threshold, lead/trail trim) with the codec stubbed to
+    * byte arithmetic, like [[decodeFeatures]]. Frames below `threshold`
+    * are silent; the summary reports the leading/trailing silent runs and
+    * the trimmed active span, which is what a speech-corpus curation
+    * pipeline keeps. Zero-byte payloads produce no frames and no row.
+    * Pure integers throughout, so the DuckDB oracle replays it exactly.
+    */
+  def vadTrim(
+      blobs: Dataset[MediaBlob],
+      frameLen: Int = 32,
+      threshold: Long = 55000L): Dataset[AudioVad] = {
+    import blobs.sparkSession.implicits._
+    require(frameLen > 0)
+    blobs
+      .filter(b => b.media_type == "audio" && b.data != null && b.data.length > 0)
+      .mapPartitions { it =>
+        // per-partition VAD model init would go here (real VADs load one)
+        it.map { b =>
+          val bytes = b.data
+          val n = bytes.length
+          val nf = (n + frameLen - 1) / frameLen
+          var f = 0
+          var nSilent = 0L
+          var firstActive = -1L
+          var lastActive = -1L
+          var total = 0L
+          while (f < nf) {
+            var j = f * frameLen
+            val end = math.min(n, j + frameLen)
+            var e = 0L
+            while (j < end) {
+              val d = (bytes(j) & 0xff) - 128
+              e += d.toLong * d
+              j += 1
+            }
+            total += e
+            if (e < threshold) nSilent += 1
+            else {
+              if (firstActive < 0) firstActive = f.toLong
+              lastActive = f.toLong
+            }
+            f += 1
+          }
+          val lead = if (firstActive < 0) nf.toLong else firstActive
+          val trail = if (lastActive < 0) nf.toLong else nf - 1L - lastActive
+          val trimmed = if (firstActive < 0) 0L else lastActive - firstActive + 1L
+          AudioVad(b.doc_id, nf.toLong, nSilent, lead, trail, trimmed, total)
+        }
+      }
+  }
+
   /** Frame sampling STUB: slices the payload into `stride`-byte "frames"
     * and keeps every `every`-th one — the explode shape of real video
     * frame sampling.

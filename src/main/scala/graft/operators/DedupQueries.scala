@@ -1084,6 +1084,75 @@ object DedupQueries {
     },
 
     sql(
+      "g10_neighborhood_anf",
+      "sampled approximate-neighborhood-function (ANF / HyperBall shape) over the co-purchase graph: for a deterministic seed sample (nodes ≡ 0 mod 100) grow exact balls B(s,h) for h = 0..3 and report the neighborhood-function curve — seeds, Σ|B(s,h)|, mean ball size in ppm, and how many seeds SATURATED (ball stopped growing) at each radius; the curve is how effective-diameter and reachability profiles are read off web/citation-scale graphs. The expansion is frontier-only (g04's bounded-round contract, per-seed): each round joins ONLY last round's new (seed, node) pairs against the cached symmetric edge list, anti-joins the ball, and localCheckpoints — O(rounds × frontier × degree) shuffle rows of 16 B. Scale posture: at 100 TB the exact per-seed pair set is replaced by one b-bit HyperLogLog register per NODE, merged along edges per round (HyperBall — Boldi/Vigna WWW'13); the sampled exact legs here are precisely the truth column that calibrates those registers, and a06 already carries the engine's replayable HLL. Oracle unrolls the same three rounds as chained MATERIALIZED CTEs over the shared co-purchase edge SQL; every metric is a flooring division on non-negative integers",
+      s"""WITH $copurchasePairsSql,
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |                     UNION ALL SELECT v, u FROM pairs),
+        |seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM sym WHERE src % 100 = 0),
+        |b0 AS MATERIALIZED (SELECT seed, seed AS node FROM seeds),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN b0 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b0 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |b1 AS MATERIALIZED (SELECT seed, node FROM b0 UNION ALL SELECT seed, node FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f1 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b1 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |b2 AS MATERIALIZED (SELECT seed, node FROM b1 UNION ALL SELECT seed, node FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f2 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |b3 AS MATERIALIZED (SELECT seed, node FROM b2 UNION ALL SELECT seed, node FROM f3),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds)
+        |SELECT CAST(0 AS BIGINT) AS h, ns.n AS n_seeds, c.n AS n_pairs,
+        |       (1000000 * c.n) // ns.n AS avg_ball_ppm, CAST(0 AS BIGINT) AS n_saturated
+        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b0) c
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
+        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b1) c,
+        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f1) f
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
+        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b2) c,
+        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f2) f
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
+        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b3) c,
+        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f3) f
+        |ORDER BY h""") { (s, dir) =>
+      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      val seeds = sym.select("src").distinct().filter(col("src") % 100 === 0)
+        .select(col("src").as("seed"))
+      val nSeeds = seeds.agg(count(lit(1)).cast("long").as("n_seeds"))
+      var ball = seeds.select(col("seed"), col("seed").as("node"))
+        .coalesce(parts).localCheckpoint(true)
+      var frontier = ball
+      def curveRow(h: Int, grew: DataFrame): DataFrame =
+        ball.agg(count(lit(1)).cast("long").as("n_pairs"))
+          .crossJoin(broadcast(nSeeds))
+          .crossJoin(broadcast(grew))
+          .select(lit(h.toLong).as("h"), col("n_seeds"), col("n_pairs"),
+            expr("(1000000 * n_pairs) div n_seeds").as("avg_ball_ppm"),
+            (col("n_seeds") - col("grew")).as("n_saturated"))
+      val all0 = nSeeds.select(col("n_seeds").as("grew")) // h=0: every seed "grew"
+      var out = curveRow(0, all0)
+      for (h <- 1 to 3) {
+        val nbrs = sym
+          .join(frontier.select(col("seed"), col("node").as("src")).hint("shuffle_hash"), Seq("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+        frontier = nbrs
+          .join(ball.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
+          .coalesce(parts).localCheckpoint(true)
+        ball = ball.unionAll(frontier).coalesce(parts).localCheckpoint(true)
+        out = out.unionAll(
+          curveRow(h, frontier.agg(countDistinct("seed").cast("long").as("grew"))))
+      }
+      out.orderBy("h")
+    },
+
+    sql(
       "g02_triangle_count",
       "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list via two-phase SHUFFLE wedge joins — O(wedges) 16-byte shuffle rows, no broadcast of E, valid at any edge-list size",
       s"""WITH $copurchasePairsSql,

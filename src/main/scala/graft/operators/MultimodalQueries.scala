@@ -274,6 +274,39 @@ object MultimodalQueries {
         .filter(col("hamming") <= 8)
         .select("a", "b", "hamming")
         .orderBy("a", "b")
+    },
+
+    sql(
+      "m08_audio_vad",
+      "audio voice-activity detection + silence trim (stubbed codec, real VAD shape): audio payloads slice into 32-byte PCM frames, each scored by the INTEGER energy Σ(b−128)² — no floats anywhere — with frames under 55000 marked silent; per doc the summary reports frame counts, the leading/trailing silent runs, and the trimmed active span, which is what a speech-corpus curation stack keeps before transcription. The oracle replays the byte arithmetic from the text payload (ASCII ⇒ codepoints == bytes, the m02 trick) including the shorter final partial frame, whose low energy correctly reads as trailing silence. Scale posture: partition-batched single pass inside mapPartitions (one VAD-model init per partition, the JNI shape), per-doc summary output — zero shuffle, scan-bandwidth-bound at 100 TB; swapping the stub for a real codec/VAD changes no plan",
+      """WITH a AS (SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+        |                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT doc_id, CAST(u.f AS BIGINT) AS f,
+        |              CAST(list_sum(list_transform(
+        |                     bytes[CAST(u.f * 32 + 1 AS INT) : CAST(u.f * 32 + 32 AS INT)],
+        |                     b -> (b - 128) * (b - 128))) AS BIGINT) AS energy
+        |       FROM a, unnest(generate_series(0, CAST((n - 1) // 32 AS BIGINT))) AS u(f)
+        |       WHERE n > 0),
+        |fl AS (SELECT doc_id, f, energy,
+        |              CASE WHEN energy < 55000 THEN 1 ELSE 0 END AS silent FROM fr)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(silent) AS BIGINT) AS n_silent,
+        |       CAST(coalesce(min(CASE WHEN silent = 0 THEN f END), count(*)) AS BIGINT)
+        |         AS lead_silent,
+        |       CAST(CASE WHEN max(CASE WHEN silent = 0 THEN f END) IS NULL THEN count(*)
+        |                 ELSE count(*) - 1 - max(CASE WHEN silent = 0 THEN f END) END AS BIGINT)
+        |         AS trail_silent,
+        |       CAST(CASE WHEN max(CASE WHEN silent = 0 THEN f END) IS NULL THEN 0
+        |                 ELSE max(CASE WHEN silent = 0 THEN f END)
+        |                      - min(CASE WHEN silent = 0 THEN f END) + 1 END AS BIGINT)
+        |         AS trimmed_frames,
+        |       CAST(sum(energy) AS BIGINT) AS total_energy
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Multimodal.vadTrim(Multimodal.packBlobs(s, Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 }

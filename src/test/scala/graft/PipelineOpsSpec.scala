@@ -879,4 +879,23 @@ class PipelineOpsSpec extends SparkSpec {
     // retained trailing 5 months never appear in the expiry plan
     assert(got.forall(_._1 <= maxYm - 5))
   }
+
+  test("m08 VAD: hand-traced frame energies — silence bracket trims, all-silent doc, non-audio excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m08spec").toString
+    // 'm' (109): dev -19 → 361/byte → 32-byte frame = 11552 (silent);
+    // ' ' (32): dev -96 → 9216/byte → 32-byte frame = 294912 (active)
+    Seq(
+      (4L, "m" * 32 + " " * 32 + "m" * 32, "en", "s"), // silent|active|silent
+      (7L, "mmmm", "en", "s"),                         // one short all-silent frame
+      (3L, " " * 64, "en", "s"))                       // doc_id % 3 == 0: not audio
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m08_audio_vad")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(4L, 7L), got.keySet.toString)
+    assert(got(4L) == ((3L, 2L, 1L, 1L, 1L, 11552L + 294912L + 11552L)), got(4L).toString)
+    assert(got(7L) == ((1L, 1L, 1L, 1L, 0L, 4L * 361L)), got(7L).toString)
+  }
 }

@@ -421,4 +421,26 @@ class ScaleSpec extends SparkSpec {
     assert(got == deg, s"spark ${got.size} nodes vs brute ${deg.size}")
     assert(got.nonEmpty, "fixture 2-core should be non-empty")
   }
+
+  test("g10 ANF: hand-traced ball curve — path keeps growing, 2-node component saturates at h=2") {
+    // support-2 edges: path 100–1–2–3 (seed 100), pair 200–7 (seed 200),
+    // seedless edge 5–6. Balls: seed 100 grows 1,2,3,4; seed 200 grows
+    // 1,2 then saturates. n_saturated counts seeds whose frontier emptied.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g10spec").toString
+    Seq((100L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (200L, 7L)).zipWithIndex
+      .flatMap { case ((u, v), i) =>
+        Seq(10L * i -> u, 10L * i -> v, 10L * i + 1 -> u, 10L * i + 1 -> v)
+      }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("g10_neighborhood_anf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(rows == List(
+      (0L, 2L, 2L, 1000000L, 0L),
+      (1L, 2L, 4L, 2000000L, 0L),
+      (2L, 2L, 5L, 2500000L, 1L),
+      (3L, 2L, 6L, 3000000L, 1L)), rows.toString)
+  }
 }
