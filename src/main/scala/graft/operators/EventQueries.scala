@@ -1140,6 +1140,68 @@ object EventQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long").as("log_surv_ppm"))
         .orderBy("cohort_day", "dur_days")
+    },
+
+    sql(
+      "q106_multitouch_attribution",
+      "U-shaped (position-based) multi-touch attribution — the marketing-analytics standard beside q68's last-touch as-of join: per user, each purchase closes a journey; the clicks/views since the previous purchase split the conversion's credit 40/40/20 (first/last/middles), solo touches take 100%, touches after the final purchase stay unattributed. Journey segmentation is a running purchase count over (ts, event_id) — the event_id tiebreak makes the order total in both engines — and credit is integer ppm (middles get 200000 div (n−2), flooring on positive operands, so Spark div == DuckDB //). Output is the position × touch-type credit report. Scale posture: two user-partitioned windows and one keyed aggregation — journeys never leave their user partition, the per-user journey count joins back as a 150-row (users-sized) broadcast, and the report is dimension-sized; no global window, no self-join",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+        |np AS (SELECT user_id, CAST(max(cum) AS BIGINT) AS n_conv FROM seq GROUP BY user_id),
+        |touch AS (
+        |  SELECT s.user_id, s.event_id, s.event_type, s.ts, s.cum + 1 AS journey
+        |  FROM seq s WHERE s.event_type <> 'purchase'),
+        |att AS (
+        |  SELECT t.event_type,
+        |         row_number() OVER (PARTITION BY t.user_id, t.journey
+        |                            ORDER BY t.ts, t.event_id) AS rn,
+        |         count(*) OVER (PARTITION BY t.user_id, t.journey) AS n
+        |  FROM touch t JOIN np ON np.user_id = t.user_id
+        |  WHERE t.journey <= np.n_conv),
+        |credited AS (
+        |  SELECT event_type,
+        |         CASE WHEN n = 1 THEN 'solo'
+        |              WHEN rn = 1 THEN 'first'
+        |              WHEN rn = n THEN 'last' ELSE 'middle' END AS position,
+        |         CASE WHEN n = 1 THEN 1000000
+        |              WHEN rn = 1 OR rn = n THEN 400000
+        |              ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM att)
+        |SELECT event_type, position,
+        |       CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+        |FROM credited GROUP BY event_type, position
+        |ORDER BY event_type, position""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+      val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seq = ev.withColumn("cum",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(wCum))
+      val np = seq.groupBy("user_id").agg(max("cum").cast("long").as("n_conv"))
+      val wJourney = Window.partitionBy("user_id", "journey")
+      val att = seq.filter(col("event_type") =!= "purchase")
+        .withColumn("journey", col("cum") + 1)
+        .join(np, "user_id")
+        .filter(col("journey") <= col("n_conv"))
+        .withColumn("rn", row_number().over(wJourney.orderBy("ts", "event_id")))
+        .withColumn("n", count(lit(1)).over(wJourney))
+      att.select(col("event_type"),
+          when(col("n") === 1, "solo")
+            .when(col("rn") === 1, "first")
+            .when(col("rn") === col("n"), "last")
+            .otherwise("middle").as("position"),
+          when(col("n") === 1, lit(1000000L))
+            .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+            .otherwise(expr("200000 div (n - 2)")).as("credit_ppm"))
+        .groupBy("event_type", "position")
+        .agg(count(lit(1)).cast("long").as("n_touches"),
+          sum("credit_ppm").cast("long").as("credit_ppm_sum"))
+        .orderBy("event_type", "position")
     }
   )
 }

@@ -1318,6 +1318,70 @@ object RelationalQueries {
           sum(when(col("removed_ym") <= col("max_ym") - 5, col("n_rows")).otherwise(0L))
             .cast("long").as("n_rows_reclaimed"))
         .orderBy("snap_ym")
+    },
+
+    sql(
+      "u12_skipping_report",
+      "data-skipping effectiveness audit — the report that tells a lakehouse operator whether q99's zone maps and u09's clustering actually pay: for a deterministic 4-predicate workload (orderkey ranges of varied width/offset, derived from max-key arithmetic), score each predicate against the 16-file zone-map manifest — files skipped (file max < lo or min > hi), rows the engine would still scan, rows that actually match, skip ratio and scan WASTE in ppm (rows scanned but discarded — the number that motivates re-clustering). Exactly what table-maintenance advisors compute before recommending an OPTIMIZE. Scale posture: the manifest pass is u09's single keyed aggregation; predicate × file scoring is a 4×16 broadcast nested loop over METADATA; the exact matched counts are one broadcast-predicate pass over the data (4-row broadcast, one scan for all predicates); flooring division on non-negative integers throughout",
+      """WITH mk AS (SELECT CAST(max(l_orderkey) + 1 AS BIGINT) AS m FROM lineitem),
+        |fs AS (SELECT CAST((l_orderkey * 16) // m AS BIGINT) AS file_id,
+        |              CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |              CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |       FROM lineitem CROSS JOIN mk GROUP BY file_id),
+        |preds AS (SELECT CAST(t.i AS BIGINT) AS pred_id,
+        |                 (t.i * m) // 6 AS lo,
+        |                 (t.i * m) // 6 + m // (2 * (t.i + 1)) AS hi
+        |          FROM range(0, 4) t(i) CROSS JOIN mk),
+        |pf AS (SELECT p.pred_id, p.lo, p.hi, f.n_rows,
+        |              CASE WHEN f.max_key < p.lo OR f.min_key > p.hi THEN 1 ELSE 0 END AS skipped
+        |       FROM preds p CROSS JOIN fs f),
+        |scan AS (SELECT pred_id, lo, hi,
+        |                CAST(count(*) AS BIGINT) AS n_files,
+        |                CAST(sum(skipped) AS BIGINT) AS n_skipped,
+        |                CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+        |                  AS rows_scanned
+        |         FROM pf GROUP BY pred_id, lo, hi),
+        |mt AS (SELECT p.pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+        |       FROM preds p JOIN lineitem l ON l.l_orderkey BETWEEN p.lo AND p.hi
+        |       GROUP BY p.pred_id)
+        |SELECT s.pred_id, s.lo, s.hi, s.n_files, s.n_skipped, s.rows_scanned,
+        |       coalesce(mt.rows_matched, 0) AS rows_matched,
+        |       (s.n_skipped * 1000000) // s.n_files AS skip_ppm,
+        |       ((s.rows_scanned - coalesce(mt.rows_matched, 0)) * 1000000)
+        |         // greatest(s.rows_scanned, 1) AS waste_ppm
+        |FROM scan s LEFT JOIN mt ON mt.pred_id = s.pred_id
+        |ORDER BY s.pred_id""") { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val mk = li.agg((max("l_orderkey") + 1).cast("long").as("m"))
+      val fs = li.crossJoin(broadcast(mk))
+        .groupBy(expr("cast((l_orderkey * 16) div m as bigint)").as("file_id"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min("l_orderkey").cast("long").as("min_key"),
+          max("l_orderkey").cast("long").as("max_key"))
+      val preds = s.range(0, 4).toDF("i").crossJoin(broadcast(mk))
+        .select(col("i").as("pred_id"),
+          expr("(i * m) div 6").as("lo"),
+          expr("(i * m) div 6 + m div (2 * (i + 1))").as("hi"))
+      val scan = preds.crossJoin(fs)
+        .withColumn("skipped",
+          when(col("max_key") < col("lo") || col("min_key") > col("hi"), 1L).otherwise(0L))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum("skipped").cast("long").as("n_skipped"),
+          sum(when(col("skipped") === 0, col("n_rows")).otherwise(0L))
+            .cast("long").as("rows_scanned"))
+      val mt = li.crossJoin(broadcast(preds))
+        .filter(col("l_orderkey").between(col("lo"), col("hi")))
+        .groupBy("pred_id").agg(count(lit(1)).cast("long").as("rows_matched"))
+      scan.join(mt, Seq("pred_id"), "left")
+        .withColumn("rows_matched", coalesce(col("rows_matched"), lit(0L)))
+        .select(col("pred_id"), col("lo"), col("hi"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"), col("rows_matched"),
+          expr("(n_skipped * 1000000) div n_files").as("skip_ppm"),
+          expr("((rows_scanned - rows_matched) * 1000000) div greatest(rows_scanned, 1)")
+            .as("waste_ppm"))
+        .orderBy("pred_id")
     }
   )
 }

@@ -898,4 +898,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == ((3L, 2L, 1L, 1L, 1L, 11552L + 294912L + 11552L)), got(4L).toString)
     assert(got(7L) == ((1L, 1L, 1L, 1L, 0L, 4L * 361L)), got(7L).toString)
   }
+
+  test("q106 attribution: 3-touch journey splits 40/20/40, solo takes all, post-purchase touch unattributed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q106spec").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$m%d:00")
+    Seq(
+      (1L, t(1), 10L, "view"), (2L, t(2), 10L, "click"), (3L, t(3), 10L, "view"),
+      (4L, t(4), 10L, "purchase"), (5L, t(5), 10L, "click"), // after last purchase: dropped
+      (6L, t(1), 20L, "click"), (7L, t(2), 20L, "purchase"),
+      (8L, t(1), 30L, "purchase"), // zero-touch conversion: contributes nothing
+      (9L, t(1), 40L, "error"))    // non-journey type: filtered out entirely
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q106_multitouch_attribution")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("click", "middle", 1L, 200000L),
+      ("click", "solo", 1L, 1000000L),
+      ("view", "first", 1L, 400000L),
+      ("view", "last", 1L, 400000L)), got.mkString(", "))
+  }
+
+  test("u12 skipping report == independent mirror over a 2-keys-per-file manifest; waste appears at ragged edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("u12spec").toString
+    val keys = (0L until 32L)
+    keys.map(k => Tuple1(k)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("u12_skipping_report")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    // mirror from first principles: m=32, file f holds keys {2f, 2f+1}
+    val m = 32L
+    val expected = (0L until 4L).map { i =>
+      val lo = i * m / 6
+      val hi = lo + m / (2 * (i + 1))
+      val files = keys.groupBy(k => k * 16 / m).map { case (f, ks) =>
+        (ks.min, ks.max, ks.size.toLong)
+      }.toSeq
+      val kept = files.filterNot { case (mn, mx, _) => mx < lo || mn > hi }
+      val scanned = kept.map(_._3).sum
+      val matched = keys.count(k => k >= lo && k <= hi).toLong
+      (i, lo, hi, files.size.toLong, (files.size - kept.size).toLong, scanned, matched,
+        (files.size - kept.size).toLong * 1000000L / files.size,
+        (scanned - matched) * 1000000L / math.max(scanned, 1L))
+    }
+    assert(got == expected, s"got ${got.mkString(", ")}\nexp ${expected.mkString(", ")}")
+    // the ragged pred-0 edge must show nonzero waste (file 8 half-matches)
+    assert(got.exists(_._9 > 0), "expected at least one pred with scan waste")
+  }
 }

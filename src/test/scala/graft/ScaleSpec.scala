@@ -138,8 +138,10 @@ class ScaleSpec extends SparkSpec {
       // inverted-index banding truth leg
       "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
       "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit",
-      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic
-      "q105_assoc_rules", "u11_snapshot_expiry")
+      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic,
+      // per-seed frontier expansion, journey-window credit splits
+      "q105_assoc_rules", "u11_snapshot_expiry",
+      "g10_neighborhood_anf", "q106_multitouch_attribution")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -175,8 +177,10 @@ class ScaleSpec extends SparkSpec {
       // inverted-index banding truth leg
       "p13_importance_weights", "s16_ivf_nprobe_audit", "q104_survival_km",
       "d17_corpus_overlap", "u10_wap_audit", "d16_lsh_tuning_audit",
-      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic
-      "q105_assoc_rules", "u11_snapshot_expiry")
+      // r12 batch 2: map-side basket combinations, GC-plan month arithmetic,
+      // per-seed frontier expansion, journey-window credit splits
+      "q105_assoc_rules", "u11_snapshot_expiry",
+      "g10_neighborhood_anf", "q106_multitouch_attribution")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
