@@ -406,6 +406,41 @@ object StreamingQueries {
             when(col("n_dup_bands").isNull, lit(0L)).otherwise(lit(1L)).as("is_near_dup"))
           .orderBy("doc_id")
       }
+    },
+
+    sql(
+      "st13_stream_anomaly",
+      "STREAMING prequential anomaly detection (EventStreams.prequentialAnomalies) — the monitoring family's streaming representative: q85's exact-integer 2σ test evaluated ONLINE, each event judged against the moments of the events seen before it (test-then-train — the only z-score a stream can actually compute, since full-population stats don't exist mid-stream), with a ≥10-predecessor warm-up. Per-user state is four longs (n, Σv, and Σv² split hi/lo around 10¹⁸ — the square sum outgrows Long on the 1e6 grid); the test stays (n·v − S)² > 4(n·Q − S²) in BigInt, no division, sqrt, or float compare. Within a batch, events fold in (ts, event_id) order (st11's determinism contract), so the bounded single-batch replay reproduces the exact PRECEDING-rows running-window oracle; across batches the carried moments keep the prequential fold seamless (MemoryStream spec pins the batch boundary). Scale posture: user-keyed state store entries of 32 B, shuffle-partitioned; emissions are final (Append); the report is one keyed aggregation over the flags",
+      """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |           FROM events
+        |           WHERE value IS NOT NULL AND ts IS NOT NULL
+        |             AND event_id IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, vs,
+        |             CAST(count(*) OVER w AS BIGINT) AS np,
+        |             CAST(coalesce(sum(vs) OVER w, 0) AS BIGINT) AS sp,
+        |             CAST(coalesce(sum(CAST(vs AS HUGEINT) * vs) OVER w, 0) AS HUGEINT) AS qp
+        |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN np >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |       CAST(sum(CASE WHEN np >= 10
+        |                      AND (CAST(np AS HUGEINT) * vs - sp)
+        |                          * (CAST(np AS HUGEINT) * vs - sp)
+        |                          > 4 * (np * qp - CAST(sp AS HUGEINT) * sp)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM r GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        val out = runToMemory(s,
+          EventStreams.prequentialAnomalies(s, eventStream(s, dir)).toDF(),
+          "st13_out", mode = "append", requireSingleBatch = true)
+        out.groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum("scored").cast("long").as("n_scored"),
+            sum("is_anom").cast("long").as("n_anomalies"))
+          .orderBy("user_id")
+      }
     }
   )
 }

@@ -191,6 +191,76 @@ object EventStreams {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** A value-carrying event reduced to the 1e6 integer grid (see st13). */
+  final case class VsEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, vs: Long)
+
+  /** Per-event prequential anomaly verdict: `scored` = had ≥10 predecessors. */
+  final case class AnomalyFlag(user_id: Long, event_id: Long, scored: Long, is_anom: Long)
+
+  /** Exact per-user moments (n, Σv, Σv²) with the square sum split into
+    * two longs (hi·10¹⁸ + lo) — Σv² reaches ~10²² on the 1e6 grid, past
+    * Long range, and the state encoder has no BigInt slot.
+    */
+  final case class Moments(n: Long, s: Long, qHi: Long, qLo: Long)
+
+  /** PREQUENTIAL (online) z-score anomaly scoring — the streaming twin of
+    * q85's batch 2σ test, but stream-natural: each event is judged against
+    * the moments of the events seen BEFORE it (test-then-train, the
+    * monitoring deployment shape), never against full-population stats a
+    * stream cannot have. The z-test stays q85's exact integer rearrangement
+    * (n·v − S)² > 4(n·Q − S²) on the 1e6 grid — BigInt inside the
+    * processor, no float compare anywhere — with a ≥10-predecessor warm-up
+    * before scoring. Within a batch events fold in (ts, event_id) order
+    * (the st11 determinism contract), so a single-batch replay reproduces
+    * the exact running-window batch oracle; across batches the carried
+    * moments keep the fold seamless. Scale posture: per-user state is four
+    * longs; users shuffle-partition; emissions are final (Append).
+    */
+  final class PrequentialAnomalyProcessor
+      extends StatefulProcessor[Long, VsEvent, AnomalyFlag] {
+    @transient private var st: ValueState[Moments] = _
+    private val QL = BigInt("1000000000000000000")
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Moments]("moments", Encoders.product[Moments], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[VsEvent],
+        timerValues: TimerValues): Iterator[AnomalyFlag] = {
+      val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+      var (n, s, q) =
+        if (st.exists()) { val m = st.get(); (m.n, m.s, BigInt(m.qHi) * QL + m.qLo) }
+        else (0L, 0L, BigInt(0))
+      val out = batch.map { r =>
+        val vs = BigInt(r.vs)
+        val scored = n >= 10
+        val anom = scored && {
+          val dev = BigInt(n) * vs - s
+          dev * dev > (BigInt(n) * q - BigInt(s) * s) * 4
+        }
+        n += 1; s += r.vs; q += vs * vs
+        AnomalyFlag(user, r.event_id, if (scored) 1L else 0L, if (anom) 1L else 0L)
+      }
+      st.update(Moments(n, s, (q / QL).toLong, (q % QL).toLong))
+      out.iterator
+    }
+  }
+
+  /** Streaming prequential anomaly flags via [[PrequentialAnomalyProcessor]]
+    * over events with columns (user_id, event_id, ts, value); rows missing
+    * any of them are dropped (the q85/oracle filter).
+    */
+  def prequentialAnomalies(spark: SparkSession, events: DataFrame): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("event_id").isNotNull
+        && col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      .as[VsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new PrequentialAnomalyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Session CLOSER on transformWithState EVENT-TIME TIMERS — the timer
     * surface of the Spark 4 stateful API, which st04 (no time mode) and
     * st05 (fMGWS, no timeout) leave unexercised: each user keeps ONE armed

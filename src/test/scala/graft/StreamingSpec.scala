@@ -575,4 +575,32 @@ class StreamingSpec extends SparkSpec {
     assert(k.sinkOptions("kinesis.partitionKey") == "partitionKey")
     intercept[UnsupportedOperationException](k.read(spark))
   }
+
+  test("st13 prequential anomaly: warm-up gates at exactly 10 predecessors; moments carry across the batch boundary") {
+    // 11 flat events in batch 1: events 1-10 are warm-up (scored=0), event
+    // 11 is the FIRST scored one (boundary pinned at n_prev == 10) and a
+    // flat history makes it non-anomalous. Batch 2 rides the CARRIED
+    // moments: a 100× spike flags against the flat history, and the next
+    // flat event does NOT — the spike fattened the variance it is judged
+    // against (test-then-train order pinned at the batch boundary).
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, m: Int, v: Double) = EventStreams.Event(
+        id, java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"), 1L, "click", v)
+      ms.addData((1 to 11).map(i => ev(i.toLong, i, 1.0)))
+      val q = EventStreams.prequentialAnomalies(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st13_spec").start()
+      q.processAllAvailable()
+      ms.addData(Seq(ev(12L, 12, 100.0), ev(13L, 13, 1.0)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st13_spec").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got.size == 13, got.toString)
+      (1 to 10).foreach(i => assert(got(i.toLong) == ((0L, 0L)), s"event $i: ${got(i.toLong)}"))
+      assert(got(11L) == ((1L, 0L)), s"first scored event: ${got(11L)}")
+      assert(got(12L) == ((1L, 1L)), s"spike vs carried flat moments: ${got(12L)}")
+      assert(got(13L) == ((1L, 0L)), s"post-spike flat event: ${got(13L)}")
+    }
+  }
 }
