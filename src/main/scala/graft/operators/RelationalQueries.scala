@@ -1382,6 +1382,45 @@ object RelationalQueries {
           expr("((rows_scanned - rows_matched) * 1000000) div greatest(rows_scanned, 1)")
             .as("waste_ppm"))
         .orderBy("pred_id")
+    },
+
+    sql(
+      "q107_bom_rollup",
+      "hierarchical (BOM-style) subtree rollup — the recursive-CTE surface Spark lacks natively: parts form a synthetic 10-ary hierarchy (parent = partkey div 10, the p02 synthesize-then-process discipline), and every INTERNAL node reports its subtree size and exact-decimal subtree retailprice — the bill-of-materials / org-chart rollup every warehouse ships as WITH RECURSIVE. The oracle IS a genuine recursive CTE (the registry's first — g03/g04 unroll bounded rounds instead); the Spark side computes the same transitive closure as 12 narrow digit-chain projections (anc → anc div 10 until 0; 12 rounds exhaust any partkey < 10^12, far past every fixture and documented as the 100 TB bound) unioned WITHOUT a shuffle — the only shuffle in the plan is the final rollup groupBy, because each closure level is a map-side projection of the part scan. Depth is the decimal digit count (length of the key's string form — identical in both engines for positive integers). Scale posture: closure is O(N × depth) 16 B rows feeding ONE keyed aggregation; no iteration-over-shuffles, no driver-side recursion",
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS node, CAST(p_partkey AS BIGINT) AS anc FROM part
+        |  UNION ALL
+        |  SELECT node, anc // 10 FROM anc WHERE anc // 10 >= 1),
+        |roll AS (
+        |  SELECT a.anc, CAST(count(*) AS BIGINT) AS n_desc,
+        |         floor((CAST(sum(CAST(p.p_retailprice AS DECIMAL(24,6))) AS DOUBLE)) * 100 + 0.5) / 100
+        |           AS subtree_price
+        |  FROM anc a JOIN part p ON p.p_partkey = a.node
+        |  GROUP BY a.anc)
+        |SELECT r.anc AS node, CAST(length(CAST(r.anc AS VARCHAR)) AS BIGINT) AS depth,
+        |       r.n_desc, r.subtree_price
+        |FROM roll r JOIN part x ON x.p_partkey = r.anc
+        |WHERE r.n_desc > 1
+        |ORDER BY node""") { (s, dir) =>
+      val part = Tables.part(s, dir)
+        .select(col("p_partkey").cast("long").as("node"), col("p_retailprice"))
+      var level = part.select(col("node"), col("node").as("anc"))
+      var closure = level
+      for (_ <- 1 to 12) {
+        level = level.filter(expr("anc div 10") >= 1)
+          .select(col("node"), expr("anc div 10").as("anc"))
+        closure = closure.unionAll(level)
+      }
+      closure.join(part, "node")
+        .groupBy("anc")
+        .agg(count(lit(1)).cast("long").as("n_desc"),
+          dsum2(col("p_retailprice")).as("subtree_price"))
+        .join(part.select(col("node").as("anc")), Seq("anc"), "left_semi")
+        .filter(col("n_desc") > 1)
+        .select(col("anc").as("node"),
+          length(col("anc").cast("string")).cast("long").as("depth"),
+          col("n_desc"), col("subtree_price"))
+        .orderBy("node")
     }
   )
 }

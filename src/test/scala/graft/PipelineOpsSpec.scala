@@ -948,4 +948,20 @@ class PipelineOpsSpec extends SparkSpec {
     // the ragged pred-0 edge must show nonzero waste (file 8 half-matches)
     assert(got.exists(_._9 > 0), "expected at least one pred with scan waste")
   }
+
+  test("q107 BOM rollup: hand-traced digit-chain subtrees; leaves filtered; exact price sums") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q107spec").toString
+    // chains: 105→10→1, 11→1, 25→2; internal nodes are 1 {1,10,11,105},
+    // 10 {10,105}, 2 {2,25}; 11/25/105 are leaves (n_desc=1, filtered)
+    Seq((1L, 10.0), (10L, 1.0), (11L, 2.0), (105L, 5.0), (2L, 7.0), (25L, 3.0))
+      .toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q107_bom_rollup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, 18.0),
+      (2L, 1L, 2L, 10.0),
+      (10L, 2L, 2L, 6.0)), got.mkString(", "))
+  }
 }
