@@ -678,6 +678,66 @@ object SimilarityQueries {
         .select(col("np").as("nprobe"), col("n_queries"), col("n_cand"), col("n_returned"),
           col("hits"), expr(s"hits * 1000000 div (n_queries * $K)").as("recall_ppm"))
         .orderBy("nprobe")
+    },
+
+    sql(
+      "s17_rank_quality_audit",
+      s"per-query ranking-quality audit of the int8 quantized index against the exact float ranking — the offline IR-eval harness (recall@k / MRR / rank displacement) every retrieval deployment runs before swapping an index, expressed as a registry operator instead of a notebook: for each of the $NQueries queries, how many of the exact cosine top-$K the quantized top-$K recovers (recall axis), where the TRUE nearest neighbor landed in the quantized ranking (first_rank_quant, 0 = missed; mrr_ppm = 1e6 div that rank — the metric's reciprocal without a float), and the total |rank_exact − rank_quant| displacement over the shared items (the tie-quality signal recall alone can't see). Both rankings are already hash-exact through s01/s09's gates (exact cosine ranking; pure-integer quantized dots), so every metric here is an exact integer — no rounding caveat anywhere. Scale posture: inherits s01/s09's shapes (broadcast query side, map-side scoring); the audit itself joins two ($K x $NQueries)-row rankings — dimension-sized",
+      s"""WITH exr AS (
+        |  SELECT q_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS er
+        |  FROM (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |               ${cosineSql("q.embedding", "e.embedding")} AS sim
+        |        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |        WHERE q.vec_id < $NQueries)),
+        |ex5 AS (SELECT q_id, neighbor_id, er FROM exr WHERE er <= $K),
+        |cx AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v
+        |       FROM embeddings),
+        |camax AS (SELECT max(abs(v)) AS a FROM cx),
+        |ccodes AS (SELECT e.vec_id, e.pos,
+        |                  CASE WHEN x.a = 0 THEN 0
+        |                       ELSE CAST(floor(((e.v * 127.0) / x.a) + 0.5) AS BIGINT)
+        |                  END AS c
+        |           FROM cx e CROSS JOIN camax x),
+        |cqd AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |               CAST(sum(q.c * e.c) AS BIGINT) AS qdot
+        |        FROM ccodes q JOIN ccodes e ON e.pos = q.pos AND e.vec_id <> q.vec_id
+        |        WHERE q.vec_id < $NQueries
+        |        GROUP BY q_id, neighbor_id),
+        |qz5 AS (SELECT q_id, neighbor_id, qr FROM (
+        |          SELECT q_id, neighbor_id,
+        |                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS qr
+        |          FROM cqd)
+        |        WHERE qr <= $K),
+        |shared AS (SELECT e.q_id, e.neighbor_id, e.er, z.qr
+        |           FROM ex5 e JOIN qz5 z ON z.q_id = e.q_id AND z.neighbor_id = e.neighbor_id),
+        |queries AS (SELECT DISTINCT q_id FROM ex5),
+        |hits AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |                CAST(sum(abs(er - qr)) AS BIGINT) AS displacement
+        |         FROM shared GROUP BY q_id),
+        |firsts AS (SELECT q_id, qr AS fr FROM shared WHERE er = 1)
+        |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(f.fr, 0) AS BIGINT) AS first_rank_quant,
+        |       CAST(CASE WHEN f.fr IS NULL THEN 0 ELSE 1000000 // f.fr END AS BIGINT) AS mrr_ppm,
+        |       CAST(coalesce(h.displacement, 0) AS BIGINT) AS displacement
+        |FROM queries q LEFT JOIN hits h ON h.q_id = q.q_id
+        |               LEFT JOIN firsts f ON f.q_id = q.q_id
+        |ORDER BY q.q_id""") { (s, dir) =>
+      val ex5 = knnBrute(s, dir).select(col("q_id"), col("neighbor_id"), col("rnk").as("er"))
+      val qz5 = knnQuantized(s, dir).select(col("q_id"), col("neighbor_id"), col("rnk").as("qr"))
+      val shared = ex5.join(qz5, Seq("q_id", "neighbor_id"))
+      val queries = ex5.select("q_id").distinct()
+      val hits = shared.groupBy("q_id").agg(count(lit(1)).cast("long").as("n_hits"),
+        sum(abs(col("er") - col("qr"))).cast("long").as("displacement"))
+      val firsts = shared.filter(col("er") === 1).select(col("q_id"), col("qr").as("fr"))
+      queries.join(hits, Seq("q_id"), "left").join(firsts, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("fr"), lit(0L)).as("first_rank_quant"),
+          when(col("fr").isNull, lit(0L)).otherwise(expr("1000000 div fr")).as("mrr_ppm"),
+          coalesce(col("displacement"), lit(0L)).as("displacement"))
+        .orderBy("q_id")
     }
   )
 

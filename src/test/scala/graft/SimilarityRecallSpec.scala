@@ -338,4 +338,25 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(rows.last._5 > rows.head._5,
       s"nprobe sweep flat: hits ${rows.head._5} -> ${rows.last._5}")
   }
+
+  test("s17 rank-quality audit == independent mirror over the s01/s09 rankings") {
+    // recompute every metric from the two rankings directly; the audit
+    // entry must agree exactly (same joins, independent code path)
+    val ex = graft.operators.SimilarityQueries.knnBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap // (q, nbr) -> rank
+    val qz = graft.operators.SimilarityQueries.knnQuantized(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val qids = ex.keys.map(_._1).toSeq.distinct.sorted
+    val expected = qids.map { q =>
+      val shared = ex.collect { case ((`q`, nbr), er) if qz.contains((q, nbr)) => (er, qz((q, nbr))) }
+      val fr = shared.collectFirst { case (1L, qr) => qr }.getOrElse(0L)
+      (q, shared.size.toLong, fr, if (fr == 0) 0L else 1000000L / fr,
+        shared.map { case (er, qr) => math.abs(er - qr) }.sum)
+    }
+    val got = SparkEntry.queries("s17_rank_quality_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got ${got.mkString(", ")}\nexp ${expected.mkString(", ")}")
+    // vacuity guard: quantization must recover most of the exact top-5 here
+    assert(got.map(_._2).sum >= got.size * 3, s"suspiciously low recall: $got")
+  }
 }
