@@ -1604,6 +1604,52 @@ object TextQueries {
             .when(col("fk_centigrade") < 1000, "medium").otherwise("hard"))
         .select("doc_id", "n_words", "n_sentences", "n_syllables", "fk_centigrade", "band")
         .orderBy("doc_id")
+    },
+
+    sql(
+      "t29_pmi_collocations",
+      "pointwise-mutual-information collocation mining — the lexical-association extractor (phrase tables, tokenizer-merge candidates, stopword-collocation screens) beside t06's raw bigram counts: PMI(a,b) = ln(c_ab·N_u² / (N_b·c_a·c_b)) integerized on t26's 1e6 ln grid, with the ratio's numerator and denominator each assembled as ONE exact DECIMAL(38,0)/HUGEINT product before a single correctly-rounded double division (the p13 pattern — no engine-divergent float chain), minimum bigram support 5, deterministic top-20 by (pmi_ppm DESC, a, b). Scale posture: unigram and bigram counts are two map-side-combinable keyed aggregations (bigrams explode from per-doc arrays, zero extra shuffle beyond the count); the two corpus scalars broadcast; the PMI join runs on the SUPPORT-FILTERED bigram table — at 100 TB min-support is the same tractability lever g02 documents for co-occurrence graphs",
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM tok),
+        |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+        |un AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+        |big AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                     i -> [t[i], t[i + 1]])) AS p
+        |        FROM tok),
+        |bcnt AS (SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |         FROM big GROUP BY 1, 2),
+        |bn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bcnt),
+        |pmi AS (SELECT a, b, c_ab,
+        |               CAST(floor(ln(CAST(CAST(c_ab AS HUGEINT) * nu * nu AS DOUBLE)
+        |                             / CAST(CAST(nb AS HUGEINT) * ca.c * cb.c AS DOUBLE))
+        |                          * 1000000 + 0.5) AS BIGINT) AS pmi_ppm
+        |        FROM bcnt JOIN ucnt ca ON ca.w = a JOIN ucnt cb ON cb.w = b
+        |        CROSS JOIN un CROSS JOIN bn
+        |        WHERE c_ab >= 5)
+        |SELECT a, b, c_ab, pmi_ppm FROM pmi
+        |ORDER BY pmi_ppm DESC, a, b LIMIT 20""") { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val toks = Tables.documents(s, dir).select(TextFunctions.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+      val ucnt = uni.groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      val un = uni.agg(count(lit(1)).cast("long").as("nu"))
+      // bigram (a, b) from each position i (Spark brackets are 0-based, so
+      // slice element i pairs with t[i + 1])
+      val big = toks.select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS a, t[i + 1] AS b))")).as("p"))
+      val bcnt = big.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).cast("long").as("c_ab"))
+      val bn = bcnt.agg(sum("c_ab").cast("long").as("nb"))
+      bcnt.filter(col("c_ab") >= 5)
+        .join(ucnt.select(col("w").as("a"), col("c").as("ca")), "a")
+        .join(ucnt.select(col("w").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(un)).crossJoin(broadcast(bn))
+        .withColumn("pmi_ppm",
+          floor(log((col("c_ab").cast(d38) * col("nu") * col("nu")).cast("double")
+            / (col("nb").cast(d38) * col("ca") * col("cb")).cast("double"))
+            * 1000000 + lit(0.5)).cast("long"))
+        .select("a", "b", "c_ab", "pmi_ppm")
+        .orderBy(desc("pmi_ppm"), col("a"), col("b")).limit(20)
     }
   )
 }

@@ -964,4 +964,18 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 1L, 2L, 10.0),
       (10L, 2L, 2L, 6.0)), got.mkString(", "))
   }
+
+  test("t29 PMI: planted perfect collocation scores ln(20/9) on the grid; sub-support pair filtered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t29spec").toString
+    // "x y" x5: c_xy=5 (kept), c_yx=4 (below support 5); N_u=10, c_x=c_y=5,
+    // N_b=9 -> PMI(x,y) = ln(5*10*10 / (9*5*5)) = ln(500/225)
+    Seq((1L, "x y x y x y x y x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t29_pmi_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val pmi = math.floor(math.log(500.0 / 225.0) * 1000000 + 0.5).toLong
+    assert(got == Seq(("x", "y", 5L, pmi)), s"got ${got.mkString(", ")} want pmi=$pmi")
+  }
 }
