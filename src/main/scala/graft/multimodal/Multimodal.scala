@@ -174,6 +174,47 @@ object Multimodal {
       }
   }
 
+  /** Typed container-header metadata parsed from a payload (see
+    * [[parseHeaders]]); malformed payloads report zeroed fields.
+    */
+  final case class MediaHeader(
+      doc_id: Long,
+      media_type: String,
+      magic: String,
+      version: Long,
+      flags: Long,
+      width: Long,
+      height: Long,
+      payload_len: Long,
+      well_formed: Long)
+
+  /** Container-header parse STUB: reads a fixed 8-byte header from the
+    * payload WITHOUT decoding the body — the metadata-extraction pass
+    * (dimensions, codec flags) ingestion runs on every container before
+    * deciding whether to decode at all. Synthetic layout: bytes 0-1 magic,
+    * byte 2 → version (mod 4), byte 3 → flags (mod 16), bytes 4-5 / 6-7
+    * big-endian width / height, remainder the payload. Payloads shorter
+    * than the header report `well_formed = 0` with zeroed fields instead
+    * of throwing — real corpora contain truncated files. Pure byte
+    * arithmetic, replayed exactly by the DuckDB oracle.
+    */
+  def parseHeaders(blobs: Dataset[MediaBlob]): Dataset[MediaHeader] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val bytes = if (b.data == null) Array.emptyByteArray else b.data
+        val n = bytes.length
+        if (n >= 8) {
+          def u(i: Int): Long = (bytes(i) & 0xff).toLong
+          MediaHeader(b.doc_id, b.media_type,
+            new String(bytes, 0, 2, java.nio.charset.StandardCharsets.UTF_8),
+            u(2) % 4, u(3) % 16, u(4) * 256 + u(5), u(6) * 256 + u(7),
+            n.toLong - 8, 1L)
+        } else MediaHeader(b.doc_id, b.media_type, "", 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    }
+  }
+
   /** Frame sampling STUB: slices the payload into `stride`-byte "frames"
     * and keeps every `every`-th one — the explode shape of real video
     * frame sampling.

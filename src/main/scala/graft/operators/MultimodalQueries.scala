@@ -307,6 +307,29 @@ object MultimodalQueries {
       Multimodal.vadTrim(Multimodal.packBlobs(s, Tables.documents(s, dir)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    sql(
+      "m09_header_parse",
+      "container-header metadata extraction (stubbed format, real ingestion shape): a fixed 8-byte header — 2-byte magic, version (byte 2 mod 4), flags (byte 3 mod 16), big-endian 16-bit width/height — parses from every payload WITHOUT decoding the body, which is the pass ingestion runs on each container before deciding whether to decode at all (and the schema the typed-metadata columns of m01 promise). Truncated payloads (< 8 bytes) report well_formed = 0 with zeroed fields instead of throwing — real corpora contain them. Pure byte arithmetic (ASCII payload ⇒ codepoints == bytes, the m02 trick), replayed exactly by the oracle. Scale posture: mapPartitions single pass, fixed-width output, zero shuffle; at 100 TB this fuses into the scan and reads 8 bytes per blob if the format supports projection pushdown into the binary column",
+      """SELECT doc_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |       CASE WHEN n >= 8 THEN substring(text, 1, 2) ELSE '' END AS magic,
+        |       CAST(CASE WHEN n >= 8 THEN ascii(substring(text, 3, 1)) % 4 ELSE 0 END AS BIGINT) AS version,
+        |       CAST(CASE WHEN n >= 8 THEN ascii(substring(text, 4, 1)) % 16 ELSE 0 END AS BIGINT) AS flags,
+        |       CAST(CASE WHEN n >= 8
+        |                 THEN ascii(substring(text, 5, 1)) * 256 + ascii(substring(text, 6, 1))
+        |                 ELSE 0 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN n >= 8
+        |                 THEN ascii(substring(text, 7, 1)) * 256 + ascii(substring(text, 8, 1))
+        |                 ELSE 0 END AS BIGINT) AS height,
+        |       CAST(CASE WHEN n >= 8 THEN n - 8 ELSE 0 END AS BIGINT) AS payload_len,
+        |       CAST(CASE WHEN n >= 8 THEN 1 ELSE 0 END AS BIGINT) AS well_formed
+        |FROM (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 }

@@ -978,4 +978,22 @@ class PipelineOpsSpec extends SparkSpec {
     val pmi = math.floor(math.log(500.0 / 225.0) * 1000000 + 0.5).toLong
     assert(got == Seq(("x", "y", 5L, pmi)), s"got ${got.mkString(", ")} want pmi=$pmi")
   }
+
+  test("m09 header parse: hand-traced byte fields; truncated payload reports well_formed=0, never throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m09spec").toString
+    // "IMAB" + width bytes ('A'=65,'B'=66) ... header: I,M | A(65)%4=1 |
+    // B(66)%16=2 | C,D -> 65*256+... hand-trace with explicit chars
+    Seq(
+      (1L, "IMABCDEFxyz", "en", "s"), // I M | A%4 | B%16 | CD | EF | payload "xyz"
+      (2L, "shrt", "en", "s"))        // 4 bytes < header: malformed
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m09_header_parse")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got(1L) == (("IM", 65L % 4, 66L % 16, 67L * 256 + 68, 69L * 256 + 70, 3L, 1L)),
+      got(1L).toString)
+    assert(got(2L) == (("", 0L, 0L, 0L, 0L, 0L, 0L)), got(2L).toString)
+  }
 }
