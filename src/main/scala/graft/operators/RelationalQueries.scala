@@ -1421,6 +1421,41 @@ object RelationalQueries {
           length(col("anc").cast("string")).cast("long").as("depth"),
           col("n_desc"), col("subtree_price"))
         .orderBy("node")
+    },
+
+    sql(
+      "q108_growth_periods",
+      "period-over-period revenue comparison (MoM / YoY growth per order priority) — the BI dashboard primitive beside q101's OLS trend: monthly revenue lands on exact integer cents (floor(price·100 + 0.5) snap, order-independent BIGINT sum), and each month LEFT-joins its CALENDAR predecessor (ym − 1) and year-ago month (ym − 12) — calendar-correct where lag() would silently skip missing months — leaving honest NULLs when no comparison period exists. Growth is (cur − prev)/prev as ONE sign-safe IEEE division on the exact cent deltas, rounded 4dp by the shared Det formula (q100's pattern: an integer div would diverge trunc-vs-floor on every DOWN month, and this fixture has plenty). Scale posture: one keyed aggregation to month grain, then self-joins on a dimension-sized (priority × month) frame — the data is touched once",
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |                  year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+        |                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |                    AS rev_cents
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT c.priority AS priority, CAST(c.ym AS BIGINT) AS ym, c.rev_cents AS rev_cents,
+        |       floor((CAST(c.rev_cents - p.rev_cents AS DOUBLE) / p.rev_cents) * 10000 + 0.5)
+        |         / 10000 AS mom_growth,
+        |       floor((CAST(c.rev_cents - y.rev_cents AS DOUBLE) / y.rev_cents) * 10000 + 0.5)
+        |         / 10000 AS yoy_growth
+        |FROM m c LEFT JOIN m p ON p.priority = c.priority AND p.ym = c.ym - 1
+        |         LEFT JOIN m y ON y.priority = c.priority AND y.ym = c.ym - 12
+        |ORDER BY c.priority, c.ym""") { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("rev_cents"))
+      def growth(cur: Column, prev: Column): Column =
+        floor((cur - prev).cast("double") / prev * 10000 + lit(0.5)) / 10000
+      m.as("c")
+        .join(m.select(col("priority"), col("ym"), col("rev_cents").as("prev_m")).as("p"),
+          col("p.priority") === col("c.priority") && col("p.ym") === col("c.ym") - 1, "left")
+        .join(m.select(col("priority"), col("ym"), col("rev_cents").as("prev_y")).as("y"),
+          col("y.priority") === col("c.priority") && col("y.ym") === col("c.ym") - 12, "left")
+        .select(col("c.priority").as("priority"), col("c.ym").as("ym"),
+          col("c.rev_cents").as("rev_cents"),
+          growth(col("c.rev_cents"), col("prev_m")).as("mom_growth"),
+          growth(col("c.rev_cents"), col("prev_y")).as("yoy_growth"))
+        .orderBy("priority", "ym")
     }
   )
 }

@@ -996,4 +996,27 @@ class PipelineOpsSpec extends SparkSpec {
       got(1L).toString)
     assert(got(2L) == (("", 0L, 0L, 0L, 0L, 0L, 0L)), got(2L).toString)
   }
+
+  test("q108 growth: calendar gap yields NULL (not lag's skip-a-month); MoM/YoY hand-traced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q108spec").toString
+    def o(id: Long, ym: String, price: Double) =
+      (id, "A", java.sql.Timestamp.valueOf(s"$ym-15 00:00:00"), price)
+    Seq(o(1, "2024-01", 100.0), o(2, "2024-02", 150.0), // Feb MoM = +0.5
+      o(3, "2024-04", 75.0),                            // Mar missing: Apr MoM NULL
+      o(4, "2025-02", 300.0))                           // YoY vs 2024-02 = +1.0
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q108_growth_periods")(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def ym(y: Int, m: Int) = y.toLong * 12 + m
+    assert(got(ym(2024, 1)) == ((10000L, None, None)), got(ym(2024, 1)).toString)
+    assert(got(ym(2024, 2)) == ((15000L, Some(0.5), None)), got(ym(2024, 2)).toString)
+    // April: month-over-month must be NULL — March does not exist; a lag()
+    // formulation would have compared against February and reported -0.5
+    assert(got(ym(2024, 4)) == ((7500L, None, None)), got(ym(2024, 4)).toString)
+    assert(got(ym(2025, 2)) == ((30000L, None, Some(1.0))), got(ym(2025, 2)).toString)
+  }
 }
