@@ -1456,6 +1456,49 @@ object RelationalQueries {
           growth(col("c.rev_cents"), col("prev_m")).as("mom_growth"),
           growth(col("c.rev_cents"), col("prev_y")).as("yoy_growth"))
         .orderBy("priority", "ym")
+    },
+
+    sql(
+      "q109_abc_analysis",
+      "ABC / Pareto inventory classification per brand — the 80/20 revenue-concentration report every supply-chain dashboard carries: each brand's parts rank by exact-cent discounted revenue (floor(price·(1−disc)·100 + 0.5) per row — one IEEE expression, then order-independent BIGINT sums), the running share assigns class A ≤ 70% / B ≤ 90% / C by the EXACT INTEGER cross-multiplication cum·100 ≤ tot·k (no division ever happens at a class boundary — the q85 trick), and the report rolls up per (brand, class) with integer-ppm revenue share. Ranking ties break on partkey, so the classification is a total order in both engines. Scale posture: one fact-scan aggregation to (brand, part) grain, then brand-PARTITIONED windows over a dimension-sized frame (no global sort) and a keyed rollup — the q103 window discipline",
+      """WITH pr AS (SELECT p.p_brand AS brand, l.l_partkey AS pk,
+        |                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+        |                                 AS BIGINT)) AS BIGINT) AS rev_cents
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |            GROUP BY 1, 2),
+        |w AS (SELECT brand, pk, rev_cents,
+        |             CAST(sum(rev_cents) OVER (PARTITION BY brand ORDER BY rev_cents DESC, pk
+        |                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |             CAST(sum(rev_cents) OVER (PARTITION BY brand) AS BIGINT) AS tot_cents
+        |      FROM pr),
+        |cl AS (SELECT brand, rev_cents,
+        |              CASE WHEN cum_cents * 100 <= tot_cents * 70 THEN 'A'
+        |                   WHEN cum_cents * 100 <= tot_cents * 90 THEN 'B'
+        |                   ELSE 'C' END AS abc, tot_cents
+        |       FROM w)
+        |SELECT brand, abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+        |       CAST((sum(rev_cents) * 1000000) // min(tot_cents) AS BIGINT) AS share_ppm
+        |FROM cl GROUP BY brand, abc ORDER BY brand, abc""") { (s, dir) =>
+      val pr = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+          .cast("long")).cast("long").as("rev_cents"))
+      val wCum = Window.partitionBy("brand").orderBy(col("rev_cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("brand")
+      pr.withColumn("cum_cents", sum("rev_cents").over(wCum).cast("long"))
+        .withColumn("tot_cents", sum("rev_cents").over(wTot).cast("long"))
+        .withColumn("abc",
+          when(col("cum_cents") * 100 <= col("tot_cents") * 70, "A")
+            .when(col("cum_cents") * 100 <= col("tot_cents") * 90, "B")
+            .otherwise("C"))
+        .groupBy("brand", "abc")
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum("rev_cents").cast("long").as("class_rev_cents"),
+          expr("(sum(rev_cents) * 1000000) div min(tot_cents)").as("share_ppm"))
+        .orderBy("brand", "abc")
     }
   )
 }

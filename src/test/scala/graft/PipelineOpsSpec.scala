@@ -1019,4 +1019,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(ym(2024, 4)) == ((7500L, None, None)), got(ym(2024, 4)).toString)
     assert(got(ym(2025, 2)) == ((30000L, None, Some(1.0))), got(ym(2025, 2)).toString)
   }
+
+  test("q109 ABC: hand-traced class boundaries sit EXACTLY on 70/90; ties break on partkey") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q109spec").toString
+    // brand X, parts with revenues 70,20,10 (cents 7000/2000/1000 of 10000):
+    // cum shares 70/90/100 — both boundary parts classify by <=, so A and B
+    // each close exactly ON their threshold; zero-discount keeps cents exact
+    Seq((1L, 70.0), (2L, 20.0), (3L, 10.0))
+      .flatMap { case (pk, rev) => Seq((10L * pk, pk, rev, 0.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "X"), (2L, "X"), (3L, "X")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q109_abc_analysis")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("A", 1L, 7000L, 700000L), ("B", 1L, 2000L, 200000L),
+      ("C", 1L, 1000L, 100000L)), got.mkString(", "))
+  }
 }
