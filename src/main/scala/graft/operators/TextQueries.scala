@@ -1650,6 +1650,71 @@ object TextQueries {
             * 1000000 + lit(0.5)).cast("long"))
         .select("a", "b", "c_ab", "pmi_ppm")
         .orderBy(desc("pmi_ppm"), col("a"), col("b")).limit(20)
+    },
+
+    sql(
+      "p14_calibration_audit",
+      "classifier calibration (reliability-diagram) audit — the eval harness for p12's quality classifier, in the d16/s16/s17/u12 measure-don't-guess family: documents bin by p12's EXACT integer logit (width-1e6 bins offset +3e6, clamped to [0,7] on BOTH sides so trunc-vs-floor can never split a negative across engines — the q102 clamp), and each bin reports docs, actual positives under the t04 0.7 quality gate (p11's exact gate formula, textually pinned), the mean predicted probability as an integer (score_ppm = p12's rational fast-sigmoid floored to ppm BEFORE any division), the actual positive rate in ppm, and the calibration gap — the over/under-confidence signal that decides whether the classifier's threshold is trustworthy before it gates a corpus. Every output is an exact integer (the gap may be negative: it is an exact BIGINT subtraction, not a division). Scale posture: pure map-side feature extraction fused into the scan (p12's shape), one 8-bin keyed rollup — no shuffle beyond it",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+        |           // length(string_split(text, ' ')) AS f_ttr,
+        |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS BIGINT) * 1000000
+        |           // length(string_split(text, ' ')) AS f_short,
+        |         CAST(CAST(n_chars AS HUGEINT) * 1000000
+        |           // length(string_split(text, ' ')) AS BIGINT) AS f_cpt,
+        |         floor((0.5 * (length(list_distinct(string_split(text, ' '))) * 1.0
+        |                       / length(string_split(text, ' ')))
+        |              + 0.5 * (1 - length(list_filter(string_split(text, ' '), t -> length(t) <= 2)) * 1.0
+        |                       / length(string_split(text, ' ')))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |             -10000000 + 8 * f_ttr - 4 * f_short + 1 * f_cpt AS logit_2e6,
+        |             CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END AS label
+        |      FROM f),
+        |sc AS (SELECT doc_id, label,
+        |              greatest(least((logit_2e6 + 3000000) // 1000000, 7), 0) AS bin,
+        |              CAST(floor((0.5 + (CAST(logit_2e6 AS DOUBLE) / 2000000.0)
+        |                          / (2.0 * (1.0 + abs(CAST(logit_2e6 AS DOUBLE) / 2000000.0))))
+        |                   * 1000000 + 0.5) AS BIGINT) AS score_ppm
+        |       FROM z)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(label) AS BIGINT) AS n_pos,
+        |       CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_pred_ppm,
+        |       CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS actual_ppm,
+        |       CAST(sum(score_ppm) // count(*) - (sum(label) * 1000000) // count(*) AS BIGINT)
+        |         AS gap_ppm
+        |FROM sc GROUP BY bin ORDER BY bin""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val zf = col("logit_2e6").cast("double") / lit(2000000.0)
+      Tables.documents(s, dir)
+        .withColumn("tk", toks)
+        .withColumn("f_ttr",
+          expr("cast(size(array_distinct(tk)) AS BIGINT) * 1000000 div size(tk)"))
+        .withColumn("f_short",
+          expr("cast(size(filter(tk, t -> length(t) <= 2)) AS BIGINT) * 1000000 div size(tk)"))
+        .withColumn("f_cpt",
+          expr("cast(cast(n_chars AS DECIMAL(38,0)) * 1000000 div size(tk) AS BIGINT)"))
+        .withColumn("quality",
+          r4(lit(0.5) * (size(array_distinct(col("tk"))) * lit(1.0) / size(col("tk")))
+            + lit(0.5) * (lit(1) - size(filter(col("tk"), t => length(t) <= 2)) * lit(1.0)
+              / size(col("tk")))))
+        .withColumn("logit_2e6",
+          lit(-10000000L) + lit(8L) * col("f_ttr")
+            + lit(-4L) * col("f_short") + lit(1L) * col("f_cpt"))
+        .withColumn("label", when(col("quality") >= 0.7, 1L).otherwise(0L))
+        .withColumn("bin",
+          greatest(least(expr("(logit_2e6 + 3000000) div 1000000"), lit(7L)), lit(0L)))
+        .withColumn("score_ppm",
+          floor((lit(0.5) + zf / (lit(2.0) * (lit(1.0) + abs(zf)))) * 1000000 + lit(0.5))
+            .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("label").cast("long").as("n_pos"),
+          expr("sum(score_ppm) div count(1)").as("avg_pred_ppm"),
+          expr("(sum(label) * 1000000) div count(1)").as("actual_ppm"),
+          expr("sum(score_ppm) div count(1) - (sum(label) * 1000000) div count(1)").as("gap_ppm"))
+        .orderBy("bin")
     }
   )
 }

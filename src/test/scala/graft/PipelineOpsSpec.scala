@@ -1037,4 +1037,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("A", 1L, 7000L, 700000L), ("B", 1L, 2000L, 200000L),
       ("C", 1L, 1000L, 100000L)), got.mkString(", "))
   }
+
+  test("p14 calibration: bins partition the corpus, positives == t04's published gate, predictions monotone") {
+    val bins = SparkEntry.queries("p14_calibration_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val t04 = SparkEntry.queries("t04_quality_score")(spark, sf0001).collect()
+    // partition: every doc lands in exactly one bin
+    assert(bins.map(_._2).sum == t04.length.toLong, s"${bins.map(_._2).sum} != ${t04.length}")
+    // the label column IS t04's published 0.7 gate (coupling tested, not assumed)
+    val gate = t04.count(_.getAs[Double]("quality") >= 0.7).toLong
+    assert(bins.map(_._3).sum == gate, s"positives ${bins.map(_._3).sum} != t04 gate $gate")
+    // fast-sigmoid is monotone in the logit, so bin-mean predictions must be
+    bins.map(b => (b._1, b._4)).sortBy(_._1).sliding(2).foreach {
+      case Array((b0, p0), (b1, p1)) =>
+        assert(p0 <= p1, s"avg_pred not monotone: bin $b0=$p0 > bin $b1=$p1")
+      case _ =>
+    }
+    bins.foreach { b =>
+      assert(b._4 >= 0 && b._4 <= 1000000 && b._5 >= 0 && b._5 <= 1000000, b.toString)
+    }
+  }
 }

@@ -141,7 +141,10 @@ class ScaleSpec extends SparkSpec {
       // r12 batch 2: map-side basket combinations, GC-plan month arithmetic,
       // per-seed frontier expansion, journey-window credit splits
       "q105_assoc_rules", "u11_snapshot_expiry",
-      "g10_neighborhood_anf", "q106_multitouch_attribution")
+      "g10_neighborhood_anf", "q106_multitouch_attribution",
+      // r12 batch 3: shuffle-free closure rollup, boundary-exact Pareto
+      // classes, support-filtered PMI top-k
+      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -180,7 +183,10 @@ class ScaleSpec extends SparkSpec {
       // r12 batch 2: map-side basket combinations, GC-plan month arithmetic,
       // per-seed frontier expansion, journey-window credit splits
       "q105_assoc_rules", "u11_snapshot_expiry",
-      "g10_neighborhood_anf", "q106_multitouch_attribution")
+      "g10_neighborhood_anf", "q106_multitouch_attribution",
+      // r12 batch 3: shuffle-free closure rollup, boundary-exact Pareto
+      // classes, support-filtered PMI top-k
+      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
