@@ -453,4 +453,26 @@ class ScaleSpec extends SparkSpec {
       (2L, 2L, 5L, 2500000L, 1L),
       (3L, 2L, 6L, 3000000L, 1L)), rows.toString)
   }
+
+  test("g11 3-truss: triangle edges survive with their support, pendant/path edges peel; k=3 fixes in one round") {
+    // K4 on 1-4 (every edge in 2 triangles), a lone triangle 7-8-9 (every
+    // edge support 1), a pendant edge (4,5) and a path edge (5,6): the
+    // pendant and path edges sit in no triangle and must peel; both
+    // triangles are self-supporting at k=3 and keep their exact supports.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g11spec").toString
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (4L, 5L), (5L, 6L))
+    es.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq(10L * i -> u, 10L * i -> v, 10L * i + 1 -> u, 10L * i + 1 -> v)
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("g11_truss")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t3 = Seq((7L, 8L), (7L, 9L), (8L, 9L))
+    assert(got.keySet == (k4 ++ t3).toSet, got.keySet.toString)
+    k4.foreach(e => assert(got(e) == 2L, s"$e: ${got(e)} (K4 edge sits in 2 triangles)"))
+    t3.foreach(e => assert(got(e) == 1L, s"$e: ${got(e)} (lone-triangle edge support 1)"))
+  }
 }
