@@ -441,6 +441,24 @@ object StreamingQueries {
             sum("is_anom").cast("long").as("n_anomalies"))
           .orderBy("user_id")
       }
+    },
+
+    sql(
+      "st14_stream_topk",
+      "STREAMING per-type top-3 leaderboard (EventStreams.topkPerType) — the exact heavy-hitter ledger on transformWithState MAP state, the one state surface the st04/st11/st12/st13 processors leave unexercised: each event type keeps MapState[user → count] (per-entry RocksDB cells point-updated per arriving user — the access pattern MapState exists for; a serialized ValueState map would rewrite the whole blob per event), and after each batch the processor emits the CURRENT leaderboard under the (count DESC, user ASC) total order. The bounded single-batch replay (st06's guard) makes the one emission the exact global top-3, so the oracle is a plain grouped count + row_number — batch a01's semantics met incrementally. Scale posture: one long per (type, user) in the state store; at 100 TB user cardinality the exact map hands off to a08's CMS + a01's bounded top-k Aggregator, both already in the registry; emissions are k rows per type per batch",
+      """SELECT event_type, user_id, n_events, rnk FROM (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY count(*) DESC, user_id) AS BIGINT) AS rnk
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY event_type, user_id)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        runToMemory(s,
+          EventStreams.topkPerType(s, eventStream(s, dir)).toDF(),
+          "st14_out", mode = "update", requireSingleBatch = true)
+          .orderBy("event_type", "rnk")
+      }
     }
   )
 }

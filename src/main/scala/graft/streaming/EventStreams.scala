@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operator set over event streams (SURVEY.md §7 M3): watermarked
@@ -259,6 +259,59 @@ object EventStreams {
       .as[VsEvent]
       .groupByKey(_.user_id)
       .transformWithState(new PrequentialAnomalyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One current-leaderboard row emitted by [[TopKProcessor]]. */
+  final case class TopEntry(event_type: String, user_id: Long, n_events: Long, rnk: Long)
+
+  /** Streaming per-type top-k leaderboard on transformWithState MAP state —
+    * the one state surface the st04/st11/st12/st13 processors leave
+    * unexercised (ValueState + timers): each event type keeps a
+    * MapState[user → count] (per-entry state-store cells, NOT one
+    * serialized blob — RocksDB point-updates each arriving user, which is
+    * the reason MapState exists), and after folding a batch the processor
+    * emits the CURRENT top-k (count desc, user asc — a total order). Update
+    * semantics: each batch re-emits the leaderboard; the single-batch
+    * bounded replay makes the one emission the global exact top-k, so the
+    * oracle is a plain grouped count + row_number. Scale posture: state is
+    * one long per (type, user) — the exact heavy-hitter ledger; at 100 TB
+    * cardinality the per-type map degrades to a08's CMS + a01's bounded
+    * top-k Aggregator, which the registry already carries; emissions are
+    * k rows per type per batch.
+    */
+  final class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), TopEntry] {
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(eventType: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[TopEntry] = {
+      rows.foreach { case (_, user) =>
+        val prev = if (counts.containsKey(user)) counts.getValue(user) else 0L
+        counts.updateValue(user, prev + 1L)
+      }
+      counts.iterator().toSeq
+        .sortBy { case (user, n) => (-n, user) }
+        .take(k).zipWithIndex
+        .map { case ((user, n), i) => TopEntry(eventType, user, n, i + 1L) }
+        .iterator
+    }
+  }
+
+  /** Streaming top-k users per event type via [[TopKProcessor]] over events
+    * with columns (event_type, user_id); null keys are dropped.
+    */
+  def topkPerType(spark: SparkSession, events: DataFrame, k: Int = 3): Dataset[TopEntry] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Session CLOSER on transformWithState EVENT-TIME TIMERS — the timer

@@ -603,4 +603,25 @@ class StreamingSpec extends SparkSpec {
       assert(got(13L) == ((1L, 0L)), s"post-spike flat event: ${got(13L)}")
     }
   }
+
+  test("st14 top-k: MapState counts carry across batches; ties break user-asc; 4th user stays off the board") {
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, u: Long) = boundaryEvent(id, "2026-01-01 10:00:00", u, "click")
+      ms.addData(Seq(ev(1, 1), ev(2, 1), ev(3, 2), ev(4, 2), ev(5, 3)))
+      val q = EventStreams.topkPerType(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("st14_spec").start()
+      q.processAllAvailable()
+      ms.addData(Seq(ev(6, 3), ev(7, 3), ev(8, 4)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st14_spec").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // batch 1: users 1,2 tie at 2 (user-asc), 3 trails at 1
+      // batch 2: user 3 reaches 3 and takes the lead off the CARRIED map;
+      // user 4 (count 1) never makes the board
+      assert(got == Seq((1L, 2L, 1L), (2L, 2L, 2L), (3L, 1L, 3L),
+        (3L, 3L, 1L), (1L, 2L, 2L), (2L, 2L, 3L)), got.mkString(", "))
+    }
+  }
 }
