@@ -459,6 +459,30 @@ object StreamingQueries {
           "st14_out", mode = "update", requireSingleBatch = true)
           .orderBy("event_type", "rnk")
       }
+    },
+
+    sql(
+      "st15_stream_sequence",
+      "STREAMING consecutive-sequence detection (EventStreams.consecutiveTriples) — q92's sequence-regex semantics for STRICTLY CONSECUTIVE view→click→purchase triples, evaluated incrementally on transformWithState LIST state, completing the stateful API's state surfaces (ValueState st12/st13, MapState st14, timers st11, ListState here): each user carries the trailing 2 event types as a ListState suffix window — the bounded-recent-history pattern ListState exists for — and a purchase fires when the carried suffix is exactly [view, click]. Within a batch events fold in (ts, event_id) order and the suffix carries ACROSS batches, so a triple spanning a batch boundary still fires (MemoryStream spec pins it). The bounded single-batch replay makes the emissions the exact batch answer, so the oracle is the lag-window formulation: lag2 = view, lag1 = click, current = purchase per (ts, event_id)-ordered user stream. Scale posture: ≤ 2 short strings per user in the state store; emissions are hit-sized; the report is one keyed count",
+      """WITH g AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+        |           FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |             AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT user_id,
+        |             lag(event_type, 2) OVER w AS t2,
+        |             lag(event_type, 1) OVER w AS t1,
+        |             event_type AS t0
+        |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_triples
+        |FROM r WHERE t2 = 'view' AND t1 = 'click' AND t0 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        runToMemory(s,
+          EventStreams.consecutiveTriples(s, eventStream(s, dir)).toDF(),
+          "st15_out", mode = "append", requireSingleBatch = true)
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_triples"))
+          .orderBy("user_id")
+      }
     }
   )
 }

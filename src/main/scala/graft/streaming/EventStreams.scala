@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState,
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operator set over event streams (SURVEY.md §7 M3): watermarked
@@ -312,6 +312,64 @@ object EventStreams {
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A completed view→click→purchase triple, keyed to its closing event. */
+  final case class TripleHit(user_id: Long, event_id: Long)
+
+  /** Streaming CONSECUTIVE-sequence detector on transformWithState LIST
+    * state — with st14's MapState this completes the stateful API's state
+    * surfaces (ValueState st12/st13, MapState st14, timers st11): each
+    * user keeps the trailing 2 event types as a ListState suffix window
+    * (appendList/put semantics, the bounded-recent-history pattern
+    * ListState exists for — a per-user ring of recent events no single
+    * value cell models naturally), and an arriving event completes a hit
+    * when the carried suffix is exactly [view, click] and the event is a
+    * purchase — q92's sequence-regex semantics for STRICTLY CONSECUTIVE
+    * triples, evaluated incrementally. Within a batch events fold in
+    * (ts, event_id) order (the st11/st13 determinism contract), and the
+    * suffix carries ACROSS batches, so a triple spanning a batch boundary
+    * still fires (spec-pinned). Scale posture: state is ≤ 2 short strings
+    * per user; emissions are hit-sized.
+    */
+  final class ConsecutiveTripleProcessor(pattern: Seq[String])
+      extends StatefulProcessor[Long, VsTyped, TripleHit] {
+    require(pattern.length == 3)
+    @transient private var suffix: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      suffix = getHandle.getListState[String]("suffix", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[VsTyped],
+        timerValues: TimerValues): Iterator[TripleHit] = {
+      var last2 = if (suffix.exists()) suffix.get().toList else Nil
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
+        val hit = last2 == List(pattern(0), pattern(1)) && r.event_type == pattern(2)
+        last2 = (last2 :+ r.event_type).takeRight(2)
+        if (hit) Some(TripleHit(user, r.event_id)) else None
+      }
+      suffix.put(last2.toArray)
+      out.iterator
+    }
+  }
+
+  /** A typed event for the sequence detector (no measure needed). */
+  final case class VsTyped(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Streaming view→click→purchase triple detection via
+    * [[ConsecutiveTripleProcessor]]; rows missing user/event/ts/type drop.
+    */
+  def consecutiveTriples(spark: SparkSession, events: DataFrame): Dataset[TripleHit] = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("event_id").isNotNull
+        && col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[VsTyped]
+      .groupByKey(_.user_id)
+      .transformWithState(new ConsecutiveTripleProcessor(Seq("view", "click", "purchase")),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Session CLOSER on transformWithState EVENT-TIME TIMERS — the timer

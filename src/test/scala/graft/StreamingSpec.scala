@@ -624,4 +624,30 @@ class StreamingSpec extends SparkSpec {
         (3L, 3L, 1L), (1L, 2L, 2L), (2L, 2L, 3L)), got.mkString(", "))
     }
   }
+
+  test("st15 sequence: triple spanning the batch boundary fires off carried ListState; interruptions don't") {
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, m: Int, u: Long, t: String) =
+        boundaryEvent(id, f"2026-01-01 10:$m%02d:00", u, t)
+      // user 1: [view, click | purchase] — the triple crosses the boundary
+      // user 2: view, purchase, click, purchase — never consecutive, no hit
+      // user 3: view, click, view, click, purchase — suffix rolls, ONE hit
+      ms.addData(Seq(
+        ev(1, 1, 1, "view"), ev(2, 2, 1, "click"),
+        ev(3, 1, 2, "view"), ev(4, 2, 2, "purchase"),
+        ev(5, 3, 2, "click"), ev(6, 4, 2, "purchase"),
+        ev(7, 1, 3, "view"), ev(8, 2, 3, "click"), ev(9, 3, 3, "view"),
+        ev(10, 4, 3, "click"), ev(11, 5, 3, "purchase")))
+      val q = EventStreams.consecutiveTriples(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st15_spec").start()
+      q.processAllAvailable()
+      ms.addData(Seq(ev(12, 3, 1, "purchase")))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st15_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 11L), (1L, 12L)), got.toString)
+    }
+  }
 }
