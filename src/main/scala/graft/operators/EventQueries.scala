@@ -1202,6 +1202,83 @@ object EventQueries {
         .agg(count(lit(1)).cast("long").as("n_touches"),
           sum("credit_ppm").cast("long").as("credit_ppm_sum"))
         .orderBy("event_type", "position")
+    },
+
+    sql(
+      "q110_psi_drift",
+      "population-stability-index drift per series — the model-monitoring standard beside q102's χ² (PSI weights each bin's share shift by its log-ratio, so it reads in interpretable 'stability' units with industry cut-offs at 0.1/0.25 where χ² scales with N): the split and binning are EXACTLY q102's (midpoint timestamp via the exact integer compare, 50-unit value bins clamped both sides), the full 12-bin grid joins in so empty bins contribute through add-one smoothing (c+1 over n+12 — PSI is undefined on bare zeros), each bin's log-ratio ln((c1+1)(n2+12)/((c2+1)(n1+12))) lands on the 1e6 ln grid from ONE exact HUGEINT/DECIMAL(38,0) product per side of a single double division (the t29/p13 shape), shares snap to flooring ppm on non-negative operands, and the PSI total is the exact BIGINT sum Σ(p_ppm − q_ppm)·lr_ppm in PICO units — deliberately NO final division, because summands straddle zero and a trunc-vs-floor divide would diverge (each true term is ≥ 0 but ppm snapping can push a tiny term negative). drifted flags the standard 0.1 threshold (1e11 pico). Scale posture: one keyed count builds the cells; everything after runs on the type×12 grid — dimension-sized, the q102 shape",
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |rng AS (SELECT event_type, min(tus) AS mn, max(tus) AS mx FROM ev GROUP BY event_type),
+        |binned AS (
+        |  SELECT e.event_type,
+        |         CASE WHEN 2 * e.tus <= r.mn + r.mx THEN 0 ELSE 1 END AS half,
+        |         greatest(least(e.vs // 50000000, 11), 0) AS bin
+        |  FROM ev e JOIN rng r ON r.event_type = e.event_type),
+        |halves AS (SELECT event_type, half, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY 1, 2),
+        |cells AS (SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS o FROM binned GROUP BY 1, 2, 3),
+        |grid AS (SELECT t.event_type, b.bin,
+        |                COALESCE(c1.o, 0) AS c1, COALESCE(c2.o, 0) AS c2,
+        |                COALESCE(h1.n, 0) AS n1, COALESCE(h2.n, 0) AS n2
+        |         FROM (SELECT DISTINCT event_type FROM binned) t
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bin) b
+        |         LEFT JOIN cells c1 ON c1.event_type = t.event_type AND c1.bin = b.bin AND c1.half = 0
+        |         LEFT JOIN cells c2 ON c2.event_type = t.event_type AND c2.bin = b.bin AND c2.half = 1
+        |         LEFT JOIN halves h1 ON h1.event_type = t.event_type AND h1.half = 0
+        |         LEFT JOIN halves h2 ON h2.event_type = t.event_type AND h2.half = 1),
+        |terms AS (SELECT event_type, n1, n2,
+        |                 ((c1 + 1) * 1000000) // (n1 + 12) AS p_ppm,
+        |                 ((c2 + 1) * 1000000) // (n2 + 12) AS q_ppm,
+        |                 CAST(floor(ln(CAST(CAST(c1 + 1 AS HUGEINT) * (n2 + 12) AS DOUBLE)
+        |                              / CAST(CAST(c2 + 1 AS HUGEINT) * (n1 + 12) AS DOUBLE))
+        |                            * 1000000 + 0.5) AS BIGINT) AS lr_ppm
+        |          FROM grid)
+        |SELECT event_type, CAST(min(n1) AS BIGINT) AS n_first, CAST(min(n2) AS BIGINT) AS n_second,
+        |       CAST(sum((p_ppm - q_ppm) * lr_ppm) AS BIGINT) AS psi_pico,
+        |       CAST(CASE WHEN sum((p_ppm - q_ppm) * lr_ppm) >= 100000000000 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS drifted
+        |FROM terms GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      val rng = ev.groupBy("event_type").agg(min("tus").as("mn"), max("tus").as("mx"))
+      val binned = ev.join(rng, "event_type")
+        .select(col("event_type"),
+          when(lit(2) * col("tus") <= col("mn") + col("mx"), 0).otherwise(1).as("half"),
+          greatest(least(expr("vs div 50000000"), lit(11L)), lit(0L)).as("bin"))
+      val halves = binned.groupBy("event_type", "half").agg(count(lit(1)).cast("long").as("n"))
+      val cells = binned.groupBy("event_type", "half", "bin")
+        .agg(count(lit(1)).cast("long").as("o"))
+      def side(h: Int, as: String) = cells.filter(col("half") === h)
+        .select(col("event_type"), col("bin"), col("o").as(as))
+      def hn(h: Int, as: String) = halves.filter(col("half") === h)
+        .select(col("event_type"), col("n").as(as))
+      val grid = binned.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(0, 12).toDF("bin")))
+        .join(side(0, "c1"), Seq("event_type", "bin"), "left")
+        .join(side(1, "c2"), Seq("event_type", "bin"), "left")
+        .join(hn(0, "n1"), Seq("event_type"), "left")
+        .join(hn(1, "n2"), Seq("event_type"), "left")
+        .na.fill(0L, Seq("c1", "c2", "n1", "n2"))
+      grid
+        .withColumn("p_ppm", expr("((c1 + 1) * 1000000) div (n1 + 12)"))
+        .withColumn("q_ppm", expr("((c2 + 1) * 1000000) div (n2 + 12)"))
+        .withColumn("lr_ppm",
+          floor(log(((col("c1") + 1).cast(d38) * (col("n2") + 12)).cast("double")
+            / ((col("c2") + 1).cast(d38) * (col("n1") + 12)).cast("double"))
+            * 1000000 + lit(0.5)).cast("long"))
+        .groupBy("event_type")
+        .agg(min("n1").cast("long").as("n_first"),
+          min("n2").cast("long").as("n_second"),
+          sum((col("p_ppm") - col("q_ppm")) * col("lr_ppm")).cast("long").as("psi_pico"))
+        .withColumn("drifted",
+          when(col("psi_pico") >= 100000000000L, 1L).otherwise(0L))
+        .orderBy("event_type")
     }
   )
 }

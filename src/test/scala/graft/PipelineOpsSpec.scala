@@ -1057,4 +1057,38 @@ class PipelineOpsSpec extends SparkSpec {
       assert(b._4 >= 0 && b._4 <= 1000000 && b._5 >= 0 && b._5 <= 1000000, b.toString)
     }
   }
+
+  test("q110 PSI: planted full-separation drift flags, identical halves read ~0; exact mirror agrees") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q110spec").toString
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0${h + 1}%d 00:00:00")
+    // type m: first half all in bin 0 (value 10), second half all in bin 11
+    // (value 600) — full separation; type s: both halves identical (bin 2)
+    val rows = (1 to 20).map(i => (i.toLong, t(0), 1L, "m", 10.0)) ++
+      (21 to 40).map(i => (i.toLong, t(1), 1L, "m", 600.0)) ++
+      (41 to 60).map(i => (i.toLong, t(0), 1L, "s", 120.0)) ++
+      (61 to 80).map(i => (i.toLong, t(1), 1L, "s", 120.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q110_psi_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // exact mirror of the integer formula for the planted m-series
+    def psi(c1s: Seq[Long], c2s: Seq[Long]): Long = {
+      val (n1, n2) = (c1s.sum, c2s.sum)
+      c1s.zip(c2s).map { case (c1, c2) =>
+        val p = (c1 + 1) * 1000000L / (n1 + 12)
+        val q = (c2 + 1) * 1000000L / (n2 + 12)
+        val lr = math.floor(math.log(((c1 + 1) * (n2 + 12)).toDouble
+          / ((c2 + 1) * (n1 + 12)).toDouble) * 1000000 + 0.5).toLong
+        (p - q) * lr
+      }.sum
+    }
+    val mBins1 = 20L +: Seq.fill(11)(0L)
+    val mBins2 = Seq.fill(11)(0L) :+ 20L
+    assert(got("m") == ((20L, 20L, psi(mBins1, mBins2), 1L)), got("m").toString)
+    val sBins = Seq(0L, 0L, 20L) ++ Seq.fill(9)(0L)
+    assert(got("s") == ((20L, 20L, psi(sBins, sBins), 0L)), got("s").toString)
+    assert(got("s")._3 == 0L, "identical halves must read exactly 0 PSI")
+  }
 }
