@@ -738,6 +738,63 @@ object SimilarityQueries {
           when(col("fr").isNull, lit(0L)).otherwise(expr("1000000 div fr")).as("mrr_ppm"),
           coalesce(col("displacement"), lit(0L)).as("displacement"))
         .orderBy("q_id")
+    },
+
+    sql(
+      "s18_index_staleness_audit",
+      "index-staleness / centroid-churn audit — the rebuild-decision metric every IVF deployment needs (embeddings arrive continuously; the index was built on yesterday's corpus: how wrong is it?): a STALE codebook (selection centroids over the even-vec_id half — the corpus 'as of the last build') and the FRESH codebook (s08/s16's full-corpus selection centroids, shared helper so the two can never index differently) both assign every vector via the zero-shuffle broadcast argmax, and the per-cell report counts stale mass, fresh mass, churn IN (vectors this cell gains under the fresh codebook) and churn OUT, with an integer-ppm churn rate. High churn cells are exactly where recall is bleeding and a rebuild pays. All counts exact; assignments replay hash-exactly in the oracle because selection centroids involve zero float arithmetic in the build (the s08 property). Scale posture: two broadcast-codebook map-side assignment passes (no shuffle until the cell-keyed counts), label-sized output — the audit costs two corpus scans, not an index rebuild",
+      s"""WITH mf AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+        |cf AS (SELECT CAST(e.label AS BIGINT) AS cent_id, e.embedding AS cemb
+        |       FROM embeddings e JOIN mf ON e.label = mf.label AND e.vec_id = mf.mv),
+        |ms AS (SELECT label, min(vec_id) AS mv FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+        |cs AS (SELECT CAST(e.label AS BIGINT) AS cent_id, e.embedding AS cemb
+        |       FROM embeddings e JOIN ms ON e.label = ms.label AND e.vec_id = ms.mv),
+        |af AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cent_id AS cell,
+        |                row_number() OVER (PARTITION BY e.vec_id
+        |                                   ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cent_id) AS rn
+        |         FROM embeddings e CROSS JOIN cf c) WHERE rn = 1),
+        |ast AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cent_id AS cell,
+        |                row_number() OVER (PARTITION BY e.vec_id
+        |                                   ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cent_id) AS rn
+        |         FROM embeddings e CROSS JOIN cs c) WHERE rn = 1),
+        |j AS (SELECT af.vec_id, af.cell AS fresh, ast.cell AS stale
+        |      FROM af JOIN ast ON ast.vec_id = af.vec_id),
+        |fstat AS (SELECT fresh AS cent_id, CAST(count(*) AS BIGINT) AS n_fresh,
+        |                 CAST(sum(CASE WHEN stale <> fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+        |          FROM j GROUP BY fresh),
+        |sstat AS (SELECT stale AS cent_id, CAST(count(*) AS BIGINT) AS n_stale,
+        |                 CAST(sum(CASE WHEN stale <> fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |          FROM j GROUP BY stale)
+        |SELECT c.cent_id, COALESCE(s.n_stale, 0) AS n_stale, COALESCE(f.n_fresh, 0) AS n_fresh,
+        |       COALESCE(f.n_in, 0) AS n_in, COALESCE(s.n_out, 0) AS n_out,
+        |       ((COALESCE(f.n_in, 0) + COALESCE(s.n_out, 0)) * 1000000)
+        |         // greatest(COALESCE(s.n_stale, 0) + COALESCE(f.n_fresh, 0), 1) AS churn_ppm
+        |FROM (SELECT cent_id FROM cf) c
+        |LEFT JOIN fstat f ON f.cent_id = c.cent_id
+        |LEFT JOIN sstat s ON s.cent_id = c.cent_id
+        |ORDER BY c.cent_id""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val fresh = assignCells(e, centroidArray(broadcast(selectionCentroids(e))))
+        .select(col("vec_id"), col("cell").as("fresh"))
+      val stale = assignCells(e,
+          centroidArray(broadcast(selectionCentroids(e.filter(col("vec_id") % 2 === 0)))))
+        .select(col("vec_id"), col("cell").as("stale"))
+      val j = fresh.join(stale, "vec_id")
+      val fstat = j.groupBy(col("fresh").as("cent_id"))
+        .agg(count(lit(1)).cast("long").as("n_fresh"),
+          sum(when(col("stale") =!= col("fresh"), 1L).otherwise(0L)).cast("long").as("n_in"))
+      val sstat = j.groupBy(col("stale").as("cent_id"))
+        .agg(count(lit(1)).cast("long").as("n_stale"),
+          sum(when(col("stale") =!= col("fresh"), 1L).otherwise(0L)).cast("long").as("n_out"))
+      selectionCentroids(e).select(col("cent_id"))
+        .join(fstat, Seq("cent_id"), "left")
+        .join(sstat, Seq("cent_id"), "left")
+        .na.fill(0L, Seq("n_stale", "n_fresh", "n_in", "n_out"))
+        .select(col("cent_id"), col("n_stale"), col("n_fresh"), col("n_in"), col("n_out"),
+          expr("((n_in + n_out) * 1000000) div greatest(n_stale + n_fresh, 1)").as("churn_ppm"))
+        .orderBy("cent_id")
     }
   )
 

@@ -359,4 +359,20 @@ class SimilarityRecallSpec extends SparkSpec {
     // vacuity guard: quantization must recover most of the exact top-5 here
     assert(got.map(_._2).sum >= got.size * 3, s"suspiciously low recall: $got")
   }
+
+  test("s18 staleness audit: mass conserved under both codebooks, churn-in == churn-out, rates bounded") {
+    val rows = SparkEntry.queries("s18_index_staleness_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    // every vector is assigned under both codebooks: masses each sum to N
+    assert(rows.map(_._2).sum == n, s"stale mass ${rows.map(_._2).sum} != $n")
+    assert(rows.map(_._3).sum == n, s"fresh mass ${rows.map(_._3).sum} != $n")
+    // a churned vector leaves exactly one cell and enters exactly one
+    assert(rows.map(_._4).sum == rows.map(_._5).sum,
+      s"churn-in ${rows.map(_._4).sum} != churn-out ${rows.map(_._5).sum}")
+    rows.foreach { r =>
+      assert(r._6 >= 0 && r._6 <= 1000000, s"churn_ppm out of range: $r")
+      assert(r._4 <= r._3 && r._5 <= r._2, s"churn exceeds cell mass: $r")
+    }
+  }
 }
