@@ -1499,6 +1499,47 @@ object RelationalQueries {
           sum("rev_cents").cast("long").as("class_rev_cents"),
           expr("(sum(rev_cents) * 1000000) div min(tot_cents)").as("share_ppm"))
         .orderBy("brand", "abc")
+    },
+
+    sql(
+      "u13_cdc_generate",
+      "CDC changelog GENERATION — the inverse of u04's apply, closing the CDC loop (u05 classifies a snapshot pair, u04 applies a log; this derives the APPLYABLE log from the pair — what a CDF/outbox emitter actually publishes): u05's exact snapshot derivations (textually pinned; the round-trip spec makes the coupling load-bearing) diff by one full-outer key join, and every non-unchanged row becomes a change record — I for added (with the new value), U for changed (new value), D for removed (NULL value) — sequenced by the key itself, which is unique and monotone, so the log needs NO global row_number window to be totally ordered. The round-trip property is spec-enforced: compacting and applying this log onto the OLD snapshot via u04's max_by machinery reproduces the NEW snapshot row-for-row. Scale posture: ONE co-partitioned full-outer join (u05's shape) and a projection; the emitted log is delta-sized, not snapshot-sized",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 10 != 3),
+        |new_ AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100.00 ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 != 7),
+        |log AS (
+        |  SELECT coalesce(o.k, n.k) AS k,
+        |         CASE WHEN o.k IS NULL THEN 'I'
+        |              WHEN n.k IS NULL THEN 'D'
+        |              WHEN o.v != n.v THEN 'U'
+        |              ELSE '' END AS op,
+        |         n.v AS new_v
+        |  FROM old o FULL OUTER JOIN new_ n ON o.k = n.k)
+        |SELECT CAST(k AS BIGINT) AS seq, CAST(k AS BIGINT) AS k, op,
+        |       CASE WHEN op = 'D' THEN NULL ELSE new_v END AS new_v
+        |FROM log WHERE op != ''
+        |ORDER BY k""") { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val old = orders.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val neu = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 100.00)
+            .otherwise(col("o_totalprice")).as("v"))
+      old.as("o").join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(coalesce(col("o.k"), col("n.k")).as("k0"),
+          when(col("o.k").isNull, "I")
+            .when(col("n.k").isNull, "D")
+            .when(col("o.v") =!= col("n.v"), "U")
+            .otherwise("").as("op"),
+          col("n.v").as("nv"))
+        .filter(col("op") =!= "")
+        .select(col("k0").cast("long").as("seq"), col("k0").cast("long").as("k"), col("op"),
+          when(col("op") === "D", lit(null).cast("double")).otherwise(col("nv")).as("new_v"))
+        .orderBy("k")
     }
   )
 }

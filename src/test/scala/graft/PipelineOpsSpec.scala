@@ -1091,4 +1091,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("s") == ((20L, 20L, psi(sBins, sBins), 0L)), got("s").toString)
     assert(got("s")._3 == 0L, "identical halves must read exactly 0 PSI")
   }
+
+  test("u13 round-trip: applying the generated changelog to OLD reproduces NEW row-for-row") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    // the same snapshot derivations u05/u13 pin (duplicated here on purpose
+    // — this spec is what makes the textual coupling load-bearing)
+    def snap(dropMod: Int, bump: Boolean) = orders
+      .filter(col("o_orderkey") % 10 =!= dropMod)
+      .select(col("o_orderkey").cast("long").as("k"),
+        (if (bump) when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 100.00)
+          .otherwise(col("o_totalprice")) else col("o_totalprice")).as("v"))
+    val old = snap(3, bump = false).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val neu = snap(7, bump = true).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val log = SparkEntry.queries("u13_cdc_generate")(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // apply: delete D keys, upsert I/U values, keep untouched OLD rows
+    val touched = log.map(_._1).toSet
+    val applied = old.filterNot { case (k, _) => touched(k) } ++
+      log.collect { case (k, op, Some(v)) if op != "D" => k -> v }
+    assert(applied == neu,
+      s"round-trip failed: ${applied.size} vs ${neu.size} rows; " +
+        s"diff keys ${(applied.keySet diff neu.keySet) ++ (neu.keySet diff applied.keySet)}")
+    // op provenance: every I key absent from OLD, every D key absent from NEW
+    log.foreach {
+      case (k, "I", _) => assert(!old.contains(k), s"I key $k existed in OLD")
+      case (k, "D", _) => assert(!neu.contains(k), s"D key $k survives in NEW")
+      case (k, "U", Some(v)) => assert(old.contains(k) && neu(k) == v && old(k) != v, s"bad U $k")
+      case other => fail(s"malformed log row $other")
+    }
+  }
 }
