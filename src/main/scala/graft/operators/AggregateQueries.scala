@@ -325,6 +325,59 @@ object AggregateQueries {
         Tables.orders(s, dir)
           .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
             approx_percentile(col("o_totalprice"), lit(0.99), lit(1000)).as("approx_p99"))
-      })
+      }),
+
+    sql(
+      "a12_higher_moments",
+      "exact skewness and excess kurtosis per group — the distribution-shape profile q52's variance/correlation row stops short of (shape is what data-quality monitors alert on: a skew flip or kurtosis spike means the generating process changed even when mean/variance hold): quantities are exact integers, so the 1st–4th power sums accumulate as exact BIGINT/HUGEINT (DECIMAL(38,0)) totals, the central co-moment numerators assemble as EXACT integer polynomials — A2 = nS2−S1² (= n²m2), A3 = n²S3−3nS1S2+2S1³ (= n³m3), A4 = n³S4−4n²S1S3+6nS1²S2−3S1⁴ (= n⁴m4) — and the n-powers cancel algebraically so skew = A3/(A2·√A2) and excess kurtosis = A4/A2² − 3 need only one correctly-rounded sqrt, one or two multiplies and ONE division each (no libm pow, no float accumulation anywhere). The uniform fixture reads the theoretical −6/5 excess kurtosis. The doc records the 100 TB widening: S1⁴ approaches DECIMAL(38) around n ≈ 10⁹ rows·group⁻¹ at this value range — beyond that the streaming central-moment update replaces the raw-power form. Scale posture: one map-side-combinable keyed aggregation, group-sized output",
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |         CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s3,
+        |         CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s4
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag),
+        |a AS (SELECT l_returnflag, n,
+        |             CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS a2,
+        |             CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |               + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS a3,
+        |             CAST(n AS HUGEINT) * n * n * s4 - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |               + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |               - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS a4
+        |      FROM s)
+        |SELECT l_returnflag, n,
+        |       floor((CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))))
+        |             * 1000000 + 0.5) / 1000000 AS skew_qty,
+        |       floor((CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3)
+        |             * 1000000 + 0.5) / 1000000 AS kurt_qty
+        |FROM a ORDER BY l_returnflag""") { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val q = col("l_quantity").cast("long")
+      val st = Tables.lineitem(s, dir)
+        .filter(col("l_quantity").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(q).cast("long").as("s1"),
+          sum(q * q).cast("long").as("s2"),
+          sum(q.cast(d38) * q * q).as("s3"),
+          sum(q.cast(d38) * q * q * q).as("s4"))
+      val a = st.select(col("l_returnflag"), col("n"),
+        (col("n").cast(d38) * col("s2") - col("s1").cast(d38) * col("s1")).as("a2"),
+        (col("n").cast(d38) * col("n") * col("s3")
+          - lit(3) * col("n").cast(d38) * col("s1") * col("s2")
+          + lit(2) * col("s1").cast(d38) * col("s1") * col("s1")).as("a3"),
+        (col("n").cast(d38) * col("n") * col("n") * col("s4")
+          - lit(4) * col("n").cast(d38) * col("n") * col("s1") * col("s3")
+          + lit(6) * col("n").cast(d38) * col("s1") * col("s1") * col("s2")
+          - lit(3) * col("s1").cast(d38) * col("s1") * col("s1") * col("s1")).as("a4"))
+      a.select(col("l_returnflag"), col("n"),
+          r6(col("a3").cast("double")
+            / (col("a2").cast("double") * sqrt(col("a2").cast("double")))).as("skew_qty"),
+          r6(col("a4").cast("double")
+            / (col("a2").cast("double") * col("a2").cast("double")) - 3).as("kurt_qty"))
+        .orderBy("l_returnflag")
+    }
   )
 }

@@ -1121,4 +1121,19 @@ class PipelineOpsSpec extends SparkSpec {
       case other => fail(s"malformed log row $other")
     }
   }
+
+  test("a12 moments: symmetric group reads skew exactly 0; {1,1,4} reads sqrt(2)/2; both kurtoses exactly -1.5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a12spec").toString
+    // hand integers: {1,2,3} -> A3 = 0 (symmetric), A2 = 6, A4 = 54 ->
+    // kurt = 54/36 - 3 = -1.5 exactly; {1,1,4} -> A2 = 18, A3 = 54 ->
+    // skew = 54/(18*sqrt(18)) = 1/sqrt(2), A4 = 486 -> kurt = -1.5
+    Seq(("S", 1.0), ("S", 2.0), ("S", 3.0), ("K", 1.0), ("K", 1.0), ("K", 4.0))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("a12_higher_moments")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val sk = math.floor(54.0 / (18.0 * math.sqrt(18.0)) * 1000000 + 0.5) / 1000000
+    assert(got == Seq(("K", 3L, sk, -1.5), ("S", 3L, 0.0, -1.5)), got.mkString(", "))
+  }
 }
