@@ -144,7 +144,11 @@ class ScaleSpec extends SparkSpec {
       "g10_neighborhood_anf", "q106_multitouch_attribution",
       // r12 batch 3: shuffle-free closure rollup, boundary-exact Pareto
       // classes, support-filtered PMI top-k
-      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations")
+      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations",
+      // r12 batch 4: grid-smoothed PSI terms, full-outer changelog diff,
+      // two-codebook churn join, exact co-moment polynomials
+      "q110_psi_drift", "u13_cdc_generate", "s18_index_staleness_audit",
+      "a12_higher_moments")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -186,7 +190,11 @@ class ScaleSpec extends SparkSpec {
       "g10_neighborhood_anf", "q106_multitouch_attribution",
       // r12 batch 3: shuffle-free closure rollup, boundary-exact Pareto
       // classes, support-filtered PMI top-k
-      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations")
+      "q107_bom_rollup", "q109_abc_analysis", "t29_pmi_collocations",
+      // r12 batch 4: grid-smoothed PSI terms, full-outer changelog diff,
+      // two-codebook churn join, exact co-moment polynomials
+      "q110_psi_drift", "u13_cdc_generate", "s18_index_staleness_audit",
+      "a12_higher_moments")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
