@@ -1726,6 +1726,7 @@ object DedupQueries {
       // sample), and the threshold is one exact integer cross-multiply
       val gx = sample
         .select(col("doc_id"), explode(HashFunctions.shingleStrings(toks, 3)).as("g"))
+        .distinct()
       val szs = gx.groupBy("doc_id").agg(count(lit(1)).cast("long").as("ng"))
       val tru = gx.as("ga")
         .join(gx.as("gb"),

@@ -1227,7 +1227,7 @@ object RelationalQueries {
 
     sql(
       "q105_assoc_rules",
-      "market-basket association-rule mining (A-priori shape): baskets are each order's DISTINCT brand set; directional rules a→b with integer-ppm support, confidence and lift, kept at support ≥ 2% of baskets. The Spark side never self-joins the basket table — baskets group once, and the 2-combinations explode MAP-SIDE from each order's sorted item array (flatten(transform(slice))), so pair generation costs zero extra shuffle beyond the basket groupBy; item supports and the basket count are broadcast back onto the pair aggregate. At 100 TB this is the textbook A-priori layout: one shuffle to form baskets, combinations local, dimension-sized (|items|²) rule table — the oracle keeps the classical self-join formulation to prove the combination kernel equivalent. All metrics are integer ppm via flooring division on non-negative operands (Spark div = DuckDB // there); lift_ppm = 1e6·n_ab·N / (n_a·n_b) stays well inside BIGINT at every fixture SF (and the doc records DECIMAL(38,0) as the 100 TB widening)",
+      "market-basket association-rule mining (A-priori shape): baskets are each order's DISTINCT brand set; directional rules a→b with integer-ppm support, confidence and lift, kept at support ≥ 2% of baskets. The Spark side never self-joins the basket table — baskets group once, and the 2-combinations explode MAP-SIDE from each order's sorted item array (flatten(transform(slice))), so pair generation costs zero extra shuffle beyond the basket groupBy; item supports and the basket count are broadcast back onto the pair aggregate. At 100 TB this is the textbook A-priori layout: one shuffle to form baskets, combinations local, dimension-sized (|items|²) rule table — the oracle keeps the classical self-join formulation to prove the combination kernel equivalent. All metrics are integer ppm via flooring division on non-negative operands (Spark div = DuckDB // there); lift_ppm = 1e6·n_ab·N / (n_a·n_b) is widened through DECIMAL(38,0) (HUGEINT in the oracle) before the flooring divide and cast back to BIGINT — enforced, not just documented, because Spark's non-ANSI BIGINT multiply wraps silently at the corpus sizes where n_ab·N overflows, while DuckDB errors (r13 hardening per ADVICE)",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
         |            FROM lineitem JOIN part ON l_partkey = p_partkey),
         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
@@ -1242,7 +1242,8 @@ object RelationalQueries {
         |       ia.n_b AS n_ante, ic.n_b AS n_cons,
         |       (1000000 * r.n_ab) // n.n_orders AS support_ppm,
         |       (1000000 * r.n_ab) // ia.n_b AS confidence_ppm,
-        |       (1000000 * r.n_ab * n.n_orders) // (ia.n_b * ic.n_b) AS lift_ppm
+        |       CAST((CAST(1000000 AS HUGEINT) * r.n_ab * n.n_orders)
+        |            // (CAST(ia.n_b AS HUGEINT) * ic.n_b) AS BIGINT) AS lift_ppm
         |FROM rules r JOIN isup ia ON ia.b = r.antecedent
         |             JOIN isup ic ON ic.b = r.consequent
         |             CROSS JOIN n
@@ -1276,7 +1277,8 @@ object RelationalQueries {
         .select(col("antecedent"), col("consequent"), col("n_ab").as("n_both"),
           col("n_ante"), col("n_cons"), col("support_ppm"),
           expr("(1000000 * n_ab) div n_ante").as("confidence_ppm"),
-          expr("(1000000 * n_ab * n_orders) div (n_ante * n_cons)").as("lift_ppm"))
+          expr("(cast(1000000 AS DECIMAL(38,0)) * n_ab * n_orders) div (cast(n_ante AS DECIMAL(38,0)) * n_cons)")
+            .cast("long").as("lift_ppm"))
         .orderBy("antecedent", "consequent")
     },
 
