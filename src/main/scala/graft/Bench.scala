@@ -146,7 +146,23 @@ object Bench {
       (q.name, best, a, b)
     }
     val errors = takes.collect { case (n, _, a, b) if !(a.ok && b.ok) => n }
-    val results = takes.map { case (n, best, _, _) => n -> best }
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    // Host noise floor: a min-of-takes below this is dominated by scheduler
+    // jitter, not plan cost. Shared by the headline stabilizer here and the
+    // requalifier's mover filter below.
+    val floorS = 0.5
+    // Sub-floor headline stabilization (r12 verdict #7): headline entries
+    // whose best-of-2 lands under the noise floor (q60/m04/tr00 class)
+    // showed ±25% round-over-round "deltas" that were pure noise — when
+    // the measured quantity is smaller than the jitter, min-of-2 still has
+    // high variance. Those entries get 3 extra takes and publish the
+    // min-of-5; bounded cost (sub-second queries, headline subset only).
+    val results = takes.map { case (n, best, a, b) =>
+      if (Headline.contains(n) && (a.ok || b.ok) && best < floorS) {
+        val extra = (1 to 3).map(_ => timeOnce(byName(n))).filter(_.ok).map(_.wall)
+        n -> (if (extra.isEmpty) best else math.min(best, extra.min))
+      } else n -> best
+    }
     val total = results.map(_._2).sum
     def json(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -180,7 +196,6 @@ object Bench {
     // r6 lesson (g01): the arbiter inherits a JVM that just ran 125×2
     // queries — System.gc() before each arbiter take so accumulated garbage
     // is not billed to the arbitrated query.
-    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     val standalone = results.sortBy(-_._2).take(10).map { case (n, _) =>
       System.gc()
       execMs = 0L; cpuNs = 0L
@@ -204,7 +219,6 @@ object Bench {
     // "best2": s, "fresh": [[wall,exec,cpu] per take]}}.
     val requalified: String = {
       import scala.jdk.CollectionConverters._
-      val floorS = 0.5  // sub-half-second queries are below this host's noise floor
       val cap = 8       // bound the extra bench time; overflow noted on stderr
       def freshTakes(name: String): Seq[(Double, Double, Double)] = {
         val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString

@@ -17,7 +17,7 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     RelationalQueries.all ++ WindowQueries.all ++ EventQueries.all ++
       FunctionQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      DedupQueries.all ++ MultimodalQueries.all ++ TradeQueries.all ++
+      DedupQueries.all ++ GraphQueries.all ++ MultimodalQueries.all ++ TradeQueries.all ++
       AggregateQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -45,8 +45,9 @@ object DedupQueries {
     math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
 
   /** Two-step compact cache for an expensive small result (the g02 pattern,
-    * shared by every [[copurchasePairs]] consumer — CompactPersistSpec
-    * enforces that convention): persist the wide plan, fill it with one
+    * shared by every [[GraphQueries.copurchasePairs]] consumer —
+    * CompactPersistSpec enforces that convention across both modules since
+    * the r13 dedup/graph split): persist the wide plan, fill it with one
     * count() (a materialization barrier, and the row count that sizes the
     * cache), re-persist at the data-derived [[cacheParts]] partitioning,
     * then drop the wide copy. Cached plans keep their materialized
@@ -63,126 +64,6 @@ object DedupQueries {
     compact.count()
     w.unpersist(blocking = false)
     (compact, parts)
-  }
-
-  /** Support-thresholded co-purchase edge list (u < v part pairs sharing
-    * ≥ 2 orders) — the graph g02 (triangles) and g03 (k-core) both run on.
-    * DuckDB side of [[copurchasePairs]]; pre-stripped, callers append
-    * their own CTEs after a comma (the bandKeySql convention).
-    */
-  private val copurchasePairsSql: String =
-    """pairs AS (
-      |  SELECT a.l_partkey AS u, b.l_partkey AS v
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
-
-  /** Spark side of [[copurchasePairsSql]]: per-order sorted part array
-    * expanded to i<j combinations — one orderkey shuffle of bounded
-    * (≤7-element) arrays, no fact-table self-join/SMJ; measured 1.6× the
-    * self-join form at sf0.1, and the multiset of (u,v) instances is
-    * identical (x<y filter drops same-part repeats exactly as the join's
-    * u<v did). Un-persisted: callers own caching.
-    */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
-        .as("p"))
-      .select(col("p.u"), col("p.v"))
-      .filter(col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select("u", "v")
-
-  /** DuckDB side of the customer↔supplier bipartite trade graph (suppliers
-    * offset by 1e6 into a disjoint id space): `e0`/`edges`/`nodes`/`deg`
-    * CTEs shared by the g01 (global PageRank) and g09 (personalized
-    * PageRank) oracles — the edge derivation and the degree table live in
-    * one string exactly as [[orientedEdgesSql]] does for g02/g08.
-    */
-  private val tradeGraphSql: String =
-    """e0 AS (
-      |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c, CAST(l.l_suppkey AS BIGINT) + 1000000 AS s
-      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-      |edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s AS src, c AS dst FROM e0),
-      |nodes AS (SELECT DISTINCT src AS node FROM edges),
-      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)""".stripMargin
-
-  /** Spark side of [[tradeGraphSql]]: the symmetrized customer↔supplier
-    * edge list (suppliers offset 1e6), shared by g01 and g09 so the graph
-    * definition cannot drift between them. NOT persisted deliberately
-    * (g01's r7 measured A/B: the columnar cache build + cached-scan decode
-    * costs ~3× the recompute — warm executor CPU 13-17 s unpersisted vs
-    * 43-92 s persisted — because AQE's ReuseExchange already shares the
-    * one expensive shuffle under multiple consumers); callers cache
-    * downstream where it pays (g01's row-format edgeRdd, g09's
-    * persistCompact).
-    */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("c"),
-        (col("l_suppkey").cast("long") + 1000000L).as("s"))
-      .distinct()
-    e0.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-  }
-
-  /** DuckDB side of the degree-ordered orientation: `deg` + `ori` CTEs
-    * over [[copurchasePairsSql]]'s `pairs`. Shared by the g02 and g08
-    * oracles exactly as [[orientedTriangles]] is shared by their Spark
-    * bodies — the tie-break lives in ONE string. MATERIALIZED because both
-    * consumers reference `ori` three times (the wedge join's e1/e2/e3).
-    */
-  private val orientedEdgesSql: String =
-    """deg AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
-      |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
-      |ori AS MATERIALIZED (
-      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
-      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
-      |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v)""".stripMargin
-
-  /** Cached support-2 pairs, degree table, degree-ordered oriented edges,
-    * and the two-phase shuffle wedge-close triangle triples (a, b, c) —
-    * the machinery g02 (global count) and g08 (per-node credit) share, so
-    * the orientation tie-break and the shuffle_hash hints cannot drift
-    * between them (the persistCompact lesson applied one level up; r10's
-    * g06 wart was exactly a sibling skipping the shared pattern).
-    *
-    * Two-step compact caches (see persistCompact): each fill count() is a
-    * materialization barrier — downstream branches launch together, and an
-    * un-populated cache makes each of them run the full fact-table pair
-    * build (measured 5× the whole query at 10× sf0.1). deg feeds ori twice
-    * plus the callers' degree branches; the wedge join is two SHUFFLE
-    * equi-joins (O(wedges) 16 B rows, no broadcast of E — valid at any
-    * edge-list size; shuffle_hash keeps AQE from re-planning tiny
-    * bench-scale sides back into broadcasts). Each triangle closes exactly
-    * once under the orientation. Callers own unpersist of pairs/deg/ori.
-    */
-  private def orientedTriangles(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
-    val (pairs, edgeParts) = persistCompact(copurchasePairs(s, dir))
-    val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .coalesce(edgeParts).persist()
-    deg.count()
-    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val ori = pairs
-      .join(deg.select(col("node").as("u"), col("d").as("du")).hint("shuffle_hash"), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")).hint("shuffle_hash"), "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
-        when(lower, col("v")).otherwise(col("u")).as("dst"))
-      .coalesce(edgeParts).persist()
-    ori.count()
-    val e1 = ori.select(col("src").as("a"), col("dst").as("b"))
-    val e2 = ori.select(col("src").as("b2"), col("dst").as("c"))
-    val e3 = ori.select(col("src").as("a3"), col("dst").as("c3"))
-    val tris = e1.join(e2.hint("shuffle_hash"), col("b2") === col("b"))
-      .join(e3.hint("shuffle_hash"), col("a3") === col("a") && col("c3") === col("c"))
-      .select(col("a"), col("b"), col("c"))
-    (pairs, deg, ori, tris, edgeParts)
   }
 
   // Fixed MinHash permutation constants, shared by the Spark impl and the
@@ -854,658 +735,6 @@ object DedupQueries {
     },
 
     sql(
-      "g01_pagerank",
-      "graph centrality (PageRank, 2 unrolled iterations) over the customer↔supplier bipartite trade graph — the source-authority signal a curation pipeline uses to weight domains. Ranks live on a 1e12 integer grid and every step is integer division/sum, so both engines compute bit-identical ranks (no float drift across iterations). Scale posture: each iteration is one edge-keyed join + dst-keyed aggregation (the d08 shape — at 100 TB the edge list is hash-partitioned once and every round joins narrowly against it); the node-count scalar is a broadcast",
-      s"""WITH $tradeGraphSql,
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |r0 AS (SELECT node, (1000000000000 // n) AS r FROM nodes CROSS JOIN nn),
-        |c1 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
-        |       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
-        |       GROUP BY e.dst),
-        |r1 AS (SELECT n0.node,
-        |              (150000000000 // nn.n) + (85 * coalesce(c1.m, 0)) // 100 AS r
-        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c1 ON c1.node = n0.node),
-        |c2 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
-        |       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
-        |       GROUP BY e.dst),
-        |r2 AS (SELECT n0.node,
-        |              (150000000000 // nn.n) + (85 * coalesce(c2.m, 0)) // 100 AS r
-        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n0.node)
-        |SELECT node, CAST(r AS BIGINT) AS rank_scaled
-        |FROM r2 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      // r6: iteration ported onto the d08 partitioner-aligned pair-RDD loop
-      // (the production path the r5 doc already named). The r5 pure-SQL
-      // unrolling leaned on AQE ReuseExchange to share the ~40× re-derived
-      // edge CTE, but still burned 16-19 s of real executor CPU standalone
-      // (4.3-4.6 s wall); the RDD port builds the edge list ONCE as a
-      // DataFrame plan, hash-partitions it once, and each iteration is a
-      // narrow edges⋈ranks join + one (dst, contrib) shuffle — the exact
-      // shuffle pattern a 1000-executor cluster wants, with no per-round
-      // re-planning. All arithmetic stays on the 1e12 integer grid (Long
-      // division truncates identically in Scala, Spark SQL and DuckDB for
-      // the all-positive values here), so ranks remain bit-identical to the
-      // oracle.
-      // r7 reconciliation (fresh-JVM QueryTime, 4 takes): warm wall
-      // 4.0-4.8 s, warm executor 13.5-16.9 s, cpu 12.9-14.7 s. Two r6
-      // numbers were both artifacts: the "5-12 s executor" port-win claim
-      // came from a partially-warm JVM window (too low), and the 24.8 s
-      // final-arbiter reading inherited a JVM that had just run the full
-      // 125-query bench (too high; the arbiter now System.gc()s before
-      // each take). Honest statement: the RDD port's executor CPU is
-      // ≈ the SQL form's (13-17 s vs 16-19 s) — its real win is WALL
-      // (in-bench 7.4 → ~2.8-4.0 s) from building/partitioning the edge
-      // list once and keeping every round's join narrow.
-      // r9 phase attribution (graft.ProfileG01, warm takes): of ~6-9 s
-      // in-query cpu, the relational edge derivation (orders⋈lineitem →
-      // distinct → degree join) is ~2.6-2.8 s, the .rdd pack + partitionBy
-      // + persist ~2 s, nodeDeg ~0.5 s, and the 2-iteration loop itself
-      // only ~1.3-1.4 s — NOT RDD row serde. The dominant term is the one
-      // fact-table pass, and it is already minimal: forcing
-      // broadcast(orders) with a pre-distinct on (l_orderkey, l_suppkey)
-      // measured 3× WORSE (8-10 s for that phase — the pre-distinct is an
-      // extra fact-sized shuffle and AQE already broadcasts the small
-      // side). Irreducible because the input scan IS the cost; per-row-of-
-      // output expense is an artifact of emitting 20 rows from a
-      // corpus-sized derivation, not of the iteration design.
-      import s.implicits._
-      import org.apache.spark.HashPartitioner
-      import org.apache.spark.storage.StorageLevel
-      // shared edge derivation (tradeEdges — its scaladoc carries the r7
-      // do-not-persist A/B); the RDD-side persist of edgeRdd below (row
-      // format, loop-side) is the one that pays off.
-      val edgesDf = tradeEdges(s, dir)
-      // Size the loop partitioner by EDGE volume, not node count (r7): a
-      // round moves ~|E| rows, and |E| ≈ |lineitem| is the cheap upper
-      // bound (parquet row-count metadata). The r6 node-count rule
-      // (customer+supplier ≈ 160k → always the 8-partition floor) left the
-      // 10× nonlinearity probe at 8 partitions for 12M boxed edge tuples —
-      // per-partition working sets grew 10× and the loop went
-      // memory-bound (take-over-take cpu DEGRADED 640→981 s executor).
-      // ~250k edges per partition keeps the per-task working set flat as
-      // the corpus scales; clamped to [8, 1024] like d08.
-      val eUpper = Tables.lineitem(s, dir).count()
-      val part = new HashPartitioner(
-        math.max(8L, math.min(1024L, eUpper / 250000L)).toInt)
-      // Edge discovery AND the degree join (the data-heavy stages) run as
-      // one DataFrame plan at ambient parallelism — Catalyst's codegen'd
-      // hash join beats boxed RDD tuples for the bulk work. The result
-      // lands keyed by src and hash-partitioned ONCE; the edge list never
-      // moves again (at 100 TB: the edges shuffle once, not once per round).
-      //
-      // PRIMITIVE loop representation (r7): the 10× nonlinearity probe
-      // caught the generic pair-RDD form (nested boxed tuples +
-      // CoGroupedRDD joins) going memory-bound — 16 s → ~1200 s executor
-      // CPU for 10× edges, take-over-take DEGRADING, and insensitive to
-      // partition count: pure allocation/GC churn, the known reason GraphX
-      // keeps primitive arrays. Fix: (dst, degree) packs into ONE Long
-      // ((Long, Long) tuples are @specialized — no value boxing) and both
-      // per-round joins become zipPartitions over the co-partitioned RDDs
-      // with a value-specialized LongMap probe + local pre-combine —
-      // same partitioner alignment, same integer arithmetic, a fraction
-      // of the allocations. Measured warm: sf0.1 cpu 16.9 → 6.4-8.3 s
-      // (wall 4.9 → 2.3-2.8 s); 10× probe best-take cpu ~1120 → ~102 s.
-      // The residual ~16×-for-10×-data cpu at 7× wall is a single-JVM
-      // memory-subsystem ceiling (rank maps leave L2 while 24-32 tasks
-      // share one socket), not algorithmic — full analysis in README's
-      // nonlinearity-probe section.
-      val DegBits = 21 // degree < 2^21; node ids < 2^42 (guarded below)
-      val DegMask = (1L << DegBits) - 1
-      val degDf = edgesDf.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
-      val edgeRdd = edgesDf.join(degDf, "src")
-        .select(col("src"), col("dst"), col("d")).as[(Long, Long, Long)].rdd
-        .map { case (src, dst, d) =>
-          require(d <= DegMask && dst >= 0 && dst < (1L << (63 - DegBits)),
-            s"g01 pack overflow: dst=$dst d=$d")
-          (src, (dst << DegBits) | d)
-        }
-        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-      edgeRdd.count()
-      // (node, degree), co-partitioned with the edges: narrow derivation
-      // (keys already grouped by part), no extra shuffle.
-      val nodeDeg = edgeRdd.mapValues(_ & DegMask).reduceByKey(part, (a, _) => a)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = nodeDeg.count()
-      val base = 150000000000L / n
-      var ranks = nodeDeg.mapValues(_ => 1000000000000L / n) // r0, co-partitioned
-      for (_ <- 1 to 2) {
-        // contrib round: rank lookup is a narrow zipPartitions against the
-        // co-partitioned ranks (every src's rank lives in the same
-        // partition index), contributions pre-combine into a local
-        // LongMap, and the (dst, sum) spill is the round's ONE shuffle.
-        // preservesPartitioning=false is LOAD-BEARING: the emitted keys are
-        // dst (not this partition's src keys), so reduceByKey(part) must
-        // see no partitioner and shuffle — with true it would skip the
-        // exchange and leave partial sums uncombined in wrong partitions.
-        val contrib = edgeRdd.zipPartitions(ranks, preservesPartitioning = false) {
-          (es, rs) =>
-            val rank = scala.collection.mutable.LongMap.empty[Long]
-            rs.foreach { kv => rank(kv._1) = kv._2 }
-            val acc = scala.collection.mutable.LongMap.empty[Long]
-            es.foreach { case (src, packed) =>
-              val r = rank(src) // src always has a rank: both derive from edgeRdd keys
-              acc(packed >>> DegBits) = acc.getOrElse(packed >>> DegBits, 0L) + r / (packed & DegMask)
-            }
-            acc.iterator
-        }.reduceByKey(part, _ + _)
-        // rank update: contrib is part-partitioned by reduceByKey, so the
-        // dangling-node left join is also a narrow zipPartitions
-        ranks = nodeDeg.zipPartitions(contrib, preservesPartitioning = true) {
-          (ns, cs) =>
-            val m = scala.collection.mutable.LongMap.empty[Long]
-            cs.foreach { kv => m(kv._1) = kv._2 }
-            ns.map { kv => (kv._1, base + (85L * m.getOrElse(kv._1, 0L)) / 100L) }
-        }
-      }
-      // Materialize through a Dataset-level persist (covered by
-      // `spark.catalog.clearCache()`), then drop the loop-side RDD blocks —
-      // same lifecycle discipline as d08.
-      val out = ranks.toDF("node", "rank_scaled")
-        .orderBy(desc("rank_scaled"), col("node"))
-        .limit(20)
-        .persist()
-      out.count()
-      edgeRdd.unpersist()
-      nodeDeg.unpersist()
-      out
-    },
-
-    sql(
-      "g09_personalized_pagerank",
-      "personalized PageRank from a seed set (2 unrolled iterations, restart mass on suppliers 1-3) over the same trade graph as g01 — SEEDED relevance vs g01's global authority: the recommendation/similar-entity primitive ('what is close to THESE nodes'), and the curation variant that scores documents by proximity to a trusted seed domain set rather than by global degree. Same 1e12 integer grid and integer-division contract as g01 (bit-identical ranks, no float drift), with the restart term (15% of the mass, split over |S| seeds) landing ONLY on seeds. Sparse-frontier shape: r0 is nonzero on 3 nodes, round 1 touches their neighborhoods, round 2 two hops — the Spark side filters r > 0 before the contribution join, so each round's join probe is frontier-sized, not graph-sized (semantically free: zero ranks contribute zero). Scale posture: this forward-push sparsity is exactly why production PPR (GraphX/Pregel personalized variants) scales as O(frontier x rounds) per seed batch while global PageRank pays O(V) per round; the edge list builds once (one order-keyed join) and each round is one edge-keyed join + dst-keyed sum, the g01 shape on a shrinking-from-sparse frontier",
-      s"""WITH $tradeGraphSql,
-        |seeds AS (SELECT node FROM nodes WHERE node >= 1000001 AND node <= 1000003),
-        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
-        |r0 AS (SELECT n0.node,
-        |              CASE WHEN sd.node IS NOT NULL THEN (1000000000000 // ns.n) ELSE 0 END AS r
-        |       FROM nodes n0 CROSS JOIN ns LEFT JOIN seeds sd ON sd.node = n0.node),
-        |c1 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
-        |       FROM edges e JOIN r0 r ON r.node = e.src AND r.r > 0
-        |       JOIN deg d ON d.src = e.src
-        |       GROUP BY e.dst),
-        |r1 AS (SELECT n0.node,
-        |              CASE WHEN sd.node IS NOT NULL THEN (150000000000 // ns.n) ELSE 0 END
-        |              + (85 * coalesce(c1.m, 0)) // 100 AS r
-        |       FROM nodes n0 CROSS JOIN ns
-        |       LEFT JOIN seeds sd ON sd.node = n0.node
-        |       LEFT JOIN c1 ON c1.node = n0.node),
-        |c2 AS (SELECT e.dst AS node, sum(r.r // d.d) AS m
-        |       FROM edges e JOIN r1 r ON r.node = e.src AND r.r > 0
-        |       JOIN deg d ON d.src = e.src
-        |       GROUP BY e.dst),
-        |r2 AS (SELECT n0.node,
-        |              CASE WHEN sd.node IS NOT NULL THEN (150000000000 // ns.n) ELSE 0 END
-        |              + (85 * coalesce(c2.m, 0)) // 100 AS r
-        |       FROM nodes n0 CROSS JOIN ns
-        |       LEFT JOIN seeds sd ON sd.node = n0.node
-        |       LEFT JOIN c2 ON c2.node = n0.node)
-        |SELECT node, CAST(r AS BIGINT) AS rank_scaled
-        |FROM r2 WHERE r > 0 ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      val (edges, edgeParts) = persistCompact(tradeEdges(s, dir))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .coalesce(edgeParts).persist()
-      deg.count()
-      val nodes = edges.select(col("src").as("node")).distinct()
-        .coalesce(edgeParts).persist()
-      nodes.count()
-      val seeds = nodes.filter(col("node") >= 1000001L && col("node") <= 1000003L)
-      val ns = broadcast(seeds.agg(count(lit(1)).as("n")))
-      def restart(pct: Long) =
-        when(col("is_seed"), expr(s"$pct div n")).otherwise(lit(0L))
-      val base = nodes.crossJoin(ns)
-        .join(seeds.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
-        .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
-        .coalesce(edgeParts).localCheckpoint(true)
-      var r = base.select(col("node"), restart(1000000000000L).as("r"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 2) {
-        // sparse-frontier push: only r > 0 rows probe the edge join
-        val contrib = edges
-          .join(r.filter(col("r") > 0).select(col("node").as("src"), col("r"))
-            .hint("shuffle_hash"), "src")
-          .join(deg.hint("shuffle_hash"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(expr("r div d")).as("m"))
-        r = base
-          .join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (restart(150000000000L)
-              + expr("85 * coalesce(m, 0) div 100")).as("r"))
-          .coalesce(edgeParts).localCheckpoint(true)
-      }
-      val out = r.filter(col("r") > 0)
-        .select(col("node"), col("r").as("rank_scaled"))
-        .orderBy(desc("rank_scaled"), col("node")).limit(20)
-        .persist()
-      out.count()
-      nodes.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-      out
-    },
-
-    sql(
-      "g10_neighborhood_anf",
-      "sampled approximate-neighborhood-function (ANF / HyperBall shape) over the co-purchase graph: for a deterministic seed sample (nodes ≡ 0 mod 100) grow exact balls B(s,h) for h = 0..3 and report the neighborhood-function curve — seeds, Σ|B(s,h)|, mean ball size in ppm, and how many seeds SATURATED (ball stopped growing) at each radius; the curve is how effective-diameter and reachability profiles are read off web/citation-scale graphs. The expansion is frontier-only (g04's bounded-round contract, per-seed): each round joins ONLY last round's new (seed, node) pairs against the cached symmetric edge list, anti-joins the ball, and localCheckpoints — O(rounds × frontier × degree) shuffle rows of 16 B. Scale posture: at 100 TB the exact per-seed pair set is replaced by one b-bit HyperLogLog register per NODE, merged along edges per round (HyperBall — Boldi/Vigna WWW'13); the sampled exact legs here are precisely the truth column that calibrates those registers, and a06 already carries the engine's replayable HLL. Oracle unrolls the same three rounds as chained MATERIALIZED CTEs over the shared co-purchase edge SQL; every metric is a flooring division on non-negative integers",
-      s"""WITH $copurchasePairsSql,
-        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
-        |                     UNION ALL SELECT v, u FROM pairs),
-        |seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM sym WHERE src % 100 = 0),
-        |b0 AS MATERIALIZED (SELECT seed, seed AS node FROM seeds),
-        |f1 AS MATERIALIZED (
-        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN b0 p ON p.node = s.src
-        |  WHERE NOT EXISTS (SELECT 1 FROM b0 b WHERE b.seed = p.seed AND b.node = s.dst)),
-        |b1 AS MATERIALIZED (SELECT seed, node FROM b0 UNION ALL SELECT seed, node FROM f1),
-        |f2 AS MATERIALIZED (
-        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f1 p ON p.node = s.src
-        |  WHERE NOT EXISTS (SELECT 1 FROM b1 b WHERE b.seed = p.seed AND b.node = s.dst)),
-        |b2 AS MATERIALIZED (SELECT seed, node FROM b1 UNION ALL SELECT seed, node FROM f2),
-        |f3 AS MATERIALIZED (
-        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f2 p ON p.node = s.src
-        |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.seed = p.seed AND b.node = s.dst)),
-        |b3 AS MATERIALIZED (SELECT seed, node FROM b2 UNION ALL SELECT seed, node FROM f3),
-        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds)
-        |SELECT CAST(0 AS BIGINT) AS h, ns.n AS n_seeds, c.n AS n_pairs,
-        |       (1000000 * c.n) // ns.n AS avg_ball_ppm, CAST(0 AS BIGINT) AS n_saturated
-        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b0) c
-        |UNION ALL
-        |SELECT CAST(1 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
-        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b1) c,
-        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f1) f
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
-        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b2) c,
-        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f2) f
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), ns.n, c.n, (1000000 * c.n) // ns.n, ns.n - f.n
-        |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b3) c,
-        |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f3) f
-        |ORDER BY h""") { (s, dir) =>
-      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      val seeds = sym.select("src").distinct().filter(col("src") % 100 === 0)
-        .select(col("src").as("seed"))
-      val nSeeds = seeds.agg(count(lit(1)).cast("long").as("n_seeds"))
-      var ball = seeds.select(col("seed"), col("seed").as("node"))
-        .coalesce(parts).localCheckpoint(true)
-      var frontier = ball
-      def curveRow(h: Int, grew: DataFrame): DataFrame =
-        ball.agg(count(lit(1)).cast("long").as("n_pairs"))
-          .crossJoin(broadcast(nSeeds))
-          .crossJoin(broadcast(grew))
-          .select(lit(h.toLong).as("h"), col("n_seeds"), col("n_pairs"),
-            expr("(1000000 * n_pairs) div n_seeds").as("avg_ball_ppm"),
-            (col("n_seeds") - col("grew")).as("n_saturated"))
-      val all0 = nSeeds.select(col("n_seeds").as("grew")) // h=0: every seed "grew"
-      var out = curveRow(0, all0)
-      for (h <- 1 to 3) {
-        val nbrs = sym
-          .join(frontier.select(col("seed"), col("node").as("src")).hint("shuffle_hash"), Seq("src"))
-          .select(col("seed"), col("dst").as("node")).distinct()
-        frontier = nbrs
-          .join(ball.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
-          .coalesce(parts).localCheckpoint(true)
-        ball = ball.unionAll(frontier).coalesce(parts).localCheckpoint(true)
-        out = out.unionAll(
-          curveRow(h, frontier.agg(countDistinct("seed").cast("long").as("grew"))))
-      }
-      out.orderBy("h")
-    },
-
-    sql(
-      "g11_truss",
-      "truss decomposition by bounded-round edge peeling, run at k=3 — the cohesive-subgraph miner beside g03's k-core: each round enumerates ordered triangles u<v<w over the CURRENT edge set (one wedge join closed by the third edge), folds each triangle into its three edges' support counts, and semi-joins away edges below k−2 support; 4 unrolled rounds (the g03/g04 bounded contract). The peel loop is the general k-truss machinery — at k ≥ 4 edge deaths cascade through shared triangles — and at k=3 it provably settles in ONE round (a triangle supports all three of its own edges, so any edge in a triangle keeps it forever; the spec pins exactly this one-round fixpoint, and the three spare rounds demonstrate stability, not convergence effort). k=3 is the fixture-honest choice: the support-2 co-purchase graph carries a 273-edge 3-truss at sf0.01 but its 4-truss is EMPTY at sf0.1 — a registry entry that returns nothing at bench scale gates nothing. Output: the truss edges with their within-truss support, support recomputed over the settled set. Scale posture: per-round cost is O(wedges) shuffle rows over the SUPPORT-THRESHOLDED graph (g02's tractability lever), localCheckpoint truncates lineage per round; at 100 TB the wedge join takes g02's degree-ordered orientation (id-order suffices at fixture degrees and keeps the oracle a plain unrolled CTE chain)",
-      {
-        val rounds = (1 to 4).map { r =>
-          val prev = s"e${r - 1}"
-          s"""t$r AS MATERIALIZED (
-             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-             |  FROM $prev e1 JOIN $prev e2 ON e2.u = e1.v
-             |                JOIN $prev e3 ON e3.u = e1.u AND e3.v = e2.v),
-             |s$r AS MATERIALIZED (
-             |  SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM (
-             |    SELECT a AS u, b AS v FROM t$r
-             |    UNION ALL SELECT b, c FROM t$r
-             |    UNION ALL SELECT a, c FROM t$r) GROUP BY u, v),
-             |e$r AS MATERIALIZED (SELECT u, v FROM s$r WHERE c >= 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $copurchasePairsSql,
-          |e0 AS MATERIALIZED (SELECT u, v FROM pairs),
-          |$rounds,
-          |tf AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-          |       FROM e4 e1 JOIN e4 e2 ON e2.u = e1.v
-          |                  JOIN e4 e3 ON e3.u = e1.u AND e3.v = e2.v),
-          |sf AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM (
-          |         SELECT a AS u, b AS v FROM tf
-          |         UNION ALL SELECT b, c FROM tf
-          |         UNION ALL SELECT a, c FROM tf) GROUP BY u, v)
-          |SELECT e.u, e.v, CAST(coalesce(sf.c, 0) AS BIGINT) AS support
-          |FROM e4 e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
-          |ORDER BY e.u, e.v"""
-      }) { (s, dir) =>
-      val (pairs, parts) = persistCompact(copurchasePairs(s, dir))
-      def triangles(edges: DataFrame): DataFrame = {
-        def pfx(p: String) = edges.select(col("u").as(p + "u"), col("v").as(p + "v"))
-        pfx("x").join(pfx("y"), col("yu") === col("xv"))
-          .join(pfx("z"), col("zu") === col("xu") && col("zv") === col("yv"))
-          .select(col("xu").as("a"), col("xv").as("b"), col("yv").as("c"))
-      }
-      def support(tri: DataFrame): DataFrame =
-        tri.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-          .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-          .groupBy("u", "v").agg(count(lit(1)).cast("long").as("c"))
-      var edges = pairs.coalesce(parts).localCheckpoint(true)
-      for (_ <- 1 to 4) {
-        val sup = support(triangles(edges))
-        edges = edges
-          .join(sup.filter(col("c") >= 1).select("u", "v").hint("shuffle_hash"),
-            Seq("u", "v"), "left_semi")
-          .coalesce(parts).localCheckpoint(true)
-      }
-      val supF = support(triangles(edges))
-      edges.join(supF, Seq("u", "v"), "left")
-        .select(col("u"), col("v"), coalesce(col("c"), lit(0L)).as("support"))
-        .orderBy("u", "v")
-    },
-
-    sql(
-      "g02_triangle_count",
-      "exact triangle counting with degree-ordered orientation over the frequent co-purchase graph (the clustering-coefficient / community-density primitive beside g01's centrality): part pairs sharing an order (TPC-H caps lines per order at 7, so per-order pair fan-out is bounded ≤21, never quadratic) become edges only at co-occurrence support ≥ 2 — the frequent-itemset support threshold that is ALSO the scale lever: the raw pair graph at sf0.1 is 1.2M edges with an 83M-row wedge set, the support-2 graph is ~4k edges, and at 100 TB a support threshold is the only thing keeping a co-occurrence graph tractable at all. Edges orient from the (degree, id)-smaller endpoint — the classic trick bounding out-degree to O(√E) so the wedge join is O(E^1.5) worst-case — and each triangle appears as exactly ONE directed path a→b→c closed by a→c: exact count, no /3 correction. Wholly oracle-replayed integers. Scale posture: edge build = one order-keyed self-join + support-filtered keyed count (the one pass over facts); everything after runs on the support-thresholded edge list via two-phase SHUFFLE wedge joins — O(wedges) 16-byte shuffle rows, no broadcast of E, valid at any edge-list size",
-      s"""WITH $copurchasePairsSql,
-        |$orientedEdgesSql,
-        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-        |        FROM ori e1
-        |        JOIN ori e2 ON e2.src = e1.dst
-        |        JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-        |vs  AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |               CAST(max(d) AS BIGINT) AS max_degree
-        |        FROM deg),
-        |es  AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
-        |SELECT vs.n_nodes, es.n_edges, vs.max_degree, tri.n_triangles
-        |FROM vs CROSS JOIN es CROSS JOIN tri""") { (s, dir) =>
-      // Edge/degree/orientation/wedge machinery lives in orientedTriangles
-      // (shared with g08 — tie-break and hints in one place; its scaladoc
-      // carries the r7/r8/r10 history: full-parallel support aggregation,
-      // the two-phase shuffle wedge join, the compact-cache barriers).
-      // Query runners clearCache() the persisted intermediates after.
-      val (pairs, deg, _, tris, _) = orientedTriangles(s, dir)
-      val tri = tris.agg(count(lit(1)).as("n_triangles"))
-      val vs = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
-      val es = pairs.agg(count(lit(1)).as("n_edges"))
-      vs.crossJoin(es).crossJoin(tri)
-        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
-    },
-
-    sql(
-      "g03_kcore",
-      "2-core decomposition of the co-purchase graph (iterative peeling — the graph-density filter beside g01's centrality and g02's triangles; k-cores are how graph-shaped corpora prune low-connectivity noise before community detection): repeatedly delete nodes with fewer than 2 live neighbors until a fixpoint; output every surviving node with its in-core degree. Bounded-round contract: both engines run the SAME ≤16 peel rounds (KCoreSpec measures fixpoint at ≤9 rounds across all three scale factors, so the bound has margin and early-exit-on-no-change is a pure optimization); the oracle unrolls the rounds as chained CTEs over the shared co-purchase edge SQL. Scale posture: each round is two edge-keyed semi-joins + one keyed degree count over the SHRINKING alive set — O(rounds × E) shuffle rows of 8-16 B, the standard distributed peel (Pregel-style); the support-2 threshold already bounds E corpus-proportionally (see g02), caches are cacheParts-sized, and the round count is data-bounded (degeneracy ordering converges in O(log n) rounds on power-law graphs)",
-      {
-        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
-        // reference, and each round references its predecessor twice —
-        // un-materialized, the unrolled chain expands 2^16 lineitem scans
-        val rounds = (1 to 16).map { i =>
-          val prev = s"a${i - 1}"
-          s"""a$i AS MATERIALIZED (SELECT x AS node, CAST(count(*) AS BIGINT) AS d_core FROM (
-             |  SELECT e.u AS x FROM ep e JOIN $prev p ON p.node = e.u JOIN $prev q ON q.node = e.v
-             |  UNION ALL
-             |  SELECT e.v FROM ep e JOIN $prev p ON p.node = e.u JOIN $prev q ON q.node = e.v
-             |) GROUP BY x HAVING count(*) >= 2)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $copurchasePairsSql,
-          |ep AS MATERIALIZED (SELECT u, v FROM pairs),
-          |a0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM ep UNION ALL SELECT v AS x FROM ep)),
-          |$rounds
-          |SELECT node, d_core FROM a16 ORDER BY node"""
-      }) { (s, dir) => kcorePeel(s, dir)._1 },
-
-    sql(
-      "g04_bfs_distance",
-      "multi-source BFS distance over the co-purchase graph (the reachability / neighborhood-expansion primitive beside g01 centrality, g02 density, and g03 coreness — graph-shaped corpora use bounded BFS for 'everything within k hops of a seed set' expansion queries): seeds = graph nodes with partkey % 50 = 0, distances computed frontier-by-frontier for 4 rounds; output every reached node with its hop distance. Bounded-round contract (the g03 pattern): both engines run the SAME 4 expansion rounds, the oracle unrolls them as chained MATERIALIZED CTEs over the shared co-purchase edge SQL, and the frontier/visited sets are exact (anti-join, not min-dist relaxation — BFS frontiers on an unweighted graph ARE the min distances). Scale posture: each round is one edge-keyed semi-join (frontier against the cached symmetric edge list) + one anti-join against visited — O(rounds × E) shuffle rows of 8 B, the Pregel superstep shape; frontiers are localCheckpoint-truncated so round r's plan never re-derives rounds 1..r-1 (the kcorePeel lineage lesson), and at 100 TB the same loop runs on reliable checkpoints with the visited set growing monotonically (never the full node set per round)",
-      {
-        val rounds = (1 to 4).map { i =>
-          val (pf, pv) = (s"f${i - 1}", s"v${i - 1}")
-          s"""f$i AS MATERIALIZED (
-             |  SELECT DISTINCT s.dst AS node FROM sym s JOIN $pf p ON p.node = s.src
-             |  WHERE s.dst NOT IN (SELECT node FROM $pv)),
-             |v$i AS MATERIALIZED (
-             |  SELECT node, dist FROM $pv
-             |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $copurchasePairsSql,
-          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
-          |                     UNION ALL SELECT v, u FROM pairs),
-          |f0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym WHERE src % 50 = 0),
-          |v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0),
-          |$rounds
-          |SELECT node, dist FROM v4 ORDER BY node"""
-      }) { (s, dir) =>
-      // Two-step compact cache (the shared persistCompact pattern):
-      // thresholded edges re-persist at a data-derived partition count
-      // before the round loop.
-      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      // seeds restricted to graph nodes: BFS distance is defined on the
-      // graph, and the oracle's f0 derives from sym the same way
-      var frontier = sym.select("src").distinct()
-        .filter(col("src") % 50 === 0).select(col("src").as("node"))
-        .coalesce(parts).localCheckpoint(true)
-      var visited = frontier.withColumn("dist", lit(0L))
-        .coalesce(parts).localCheckpoint(true)
-      for (d <- 1 to 4) {
-        val nbrs = sym
-          .join(frontier.select(col("node").as("src")).hint("shuffle_hash"), Seq("src"), "left_semi")
-          .select(col("dst").as("node")).distinct()
-        frontier = nbrs
-          .join(visited.select("node").hint("shuffle_hash"), Seq("node"), "left_anti")
-          .coalesce(parts).localCheckpoint(true)
-        visited = visited.unionAll(frontier.withColumn("dist", lit(d.toLong)))
-          .coalesce(parts).localCheckpoint(true)
-      }
-      visited.orderBy("node")
-    },
-
-    sql(
-      "g05_common_neighbors",
-      "common-neighbor link prediction over the co-purchase graph (the similarity/recommendation primitive the g-family was missing: 'parts bought with the same companions' — rank NON-adjacent node pairs by shared-neighbor structure): for every unordered non-edge pair with >= 2 common neighbors, the common-neighbor count and neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Integer wedge counts, r4 ratio; the oracle replays wedge join, degree join, and the existing-edge anti-join exactly. Scale posture: candidate pairs form ONLY through the wedge equi-join on the shared middle vertex (never nodes × nodes), the same O(Σ deg²) bound as g02's wedge phase, which the support-2 edge threshold keeps corpus-proportional; at 100 TB the standard hub cap (drop middles above a degree ceiling, as LSH banding drops mega-bands) bounds the quadratic term — the join SHAPE is unchanged",
-      s"""WITH $copurchasePairsSql,
-        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
-        |                     UNION ALL SELECT v, u FROM pairs),
-        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
-        |                     FROM sym GROUP BY src),
-        |cn AS (SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
-        |       FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |ne AS (SELECT cn.a, cn.b, cn.common FROM cn
-        |       LEFT JOIN pairs p ON p.u = cn.a AND p.v = cn.b WHERE p.u IS NULL)
-        |SELECT ne.a, ne.b, ne.common,
-        |       floor(ne.common * 1.0 / (da.d + db.d - ne.common) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
-        |ORDER BY ne.a, ne.b""") { (s, dir) =>
-      val (edges, _) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      val deg = sym.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).cast("long").as("d"))
-      // wedge join on the middle vertex; shuffle_hash keeps AQE from
-      // broadcasting a side that is only small at bench scale
-      val cn = sym.select(col("src").as("m"), col("dst").as("a"))
-        .join(sym.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
-        .filter(col("common") >= 2)
-      val ne = cn.join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
-        Seq("a", "b"), "left_anti")
-      ne.join(deg.select(col("node").as("a"), col("d").as("da")).hint("shuffle_hash"), "a")
-        .join(deg.select(col("node").as("b"), col("d").as("db")).hint("shuffle_hash"), "b")
-        .select(col("a"), col("b"), col("common"),
-          r4(col("common") * lit(1.0) / (col("da") + col("db") - col("common"))).as("jaccard"))
-        .orderBy("a", "b")
-    },
-
-    sql(
-      "g06_assortativity",
-      "degree assortativity of the co-purchase graph (Newman's r — the graph-profiling scalar that tells you whether hubs link to hubs (r>0, social-style) or to leaves (r<0, dependency-style), which decides whether g02-style wedge work concentrates or spreads and whether a hub degree cap is even needed): every moment (Σjk, Σ(j+k), Σ(j²+k²) over edge-endpoint degree pairs) is an EXACT integer aggregate the driver hash pins directly; floats appear only in the final Pearson assembly, built from the same shared subterms in the same order in both engines (b = S2/2M computed once, then b·b — never pow(), whose libm rounding is not contractual), rounded r6, with a zero-variance guard. Scale posture: one keyed degree aggregation + one edge-keyed degree join (the g02 ori shape) + a single scalar fold — no new join shapes beyond what g02 already pays",
-      s"""WITH $copurchasePairsSql,
-        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
-        |        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY x),
-        |ed AS (SELECT du.d AS j, dv.d AS k
-        |       FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
-        |sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
-        |                CAST(sum(j * k) AS BIGINT) AS s1,
-        |                CAST(sum(j + k) AS BIGINT) AS s2,
-        |                CAST(sum(j * j + k * k) AS BIGINT) AS s3
-        |         FROM ed),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-        |terms AS (SELECT m, s1, s2, s3, n_nodes,
-        |                 CAST(s1 AS DOUBLE) / m AS a,
-        |                 CAST(s2 AS DOUBLE) / (2 * m) AS b,
-        |                 CAST(s3 AS DOUBLE) / (2 * m) AS c
-        |          FROM sums, nn)
-        |SELECT n_nodes, m AS n_edges, s1, s2, s3,
-        |       floor((2.0 * m / n_nodes) * 10000 + 0.5) / 10000 AS avg_degree,
-        |       CASE WHEN c - b * b = 0 THEN 0.0
-        |            ELSE floor(((a - b * b) / (c - b * b)) * 1000000 + 0.5) / 1000000 END
-        |         AS assortativity
-        |FROM terms""") { (s, dir) =>
-      // Two-step compact cache (the shared persistCompact pattern — r10's
-      // one weak flag was this site skipping it: the wide cache, left at
-      // full shuffle parallelism post-r10's full-parallel support agg,
-      // charged the deg agg + two edge joins 51 s of near-empty executor
-      // tasks for a one-row answer).
-      val (pairs, _) = persistCompact(copurchasePairs(s, dir))
-      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
-      val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
-      val sums = pairs
-        .join(deg.select(col("node").as("u"), col("d").as("j")).hint("shuffle_hash"), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("k")).hint("shuffle_hash"), "v")
-        .agg(count(lit(1)).cast("long").as("m"),
-          sum(col("j") * col("k")).cast("long").as("s1"),
-          sum(col("j") + col("k")).cast("long").as("s2"),
-          sum(col("j") * col("j") + col("k") * col("k")).cast("long").as("s3"))
-      sums.crossJoin(nn)
-        .withColumn("a", col("s1").cast("double") / col("m"))
-        .withColumn("b", col("s2").cast("double") / (col("m") * 2))
-        .withColumn("c", col("s3").cast("double") / (col("m") * 2))
-        .select(col("n_nodes"), col("m").as("n_edges"), col("s1"), col("s2"), col("s3"),
-          r4(lit(2.0) * col("m") / col("n_nodes")).as("avg_degree"),
-          when(col("c") - col("b") * col("b") === 0, lit(0.0))
-            .otherwise(r6((col("a") - col("b") * col("b")) / (col("c") - col("b") * col("b"))))
-            .as("assortativity"))
-    },
-
-    sql(
-      "g07_label_prop",
-      "synchronous label-propagation community detection over the co-purchase graph (the community-assignment primitive beside g01 centrality, g02 density, g03 coreness: which parts cluster into co-bought families — the graph analog of the d08/p06 duplicate-cluster representative step): labels start as node ids and for 4 synchronous rounds every node adopts its neighbors' MOST FREQUENT label, ties broken by smallest label — the classic LPA update made fully deterministic (no async sweep order, no RNG), so every round is an exact integer relation both engines reproduce; output = per final community its size and min/max member. Bounded-round contract (the g03/g04 pattern): both engines run the SAME 4 rounds, the oracle unrolls them as chained MATERIALIZED CTEs over the shared co-purchase edge SQL. Scale posture: each round is one edge-keyed equi-join (labels against the cached symmetric edge list) + two keyed aggregations — O(rounds x E) shuffle rows of 8-16 B, the Pregel superstep shape; labels are localCheckpoint-truncated per round (the kcorePeel lineage lesson), the edge list is the persistCompact-cached support-2 graph (corpus-proportional, see g02), and at 100 TB the same loop runs on reliable checkpoints with a hub degree cap exactly as g05 documents",
-      {
-        // round k: per-node neighbor-label frequencies, then the
-        // deterministic argmax (count DESC, label ASC). MATERIALIZED for
-        // the same reason as g03/g04: each round's CTE is referenced by
-        // the next, and DuckDB would otherwise inline the whole chain.
-        val rounds = (1 to 4).map { i =>
-          val prev = s"l${i - 1}"
-          s"""n$i AS (SELECT s.src, l.label, CAST(count(*) AS BIGINT) AS c
-             |        FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
-             |l$i AS MATERIALIZED (
-             |  SELECT src AS node, label FROM (
-             |    SELECT src, label,
-             |           row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
-             |    FROM n$i) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $copurchasePairsSql,
-          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
-          |                     UNION ALL SELECT v, u FROM pairs),
-          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
-          |$rounds
-          |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
-          |       min(node) AS min_member, max(node) AS max_member
-          |FROM l4 GROUP BY label ORDER BY community"""
-      }) { (s, dir) =>
-      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-      // sym feeds every round's join probe; one compact cache instead of
-      // four re-derivations from the edge cache
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-        .coalesce(parts).persist()
-      sym.count()
-      var labels = sym.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .coalesce(parts).localCheckpoint(true)
-      for (_ <- 1 to 4) {
-        val nbr = sym
-          .join(labels.select(col("node").as("dst"), col("label")).hint("shuffle_hash"), "dst")
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-        // deterministic argmax via struct ordering: min over (-count,
-        // label) = highest frequency, then smallest label — no window,
-        // no sort, one keyed aggregation
-        labels = nbr
-          .groupBy(col("src").as("node"))
-          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
-          .select(col("node"), col("m.label").as("label"))
-          .coalesce(parts).localCheckpoint(true)
-      }
-      val out = labels.groupBy("label")
-        .agg(count(lit(1)).as("n_members"),
-          min("node").as("min_member"), max("node").as("max_member"))
-        .select(col("label").as("community"), col("n_members"),
-          col("min_member"), col("max_member"))
-        .orderBy("community")
-        .persist()
-      out.count()
-      sym.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-      out
-    },
-
-    sql(
-      "g08_clustering_coeff",
-      "per-degree local clustering-coefficient profile of the co-purchase graph (the transitivity / local-density diagnostic that completes the g-family: g02 counts triangles globally, g08 asks WHERE the closure lives — do high-degree hub parts sit in closed co-bought families or in open stars, the structural signal a graph-curation pass uses to separate organic clusters from crawl/spam hubs): per-node triangle participation t(v) comes from the SAME degree-ordered oriented wedge-close join as g02 — each closed triangle a->b->c emits its three member nodes exactly once — and the report groups nodes by degree so the average coefficient avg(2t / d(d-1)) is computable as one exact expression 2*sum(t) / (d*(d-1)*n) per bucket: integers end-to-end until a single IEEE division, no per-node float averaging whose accumulation order could diverge between engines. Scale posture: identical to g02 (one order-keyed pair build, support-2 threshold bounding E, O(wedges) 16-byte shuffle rows through two shuffle_hash equi-joins), plus one node-keyed explode/count of the triangle triples and one degree-keyed aggregation over |V| rows — the output is degree-histogram-sized, never node-sized",
-      s"""WITH $copurchasePairsSql,
-        |$orientedEdgesSql,
-        |tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |         FROM ori e1
-        |         JOIN ori e2 ON e2.src = e1.dst
-        |         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t
-        |         FROM (SELECT unnest([a, b, c]) AS node FROM tris) GROUP BY node)
-        |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
-        |       CAST(sum(t) AS BIGINT) AS tri_sum,
-        |       CASE WHEN d >= 2
-        |            THEN floor((2.0 * sum(t) / (d * (d - 1) * count(*))) * 1000000 + 0.5) / 1000000
-        |            ELSE 0.0 END AS avg_local_cc
-        |FROM (SELECT deg.node, deg.d, COALESCE(tc.t, 0) AS t
-        |      FROM deg LEFT JOIN tcnt tc ON tc.node = deg.node)
-        |GROUP BY d ORDER BY degree""") { (s, dir) =>
-      // Shared edge/degree/orientation/wedge build (orientedTriangles, with
-      // g02); the only new plan pieces are the triple explode (3 rows per
-      // triangle — each triangle closes exactly once under the orientation,
-      // so the explode credits every node once per triangle) and the
-      // degree-keyed rollup.
-      val (pairs, deg, ori, tris, _) = orientedTriangles(s, dir)
-      val tcnt = tris
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("t"))
-      val out = deg.join(tcnt, Seq("node"), "left")
-        .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
-        .groupBy(col("d").as("degree"))
-        .agg(count(lit(1)).as("n_nodes"), sum("t").as("tri_sum"))
-        .select(col("degree"), col("n_nodes"), col("tri_sum"),
-          when(col("degree") >= 2,
-            r6(lit(2.0) * col("tri_sum") /
-              (col("degree") * (col("degree") - lit(1)) * col("n_nodes"))))
-            .otherwise(lit(0.0)).as("avg_local_cc"))
-        .orderBy("degree")
-        .persist()
-      out.count()
-      ori.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
-      out
-    },
-
-    sql(
       "d12_paragraph_dedup",
       "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -1822,52 +1051,6 @@ object DedupQueries {
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def contaminationPlan(s: SparkSession, dir: String): DataFrame =
     contaminationImpl(s, dir, materialize = false)
-
-  /** g03's bounded-round 2-core peel; returns (result, roundsRun) so
-    * KCoreSpec can assert the 16-round oracle budget has margin.
-    */
-  private[graft] def kcorePeel(s: SparkSession, dir: String): (DataFrame, Int) = {
-    // Two-step compact cache (the shared persistCompact pattern): the
-    // thresholded edge list lands at 32 shuffle partitions; re-persisting
-    // it at a data-derived count keeps every peel round's stages from
-    // paying 32 near-empty tasks × rounds.
-    val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-    // Each round is checkpointed EAGERLY: the loop references `alive`
-    // twice per round, so carrying the logical plan forward doubles the
-    // tree every iteration — by round 8 plan traversal (Catalyst rules,
-    // explain/telemetry walks) is 2^8 copies of the full edge build and
-    // the driver, not the data, becomes the bottleneck. localCheckpoint
-    // truncates lineage to a LogicalRDD of the (tiny, cacheParts-sized)
-    // round output — the d08/g01 RDD-iteration lesson in DataFrame form.
-    // At 100 TB: same loop with reliable checkpoint(dir) instead of
-    // executor-local blocks, rounds are edge-keyed semi-joins either way.
-    var alive = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .distinct().coalesce(parts).localCheckpoint(true)
-    var aliveCount = alive.count()
-    var result: DataFrame = alive.withColumn("d_core", lit(0L)) // replaced in round 1
-    var round = 0
-    var converged = false
-    while (round < 16 && !converged) {
-      round += 1
-      val live = edges
-        .join(alive.select(col("node").as("u")).hint("shuffle_hash"), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")).hint("shuffle_hash"), Seq("v"), "left_semi")
-      val next = live.select(col("u").as("node"))
-        .unionAll(live.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).cast("long").as("d_core"))
-        .filter(col("d_core") >= 2)
-        .coalesce(parts).localCheckpoint(true)
-      val c = next.count()
-      // peeling only shrinks the alive set, so equal count == equal set
-      // == this round's d_core equals every later round's (incl. a16)
-      converged = c == aliveCount
-      aliveCount = c
-      alive = next.select("node")
-      result = next
-    }
-    (result.select("node", "d_core").orderBy("node"), round)
-  }
 
   private def contaminationImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
     val g = Tables.documents(s, dir)

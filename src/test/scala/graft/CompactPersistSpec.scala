@@ -41,16 +41,21 @@ class CompactPersistSpec extends SparkSpec {
   }
 
   test("every copurchasePairs consumer uses persistCompact (source convention)") {
-    val src = new String(Files.readAllBytes(
-      Paths.get("src/main/scala/graft/operators/DedupQueries.scala")), "UTF-8")
+    // the graph family (and its copurchasePairs machinery) moved to
+    // GraphQueries.scala in r13; scan both files so a future call site in
+    // either module stays under the convention
+    val src = Seq("GraphQueries", "DedupQueries").map { f =>
+      new String(Files.readAllBytes(
+        Paths.get(s"src/main/scala/graft/operators/$f.scala")), "UTF-8")
+    }.mkString("\n")
     val calls = "copurchasePairs\\(s, dir\\)".r.findAllMatchIn(src).toList
-    assert(calls.nonEmpty, "expected copurchasePairs call sites in DedupQueries")
+    assert(calls.nonEmpty, "expected copurchasePairs call sites in GraphQueries")
     val bare = calls.filterNot { m =>
       src.lastIndexOf("persistCompact(", m.start) == m.start - "persistCompact(".length
     }
     val lines = bare.map(m => src.substring(0, m.start).count(_ == '\n') + 1)
     assert(bare.isEmpty,
-      s"copurchasePairs call(s) at DedupQueries.scala line(s) $lines bypass persistCompact — " +
+      s"copurchasePairs call(s) at concatenated-source line(s) $lines bypass persistCompact — " +
         "cache the thresholded edge list through the shared helper (r10 g06 regression class)")
   }
 }

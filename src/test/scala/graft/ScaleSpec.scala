@@ -412,7 +412,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("g03 2-core == in-memory brute-force peel; fixpoint leaves the 16-round oracle budget margin") {
-    val (df, rounds) = graft.operators.DedupQueries.kcorePeel(spark, sf0001)
+    val (df, rounds) = graft.operators.GraphQueries.kcorePeel(spark, sf0001)
     val got = df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d_core")).toMap
     // the oracle unrolls exactly 16 rounds; the loop must converge well
     // inside that (measured: 5 at sf0.001, 5 at sf0.01, 8 at sf0.1)
