@@ -84,7 +84,13 @@ object ProbeGen {
     }
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off / 100)) // stays below the +1e6 node offset in g01
+        // replicas stay suppkey-disjoint at any K, but the +1e6 supplier
+        // node offset in g01's trade graph is only collision-free below
+        // K=10 (at K=100, replica-99 supplier nodes reach 1.09e7 and land
+        // inside replica-1's customer id space) — so the 100x probe tier
+        // excludes the trade-graph queries (g01/g09); the co-purchase
+        // family (partkey ids, offset i*off) is collision-free at any K
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off / 100))
         .withColumn("l_partkey", col("l_partkey") + lit(i * off))
     }
     // remaining tables copied as-is (dims; not on any probe query's path)

@@ -378,6 +378,44 @@ object AggregateQueries {
           r6(col("a4").cast("double")
             / (col("a2").cast("double") * col("a2").cast("double")) - 3).as("kurt_qty"))
         .orderBy("l_returnflag")
+    },
+
+    sql(
+      "a13_gini",
+      "Gini coefficient of customer revenue per region — the inequality/concentration audit beside a12's shape moments and q109's ABC classes (corpus curation reads the same statistic over per-source token mass to detect domain dominance; BI reads it over revenue): per region, customers rank by exact-cent revenue (custkey tie-break — a total order, so the rank-weighted sum is engine-independent even under revenue ties), and Gini = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx) over the ascending ranks assembles from three exact integer sums. The rank-weighted sum Σ(i*x) is accumulated in HUGEINT/DECIMAL(38,0) (at 100 TB rank*cents passes 1e19 per ROW, so the p04 widening applies to the summand, not just the combination), the numerator/denominator combine exactly, and one flooring division lands gini_ppm (numerator provably >= 0 for ascending ranks, so Spark trunc == DuckDB floor). Scale posture: one customer-keyed revenue rollup, one region-partitioned rank window (region-parallel), one region rollup — the q103/q109 partitioned-window discipline, no global sort",
+      """WITH cents AS (SELECT o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+        |rev AS (SELECT n.n_regionkey AS region, cu.c_custkey, CAST(sum(ct.c) AS BIGINT) AS cents
+        |        FROM cents ct JOIN customer cu ON cu.c_custkey = ct.o_custkey
+        |        JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT region, cents,
+        |              CAST(row_number() OVER (PARTITION BY region ORDER BY cents, c_custkey) AS BIGINT) AS i
+        |       FROM rev),
+        |agg AS (SELECT region, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS HUGEINT) AS s,
+        |               CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS si
+        |        FROM rk GROUP BY region)
+        |SELECT CAST(region AS BIGINT) AS region, n, CAST(s AS BIGINT) AS total_cents,
+        |       CAST((2 * si - (n + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+        |FROM agg ORDER BY region""") { (s, dir) =>
+      val cents = Tables.orders(s, dir)
+        .select(col("o_custkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      val rev = cents
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_regionkey").as("region"), col("c_custkey"))
+        .agg(sum("c").cast("long").as("cents"))
+      val w = Window.partitionBy("region").orderBy(col("cents"), col("c_custkey"))
+      rev
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("region")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("cents").cast("decimal(38,0)").as("s"),
+          sum(col("i").cast("decimal(38,0)") * col("cents")).as("si"))
+        .select(col("region").cast("long").as("region"), col("n"),
+          col("s").cast("long").as("total_cents"),
+          expr("(2 * si - (n + 1) * s) * 1000000 div (cast(n AS DECIMAL(38,0)) * s)")
+            .cast("long").as("gini_ppm"))
+        .orderBy("region")
     }
   )
 }

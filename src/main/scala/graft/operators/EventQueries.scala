@@ -1279,6 +1279,35 @@ object EventQueries {
         .withColumn("drifted",
           when(col("psi_pico") >= 100000000000L, 1L).otherwise(0L))
         .orderBy("event_type")
+    },
+
+    sql(
+      "q111_dow_seasonality",
+      "day-of-week seasonality profile per event type (the calendar-structure diagnostic beside q101's trend and q102/q110's drift: traffic analytics read this table before comparing any two windows, because a Mon-vs-Sun compare without the weekly index is a seasonality artifact, not a finding): events bucket by an engine-independent day-of-week — (epoch_days + 4) % 7 with Monday=0, computed from epoch MICROS by flooring division on non-negative operands, never from locale-dependent dayofweek()/dow() whose week-start conventions differ across engines — and each (type, dow) cell reports its count plus the seasonal index n_dow*7e6 div n_type in ppm (1e6 = exactly uniform traffic; the full 7-day grid is emitted with zero-filled cells so missing days read as index 0, the q83 epoch-grid discipline). Scale posture: one map-side-combinable (type, dow) count plus a type count, the grid a |types|x7 dimension frame built from a broadcast cross join — no windows, no data-sized anything",
+      """WITH e AS (SELECT event_type,
+        |                 CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS BIGINT) AS dow
+        |           FROM events),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type FROM e GROUP BY 1),
+        |d AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |g AS (SELECT t.event_type, g.dow FROM tot t CROSS JOIN generate_series(0, 6) g(dow))
+        |SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow,
+        |       COALESCE(d.n, 0) AS n_events,
+        |       CAST(COALESCE(d.n, 0) * 7000000 // t.n_type AS BIGINT) AS seasonal_ppm
+        |FROM g JOIN tot t USING (event_type)
+        |LEFT JOIN d ON d.event_type = g.event_type AND d.dow = g.dow
+        |ORDER BY event_type, dow""") { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(cast(ts AS timestamp)) div 86400000000 + 4) % 7").as("dow"))
+      val tot = e.groupBy("event_type").agg(count(lit(1)).cast("long").as("n_type"))
+      val d = e.groupBy("event_type", "dow").agg(count(lit(1)).cast("long").as("n"))
+      val dows = s.range(0, 7).select(col("id").as("dow"))
+      tot.crossJoin(broadcast(dows))
+        .join(d, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          expr("coalesce(n, 0L) * 7000000 div n_type").as("seasonal_ppm"))
+        .orderBy("event_type", "dow")
     }
   )
 }

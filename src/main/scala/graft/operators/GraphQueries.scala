@@ -847,5 +847,38 @@ object GraphQueries {
       pairs.unpersist(blocking = false)
       out
     },
+
+    sql(
+      "g12_edge_jaccard",
+      "co-occurrence edge strength (Jaccard of order sets) over the support-2 co-purchase graph — the edge-weighting step between raw co-occurrence counts and every weighted-graph consumer (g05's link prediction scores candidates by shared neighbors; this scores the EDGE itself, the neighborhood-overlap normalization that demotes popular-item edges whose raw support is high only because both endpoints are everywhere): for each co-purchase pair, |orders(u) ∩ orders(v)| is the pair count the basket kernel already produces, degrees are per-part distinct-order counts, and jaccard_ppm = n_common*1e6 div (n_u + n_v - n_common) is one flooring division on non-negative integers. The Spark side never self-joins the (order, part) table — pairs explode MAP-SIDE from each order's sorted part array (the q105 A-priori kernel at part grain instead of brand grain), so pair generation costs zero shuffle beyond the basket groupBy; the oracle keeps the classical self-join to prove the kernel equivalent. Scale posture: one shuffle to form baskets, combinations local, one (u,v)-keyed count, degree join keyed on part — O(pairs) 16-24 B rows throughout, the d04-class banding discipline (an order with B parts emits B² pairs map-side; the df-cap analog here is the basket-size cap every production co-occurrence job sets)",
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS nd FROM ob GROUP BY p),
+        |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS nuv
+        |       FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |SELECT u, v, nuv AS n_common, du.nd AS n_u, dv.nd AS n_v,
+        |       CAST(nuv * 1000000 // (du.nd + dv.nd - nuv) AS BIGINT) AS jaccard_ppm
+        |FROM pr JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+        |WHERE nuv >= 2
+        |ORDER BY u, v""") { (s, dir) =>
+      val ob = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val deg = ob.groupBy("p").agg(count(lit(1)).cast("long").as("nd"))
+      val baskets = ob.groupBy("o").agg(sort_array(collect_set(col("p"))).as("items"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"))
+          .as("pr"))
+        .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+        .filter(col("n_common") >= 2)
+      pairs
+        .join(deg.select(col("p").as("u"), col("nd").as("n_u")), "u")
+        .join(deg.select(col("p").as("v"), col("nd").as("n_v")), "v")
+        .select(col("u"), col("v"), col("n_common"), col("n_u"), col("n_v"),
+          expr("n_common * 1000000 div (n_u + n_v - n_common)").as("jaccard_ppm"))
+        .orderBy("u", "v")
+    },
   )
 }

@@ -330,6 +330,44 @@ object MultimodalQueries {
       Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    sql(
+      "m10_patch_grid",
+      "ViT patch-grid generation from m09's parsed headers — the geometry half of image preprocessing (resize-to-fit + 16px patch tiling) computed WITHOUT decoding a single pixel, which is how a 100 TB ingest sizes its vision batches before any decoder runs: well-formed image containers (m09's magic/width/height parse) are deterministically scaled so the longer side fits 224 (integer flooring scale — sw = w*224 div max(w,h), the aspect-preserving shrink), the grid is (sh div 16) x (sw div 16) whole patches (partial edge patches dropped, ViT-style), and each patch emits its (row, col) index plus pixel origin (y0, x0). The explode is a zero-shuffle per-row generator (the m03 frame-sampling shape: rows scale with OUTPUT size); images too small for one whole patch vanish, exactly as a vision loader skips sub-patch thumbnails. All arithmetic is integer flooring on non-negative operands — the oracle replays the grid from octet arithmetic alone (the m02/m09 trick)",
+      """WITH h AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nb,
+        |                  ascii(substring(text, 5, 1)) * 256 + ascii(substring(text, 6, 1)) AS w,
+        |                  ascii(substring(text, 7, 1)) * 256 + ascii(substring(text, 8, 1)) AS ht
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT doc_id, w, ht,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN w ELSE w * 224 // greatest(w, ht) END AS sw,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN ht ELSE ht * 224 // greatest(w, ht) END AS sh
+        |      FROM h WHERE nb >= 8),
+        |g AS (SELECT doc_id, w, ht, sh // 16 AS rows, sw // 16 AS cols FROM s)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+        |       CAST(rows AS BIGINT) AS grid_rows, CAST(cols AS BIGINT) AS grid_cols,
+        |       CAST(py.py AS BIGINT) AS patch_row, CAST(px.px AS BIGINT) AS patch_col,
+        |       CAST(py.py * 16 AS BIGINT) AS y0, CAST(px.px * 16 AS BIGINT) AS x0
+        |FROM g, unnest(generate_series(0, CAST(rows - 1 AS BIGINT))) py(py),
+        |        unnest(generate_series(0, CAST(cols - 1 AS BIGINT))) px(px)
+        |WHERE rows >= 1 AND cols >= 1
+        |ORDER BY doc_id, patch_row, patch_col""") { (s, dir) =>
+      Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
+        .filter(col("media_type") === "image" && col("well_formed") === 1)
+        .select(col("doc_id"), col("width"), col("height"))
+        .withColumn("m", greatest(col("width"), col("height")))
+        .withColumn("sw", when(col("m") <= 224, col("width")).otherwise(expr("width * 224 div m")))
+        .withColumn("sh", when(col("m") <= 224, col("height")).otherwise(expr("height * 224 div m")))
+        .withColumn("grid_rows", expr("sh div 16"))
+        .withColumn("grid_cols", expr("sw div 16"))
+        .filter(col("grid_rows") >= 1 && col("grid_cols") >= 1)
+        .select(col("doc_id"), col("width"), col("height"), col("grid_rows"), col("grid_cols"),
+          explode(expr("flatten(transform(sequence(0L, grid_rows - 1), py -> " +
+            "transform(sequence(0L, grid_cols - 1), px -> struct(py AS py, px AS px))))")).as("p"))
+        .select(col("doc_id"), col("width"), col("height"), col("grid_rows"), col("grid_cols"),
+          col("p.py").cast("long").as("patch_row"), col("p.px").cast("long").as("patch_col"),
+          (col("p.py") * 16).cast("long").as("y0"), (col("p.px") * 16).cast("long").as("x0"))
+        .orderBy("doc_id", "patch_row", "patch_col")
     }
   )
 }

@@ -795,7 +795,62 @@ object SimilarityQueries {
         .select(col("cent_id"), col("n_stale"), col("n_fresh"), col("n_in"), col("n_out"),
           expr("((n_in + n_out) * 1000000) div greatest(n_stale + n_fresh, 1)").as("churn_ppm"))
         .orderBy("cent_id")
-    }
+    },
+
+    sql(
+      "s19_filtered_knn",
+      "metadata-FILTERED exact top-5 neighbors (the filtered-vector-search every production vector store ships: 'nearest neighbors WHERE label = X' — here the query's own label, the tenant/namespace shape): the predicate becomes the JOIN KEY, not a post-filter — candidates are generated by a label equi-join against the broadcast query set, so the scan side prunes to the label partition before any distance math (pre-filtering; post-filtering an unfiltered top-k under-fills k whenever the filter is selective, the classic filtered-ANN bug this entry's semantics rule out by construction). Scoring and determinism are s01's: codegen'd cosine, (sim DESC, neighbor_id) total order, r6 rounding. Scale posture: at 100 TB the label keys the index layout (partition/bucket by label), so the equi-join IS the partition prune; the query side stays broadcast and the per-label candidate sets bound the distance work",
+      s"""SELECT q_id, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT q_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |                   ${graft.functions.VectorFunctions.cosineSql("q.embedding", "e.embedding")} AS sim
+        |            FROM embeddings q JOIN embeddings e
+        |              ON e.label = q.label AND e.vec_id <> q.vec_id
+        |            WHERE q.vec_id < $NQueries))
+        |WHERE rnk <= $K
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+      e.join(broadcast(q), "label")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
+        .orderBy("q_id", "rnk")
+    },
+
+    sql(
+      "s20_knn_graph",
+      "all-vectors kNN-GRAPH construction (top-3 neighbors for EVERY vector via the s04 LSH buckets + exact rerank — the batch primitive SemDeDup, graph-based ANN indexes, and kNN-classifier featurizers all start from; s01-s19 answer per-QUERY search, this materializes the whole neighbor graph): candidates are the bucket self-join on (table, signature) — ids only, the d04 candIds discipline, embeddings re-join AFTER the distinct so the shuffle carries 20 B rows, never 256 B vectors — then the exact-cosine rerank and a per-vector top-3 under the (sim DESC, neighbor_id) total order. The whole path replays hash-exact in DuckDB because the hyperplanes are the s04 splitmix Rademacher planes. Scale posture: bucket join + distinct + two id-keyed embedding joins + a vec-partitioned window — O(sum of bucket^2) candidate ids bound the work, the banding-join shape with the same df-cap/AQE skew defences SkewSpec measures for d04",
+      s"""WITH pidx AS (SELECT t.t, b.b, i.i, CAST((t.t * $LshBits + b.b) * $LshDim + i.i AS HUGEINT) AS k
+        |              FROM generate_series(0, ${LshTables - 1}) t(t), generate_series(0, ${LshBits - 1}) b(b),
+        |                   generate_series(0, ${LshDim - 1}) i(i)),
+        |${graft.functions.HashFunctions.priorityHashCtes("pidx", "k", LshSeed, "t, b, i")},
+        |planes AS (SELECT t, b,
+        |                  list(CAST(CASE WHEN pri % 2 = 1 THEN -1 ELSE 1 END AS DOUBLE) ORDER BY i) AS plane
+        |           FROM ph4 GROUP BY t, b),
+        |dots AS (SELECT e.vec_id, p.t, p.b,
+        |                list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS d
+        |         FROM embeddings e CROSS JOIN planes p),
+        |sigs AS (SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+        |         FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS neighbor_id
+        |         FROM sigs q JOIN sigs s ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.vec_id),
+        |scored AS (SELECT c.q_id, c.neighbor_id, ${graft.functions.VectorFunctions.cosineSql("qe.embedding", "ne.embedding")} AS sim
+        |           FROM cand c
+        |           JOIN embeddings qe ON qe.vec_id = c.q_id
+        |           JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |SELECT q_id, rnk, neighbor_id, floor((sim) * 1000000 + 0.5) / 1000000 AS sim
+        |FROM (SELECT q_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY q_id, rnk""") { (s, dir) => knnGraph(s, dir) }
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,
@@ -933,6 +988,40 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("qdot"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** All-vectors kNN graph over the s04 LSH buckets (s20): bucket
+    * self-join for candidate ids, embeddings re-joined after the
+    * distinct (the d04 candIds discipline — the candidate shuffle
+    * carries (t, sig, id) rows, never vectors), exact-cosine rerank,
+    * per-vector top-k.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val planes = hyperplanes(tables, bits)
+    val e = Tables.embeddings(s, dir)
+    val sigs = e
+      .select(Seq(col("vec_id")) ++ planes.zipWithIndex.map { case (p, t) =>
+        signature(col("embedding"), p).as(s"sig_$t")
+      }: _*)
+      .select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
+    val cand = sigs
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("neighbor_id")), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("q_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"), cosineSim(col("q_emb"), col("n_emb")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), r6(col("sim")).as("sim"))
       .orderBy("q_id", "rnk")
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.GraftQuery.sql
-import graft.functions.TextFunctions
+import graft.functions.{HashFunctions, TextFunctions}
 import graft.sources.Tables
 import graft.operators.Det._
 import org.apache.spark.sql.expressions.Window
@@ -1728,6 +1728,141 @@ object TextQueries {
           expr("(sum(label) * 1000000) div count(1)").as("actual_ppm"),
           expr("sum(score_ppm) div count(1) - (sum(label) * 1000000) div count(1)").as("gap_ppm"))
         .orderBy("bin")
+    },
+
+    sql(
+      "t30_gopher_rules",
+      "Gopher-style rule table — the published multi-threshold quality gate (Rae et al. 2021 §A1.1) evaluated per document as one map-side pass, the screen every web-scale corpus runs between langid and dedup (t13 measures ONE repetition signal; this is the rule TABLE with per-rule pass flags and the composite keep, i.e. the thing the pipeline actually branches on): token-count bound [50, 100k]; mean word length in [3, 10] chars tested as the exact integer cross-multiplication 300n <= 100*Σlen <= 1000n (no division at a boundary — the q109 discipline); and duplicate n-gram fractions for n = 2, 3, 4 against the published thresholds {0.20, 0.18, 0.16}, each fraction the exact integer (count - distinct)*1e6 div count over the codegen'd shingle kernel (the count-based variant of Gopher's char-mass rule, documented; docs shorter than n read 0 duplicated). All-integer, no floats anywhere. Scale posture: pure projection over one documents scan — counts, distincts and flags all compute inside whole-stage codegen; zero shuffle, the m06/t16 embarrassingly-parallel ideal",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+        |                CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS sumlen
+        |         FROM tk),
+        |g2 AS (SELECT doc_id, CAST(len(ts)-1 AS BIGINT) AS c,
+        |              CAST(len(list_distinct(list_transform(generate_series(1, len(ts)-1),
+        |                   i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS d
+        |       FROM tk WHERE len(ts) >= 2),
+        |g3 AS (SELECT doc_id, CAST(len(ts)-2 AS BIGINT) AS c,
+        |              CAST(len(list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS BIGINT) AS d
+        |       FROM tk WHERE len(ts) >= 3),
+        |g4 AS (SELECT doc_id, CAST(len(ts)-3 AS BIGINT) AS c,
+        |              CAST(len(list_distinct(list_transform(generate_series(1, len(ts)-3),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS BIGINT) AS d
+        |       FROM tk WHERE len(ts) >= 4),
+        |f AS (SELECT b.doc_id, b.n, b.sumlen,
+        |             CAST(COALESCE((g2.c - g2.d) * 1000000 // g2.c, 0) AS BIGINT) AS dup2_ppm,
+        |             CAST(COALESCE((g3.c - g3.d) * 1000000 // g3.c, 0) AS BIGINT) AS dup3_ppm,
+        |             CAST(COALESCE((g4.c - g4.d) * 1000000 // g4.c, 0) AS BIGINT) AS dup4_ppm
+        |      FROM base b LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        |           LEFT JOIN g4 USING (doc_id))
+        |SELECT doc_id, n AS n_tokens, CAST(100 * sumlen // n AS BIGINT) AS mean_len_centi,
+        |       dup2_ppm, dup3_ppm, dup4_ppm,
+        |       CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+        |       CAST(CASE WHEN 100 * sumlen >= 300 * n AND 100 * sumlen <= 1000 * n
+        |            THEN 1 ELSE 0 END AS BIGINT) AS pass_wordlen,
+        |       CAST(CASE WHEN dup2_ppm <= 200000 AND dup3_ppm <= 180000 AND dup4_ppm <= 160000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
+        |       CAST(CASE WHEN n BETWEEN 50 AND 100000
+        |             AND 100 * sumlen >= 300 * n AND 100 * sumlen <= 1000 * n
+        |             AND dup2_ppm <= 200000 AND dup3_ppm <= 180000 AND dup4_ppm <= 160000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      // raw counts first, flooring ppm via integer `div` second (never a
+      // double `/` whose rounding can cross an integer boundary)
+      def gramCounts(n: Int): Seq[org.apache.spark.sql.Column] = {
+        // shingleStringsAll = the multiset (gram count), shingleStrings =
+        // the deduped set (distinct count) — both codegen'd kernels
+        Seq(when(size(toks) < n, 0L)
+            .otherwise(size(HashFunctions.shingleStringsAll(toks, n)).cast("long")).as(s"c$n"),
+          when(size(toks) < n, 0L)
+            .otherwise(size(HashFunctions.shingleStrings(toks, n)).cast("long")).as(s"d$n"))
+      }
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("sumlen")) ++
+          gramCounts(2) ++ gramCounts(3) ++ gramCounts(4): _*)
+        .select(col("doc_id"), col("n_tokens"), col("sumlen"),
+          expr("CASE WHEN c2 = 0 THEN 0L ELSE (c2 - d2) * 1000000 div c2 END").as("dup2_ppm"),
+          expr("CASE WHEN c3 = 0 THEN 0L ELSE (c3 - d3) * 1000000 div c3 END").as("dup3_ppm"),
+          expr("CASE WHEN c4 = 0 THEN 0L ELSE (c4 - d4) * 1000000 div c4 END").as("dup4_ppm"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("100 * sumlen div n_tokens").as("mean_len_centi"),
+          col("dup2_ppm"), col("dup3_ppm"), col("dup4_ppm"),
+          when(col("n_tokens").between(50, 100000), 1L).otherwise(0L).as("pass_len"),
+          when(col("sumlen") * 100 >= col("n_tokens") * 300 &&
+            col("sumlen") * 100 <= col("n_tokens") * 1000, 1L).otherwise(0L).as("pass_wordlen"),
+          when(col("dup2_ppm") <= 200000 && col("dup3_ppm") <= 180000 &&
+            col("dup4_ppm") <= 160000, 1L).otherwise(0L).as("pass_rep"))
+        .withColumn("keep",
+          (col("pass_len") * col("pass_wordlen") * col("pass_rep")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    sql(
+      "t31_keyword_tfidf",
+      "per-document keyword extraction: deterministic top-3 terms by TF-IDF (the retrieval/labeling primitive t10 stops short of — t10 emits the full tf-idf matrix, this reduces it to the per-doc keyword set a tagging or BM25-feed pipeline actually stores): score = tf * ln(N/df) with the idf integerized on the 1e6 ln grid from ONE exact-integer division inside a single libm ln (the t26/t29 ln-ULP-parity idiom — N and df are exact BIGINTs, their double quotient is correctly rounded, and a 1-ulp ln divergence sits 3 orders below the grid step), so every score is an exact BIGINT product and the per-doc top-3 is a total order under (score DESC, term ASC). Scale posture: tf is one (doc, term)-keyed map-side-combinable count, df one term-keyed count joined back on term (never on doc), N a broadcast scalar, and the top-3 a doc-partitioned window — partition-parallel, the t15 posting-list discipline",
+      """WITH tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |            WHERE t != '' GROUP BY 1, 2),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT f.doc_id, f.t, f.tf, d.df,
+        |              f.tf * CAST(floor(ln(n.n * 1.0 / d.df) * 1000000 + 0.5) AS BIGINT) AS score
+        |       FROM tf f JOIN df d USING (t) CROSS JOIN nd n)
+        |SELECT doc_id, rnk, t AS term, tf, df, score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, t) AS BIGINT) AS rnk FROM sc)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      val nd = docs.agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("t"))
+      tf.join(df, "t")
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          col("tf") * floor(log(col("n") * lit(1.0) / col("df")) * 1000000 + 0.5).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("t").as("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    sql(
+      "p15_curriculum_buckets",
+      "curriculum-ordering manifest: per-language quality quartiles over an exact-integer lexical-diversity key (curriculum learning feeds low-diversity text first and ramps up; the manifest a staged training-data export consumes is exactly this table — which bucket, how many docs, how much char mass, what key range): the key is ttr_ppm = distinct-tokens*1e6 div tokens (exact integers, the t19 TTR on the flooring grid), buckets are ntile(4) over (lang) ordered by (ttr_ppm, doc_id) — ntile with a TOTAL order is engine-independent (equal bucket sizes, remainder to the leading buckets, both engines), the p05 stratified-boundary discipline with ranks instead of a fraction cut. Scale posture: the key is one map-side projection, the quartile a lang-partitioned window (partition-parallel, never global), the manifest a |lang|x4 rollup — at 100 TB the ntile swaps for the exact integer boundary arithmetic p05 already uses on ranked positions",
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+        |                  CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+        |                       // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
+        |           FROM documents),
+        |b AS (SELECT lang, doc_id, n_chars, ttr_ppm,
+        |             CAST(ntile(4) OVER (PARTITION BY lang ORDER BY ttr_ppm, doc_id) AS BIGINT) AS bucket
+        |      FROM k)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |       min(ttr_ppm) AS min_ttr_ppm, max(ttr_ppm) AS max_ttr_ppm
+        |FROM b GROUP BY lang, bucket
+        |ORDER BY lang, bucket""") { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val w = Window.partitionBy("lang").orderBy(col("ttr_ppm"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(array_distinct(toks)).cast("long").as("nu"),
+          size(toks).cast("long").as("nt"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("nu * 1000000 div nt").as("ttr_ppm"))
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("char_mass"),
+          min("ttr_ppm").as("min_ttr_ppm"), max("ttr_ppm").as("max_ttr_ppm"))
+        .orderBy("lang", "bucket")
     }
   )
 }

@@ -1136,4 +1136,126 @@ class PipelineOpsSpec extends SparkSpec {
     val sk = math.floor(54.0 / (18.0 * math.sqrt(18.0)) * 1000000 + 0.5) / 1000000
     assert(got == Seq(("K", 3L, sk, -1.5), ("S", 3L, 0.0, -1.5)), got.mkString(", "))
   }
+
+  test("q111 dow: known calendar dates land on the right engine-independent day-of-week") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q111spec").toString
+    // 2024-01-01 is a MONDAY; under the (epoch_days + 4) % 7 anchor
+    // (day 0 = Thursday 1970-01-01 -> 4, so Sunday = 0) Monday reads 1.
+    // 3 clicks on Monday, 4 on Tuesday (2024-01-02), nothing else.
+    val rows = Seq.fill(3)("2024-01-01 10:00:00") ++ Seq.fill(4)("2024-01-02 09:30:00")
+    rows.zipWithIndex.map { case (t, i) => (i.toLong, java.sql.Timestamp.valueOf(t), "click") }
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q111_dow_seasonality")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // full 7-day grid, zero-filled; index = n*7e6 div 7 = n*1e6 here
+    assert(got == Seq((0L, 0L, 0L), (1L, 3L, 3000000L), (2L, 4L, 4000000L),
+      (3L, 0L, 0L), (4L, 0L, 0L), (5L, 0L, 0L), (6L, 0L, 0L)), got.mkString(", "))
+  }
+
+  test("a13 Gini: equal revenues read exactly 0; the 1-vs-99 pair reads exactly 0.49") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a13spec").toString
+    // region 0: custs 1 (one 0.01 order) and 2 (one 0.99 order):
+    // n=2, s=100, si = 1*1 + 2*99 = 199 -> (2*199 - 3*100)*1e6 // (2*100)
+    // = 98e6 // 200 = 490000. region 1: three equal customers -> 0.
+    Seq((1L, 0.01), (2L, 0.99), (3L, 2.0), (4L, 2.0), (5L, 2.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 0L), (20L, 1L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("a13_gini")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 2L, 100L, 490000L), (1L, 3L, 600L, 0L)), got.mkString(", "))
+  }
+
+  test("g12 edge Jaccard: fully co-bought pair reads 1e6 ppm, support-1 pairs vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g12spec").toString
+    // orders: o1 {p1,p2,p3}, o2 {p1,p2}, o3 {p1,p2} -> (p1,p2) support 3,
+    // degrees 3/3 -> jaccard 3/(3+3-3) = 1e6; (p1,p3)/(p2,p3) support 1 drop
+    Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 102L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("g12_edge_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((101L, 102L, 3L, 3L, 3L, 1000000L)), got.mkString(", "))
+  }
+
+  test("t30 Gopher rules: each planted violation trips exactly its own flag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t30spec").toString
+    val clean = (1 to 60).map(i => f"tok$i%02d").mkString(" ")      // 60 distinct 5-char tokens
+    val repet = Seq.fill(30)("x y").mkString(" ")                    // 60 tokens, 2 types
+    val short = (1 to 10).map(i => f"tok$i%02d").mkString(" ")      // 10 tokens
+    Seq((0L, clean), (1L, repet), (2L, short)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t30_gopher_rules")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("pass_len"), r.getAs[Long]("pass_wordlen"),
+        r.getAs[Long]("pass_rep"), r.getAs[Long]("keep"))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, 1L)), s"clean doc: ${got(0L)}")
+    // 59 bigrams, 2 distinct -> dup2 = 57/59 = 966101 ppm > 0.20; and the
+    // 1-char tokens fail the mean-word-length floor
+    assert(got(1L) == ((1L, 0L, 0L, 0L)), s"repetitive doc: ${got(1L)}")
+    assert(got(2L) == ((0L, 1L, 1L, 0L)), s"short doc: ${got(2L)}")
+  }
+
+  test("t31 keyword tf-idf: the rare term wins its doc with the exact ln-grid score") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t31spec").toString
+    Seq((0L, "rare rare the"), (1L, "the xx"), (2L, "the yy"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t31_keyword_tfidf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    val ln3 = math.floor(math.log(3.0) * 1000000 + 0.5).toLong // 1098612
+    // doc0 rank1 = 'rare' (tf=2, df=1): score 2*ln3; 'the' (df=3) scores 0
+    assert(rows.contains((0L, 1L, "rare", 2 * ln3)), rows.mkString(", "))
+    assert(rows.contains((1L, 1L, "xx", ln3)), rows.mkString(", "))
+    // every doc contains 'the' with score exactly 0 (idf of an everywhere-term)
+    assert(rows.filter(_._3 == "the").forall(_._4 == 0L), rows.mkString(", "))
+  }
+
+  test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
+    // ttr_ppm: a a a a=250000, a b a b a=400000, a b a b=500000,
+    // a b c a b=600000, a b c a=750000, a b c d=1000000
+    Seq((0L, "a a a a"), (1L, "a b a b a"), (2L, "a b a b"),
+      (3L, "a b c a b"), (4L, "a b c a"), (5L, "a b c d"))
+      .map { case (i, t) => (i, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p15_curriculum_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((1L, 2L, 250000L, 400000L), (2L, 2L, 500000L, 600000L),
+      (3L, 1L, 750000L, 750000L), (4L, 1L, 1000000L, 1000000L)), got.mkString(", "))
+  }
+
+  test("m10 patch grid: hand-traced header yields the exact scaled grid; patch count = rows x cols") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m10spec").toString
+    // bytes 5-8 = 'W','X','Y','Z': width = 87*256+88 = 22360,
+    // height = 89*256+90 = 22874; max > 224 -> sw = 22360*224//22874 = 218,
+    // sh = 224 -> grid 14 rows x 13 cols = 182 patches. doc_id 0 % 3 == 0.
+    Seq((0L, "abcdWXYZ trailing payload"), (3L, "tiny"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("m10_patch_grid")(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) == 0L), "truncated doc 3 must emit nothing")
+    assert(rows.length == 14 * 13, s"expected 182 patches, got ${rows.length}")
+    val first = rows.head
+    assert((first.getLong(1), first.getLong(2), first.getLong(3), first.getLong(4))
+      == ((22360L, 22874L, 14L, 13L)), first.toString)
+    // corners: last patch origin = ((rows-1)*16, (cols-1)*16)
+    val last = rows.last
+    assert((last.getLong(5), last.getLong(6), last.getLong(7), last.getLong(8))
+      == ((13L, 12L, 208L, 192L)), last.toString)
+  }
 }

@@ -148,7 +148,11 @@ class ScaleSpec extends SparkSpec {
       // r12 batch 4: grid-smoothed PSI terms, full-outer changelog diff,
       // two-codebook churn join, exact co-moment polynomials
       "q110_psi_drift", "u13_cdc_generate", "s18_index_staleness_audit",
-      "a12_higher_moments")
+      "a12_higher_moments",
+      // r13 representatives: part-grain basket combinations + degree join,
+      // LSH bucket self-join kNN graph, region-rank Gini widening,
+      // ln-grid tf-idf top-k window
+      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -194,7 +198,11 @@ class ScaleSpec extends SparkSpec {
       // r12 batch 4: grid-smoothed PSI terms, full-outer changelog diff,
       // two-codebook churn join, exact co-moment polynomials
       "q110_psi_drift", "u13_cdc_generate", "s18_index_staleness_audit",
-      "a12_higher_moments")
+      "a12_higher_moments",
+      // r13 representatives: part-grain basket combinations + degree join,
+      // LSH bucket self-join kNN graph, region-rank Gini widening,
+      // ln-grid tf-idf top-k window
+      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq

@@ -375,4 +375,56 @@ class SimilarityRecallSpec extends SparkSpec {
       assert(r._4 <= r._3 && r._5 <= r._2, s"churn exceeds cell mass: $r")
     }
   }
+
+  test("s19 filtered kNN matches an independent plain-Scala mirror (same fold order, same rounding)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // left-to-right double folds, exactly the codegen'd expression's order
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.filter(_._1 < 10).flatMap { case (q, lbl, qe) =>
+      emb.filter(e => e._2 == lbl && e._1 != q)
+        .map(e => (e._1, cos(qe, e._3)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, sim), i) =>
+          (q, (i + 1).toLong, id, math.floor(sim * 1000000 + 0.5) / 1000000) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("s19_filtered_knn")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"mirror mismatch: got ${got.take(3)}... want ${expected.take(3)}...")
+    // vacuity: the filter actually binds — some unfiltered top-5 neighbor
+    // of some query carries a different label
+    val filteredSets = neighborSets(SparkEntry.queries("s19_filtered_knn")(spark, sf0001))
+    assert(exact.exists { case (q, truth) => truth != filteredSets.getOrElse(q, Set.empty) },
+      "label filter never changed any top-5 — fixture degenerate?")
+  }
+
+  test("s20 kNN graph restricted to the s04 query set IS knnLsh (same buckets, same rerank)") {
+    val graph = SimilarityQueries.knnGraph(spark, sf0001, k = 5)
+      .filter(col("q_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val lsh = SimilarityQueries.knnLsh(spark, sf0001, k = 5, nq = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(graph == lsh, s"graph slice diverges from knnLsh: ${graph.take(3)} vs ${lsh.take(3)}")
+    // and the graph covers (nearly) every vector: each emitted vector has
+    // rnk 1..m contiguous with non-increasing sims
+    val all = SimilarityQueries.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    all.groupBy(_._1).foreach { case (q, rows) =>
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == (1L to byRnk.length).toSeq, s"q=$q ranks not contiguous")
+      assert(byRnk.sliding(2).forall(w => w.length < 2 || w(0)._3 >= w(1)._3),
+        s"q=$q sims not non-increasing")
+    }
+  }
 }
