@@ -880,5 +880,71 @@ object GraphQueries {
           expr("n_common * 1000000 div (n_u + n_v - n_common)").as("jaccard_ppm"))
         .orderBy("u", "v")
     },
+
+    sql(
+      "g13_degree_powerlaw",
+      "degree-distribution power-law fit over the support-2 co-purchase graph — the one-row graph-health dashboard (t26's Zipf diagnostic pointed at graph degrees: real co-occurrence graphs are heavy-tailed with exponent ~2-3, so a flat or broken slope flags a degenerate or flooded graph BEFORE the iterative family g01-g11 spends rounds on it): node/edge/max-degree counts plus an exact-integer OLS fit of ln(count-of-nodes-with-degree-d) on ln(d) over the degree histogram — log terms on the 1e3 grid (t26's ln-ULP-parity basis), all five co-moments BIGINT-exact and combined through DECIMAL(38,0)/HUGEINT (the p04 widening), slope and R² each one two-op IEEE chain on correctly-rounded double casts, r4-rounded, zero-variance short-circuited (the q98 guard). Scale posture: degrees are one edge-keyed count, the histogram a degree-keyed count (max-degree-sized), the fit a single rollup over that dimension frame — the corpus-scale cost is the shared cached edge build every graph entry amortizes",
+      s"""WITH $copurchasePairsSql,
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |        GROUP BY node),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS nd FROM deg GROUP BY d),
+        |xy AS (SELECT CAST(floor(ln(d * 1.0) * 1000 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(nd * 1.0) * 1000 + 0.5) AS BIGINT) AS y
+        |       FROM hist),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |               CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+        |               CAST(sum(x*y) AS HUGEINT) AS sxy
+        |        FROM xy),
+        |fit AS (SELECT k, k * sxy - sx * sy AS cov, k * sxx - sx * sx AS vx,
+        |               k * syy - sy * sy AS vy
+        |        FROM mom)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |       (SELECT max(d) FROM deg) AS max_degree,
+        |       CAST(k AS BIGINT) AS n_degree_levels,
+        |       CASE WHEN vx = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)) * 10000 + 0.5) / 10000
+        |            END AS slope,
+        |       CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+        |                        / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))) * 10000 + 0.5) / 10000
+        |            END AS fit_r2
+        |FROM fit""") { (s, dir) =>
+      val (pairs, _) = DedupQueries.persistCompact(copurchasePairs(s, dir))
+      val deg = pairs.select(col("u").as("node")).unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
+      val hist = deg.groupBy("d").agg(count(lit(1)).cast("long").as("nd"))
+      val d38 = "decimal(38,0)"
+      val mom = hist
+        .select(floor(log(col("d") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("x"),
+          floor(log(col("nd") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("y"))
+        .agg(count(lit(1)).cast("long").as("k"),
+          sum("x").cast(d38).as("sx"), sum("y").cast(d38).as("sy"),
+          sum(col("x") * col("x")).cast(d38).as("sxx"),
+          sum(col("y") * col("y")).cast(d38).as("syy"),
+          sum(col("x") * col("y")).cast(d38).as("sxy"))
+      val fit = mom.select(col("k"),
+        (col("k").cast(d38) * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("k").cast(d38) * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("k").cast(d38) * col("syy") - col("sy") * col("sy")).as("vy"))
+      val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+      val nEdges = pairs.agg(count(lit(1)).cast("long").as("n_edges"))
+      val maxDeg = deg.agg(max("d").as("max_degree"))
+      val out = nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(maxDeg))
+        .crossJoin(broadcast(fit))
+        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+          col("k").as("n_degree_levels"),
+          when(col("vx") === 0, lit(0.0))
+            .otherwise(r4(col("cov").cast("double") / col("vx").cast("double"))).as("slope"),
+          when(col("vx") === 0 || col("vy") === 0, lit(0.0))
+            .otherwise(r4(col("cov").cast("double") * col("cov").cast("double")
+              / (col("vx").cast("double") * col("vy").cast("double")))).as("fit_r2"))
+        .persist()
+      out.count()
+      pairs.unpersist(blocking = false)
+      out
+    },
   )
 }

@@ -1542,6 +1542,45 @@ object RelationalQueries {
         .select(col("k0").cast("long").as("seq"), col("k0").cast("long").as("k"), col("op"),
           when(col("op") === "D", lit(null).cast("double")).otherwise(col("nv")).as("new_v"))
         .orderBy("k")
+    },
+
+    sql(
+      "q112_ship_latency",
+      "order→ship fulfillment-latency profile per order priority — the operational SLA table (count, min, exact median, exact p90, max of l_shipdate − o_orderdate in integer micros) every fulfillment dashboard opens with, and the latency-percentile SHAPE q91's signup→purchase entry established, here on the trade fact tables: latencies are exact integer micros (epoch_us differences — negative values legal and kept, the synthetic corpus ships some lines before the order date and an honest profile shows that instead of clamping), ranks come from a priority-partitioned window ordered by the latency value (rank identity among ties is arbitrary but the VALUE at any sorted position is deterministic, so the percentile cells are engine-independent without a tie-break column), and the median/p90 positions use the exact integer formulas (n+1) div 2, n div 2 + 1, (9n+9) div 10 — flooring division on non-negative rank arithmetic, both median legs emitted so even-n medians need no float averaging. Scale posture: one orderkey-keyed join (bloom-reducible), one priority-partitioned sort window (5 partitions here, partition-parallel at any cardinality), one priority rollup — no global sort; at extreme per-priority cardinality the exact window swaps for a09's pre-aggregated value-domain crossing or the q38 sketch, both already in the registry",
+      """WITH lat AS (SELECT o.o_orderpriority AS priority,
+        |                   epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+        |                   - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS us
+        |            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |rk AS (SELECT priority, us,
+        |              CAST(row_number() OVER (PARTITION BY priority ORDER BY us) AS BIGINT) AS i,
+        |              CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |       FROM lat)
+        |SELECT priority, max(n) AS n_lines,
+        |       CAST(min(us) AS BIGINT) AS min_us,
+        |       CAST(max(CASE WHEN i = (n + 1) // 2 THEN us END) AS BIGINT) AS median_lo_us,
+        |       CAST(max(CASE WHEN i = n // 2 + 1 THEN us END) AS BIGINT) AS median_hi_us,
+        |       CAST(max(CASE WHEN i = (9 * n + 9) // 10 THEN us END) AS BIGINT) AS p90_us,
+        |       CAST(max(us) AS BIGINT) AS max_us
+        |FROM rk GROUP BY priority
+        |ORDER BY priority""") { (s, dir) =>
+      val lat = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          (unix_micros(col("l_shipdate").cast("timestamp"))
+            - unix_micros(col("o_orderdate").cast("timestamp"))).as("us"))
+      val w = Window.partitionBy("priority").orderBy("us")
+      val wn = Window.partitionBy("priority")
+      lat
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn).cast("long"))
+        .groupBy("priority")
+        .agg(max("n").as("n_lines"),
+          min("us").cast("long").as("min_us"),
+          max(when(expr("i = (n + 1) div 2"), col("us"))).cast("long").as("median_lo_us"),
+          max(when(expr("i = n div 2 + 1"), col("us"))).cast("long").as("median_hi_us"),
+          max(when(expr("i = (9 * n + 9) div 10"), col("us"))).cast("long").as("p90_us"),
+          max("us").cast("long").as("max_us"))
+        .orderBy("priority")
     }
   )
 }

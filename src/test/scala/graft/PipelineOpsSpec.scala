@@ -1237,6 +1237,41 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 1L, 750000L, 750000L), (4L, 1L, 1000000L, 1000000L)), got.mkString(", "))
   }
 
+  test("q112 latency percentiles: hand-traced 4-line ladder hits the exact rank positions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q112spec").toString
+    val day = 86400000000L // one day in micros
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // latencies 1/5/9/13 days: n=4 -> median_lo = rank (4+1) div 2 = 2
+    // (5d), median_hi = rank 4 div 2 + 1 = 3 (9d), p90 = rank
+    // (9*4+9) div 10 = 4 (13d)
+    Seq(2, 6, 10, 14).map { d =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")) }
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q112_ship_latency")(spark, dir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(("1-URGENT", 4L, 1 * day, 5 * day, 9 * day, 13 * day, 13 * day)),
+      got.mkString(", "))
+  }
+
+  test("g13 power-law fit: the 2-level {deg1: 2 nodes, deg2: 1 node} graph fits slope -1, r2 1 exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g13spec").toString
+    // pairs (p1,p2) and (p1,p3), each with support 2 -> degrees p1=2,
+    // p2=p3=1 -> histogram {(1,2),(2,1)} -> two grid points (0,693),
+    // (693,0) -> OLS slope exactly -1.0, r2 exactly 1.0
+    Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 103L), (4L, 101L), (4L, 103L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("g13_degree_powerlaw")(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((3L, 2L, 2L, 2L, -1.0, 1.0)), got.mkString(", "))
+  }
+
   test("m10 patch grid: hand-traced header yields the exact scaled grid; patch count = rows x cols") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m10spec").toString

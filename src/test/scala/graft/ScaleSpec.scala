@@ -152,7 +152,9 @@ class ScaleSpec extends SparkSpec {
       // r13 representatives: part-grain basket combinations + degree join,
       // LSH bucket self-join kNN graph, region-rank Gini widening,
       // ln-grid tf-idf top-k window
-      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf")
+      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf",
+      // r13 batch 2: rank-position percentiles, degree-histogram OLS
+      "q112_ship_latency", "g13_degree_powerlaw")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -202,7 +204,9 @@ class ScaleSpec extends SparkSpec {
       // r13 representatives: part-grain basket combinations + degree join,
       // LSH bucket self-join kNN graph, region-rank Gini widening,
       // ln-grid tf-idf top-k window
-      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf")
+      "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf",
+      // r13 batch 2: rank-position percentiles, degree-histogram OLS
+      "q112_ship_latency", "g13_degree_powerlaw")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
