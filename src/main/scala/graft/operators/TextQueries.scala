@@ -1450,6 +1450,63 @@ object TextQueries {
     },
 
     sql(
+      "p16_tokenizer_fertility",
+      "tokenizer fertility audit per language — the multilingual-budget metric every LLM data pipeline computes after training a tokenizer (fertility = BPE tokens per word; a language whose fertility runs high pays more sequence length per sentence, which skews mixture weights and effective epochs — the reason tokenizer evals report it per language, not per corpus): t24's trained merge table applies to the whole corpus exactly as t25 does (same chr(31)-wrapped greedy left-to-right replace chain, empty-round tolerant), then rolls up per language: word count, char-token floor, BPE token count, fertility_ppm = 1e6·n_bpe div n_words (HUGEINT/DECIMAL(38,0) widened) and chars-per-BPE-token in exact centi units. The oracle replays train AND apply AND the rollup in one CTE chain. Scale posture: t25's (training one corpus pass + vocab-sized rounds; application a pure map) with the final aggregation lang-keyed — |langs| output rows",
+      {
+        val sep = "chr(31)"
+        val wrapped = s"$sep || array_to_string(string_split(w, ''), $sep||$sep) || $sep"
+        val applied = (1 to BpeRounds).foldLeft(wrapped) { (acc, r) =>
+          s"""CASE WHEN m$r.a IS NULL THEN $acc
+             |ELSE replace($acc, $sep||m$r.a||$sep||$sep||m$r.b||$sep, $sep||m$r.a||m$r.b||$sep) END""".stripMargin
+        }
+        s"""$bpeCtesSql,
+          |app AS (SELECT coalesce(lang, 'und') AS lang, tok AS w
+          |        FROM (SELECT coalesce(lang, 'und') AS lang, unnest(string_split(text, ' ')) AS tok
+          |              FROM documents) t(lang, tok)
+          |        WHERE tok != ''),
+          |seg AS (SELECT lang, length(w) AS n_char,
+          |               $applied AS s
+          |        FROM app ${(1 to BpeRounds).map(r => s"LEFT JOIN b$r m$r ON TRUE").mkString(" ")}),
+          |cnt AS (SELECT lang, n_char,
+          |               len(string_split(substr(s, 2, length(s)-2), $sep||$sep)) AS n_bpe
+          |        FROM seg)
+          |SELECT lang,
+          |       CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+          |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+          |       CAST(CAST(sum(n_bpe) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS fertility_ppm,
+          |       CAST(CAST(sum(n_char) AS HUGEINT) * 100 // sum(n_bpe) AS BIGINT) AS chars_per_token_centi
+          |FROM cnt GROUP BY lang
+          |ORDER BY lang""".stripMargin
+      }) { (s, dir) =>
+      val sep = "\u001f"
+      val sep2 = sep + sep
+      val merges = bpeTrain(s, dir).map(m => (m._2, m._3))
+      val words = Tables.documents(s, dir)
+        .select(coalesce(col("lang"), lit("und")).as("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val chars = filter(split(col("w"), ""), c => length(c) === 1)
+      val applied = merges.foldLeft(
+        concat(lit(sep), array_join(chars, sep2), lit(sep))) { case (acc, (a, b)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep))
+      }
+      words
+        .select(col("lang"), length(col("w")).cast("long").as("n_char"), applied.as("s"))
+        .withColumn("n_bpe", size(split(expr("substr(s, 2, length(s)-2)"), sep2)).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum("n_char").cast("long").as("n_char_tokens"),
+          sum("n_bpe").cast("long").as("n_bpe_tokens"),
+          expr("cast(cast(sum(n_bpe) AS DECIMAL(38,0)) * 1000000 div count(1) AS BIGINT)")
+            .as("fertility_ppm"),
+          expr("cast(cast(sum(n_char) AS DECIMAL(38,0)) * 100 div sum(n_bpe) AS BIGINT)")
+            .as("chars_per_token_centi"))
+        .orderBy("lang")
+    },
+
+    sql(
       "t26_zipf_profile",
       "per-language Zipf rank-frequency profile — the corpus-level STATISTICAL diagnostic the doc-level t-family screens don't see (natural language follows count ~ C/rank^s with s~1; template spam, token soup and boilerplate floods bend the log-log line, so the fitted exponent + its R^2 is the one-glance corpus-health dashboard every curation run prints per language): rank tokens by corpus count (count DESC, token ASC tie-break — total order both engines), integerize x=ln(rank), y=ln(count) onto a 1e3 grid (the t14/t17 ln-ULP-parity assumption at 1e3 where a 1-ulp libm divergence is 3 orders below the grid step), then an EXACT-integer ordinary-least-squares fit: all five co-moment sums are BIGINT (order-independent), the covariance/variance combinations widen through DECIMAL(38,0)/HUGEINT (the p04 overflow posture — at a 1e7-type language nSxy alone passes 1e22), and slope/R^2 each collapse to a fixed two-op IEEE chain on correctly-rounded double casts, r4-rounded. Degenerate single-type languages short-circuit to 0.0 on the exact integer variance (the q98 zero-variance guard). Scale posture: one (lang,token)-keyed map-side-combinable count, a lang-partitioned rank window (vocabulary-sized, partition-parallel), one lang rollup — no global anything",
       """WITH cnt AS (

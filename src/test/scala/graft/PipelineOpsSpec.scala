@@ -1272,6 +1272,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((3L, 2L, 2L, 2L, -1.0, 1.0)), got.mkString(", "))
   }
 
+  test("u14 overlap audit: range layout reads 0 overlaps, hash layout reads all-15, on a hand grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("u14spec").toString
+    // keys 0..31 (m = 32): range file i = {2i, 2i+1} — disjoint intervals,
+    // 0 overlaps; hash file j = {j, j+16} — every interval [j, j+16]
+    // intersects every other, 15 overlaps each
+    (0L until 32L).map(k => Tuple1(k)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("u14_overlap_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val (hash, range) = got.partition(_._1 == "hash")
+    assert(range.length == 16 && hash.length == 16, s"16+16 files expected: ${got.length}")
+    assert(range.forall(r => r._3 == 2L && r._4 == 0L), s"range rows: ${range.take(4).mkString(",")}")
+    assert(hash.forall(r => r._3 == 2L && r._4 == 15L), s"hash rows: ${hash.take(4).mkString(",")}")
+  }
+
+  test("p16 fertility: per-lang totals reconcile exactly with t25's per-doc totals; bounds hold") {
+    val p16 = SparkEntry.queries("p16_tokenizer_fertility")(spark, sf0001).collect()
+    val t25 = SparkEntry.queries("t25_bpe_segment")(spark, sf0001).collect()
+    // same corpus, same trained merges -> identical global sums
+    assert(p16.map(_.getAs[Long]("n_words")).sum == t25.map(_.getAs[Long]("n_words")).sum)
+    assert(p16.map(_.getAs[Long]("n_bpe_tokens")).sum == t25.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(p16.map(_.getAs[Long]("n_char_tokens")).sum == t25.map(_.getAs[Long]("n_char_tokens")).sum)
+    p16.foreach { r =>
+      val (w, bpe, ch) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_char_tokens"))
+      assert(w <= bpe && bpe <= ch, s"${r.getString(0)}: $w <= $bpe <= $ch violated")
+      assert(r.getAs[Long]("fertility_ppm") == bpe * 1000000L / w)
+      assert(r.getAs[Long]("chars_per_token_centi") == ch * 100L / bpe)
+    }
+  }
+
   test("m10 patch grid: hand-traced header yields the exact scaled grid; patch count = rows x cols") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m10spec").toString

@@ -153,8 +153,10 @@ class ScaleSpec extends SparkSpec {
       // LSH bucket self-join kNN graph, region-rank Gini widening,
       // ln-grid tf-idf top-k window
       "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf",
-      // r13 batch 2: rank-position percentiles, degree-histogram OLS
-      "q112_ship_latency", "g13_degree_powerlaw")
+      // r13 batch 2: rank-position percentiles, degree-histogram OLS,
+      // dual-layout overlap manifests, lang-keyed BPE rollup
+      "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
+      "p16_tokenizer_fertility")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -205,8 +207,10 @@ class ScaleSpec extends SparkSpec {
       // LSH bucket self-join kNN graph, region-rank Gini widening,
       // ln-grid tf-idf top-k window
       "g12_edge_jaccard", "s20_knn_graph", "a13_gini", "t31_keyword_tfidf",
-      // r13 batch 2: rank-position percentiles, degree-histogram OLS
-      "q112_ship_latency", "g13_degree_powerlaw")
+      // r13 batch 2: rank-position percentiles, degree-histogram OLS,
+      // dual-layout overlap manifests, lang-keyed BPE rollup
+      "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
+      "p16_tokenizer_fertility")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
