@@ -416,6 +416,47 @@ object AggregateQueries {
           expr("(2 * si - (n + 1) * s) * 1000000 div (cast(n AS DECIMAL(38,0)) * s)")
             .cast("long").as("gini_ppm"))
         .orderBy("region")
+    },
+
+    sql(
+      "a14_category_entropy",
+      "categorical-column Shannon entropy profile — the distribution-health metric beside q86's null/distinct profiling (drift monitors and feature stores track per-column entropy: a collapsing entropy means a category is flooding, the q102/q110 drift signals' cheaper always-on cousin): for four categorical columns across two tables, N, distinct count, and H = ln N − (Σ c·ln c)/N in nats — each ln integerized ONCE on the 1e6 grid (the t22/t26 ln-ULP-parity basis), the Σ c·ln(c) accumulated as an order-independent exact BIGINT, and the final H one double division of that exact numerator, r6-rounded. Overflow note: N·ln_grid(N) ≈ 8e12 at sf0.1 — exact in BIGINT and in the double cast (< 2^53); at 100 TB row counts (~1e12·14e6 ≈ 1.4e19) the numerator widens through DECIMAL(38,0)/HUGEINT before the one division, the p04 posture. Scale posture: per column one map-side-combinable value count (category-cardinality rows) and a scalar rollup; the four legs union into an 8 B×4 result",
+      """WITH ent AS (
+        |  SELECT column_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(c * CAST(floor(ln(c * 1.0) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS es
+        |  FROM (
+        |    SELECT 'l_linestatus' AS column_name, l_linestatus AS v, CAST(count(*) AS BIGINT) AS c
+        |    FROM lineitem GROUP BY 2
+        |    UNION ALL
+        |    SELECT 'l_returnflag', l_returnflag, CAST(count(*) AS BIGINT) FROM lineitem GROUP BY 2
+        |    UNION ALL
+        |    SELECT 'o_orderpriority', o_orderpriority, CAST(count(*) AS BIGINT) FROM orders GROUP BY 2
+        |    UNION ALL
+        |    SELECT 'o_orderstatus', o_orderstatus, CAST(count(*) AS BIGINT) FROM orders GROUP BY 2)
+        |  GROUP BY column_name)
+        |SELECT column_name, n_rows, n_distinct,
+        |       floor((CAST(n_rows * CAST(floor(ln(n_rows * 1.0) * 1000000 + 0.5) AS BIGINT) - es AS DOUBLE)
+        |              / (CAST(n_rows AS DOUBLE) * 1000000)) * 1000000 + 0.5) / 1000000 AS entropy_nats
+        |FROM ent ORDER BY column_name""") { (s, dir) =>
+      def leg(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.groupBy(col(c).as("v")).agg(count(lit(1)).cast("long").as("c"))
+          .select(lit(c).as("column_name"), col("v"), col("c"))
+      val counts = leg(Tables.lineitem(s, dir), "l_linestatus")
+        .unionAll(leg(Tables.lineitem(s, dir), "l_returnflag"))
+        .unionAll(leg(Tables.orders(s, dir), "o_orderpriority"))
+        .unionAll(leg(Tables.orders(s, dir), "o_orderstatus"))
+      counts
+        .groupBy("column_name")
+        .agg(sum("c").cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("c") * floor(log(col("c") * lit(1.0)) * 1000000 + lit(0.5)).cast("long"))
+            .cast("long").as("es"))
+        .select(col("column_name"), col("n_rows"), col("n_distinct"),
+          r6((col("n_rows") * floor(log(col("n_rows") * lit(1.0)) * 1000000 + lit(0.5)).cast("long")
+            - col("es")).cast("double")
+            / (col("n_rows").cast("double") * 1000000)).as("entropy_nats"))
+        .orderBy("column_name")
     }
   )
 }

@@ -1070,6 +1070,44 @@ object DedupQueries {
           expr("coalesce(sig_matches, 0L) * 1000000 div 32").as("j_est_ppm"))
         .withColumn("err_ppm", abs(col("j_est_ppm") - col("j_exact_ppm")))
         .orderBy("lang_a", "lang_b")
+    },
+
+    sql(
+      "d18_cluster_size_histogram",
+      "duplicate-cluster size histogram — the dedup-health dashboard read after clustering and before collapse (d08 assigns clusters, p06 picks representatives; THIS is the one-glance table an operator checks first: a corpus whose mass sits in large clusters needs aggressive dedup and its token counts are inflated, one that is all singletons doesn't — the 'how duplicated is this crawl' number every corpus card reports): per cluster size, the number of clusters, the document count they hold, and that count's exact share of the corpus in ppm. Integers end to end (sizes are counts; the share is one flooring division on non-negative operands against the broadcast corpus total). Scale posture: reuses d08's pointer-jumping CC verbatim (O(log d) partitioner-aligned rounds), then two keyed counts — cluster-keyed then size-keyed — over 16 B rows; the histogram is at most max-cluster-size rows, dimension-sized",
+      s"""WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+        |  WHERE r.lbl < e.u),
+        |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |             FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM clusters GROUP BY cluster_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clusters)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |       CAST(sz * count(*) * 1000000 // t.n AS BIGINT) AS doc_share_ppm
+        |FROM sizes CROSS JOIN tot t
+        |GROUP BY sz, t.n
+        |ORDER BY cluster_size""") { (s, dir) =>
+      val clusters = dupClusters(s, dir)
+      val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("sz"))
+      val tot = clusters.agg(count(lit(1)).cast("long").as("n"))
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
+          expr("sz * n_clusters * 1000000 div n").as("doc_share_ppm"))
+        .orderBy("cluster_size")
     }
   )
 

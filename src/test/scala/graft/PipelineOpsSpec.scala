@@ -1304,6 +1304,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("d18 histogram reconciles exactly with d08's cluster assignment") {
+    val hist = SparkEntry.queries("d18_cluster_size_histogram")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clusters = SparkEntry.queries("d08_dup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(1))
+    val expected = clusters.groupBy(identity).values.map(_.length)
+      .groupBy(identity).map { case (sz, gs) => (sz.toLong, gs.size.toLong) }
+    val n = clusters.length.toLong
+    assert(hist.map(h => h._1 -> h._2).toMap == expected, "histogram != d08 regrouped")
+    hist.foreach { h =>
+      assert(h._3 == h._1 * h._2, s"n_docs inconsistent: $h")
+      assert(h._4 == h._3 * 1000000L / n, s"share not the exact flooring ratio: $h")
+    }
+    assert(hist.map(_._3).sum == n, "doc mass not conserved")
+  }
+
+  test("a14 entropy: uniform 3-way reads ln 3, constant column reads 0, skewed column matches the grid formula") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a14spec").toString
+    Seq(("A", "X"), ("B", "X"), ("C", "X"))
+      .toDF("l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq("1-URGENT", "5-LOW", "5-LOW", "5-LOW").map(p => (p, "O"))
+      .toDF("o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def lnGrid(x: Long): Long = math.floor(math.log(x.toDouble) * 1000000 + 0.5).toLong
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum
+      val num = n * lnGrid(n) - counts.map(c => c * lnGrid(c)).sum
+      math.floor(num.toDouble / (n.toDouble * 1000000) * 1000000 + 0.5) / 1000000
+    }
+    val got = SparkEntry.queries("a14_category_entropy")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("l_linestatus", 3L, 1L, 0.0),
+      ("l_returnflag", 3L, 3L, h(Seq(1L, 1L, 1L))),    // = ln 3 on the grid
+      ("o_orderpriority", 4L, 2L, h(Seq(1L, 3L))),
+      ("o_orderstatus", 4L, 1L, 0.0)), got.mkString(", "))
+    assert(math.abs(h(Seq(1L, 1L, 1L)) - math.log(3.0)) < 2e-6)
+  }
+
   test("m10 patch grid: hand-traced header yields the exact scaled grid; patch count = rows x cols") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m10spec").toString

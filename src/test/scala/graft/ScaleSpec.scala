@@ -156,7 +156,9 @@ class ScaleSpec extends SparkSpec {
       // r13 batch 2: rank-position percentiles, degree-histogram OLS,
       // dual-layout overlap manifests, lang-keyed BPE rollup
       "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
-      "p16_tokenizer_fertility")
+      "p16_tokenizer_fertility",
+      // r13 batch 3: CC-label histogram, ln-grid entropy rollup
+      "d18_cluster_size_histogram", "a14_category_entropy")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -210,7 +212,9 @@ class ScaleSpec extends SparkSpec {
       // r13 batch 2: rank-position percentiles, degree-histogram OLS,
       // dual-layout overlap manifests, lang-keyed BPE rollup
       "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
-      "p16_tokenizer_fertility")
+      "p16_tokenizer_fertility",
+      // r13 batch 3: CC-label histogram, ln-grid entropy rollup
+      "d18_cluster_size_histogram", "a14_category_entropy")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
