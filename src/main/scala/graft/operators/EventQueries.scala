@@ -1283,7 +1283,7 @@ object EventQueries {
 
     sql(
       "q111_dow_seasonality",
-      "day-of-week seasonality profile per event type (the calendar-structure diagnostic beside q101's trend and q102/q110's drift: traffic analytics read this table before comparing any two windows, because a Mon-vs-Sun compare without the weekly index is a seasonality artifact, not a finding): events bucket by an engine-independent day-of-week — (epoch_days + 4) % 7 with Monday=0, computed from epoch MICROS by flooring division on non-negative operands, never from locale-dependent dayofweek()/dow() whose week-start conventions differ across engines — and each (type, dow) cell reports its count plus the seasonal index n_dow*7e6 div n_type in ppm (1e6 = exactly uniform traffic; the full 7-day grid is emitted with zero-filled cells so missing days read as index 0, the q83 epoch-grid discipline). Scale posture: one map-side-combinable (type, dow) count plus a type count, the grid a |types|x7 dimension frame built from a broadcast cross join — no windows, no data-sized anything",
+      "day-of-week seasonality profile per event type (the calendar-structure diagnostic beside q101's trend and q102/q110's drift: traffic analytics read this table before comparing any two windows, because a Mon-vs-Sun compare without the weekly index is a seasonality artifact, not a finding): events bucket by an engine-independent day-of-week — (epoch_days + 4) % 7, i.e. Sunday=0 (day 0 = Thursday 1970-01-01 → 4; the spec pins Monday 2024-01-01 → 1), computed from epoch MICROS by flooring division on non-negative operands, never from locale-dependent dayofweek()/dow() whose week-start conventions differ across engines — and each (type, dow) cell reports its count plus the seasonal index n_dow*7e6 div n_type in ppm (1e6 = exactly uniform traffic; the full 7-day grid is emitted with zero-filled cells so missing days read as index 0, the q83 epoch-grid discipline). Scale posture: one map-side-combinable (type, dow) count plus a type count, the grid a |types|x7 dimension frame built from a broadcast cross join — no windows, no data-sized anything",
       """WITH e AS (SELECT event_type,
         |                 CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS BIGINT) AS dow
         |           FROM events),
