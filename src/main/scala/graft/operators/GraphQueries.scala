@@ -850,7 +850,7 @@ object GraphQueries {
 
     sql(
       "g12_edge_jaccard",
-      "co-occurrence edge strength (Jaccard of order sets) over the support-2 co-purchase graph — the edge-weighting step between raw co-occurrence counts and every weighted-graph consumer (g05's link prediction scores candidates by shared neighbors; this scores the EDGE itself, the neighborhood-overlap normalization that demotes popular-item edges whose raw support is high only because both endpoints are everywhere): for each co-purchase pair, |orders(u) ∩ orders(v)| is the pair count the basket kernel already produces, degrees are per-part distinct-order counts, and jaccard_ppm = n_common*1e6 div (n_u + n_v - n_common) is one flooring division on non-negative integers. The Spark side never self-joins the (order, part) table — pairs explode MAP-SIDE from each order's sorted part array (the q105 A-priori kernel at part grain instead of brand grain), so pair generation costs zero shuffle beyond the basket groupBy; the oracle keeps the classical self-join to prove the kernel equivalent. Scale posture: one shuffle to form baskets, combinations local, one (u,v)-keyed count, degree join keyed on part — O(pairs) 16-24 B rows throughout, the d04-class banding discipline (an order with B parts emits B² pairs map-side; the df-cap analog here is the basket-size cap every production co-occurrence job sets)",
+      "co-occurrence edge strength (Jaccard of order sets) over the support-2 co-purchase graph — the edge-weighting step between raw co-occurrence counts and every weighted-graph consumer (g05's link prediction scores candidates by shared neighbors; this scores the EDGE itself, the neighborhood-overlap normalization that demotes popular-item edges whose raw support is high only because both endpoints are everywhere): for each co-purchase pair, |orders(u) ∩ orders(v)| is the pair count the basket kernel already produces, degrees are per-part distinct-order counts, and jaccard_ppm = n_common*1e6 div (n_u + n_v - n_common) is one flooring division on non-negative integers. The Spark side never self-joins the (order, part) table — pairs explode MAP-SIDE from each order's sorted part array (the q105 A-priori kernel at part grain instead of brand grain), so pair generation costs zero shuffle beyond the basket groupBy; the oracle keeps the classical self-join to prove the kernel equivalent. Scale posture: one shuffle to form baskets, combinations local, one (u,v)-keyed count, degree join keyed on part — O(pairs) 16-24 B rows throughout, the d04-class banding discipline (an order with B parts emits B(B−1)/2 pairs map-side, quadratic in the basket; the df-cap analog here is the basket-size cap every production co-occurrence job sets)",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS nd FROM ob GROUP BY p),
         |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS nuv
