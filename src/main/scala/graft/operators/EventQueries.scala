@@ -1308,6 +1308,73 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n_events"),
           expr("coalesce(n, 0L) * 7000000 div n_type").as("seasonal_ppm"))
         .orderBy("event_type", "dow")
+    },
+
+    sql(
+      "q113_cumulative_uniques",
+      "cumulative-unique-users growth curve (the north-star chart of every product dashboard: per active day, new users — first-ever-seen that day — and the running total of users seen so far): first-seen days are one user-keyed min, the day spine is the observed distinct-day set, and the cumulative count is DELIBERATELY window-free — a day x first-seen-day inequality join over two DAY-GRAIN frames (calendar-bounded: |days|² rows of 16 B — q71's spine discipline; the obvious global running-sum window would land a partition-less WindowExec, the exact plan shape PlanAudit's whitelist exists to keep out of data paths), so 'cumulative users at day d' = count of users with first_day <= d, exact integers end to end. Scale posture: one user-keyed min (the only corpus-scale shuffle), then dimension-frame joins; the curve is |days| rows regardless of corpus size",
+      """WITH fs AS (SELECT user_id,
+        |                  CAST(min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS BIGINT) AS first_day
+        |           FROM events GROUP BY user_id),
+        |days AS (SELECT DISTINCT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+        |         FROM events),
+        |nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+        |SELECT d.day,
+        |       CAST(COALESCE(max(CASE WHEN n.day = d.day THEN n.n_new END), 0) AS BIGINT) AS n_new_users,
+        |       CAST(COALESCE(sum(n.n_new), 0) AS BIGINT) AS cum_users
+        |FROM days d LEFT JOIN nu n ON n.day <= d.day
+        |GROUP BY d.day
+        |ORDER BY d.day""") { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts AS timestamp)) div 86400000000").as("day"))
+      val fs = e.groupBy("user_id").agg(min("day").as("first_day"))
+      val days = e.select("day").distinct()
+      val nu = fs.groupBy(col("first_day").as("nday"))
+        .agg(count(lit(1)).cast("long").as("n_new"))
+      days.join(nu, col("nday") <= col("day"), "left")
+        .groupBy("day")
+        .agg(coalesce(max(when(col("nday") === col("day"), col("n_new"))), lit(0L))
+            .cast("long").as("n_new_users"),
+          coalesce(sum("n_new"), lit(0L)).cast("long").as("cum_users"))
+        .orderBy("day")
+    },
+
+    sql(
+      "q114_user_concentration",
+      "per-event-type top-decile user concentration (the audience-concentration screen beside a13's revenue Gini and q109's ABC classes: an event type whose volume comes from a sliver of users is bot traffic, a power-user feature, or an instrumentation bug — three different decisions, all starting from this table): users rank per type by event count under a (count DESC, user_id) total order, the top-decile cut is the exact integer k = (n+9) div 10, and the share is one flooring division of exact counts. Scale posture: one (type, user)-keyed map-side-combinable count, a type-PARTITIONED rank window (the q103/q109 discipline — never a global sort), one type rollup — |types| output rows",
+      """WITH uc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, c,
+        |              CAST(row_number() OVER (PARTITION BY event_type
+        |                                      ORDER BY c DESC, user_id) AS BIGINT) AS i,
+        |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |       FROM uc)
+        |SELECT event_type, max(n) AS n_users,
+        |       CAST((max(n) + 9) // 10 AS BIGINT) AS k_top,
+        |       CAST(sum(c) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN i <= (n + 9) // 10 THEN c ELSE 0 END) AS BIGINT) AS top_events,
+        |       CAST(sum(CASE WHEN i <= (n + 9) // 10 THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT)
+        |         AS top_decile_share_ppm
+        |FROM rk GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val uc = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).cast("long").as("c"))
+      val w = Window.partitionBy("event_type").orderBy(desc("c"), col("user_id"))
+      val wn = Window.partitionBy("event_type")
+      uc
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn).cast("long"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_users"),
+          expr("(max(n) + 9) div 10").as("k_top"),
+          sum("c").cast("long").as("n_events"),
+          sum(when(expr("i <= (n + 9) div 10"), col("c")).otherwise(0L))
+            .cast("long").as("top_events"))
+        .select(col("event_type"), col("n_users"), col("k_top"), col("n_events"),
+          col("top_events"),
+          expr("top_events * 1000000 div n_events").as("top_decile_share_ppm"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1345,6 +1345,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(h(Seq(1L, 1L, 1L)) - math.log(3.0)) < 2e-6)
   }
 
+  test("q113 growth curve: hand-traced first-seen ladder, gap day absent, cumulative exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q113spec").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // day1: u1,u2 new; day2: u1 returns, u3 new; day4: u2 returns, u4,u5 new
+    // (day3 has no events -> absent from the spine, documented behavior)
+    Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)), (3L, ts(2)),
+      (2L, ts(4)), (4L, ts(4)), (5L, ts(4)))
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d0 = 19723L // 2024-01-01 epoch day
+    val got = SparkEntry.queries("q113_cumulative_uniques")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((d0, 2L, 2L), (d0 + 1, 1L, 3L), (d0 + 3, 2L, 5L)), got.mkString(", "))
+  }
+
+  test("q114 concentration: one power user of ten holds the exact top-decile share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q114spec").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // u1 fires 10 events, u2..u10 one each: n=10 -> k_top=1, top share
+    // = 10e6 div 19 = 526315 (flooring)
+    val rows = (1 to 10).map(_ => (1L, "click", t)) ++
+      (2 to 10).map(u => (u.toLong, "click", t))
+    rows.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q114_user_concentration")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(("click", 10L, 1L, 19L, 10L, 526315L)), got.mkString(", "))
+  }
+
   test("m10 patch grid: hand-traced header yields the exact scaled grid; patch count = rows x cols") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m10spec").toString

@@ -157,8 +157,10 @@ class ScaleSpec extends SparkSpec {
       // dual-layout overlap manifests, lang-keyed BPE rollup
       "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
       "p16_tokenizer_fertility",
-      // r13 batch 3: CC-label histogram, ln-grid entropy rollup
-      "d18_cluster_size_histogram", "a14_category_entropy")
+      // r13 batch 3: CC-label histogram, ln-grid entropy rollup,
+      // window-free cumulative spine, type-partitioned decile cut
+      "d18_cluster_size_histogram", "a14_category_entropy",
+      "q113_cumulative_uniques", "q114_user_concentration")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -213,8 +215,10 @@ class ScaleSpec extends SparkSpec {
       // dual-layout overlap manifests, lang-keyed BPE rollup
       "q112_ship_latency", "g13_degree_powerlaw", "u14_overlap_audit",
       "p16_tokenizer_fertility",
-      // r13 batch 3: CC-label histogram, ln-grid entropy rollup
-      "d18_cluster_size_histogram", "a14_category_entropy")
+      // r13 batch 3: CC-label histogram, ln-grid entropy rollup,
+      // window-free cumulative spine, type-partitioned decile cut
+      "d18_cluster_size_histogram", "a14_category_entropy",
+      "q113_cumulative_uniques", "q114_user_concentration")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
