@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.DedupQueries
+import graft.operators.{DedupQueries, SimilarityQueries}
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.functions._
 
@@ -123,5 +123,87 @@ class SkewSpec extends SparkSpec {
       s"expected the banding self-join to be rewritten with skew=true; plan:\n$plan")
     info(s"AQE rewrote the banding join with skew=true ($skewJoins join leg(s) split); " +
       s"join rows=$n")
+  }
+
+  /** Identical-VECTOR flood for s20 (r13 verdict #1): SemDeDup's input is
+    * a pre-dedup corpus, so duplicate embeddings colliding in ALL tables'
+    * buckets is the NORM for knnGraph, not a corner case. 64 identical
+    * vectors (the flood), 10 background clusters of 4 near-identical
+    * vectors each (every background vector has 3 true neighbors that
+    * share most buckets), flood direction chosen with low cosine to every
+    * cluster so it never competes for a background top-3 slot.
+    */
+  private lazy val vecFloodDir: String = {
+    import spark.implicits._
+    val dim = 64
+    val floodVec = Array.tabulate(dim)(j => if (j < dim / 2) 1.0f else -1.0f)
+    val flood = (0 until 64).map(i => (1000L + i, floodVec, 0))
+    val background = for (c <- 0 until 10; m <- 0 until 4) yield {
+      val v = Array.tabulate(dim) { j =>
+        // mod 11 with a 5c offset keeps the 10 cluster bases pairwise
+        // distinct (mod 7 made clusters c and c+7 coincide)
+        val base = ((c * 5 + j * 17) % 11 - 5).toFloat
+        // alternate-sign base cancels against the flood's half-split signs;
+        // per-member noise small enough to preserve most hyperplane signs
+        base * (if (j % 2 == 0) 1.0f else -1.0f) +
+          0.01f * (((c * 13 + m * 7 + j * 3) % 5) - 2)
+      }
+      (2000L + c * 4 + m, v, 1)
+    }
+    val dir = Files.createTempDirectory("graft-skew-vec").toString
+    (flood ++ background).toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("s20 bucketCap collapses an identical-vector flood's candidates (zero recall loss outside the flood)") {
+    val floodIds = (1000L until 1064L).toSet
+    def candSet(cap: Int): Set[(Long, Long)] =
+      SimilarityQueries.knnGraphCandidates(spark, vecFloodDir, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = candSet(0)
+    val capped = candSet(32)
+    val floodCands = uncapped.filter { case (a, b) => floodIds(a) || floodIds(b) }
+    // identical vectors collide in EVERY table: the flood contributes its
+    // full quadratic ordered-pair set when uncapped
+    assert(floodCands.size >= 64 * 63,
+      s"expected >= 4032 flood candidate ids, got ${floodCands.size}")
+    // every bucket holding a flood vector holds >= 64 > cap members, so
+    // the cap removes all flood-touching candidates...
+    assert(capped.forall { case (a, b) => !floodIds(a) && !floodIds(b) },
+      "capped candidates must not touch the flood")
+    // ...and only ever removes: the cap is a prefilter, never a generator.
+    // Unlike d04's 64-bit band keys, the 4-bit signature space makes
+    // background vectors COHABIT flood buckets, so a background pair whose
+    // only shared bucket was a flood bucket loses that candidate — the
+    // recall claim therefore lives at the graph output grain (below),
+    // where the lost low-sim cross-cluster candidates never held a top-3
+    // slot.
+    assert(capped.subsetOf(uncapped -- floodCands),
+      "df-cap must only remove candidates, all flood-touching ones among them")
+    val collateral = (uncapped -- floodCands) -- capped
+
+    // the GRAPH outside the flood is bit-identical capped vs uncapped
+    def graphRows(cap: Int): Set[(Long, Long, Long, Double)] =
+      SimilarityQueries.knnGraph(spark, vecFloodDir, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val gUncapped = graphRows(0)
+    val gCapped = graphRows(32)
+    assert(gCapped === gUncapped.filterNot { case (q, _, n, _) => floodIds(q) || floodIds(n) },
+      "neighbor graph outside the flood must be identical capped vs uncapped")
+    // every background vector still finds its 3 planted cluster-mates
+    val mates = gCapped.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    for (c <- 0 until 10; m <- 0 until 4) {
+      val id = 2000L + c * 4 + m
+      val expected = (0 until 4).map(x => 2000L + c * 4 + x).toSet - id
+      assert(mates.getOrElse(id, Set.empty[Long]).toSet === expected,
+        s"vector $id must keep its cluster-mates as top-3 under the cap")
+    }
+    info(s"candidate ids: uncapped=${uncapped.size}, capped=${capped.size} " +
+      s"(flood contribution ${floodCands.size}, collateral background drops " +
+      s"${collateral.size} — none of them top-3 edges); " +
+      s"graph rows ${gUncapped.size} -> ${gCapped.size}")
   }
 }
