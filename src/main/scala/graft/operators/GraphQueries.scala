@@ -850,7 +850,7 @@ object GraphQueries {
 
     sql(
       "g12_edge_jaccard",
-      "co-occurrence edge strength (Jaccard of order sets) over the support-2 co-purchase graph — the edge-weighting step between raw co-occurrence counts and every weighted-graph consumer (g05's link prediction scores candidates by shared neighbors; this scores the EDGE itself, the neighborhood-overlap normalization that demotes popular-item edges whose raw support is high only because both endpoints are everywhere): for each co-purchase pair, |orders(u) ∩ orders(v)| is the pair count the basket kernel already produces, degrees are per-part distinct-order counts, and jaccard_ppm = n_common*1e6 div (n_u + n_v - n_common) is one flooring division on non-negative integers. The Spark side never self-joins the (order, part) table — pairs explode MAP-SIDE from each order's sorted part array (the q105 A-priori kernel at part grain instead of brand grain), so pair generation costs zero shuffle beyond the basket groupBy; the oracle keeps the classical self-join to prove the kernel equivalent. Scale posture: one shuffle to form baskets, combinations local, one (u,v)-keyed count, degree join keyed on part — O(pairs) 16-24 B rows throughout, the d04-class banding discipline (an order with B parts emits B(B−1)/2 pairs map-side, quadratic in the basket; the df-cap analog here is the basket-size cap every production co-occurrence job sets)",
+      "co-occurrence edge strength (Jaccard of order sets) over the support-2 co-purchase graph — the edge-weighting step between raw co-occurrence counts and every weighted-graph consumer (g05's link prediction scores candidates by shared neighbors; this scores the EDGE itself, the neighborhood-overlap normalization that demotes popular-item edges whose raw support is high only because both endpoints are everywhere): for each co-purchase pair, |orders(u) ∩ orders(v)| is the pair count the basket kernel already produces, degrees are per-part distinct-order counts, and jaccard_ppm = n_common*1e6 div (n_u + n_v - n_common) is one flooring division on non-negative integers. The Spark side never self-joins the (order, part) table — pairs explode MAP-SIDE from each order's sorted part array (the q105 A-priori kernel at part grain instead of brand grain), so pair generation costs zero shuffle beyond the basket groupBy; the oracle keeps the classical self-join to prove the kernel equivalent. Scale posture: one shuffle to form baskets, combinations local, one (u,v)-keyed count, degree join keyed on part — O(pairs) 16-24 B rows throughout, the d04-class banding discipline: an order with B parts emits B(B−1)/2 pairs map-side, quadratic in the basket, bounded here by the DATA CONTRACT (a TPC-H order holds <= 7 lineitems at every scale factor, so <= 21 pairs/basket) and, for corpora without that contract, by edgeJaccard(basketCap=...) — the df-cap analog, default-off so this oracle replays uncapped; PipelineOpsSpec pins drop-the-whole-basket semantics",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS nd FROM ob GROUP BY p),
         |pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS nuv
@@ -859,28 +859,52 @@ object GraphQueries {
         |       CAST(nuv * 1000000 // (du.nd + dv.nd - nuv) AS BIGINT) AS jaccard_ppm
         |FROM pr JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
         |WHERE nuv >= 2
-        |ORDER BY u, v""") { (s, dir) =>
-      val ob = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val deg = ob.groupBy("p").agg(count(lit(1)).cast("long").as("nd"))
-      val baskets = ob.groupBy("o").agg(sort_array(collect_set(col("p"))).as("items"))
-      val pairs = baskets
-        .select(explode(expr(
-          "flatten(transform(items, (x, i) -> " +
-            "transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"))
-          .as("pr"))
-        .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
-        .agg(count(lit(1)).cast("long").as("n_common"))
-        .filter(col("n_common") >= 2)
-      pairs
-        .join(deg.select(col("p").as("u"), col("nd").as("n_u")), "u")
-        .join(deg.select(col("p").as("v"), col("nd").as("n_v")), "v")
-        .select(col("u"), col("v"), col("n_common"), col("n_u"), col("n_v"),
-          expr("n_common * 1000000 div (n_u + n_v - n_common)").as("jaccard_ppm"))
-        .orderBy("u", "v")
-    },
+        |ORDER BY u, v""") { (s, dir) => edgeJaccard(s, dir) },
 
+    g13Entry,
+  )
+
+  /** g12's body — see the registry doc. `basketCap` is the basket-size cap
+    * every production co-occurrence job sets (the d04 df-cap analog at the
+    * basket grain): pair emission is B(B−1)/2 per basket, so one 10k-item
+    * flood basket alone contributes ~50M low-signal pairs. Oversized
+    * baskets are dropped WHOLE — from pair generation AND the degree
+    * counts, so jaccard_ppm stays a true Jaccard within the capped order
+    * universe instead of mixing capped numerators with uncapped
+    * denominators. Default 0 = off: TPC-H's order contract bounds baskets
+    * at 7 lineitems (<= 21 pairs) at every scale factor, and the DuckDB
+    * oracle replays the uncapped kernel bit-exact. The cap is one
+    * basket-keyed size filter before the explode — no extra shuffle.
+    */
+  private[graft] def edgeJaccard(s: SparkSession, dir: String,
+      basketCap: Int = 0): DataFrame = {
+    val ob0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ob = if (basketCap > 0) {
+      val big = ob0.groupBy("o").agg(count(lit(1)).as("n"))
+        .filter(col("n") > basketCap).select("o")
+      ob0.join(big, Seq("o"), "left_anti")
+    } else ob0
+    val deg = ob.groupBy("p").agg(count(lit(1)).cast("long").as("nd"))
+    val baskets = ob.groupBy("o").agg(sort_array(collect_set(col("p"))).as("items"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"))
+        .as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .filter(col("n_common") >= 2)
+    pairs
+      .join(deg.select(col("p").as("u"), col("nd").as("n_u")), "u")
+      .join(deg.select(col("p").as("v"), col("nd").as("n_v")), "v")
+      .select(col("u"), col("v"), col("n_common"), col("n_u"), col("n_v"),
+        expr("n_common * 1000000 div (n_u + n_v - n_common)").as("jaccard_ppm"))
+      .orderBy("u", "v")
+  }
+
+  private lazy val g13Entry =
     sql(
       "g13_degree_powerlaw",
       "degree-distribution power-law fit over the support-2 co-purchase graph — the one-row graph-health dashboard (t26's Zipf diagnostic pointed at graph degrees: real co-occurrence graphs are heavy-tailed with exponent ~2-3, so a flat or broken slope flags a degenerate or flooded graph BEFORE the iterative family g01-g11 spends rounds on it): node/edge/max-degree counts plus an exact-integer OLS fit of ln(count-of-nodes-with-degree-d) on ln(d) over the degree histogram — log terms on the 1e3 grid (t26's ln-ULP-parity basis), all five co-moments BIGINT-exact and combined through DECIMAL(38,0)/HUGEINT (the p04 widening), slope and R² each one two-op IEEE chain on correctly-rounded double casts, r4-rounded, zero-variance short-circuited (the q98 guard). Scale posture: degrees are one edge-keyed count, the histogram a degree-keyed count (max-degree-sized), the fit a single rollup over that dimension frame — the corpus-scale cost is the shared cached edge build every graph entry amortizes",
@@ -945,6 +969,5 @@ object GraphQueries {
       out.count()
       pairs.unpersist(blocking = false)
       out
-    },
-  )
+    }
 }

@@ -1227,7 +1227,7 @@ object RelationalQueries {
 
     sql(
       "q105_assoc_rules",
-      "market-basket association-rule mining (A-priori shape): baskets are each order's DISTINCT brand set; directional rules a→b with integer-ppm support, confidence and lift, kept at support ≥ 2% of baskets. The Spark side never self-joins the basket table — baskets group once, and the 2-combinations explode MAP-SIDE from each order's sorted item array (flatten(transform(slice))), so pair generation costs zero extra shuffle beyond the basket groupBy; item supports and the basket count are broadcast back onto the pair aggregate. At 100 TB this is the textbook A-priori layout: one shuffle to form baskets, combinations local, dimension-sized (|items|²) rule table — the oracle keeps the classical self-join formulation to prove the combination kernel equivalent. All metrics are integer ppm via flooring division on non-negative operands (Spark div = DuckDB // there); lift_ppm = 1e6·n_ab·N / (n_a·n_b) is widened through DECIMAL(38,0) (HUGEINT in the oracle) before the flooring divide and cast back to BIGINT — enforced, not just documented, because Spark's non-ANSI BIGINT multiply wraps silently at the corpus sizes where n_ab·N overflows, while DuckDB errors (r13 hardening per ADVICE)",
+      "market-basket association-rule mining (A-priori shape): baskets are each order's DISTINCT brand set; directional rules a→b with integer-ppm support, confidence and lift, kept at support ≥ 2% of baskets. The Spark side never self-joins the basket table — baskets group once, and the 2-combinations explode MAP-SIDE from each order's sorted item array (flatten(transform(slice))), so pair generation costs zero extra shuffle beyond the basket groupBy; item supports and the basket count are broadcast back onto the pair aggregate. At 100 TB this is the textbook A-priori layout: one shuffle to form baskets, combinations local, dimension-sized (|items|²) rule table; the per-basket pair explode is B(B−1)/2, bounded here by the BRAND grain itself — TPC-H has exactly 25 brands, so a basket holds <= 25 items and emits <= 300 pairs at every scale factor (corpora without a dimension bound take the g12 edgeJaccard(basketCap=...) discipline instead) — the oracle keeps the classical self-join formulation to prove the combination kernel equivalent. All metrics are integer ppm via flooring division on non-negative operands (Spark div = DuckDB // there); lift_ppm = 1e6·n_ab·N / (n_a·n_b) is widened through DECIMAL(38,0) (HUGEINT in the oracle) before the flooring divide and cast back to BIGINT — enforced, not just documented, because Spark's non-ANSI BIGINT multiply wraps silently at the corpus sizes where n_ab·N overflows, while DuckDB errors (r13 hardening per ADVICE)",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
         |            FROM lineitem JOIN part ON l_partkey = p_partkey),
         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),

@@ -1187,6 +1187,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((101L, 102L, 3L, 3L, 3L, 1000000L)), got.mkString(", "))
   }
 
+  test("g12 basketCap drops oversized baskets whole: pairs AND degrees exclude the flood order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g12capspec").toString
+    // three tight 2-item orders {p1,p2} plus one 5-item flood order
+    // {p1..p5}: uncapped, the flood inflates degrees (p1/p2 -> 4) and
+    // mints support-1 pairs; capped at 4 the flood vanishes WHOLE, so
+    // (p1,p2) reads support 3, degrees 3/3, jaccard 1e6 — not a mixed
+    // capped-numerator/uncapped-denominator 3/(4+4-3)
+    val flood = (101L to 105L).map(p => (9L, p))
+    (Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L), (3L, 101L), (3L, 102L)) ++ flood)
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def rows(cap: Int) = graft.operators.GraphQueries.edgeJaccard(spark, dir, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows(0) == Seq((101L, 102L, 4L, 4L, 4L, 1000000L)), s"uncapped: ${rows(0)}")
+    assert(rows(4) == Seq((101L, 102L, 3L, 3L, 3L, 1000000L)), s"capped: ${rows(4)}")
+  }
+
   test("t30 Gopher rules: each planted violation trips exactly its own flag") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t30spec").toString
