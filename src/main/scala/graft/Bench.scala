@@ -157,9 +157,15 @@ object Bench {
     // the measured quantity is smaller than the jitter, min-of-2 still has
     // high variance. Those entries get 3 extra takes and publish the
     // min-of-5; bounded cost (sub-second queries, headline subset only).
+    // The extra takes are recorded (the "stabilizer" detail field below) so
+    // a published sub-floor min below both regular takes stays auditable
+    // from BENCH_DETAIL.json alone (r13 advice).
+    val stabilizerTakes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Take]]
     val results = takes.map { case (n, best, a, b) =>
       if (Headline.contains(n) && (a.ok || b.ok) && best < floorS) {
-        val extra = (1 to 3).map(_ => timeOnce(byName(n))).filter(_.ok).map(_.wall)
+        val extraAll = (1 to 3).map(_ => timeOnce(byName(n)))
+        stabilizerTakes(n) = extraAll
+        val extra = extraAll.filter(_.ok).map(_.wall)
         n -> (if (extra.isEmpty) best else math.min(best, extra.min))
       } else n -> best
     }
@@ -178,6 +184,15 @@ object Bench {
           "],\"gc\":[" + r3(a.gc) + "," + r3(b.gc) +
           "],\"exec\":[" + r3(a.exec) + "," + r3(b.exec) +
           "],\"cpu\":[" + r3(a.cpu) + "," + r3(b.cpu) + "]}" }
+      .mkString("{", ",", "}")
+    // Stabilizer extra-take records (headline sub-floor entries only):
+    //   "stabilizer": {name: {"wall":[t3,t4,t5], "ok":[b,b,b]}}
+    // the published headline min is min(best_of_2, min of ok stabilizer
+    // walls) — reproducible from this field plus "takes".
+    val stabilizerJson = stabilizerTakes
+      .map { case (n, ts) =>
+        "\"" + n + "\":{\"wall\":[" + ts.map(t => r3(t.wall)).mkString(",") +
+          "],\"ok\":[" + ts.map(_.ok).mkString(",") + "]}" }
       .mkString("{", ",", "}")
     // min-cpu-of-2 per query: the steady-state plan cost, robust to the
     // 70-128 s wall variance this host shows across identical builds
@@ -287,7 +302,7 @@ object Bench {
       "codeCache" -> sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m"))
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_2","n_queries":${results.size},"errors":$errJson,"queries":${json(results)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
     val head = results.filter { case (k, _) => Headline.contains(k) }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"requalified":$nRequalified,"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()

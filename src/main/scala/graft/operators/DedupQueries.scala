@@ -978,9 +978,14 @@ object DedupQueries {
       // truth leg as the d10/d14 inverted-index join: pairs sharing zero
       // grams never materialize (319k join rows vs 3.1M all-pairs on this
       // sample), and the threshold is one exact integer cross-multiply
+      // shingleStrings is already per-document SET-valued (LinkedHashSet in
+      // the kernel), so (doc_id, g) rows leave the explode unique — no
+      // distinct needed (r13 advice: the defensive one added in r13 was a
+      // semantic no-op costing the truth leg an extra shuffle). The
+      // multiset twin is shingleStringsAll; a future switch to it here
+      // must re-add the dedup.
       val gx = sample
         .select(col("doc_id"), explode(HashFunctions.shingleStrings(toks, 3)).as("g"))
-        .distinct()
       val szs = gx.groupBy("doc_id").agg(count(lit(1)).cast("long").as("ng"))
       val tru = gx.as("ga")
         .join(gx.as("gb"),

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
 
 /** Graph analytics over the trade-derived graphs (r13 split out of
   * DedupQueries, which had grown to 1905 lines spanning two families —
-  * a pure move, zero behavior change; registry names and declaration
-  * order are unchanged).
+  * code bodies moved verbatim and WITHIN-family declaration order is
+  * unchanged, but the family's position in SparkEntry.registry moved:
+  * the g-entries previously sat mid-DedupQueries.all and now follow the
+  * whole dedup family, so bench sweep order and PLANS/JSON key order
+  * shifted at the split (r13 advice — behavior per entry is identical,
+  * global ordering is not).
   *
   * Two graphs back the family:
   *   - the support-thresholded co-purchase graph ([[copurchasePairs]] —
