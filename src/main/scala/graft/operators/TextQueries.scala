@@ -1920,6 +1920,48 @@ object TextQueries {
           sum("n_chars").cast("long").as("char_mass"),
           min("ttr_ppm").as("min_ttr_ppm"), max("ttr_ppm").as("max_ttr_ppm"))
         .orderBy("lang", "bucket")
+    },
+
+    sql(
+      "t32_bm25_scores",
+      "per-document BM25 keyword ranking (k1=1.2, b=0.75 — the scorer retrieval-augmented pipelines actually rank with; t31 stops at raw tf*idf, BM25 adds the two terms that matter at corpus scale: tf SATURATION, so a term repeated 50x in one doc cannot dominate df evidence, and LENGTH NORMALIZATION, so long docs stop winning by volume): idf is the Robertson ln((N-df+0.5)/(df+0.5)+1) — algebraically (2N+2)/(2df+1), BOTH exact BIGINTs, so the idf grid is ONE exact-integer double division inside a single libm ln on the 1e6 grid (the t26/t29 ln-ULP-parity idiom; the +1 keeps it positive, no sign branch). The saturation-x-length term is made EXACT by clearing k1=6/5, b=3/4 to integers: tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)) with avgdl = tt/N becomes 22*tf*tt / (10*tf*tt + 3*tt + 9*dl*N) — all-integer operands widened through DECIMAL(38,0)/HUGEINT (the q105 discipline; numerator <= 22*tf*tt*1e6 ~ 5.5e25 at the advertised 100 TB scale, inside DECIMAL(38,0)), one flooring ppm division on non-negative integers, and score = idf_ppm * sat_ppm is an exact BIGINT product under the (score DESC, term ASC) per-doc total order. Scale posture: tf/dl/df are the t15 keyed counts (map-side combinable, joined on term and doc — never a self-join), N and tt one broadcast 1-row rollup, the top-3 a doc-partitioned window — partition-parallel, identical shuffle shape to t31 plus one dl join",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok WHERE t != '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        |sc AS (SELECT f.doc_id, f.t, f.tf, d.df, l.dl,
+        |              CAST(floor(ln((2*g.n + 2) * 1.0 / (2*d.df + 1)) * 1000000 + 0.5) AS BIGINT) AS idf_ppm,
+        |              CAST((CAST(22 AS HUGEINT) * f.tf * g.tt * 1000000)
+        |                   // (CAST(10 AS HUGEINT) * f.tf * g.tt + 3 * g.tt + 9 * l.dl * g.n) AS BIGINT) AS sat_ppm
+        |       FROM tf f JOIN df d USING (t) JOIN dl l USING (doc_id) CROSS JOIN g)
+        |SELECT doc_id, rnk, t AS term, tf, df, dl, idf_ppm, sat_ppm, idf_ppm * sat_ppm AS score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY idf_ppm * sat_ppm DESC, t) AS BIGINT) AS rnk FROM sc)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""") { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      val df = tf.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      val g = dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("tt"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("t"))
+      tf.join(df, "t").join(dl, "doc_id").crossJoin(broadcast(g))
+        .withColumn("idf_ppm",
+          floor(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
+            * 1000000 + lit(0.5)).cast("long"))
+        .withColumn("sat_ppm",
+          expr("(cast(22 as decimal(38,0)) * tf * tt * 1000000) div " +
+            "(cast(10 as decimal(38,0)) * tf * tt + cast(3 as decimal(38,0)) * tt + " +
+            "cast(9 as decimal(38,0)) * dl * n)").cast("long"))
+        .withColumn("score", col("idf_ppm") * col("sat_ppm"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("t").as("term"), col("tf"), col("df"),
+          col("dl"), col("idf_ppm"), col("sat_ppm"), col("score"))
+        .orderBy("doc_id", "rnk")
     }
   )
 }

@@ -1239,6 +1239,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.filter(_._3 == "the").forall(_._4 == 0L), rows.mkString(", "))
   }
 
+  test("t32 BM25: hand-traced saturation and length-normalization terms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t32spec").toString
+    // d0 = "a a a a b" (dl=5), d1 = "a" + 14x"b" (dl=15); N=2, tt=20,
+    // avgdl=10, df(a)=df(b)=2 so both terms share one idf:
+    //   idf_ppm = floor(ln((2N+2)/(2df+1)) * 1e6 + 0.5) = floor(ln(6/5)e6+.5)
+    // sat_ppm = 22*tf*tt*1e6 // (10*tf*tt + 3*tt + 9*dl*N), hand-traced:
+    //   d0 tf=4: 1760e6 // (800+60+90=950)   = 1852631
+    //   d0 tf=1:  440e6 // (200+60+90=350)   = 1257142
+    //   d1 tf=14: 6160e6 // (2800+60+270=3130) = 1968051
+    //   d1 tf=1:  440e6 // (200+60+270=530)  =  830188
+    Seq((0L, "a a a a b"), (1L, ("a" +: Seq.fill(14)("b")).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idf = math.floor(math.log(6.0 / 5.0) * 1000000 + 0.5).toLong // 182322
+    val got = SparkEntry.queries("t32_bm25_scores")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == Seq(
+      (0L, 1L, "a", 4L, 2L, 5L, idf, 1852631L, idf * 1852631L),
+      (0L, 2L, "b", 1L, 2L, 5L, idf, 1257142L, idf * 1257142L),
+      (1L, 1L, "b", 14L, 2L, 15L, idf, 1968051L, idf * 1968051L),
+      (1L, 2L, "a", 1L, 2L, 15L, idf, 830188L, idf * 830188L)), got.mkString(", "))
+    // SATURATION: tf 4x (1 -> 4 in d0) lifts sat only ~1.47x, and even
+    // tf=14 stays under the k1+1 = 2.2e6 ppm asymptote
+    assert(1852631.0 / 1257142.0 < 1.5 && 1968051L < 2200000L)
+    // LENGTH NORMALIZATION: the SAME term at the SAME tf=1 scores strictly
+    // higher in the short doc (dl=5) than the long one (dl=15)
+    assert(1257142L > 830188L)
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString

@@ -160,7 +160,9 @@ class ScaleSpec extends SparkSpec {
       // r13 batch 3: CC-label histogram, ln-grid entropy rollup,
       // window-free cumulative spine, type-partitioned decile cut
       "d18_cluster_size_histogram", "a14_category_entropy",
-      "q113_cumulative_uniques", "q114_user_concentration")
+      "q113_cumulative_uniques", "q114_user_concentration",
+      // r14: exact-integer BM25 saturation/length terms over t15 counts
+      "t32_bm25_scores")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -218,7 +220,9 @@ class ScaleSpec extends SparkSpec {
       // r13 batch 3: CC-label histogram, ln-grid entropy rollup,
       // window-free cumulative spine, type-partitioned decile cut
       "d18_cluster_size_histogram", "a14_category_entropy",
-      "q113_cumulative_uniques", "q114_user_concentration")
+      "q113_cumulative_uniques", "q114_user_concentration",
+      // r14: exact-integer BM25 saturation/length terms over t15 counts
+      "t32_bm25_scores")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
