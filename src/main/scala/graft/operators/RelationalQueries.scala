@@ -1635,6 +1635,52 @@ object RelationalQueries {
       out.count()
       fs.unpersist(blocking = false)
       out
+    },
+
+    sql(
+      "q115_invoice_reconciliation",
+      "order-header vs line-detail money reconciliation audit (the financial-close data-quality check every warehouse runs nightly: does o_totalprice equal Σ extendedprice·(1−discount)·(1+tax) per order?): per priority class, counts of reconciled (|Δ| ≤ 1 cent), over- and under-stated headers, headers with NO detail rows (the referential-integrity leak, counted separately — a lineless order's Δ is its whole total and would poison the over bucket), net and max-abs drift in cents. Money determinism is the established cents-grid idiom: each LINE's three-factor product is one fixed-association IEEE chain floor'd to cents BEFORE summing (per-row integerization makes the per-order sum an order-independent BIGINT — summing doubles first would be shuffle-order-dependent), the header total floors once; every downstream comparison/rollup is exact integer arithmetic on (possibly negative) deltas with abs/sum only. On this synthetic corpus the generator does NOT enforce the TPC-H invariant, so the audit reports real drift — which is the production use: quantify, bucket, and bound the mismatch, don't assume it away. Scale posture: one orderkey-keyed partial-agg sum over lineitem (map-side combinable), one orderkey equi-join to headers, one dimension-sized priority rollup — no window, no skew surface beyond the natural orderkey hash",
+      """WITH lc AS (SELECT l_orderkey,
+        |                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS line_cents
+        |           FROM lineitem GROUP BY 1),
+        |oc AS (SELECT o_orderkey, o_orderpriority,
+        |              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        |       FROM orders),
+        |d AS (SELECT o.o_orderpriority AS priority,
+        |             o.total_cents - COALESCE(l.line_cents, 0) AS delta,
+        |             CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS orphan
+        |      FROM oc o LEFT JOIN lc l ON l.l_orderkey = o.o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(orphan) AS BIGINT) AS n_lineless,
+        |       CAST(sum(CASE WHEN orphan = 0 AND abs(delta) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+        |       CAST(sum(CASE WHEN orphan = 0 AND delta > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |       CAST(sum(CASE WHEN orphan = 0 AND delta < -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+        |       CAST(sum(delta) AS BIGINT) AS net_delta_cents,
+        |       CAST(max(abs(delta)) AS BIGINT) AS max_abs_delta_cents
+        |FROM d GROUP BY priority ORDER BY priority""") { (s, dir) =>
+      val lc = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 100 + lit(0.5)).cast("long")).cast("long").as("line_cents"))
+      val d = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("total_cents"))
+        .join(lc, Seq("o_orderkey"), "left")
+        .select(col("priority"),
+          (col("total_cents") - coalesce(col("line_cents"), lit(0L))).as("delta"),
+          when(col("line_cents").isNull, 1L).otherwise(0L).as("orphan"))
+      d.groupBy("priority")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum("orphan").cast("long").as("n_lineless"),
+          sum(when(col("orphan") === 0 && abs(col("delta")) <= 1, 1L).otherwise(0L))
+            .cast("long").as("n_reconciled"),
+          sum(when(col("orphan") === 0 && col("delta") > 1, 1L).otherwise(0L))
+            .cast("long").as("n_over"),
+          sum(when(col("orphan") === 0 && col("delta") < -1, 1L).otherwise(0L))
+            .cast("long").as("n_under"),
+          sum("delta").cast("long").as("net_delta_cents"),
+          max(abs(col("delta"))).cast("long").as("max_abs_delta_cents"))
+        .orderBy("priority")
     }
   )
 }

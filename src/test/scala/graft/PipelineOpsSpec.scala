@@ -1270,6 +1270,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(1257142L > 830188L)
   }
 
+  test("q115 reconciliation: hand-traced over/under/orphan buckets on the cents grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q115spec").toString
+    // o1: total 10.00 vs lines 5.00 + 4.99 -> delta +1 cent = reconciled
+    // o2: total 20.00 vs 10*0.9*1.1 = 9.90 -> delta +1010 = over
+    // o3: total  5.00, NO lines -> orphan (delta 500 must not hit n_over)
+    // o4: total  3.00 vs 4.00 -> delta -100 = under
+    Seq((1L, "1-URGENT", 10.00), (2L, "1-URGENT", 20.00),
+      (3L, "2-HIGH", 5.00), (4L, "2-HIGH", 3.00))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 5.00, 0.0, 0.0), (1L, 4.99, 0.0, 0.0),
+      (2L, 10.00, 0.1, 0.1), (4L, 4.00, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q115_invoice_reconciliation")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      ("1-URGENT", 2L, 0L, 1L, 1L, 0L, 1011L, 1010L),
+      ("2-HIGH", 2L, 1L, 0L, 0L, 1L, 400L, 500L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString

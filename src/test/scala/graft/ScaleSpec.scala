@@ -161,8 +161,9 @@ class ScaleSpec extends SparkSpec {
       // window-free cumulative spine, type-partitioned decile cut
       "d18_cluster_size_histogram", "a14_category_entropy",
       "q113_cumulative_uniques", "q114_user_concentration",
-      // r14: exact-integer BM25 saturation/length terms over t15 counts
-      "t32_bm25_scores")
+      // r14: exact-integer BM25 saturation/length terms over t15 counts,
+      // cents-grid header/detail reconciliation with orphan buckets
+      "t32_bm25_scores", "q115_invoice_reconciliation")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -221,8 +222,9 @@ class ScaleSpec extends SparkSpec {
       // window-free cumulative spine, type-partitioned decile cut
       "d18_cluster_size_histogram", "a14_category_entropy",
       "q113_cumulative_uniques", "q114_user_concentration",
-      // r14: exact-integer BM25 saturation/length terms over t15 counts
-      "t32_bm25_scores")
+      // r14: exact-integer BM25 saturation/length terms over t15 counts,
+      // cents-grid header/detail reconciliation with orphan buckets
+      "t32_bm25_scores", "q115_invoice_reconciliation")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
