@@ -1962,6 +1962,41 @@ object TextQueries {
         .select(col("doc_id"), col("rnk"), col("t").as("term"), col("tf"), col("df"),
           col("dl"), col("idf_ppm"), col("sat_ppm"), col("score"))
         .orderBy("doc_id", "rnk")
+    },
+
+    sql(
+      "p17_epoch_plan",
+      "data-constrained repetition (epoch) plan — the manifest a token-budgeted training run derives when the budget exceeds the corpus (the data-constrained-scaling regime: repeating a source up to ~4 epochs is near-free, beyond that returns decay, so the planner caps repetition and surfaces the unfillable deficit): scenario budget B = 2x total corpus tokens, per-source target share from p04's temperature weights (w = sqrt(n_tokens) on the 1e6 grid — sqrt is IEEE correctly rounded, engine-exact), desired = B*w div sum(w) widened through DECIMAL(38,0)/HUGEINT (B*w ~ 6e25 at the advertised scale), allocated = least(desired, 4*n_tokens) — the epoch cap — with epochs_x100 = allocated*100 div n_tokens and the deficit reported, not silently redistributed (a single-pass plan; redistribution is a policy choice the deficit column feeds). All flooring divisions on non-negative integers. Scale posture: one source-keyed count (map-side combinable), one broadcast 1-row total, a dimension-sized plan table — the p04 shuffle shape with pure integer planning arithmetic on top",
+      """WITH counts AS (SELECT source, CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |                FROM documents GROUP BY source),
+        |wts AS (SELECT source, n_tokens,
+        |               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_scaled
+        |        FROM counts),
+        |tot AS (SELECT CAST(sum(w_scaled) AS HUGEINT) AS tw, CAST(sum(n_tokens) AS BIGINT) AS tn FROM wts),
+        |plan AS (SELECT source, n_tokens, w_scaled,
+        |                CAST((CAST(2 AS HUGEINT) * tn * w_scaled) // tw AS BIGINT) AS desired_tokens
+        |         FROM wts CROSS JOIN tot)
+        |SELECT source, n_tokens, w_scaled, desired_tokens,
+        |       least(desired_tokens, 4 * n_tokens) AS allocated_tokens,
+        |       CAST(least(desired_tokens, 4 * n_tokens) * 100 // n_tokens AS BIGINT) AS epochs_x100,
+        |       desired_tokens - least(desired_tokens, 4 * n_tokens) AS deficit_tokens
+        |FROM plan ORDER BY source""") { (s, dir) =>
+      val wts = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(TextFunctions.tokens(col("text")))).cast("long").as("n_tokens"))
+        .withColumn("w_scaled",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000000 + lit(0.5)).cast("long"))
+      val tot = wts.agg(sum("w_scaled").cast("decimal(38,0)").as("tw"),
+        sum("n_tokens").cast("long").as("tn"))
+      wts.crossJoin(broadcast(tot))
+        .withColumn("desired_tokens",
+          expr("(cast(2 as decimal(38,0)) * tn * w_scaled) div tw").cast("long"))
+        .withColumn("allocated_tokens", least(col("desired_tokens"), col("n_tokens") * 4))
+        .select(col("source"), col("n_tokens"), col("w_scaled"), col("desired_tokens"),
+          col("allocated_tokens"),
+          expr("(allocated_tokens * 100) div n_tokens").as("epochs_x100"),
+          (col("desired_tokens") - col("allocated_tokens")).as("deficit_tokens"))
+        .orderBy("source")
     }
   )
 }

@@ -1316,6 +1316,27 @@ class PipelineOpsSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("p17 epoch plan: the 4-epoch cap bites the low-resource source, deficit surfaces") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p17spec").toString
+    // big: 90 tokens, small: 10 -> tn=100, B=200
+    // w_big = floor(sqrt(90)e6+.5) = 9486833, w_small = 3162278, tw = 12649111
+    // desired_big  = 200*9486833  // tw = 149 (tw*150 = 1897366650 > 1897366600)
+    // desired_small= 200*3162278 // tw = 50; cap: min(50, 4*10=40) -> 40,
+    // epochs 400 (the cap), deficit 10 — the unfillable share the planner
+    // must REPORT, not silently redistribute
+    Seq((0L, (1 to 90).map(i => s"w$i").mkString(" "), "big"),
+      (1L, (1 to 10).map(i => s"v$i").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p17_epoch_plan")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("big", 90L, 9486833L, 149L, 149L, 165L, 0L),
+      ("small", 10L, 3162278L, 50L, 40L, 400L, 10L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
