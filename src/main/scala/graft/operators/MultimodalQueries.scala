@@ -368,6 +368,71 @@ object MultimodalQueries {
           col("p.py").cast("long").as("patch_row"), col("p.px").cast("long").as("patch_col"),
           (col("p.py") * 16).cast("long").as("y0"), (col("p.px") * 16).cast("long").as("x0"))
         .orderBy("doc_id", "patch_row", "patch_col")
+    },
+
+    sql(
+      "m11_token_budget",
+      "multimodal token-budget manifest — the per-modality sequence-cost table a mixed-modality training run derives BEFORE any decoder runs (the m-family's p04: how many model tokens does each modality contribute, and what share of the batch budget is that?): per media_type, token equivalents computed from container headers and byte lengths alone — image = whole 16px ViT patches after the m10 aspect-preserving 224 fit ((sh div 16)·(sw div 16), zero for sub-patch thumbnails and truncated headers), audio = 32-byte PCM frames ((n−1) div 32 + 1, the m08 slicing), video = every-2nd-64-byte sampled frames (((n−1) div 64) div 2 + 1, the m03 stride) — plus docs, tokenizable docs (tok ≥ 1), byte mass, and share_ppm of the global token budget widened through HUGEINT/DECIMAL(38,0) (per-modality tokens·1e6 brushes BIGINT at 100 TB). All flooring arithmetic on non-negative integers; the oracle replays it from octet arithmetic (the m02/m09 ASCII trick). Scale posture: one map-side projection per doc (header bytes only — fuses into the scan with binary-column projection pushdown), one modality-keyed rollup, a 3-row manifest with a broadcast 1-row total",
+      """WITH b AS (SELECT doc_id,
+        |                  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |                  octet_length(CAST(text AS BLOB)) AS n,
+        |                  CASE WHEN octet_length(CAST(text AS BLOB)) >= 8
+        |                       THEN ascii(substring(text, 5, 1)) * 256 + ascii(substring(text, 6, 1)) ELSE 0 END AS w,
+        |                  CASE WHEN octet_length(CAST(text AS BLOB)) >= 8
+        |                       THEN ascii(substring(text, 7, 1)) * 256 + ascii(substring(text, 8, 1)) ELSE 0 END AS ht
+        |           FROM documents),
+        |s AS (SELECT doc_id, media_type, n,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN w ELSE w * 224 // greatest(w, ht) END AS sw,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN ht ELSE ht * 224 // greatest(w, ht) END AS sh
+        |      FROM b),
+        |tok AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n,
+        |               CAST(CASE
+        |                 WHEN media_type = 'image' THEN CASE WHEN n >= 8 THEN (sh // 16) * (sw // 16) ELSE 0 END
+        |                 WHEN media_type = 'audio' THEN CASE WHEN n > 0 THEN (n - 1) // 32 + 1 ELSE 0 END
+        |                 ELSE CASE WHEN n > 0 THEN ((n - 1) // 64) // 2 + 1 ELSE 0 END END AS BIGINT) AS tok
+        |        FROM s),
+        |agg AS (SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(CASE WHEN tok >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokenizable,
+        |               CAST(sum(n) AS BIGINT) AS total_bytes, CAST(sum(tok) AS BIGINT) AS total_tokens
+        |        FROM tok GROUP BY media_type),
+        |g AS (SELECT CAST(sum(total_tokens) AS HUGEINT) AS gt FROM agg)
+        |SELECT media_type, n_docs, n_tokenizable, total_bytes, total_tokens,
+        |       CAST(CAST(total_tokens AS HUGEINT) * 1000000 // gt AS BIGINT) AS share_ppm
+        |FROM agg CROSS JOIN g ORDER BY media_type""") { (s, dir) =>
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          length(col("text").cast("binary")).cast("long").as("n"),
+          when(length(col("text").cast("binary")) >= 8,
+            ascii(substring(col("text"), 5, 1)) * 256 + ascii(substring(col("text"), 6, 1)))
+            .otherwise(0L).cast("long").as("w"),
+          when(length(col("text").cast("binary")) >= 8,
+            ascii(substring(col("text"), 7, 1)) * 256 + ascii(substring(col("text"), 8, 1)))
+            .otherwise(0L).cast("long").as("ht"))
+        .withColumn("m", greatest(col("w"), col("ht")))
+        .withColumn("sw", when(col("m") <= 224, col("w")).otherwise(expr("w * 224 div m")))
+        .withColumn("sh", when(col("m") <= 224, col("ht")).otherwise(expr("ht * 224 div m")))
+        .withColumn("tok",
+          when(col("media_type") === "image",
+            when(col("n") >= 8, expr("(sh div 16) * (sw div 16)")).otherwise(0L))
+            .when(col("media_type") === "audio",
+              when(col("n") > 0, expr("(n - 1) div 32 + 1")).otherwise(0L))
+            .otherwise(
+              when(col("n") > 0, expr("((n - 1) div 64) div 2 + 1")).otherwise(0L))
+            .cast("long"))
+      val agg = b.groupBy("media_type")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("tok") >= 1, 1L).otherwise(0L)).cast("long").as("n_tokenizable"),
+          sum("n").cast("long").as("total_bytes"),
+          sum("tok").cast("long").as("total_tokens"))
+      val g = agg.agg(sum("total_tokens").cast("decimal(38,0)").as("gt"))
+      agg.crossJoin(broadcast(g))
+        .select(col("media_type"), col("n_docs"), col("n_tokenizable"),
+          col("total_bytes"), col("total_tokens"),
+          expr("(cast(total_tokens as decimal(38,0)) * 1000000) div gt")
+            .cast("long").as("share_ppm"))
+        .orderBy("media_type")
     }
   )
 }

@@ -1337,6 +1337,28 @@ class PipelineOpsSpec extends SparkSpec {
       ("small", 10L, 3162278L, 50L, 40L, 400L, 10L)), got.mkString(", "))
   }
 
+  test("m11 token budget: hand-traced patch/frame/stride token equivalents per modality") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m11spec").toString
+    // doc0 image: header w=1*256+44=300, h=1*256+94=350; fit: m=350>224 ->
+    //   sw=300*224 div 350=192, sh=224; grid 14x12 -> 168 patch tokens
+    // doc1 audio: 33 bytes -> (32 div 32)+1 = 2 frames
+    // doc2 video: 129 bytes -> ((128 div 64) div 2)+1 = 2 sampled frames
+    // doc3 image: 2 bytes, truncated header -> 0 tokens, not tokenizable
+    // totals: 172 tokens; image share 168e6//172=976744, a/v 2e6//172=11627
+    val img = "MG" + 3.toChar + 7.toChar + 1.toChar + 44.toChar + 1.toChar + 94.toChar
+    Seq((0L, img), (1L, "x" * 33), (2L, "y" * 129), (3L, "ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m11_token_budget")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("audio", 1L, 1L, 33L, 2L, 11627L),
+      ("image", 2L, 1L, 10L, 168L, 976744L),
+      ("video", 1L, 1L, 129L, 2L, 11627L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
