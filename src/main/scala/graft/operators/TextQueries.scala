@@ -1997,6 +1997,36 @@ object TextQueries {
           expr("(allocated_tokens * 100) div n_tokens").as("epochs_x100"),
           (col("desired_tokens") - col("allocated_tokens")).as("deficit_tokens"))
         .orderBy("source")
+    },
+
+    sql(
+      "t33_token_yield",
+      "effective token yield after exact dedup — the before/after budget reconciliation between the raw crawl and what p17's planner may actually spend (dedup planners quote DOC counts; training budgets are TOKEN counts, and the two diverge whenever duplicates skew long or short): per source, raw docs/tokens, docs surviving d01's global keep-lowest-doc_id-per-md5 rule, surviving tokens, and yield_ppm = kept_tokens*1e6 div tokens (HUGEINT/DECIMAL(38,0)-widened — token*1e6 brushes BIGINT at the advertised scale). Duplicates attribute cross-source: a source whose docs are copies of earlier-id docs elsewhere yields near zero — exactly the crawl-overlap signal that reorders a mixture. The keep rule is a keyed min + (hash, doc_id) equi-join (the aggregation shape of d01's window twin — at 100 TB a groupBy-min beats a global window and joins back by hash). Scale posture: one md5-keyed min, one equi-join back, one source-keyed rollup — all map-side-combinable aggregations, a dimension-sized manifest",
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |                  CAST(length(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |k AS (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h),
+        |f AS (SELECT d.source, d.nt, CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+        |      FROM d LEFT JOIN k ON k.h = d.h AND k.doc_id = d.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |       CAST(CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS HUGEINT) * 1000000
+        |            // sum(nt) AS BIGINT) AS yield_ppm
+        |FROM f GROUP BY source ORDER BY source""") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      val k = d.groupBy("h").agg(min("doc_id").as("doc_id")).withColumn("kept", lit(1L))
+      d.join(k, Seq("h", "doc_id"), "left")
+        .select(col("source"), col("nt"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("nt").cast("long").as("n_tokens"),
+          sum("kept").cast("long").as("n_kept"),
+          sum(when(col("kept") === 1, col("nt")).otherwise(0L)).cast("long").as("n_tokens_kept"),
+          expr("(cast(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) as decimal(38,0)) * 1000000) div sum(nt)")
+            .cast("long").as("yield_ppm"))
+        .orderBy("source")
     }
   )
 }

@@ -1359,6 +1359,24 @@ class PipelineOpsSpec extends SparkSpec {
       ("video", 1L, 1L, 129L, 2L, 11627L)), got.mkString(", "))
   }
 
+  test("t33 token yield: cross-source duplicates drain the copying source's budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t33spec").toString
+    // crawlA: two originals (3 + 5 tokens). crawlB: a copy of A's 5-token
+    // doc (higher doc_id -> dropped) plus one 7-token original -> yield
+    // 7e6 // 12 = 583333 ppm; A keeps everything (its ids are lower).
+    Seq((0L, "a b c", "crawlA"), (1L, "d e f g h", "crawlA"),
+      (2L, "d e f g h", "crawlB"), (3L, "i j k l m n o", "crawlB"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t33_token_yield")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("crawlA", 2L, 8L, 2L, 8L, 1000000L),
+      ("crawlB", 2L, 12L, 1L, 7L, 583333L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString

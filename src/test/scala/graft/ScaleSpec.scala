@@ -165,7 +165,8 @@ class ScaleSpec extends SparkSpec {
       // cents-grid header/detail reconciliation with orphan buckets
       "t32_bm25_scores", "q115_invoice_reconciliation",
       // r14 batch 2: dual-window truncation ranks over one broadcast panel
-      "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget")
+      "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget",
+      "t33_token_yield")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -228,7 +229,8 @@ class ScaleSpec extends SparkSpec {
       // cents-grid header/detail reconciliation with orphan buckets
       "t32_bm25_scores", "q115_invoice_reconciliation",
       // r14 batch 2: dual-window truncation ranks over one broadcast panel
-      "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget")
+      "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget",
+      "t33_token_yield")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
