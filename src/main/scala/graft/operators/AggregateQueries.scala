@@ -457,6 +457,46 @@ object AggregateQueries {
             - col("es")).cast("double")
             / (col("n_rows").cast("double") * 1000000)).as("entropy_nats"))
         .orderBy("column_name")
+    },
+
+    sql(
+      "a15_ks_two_sample",
+      "two-sample Kolmogorov-Smirnov distribution test, EXACT (the nonparametric drift test beside q110's binned PSI and q87's categorical chi-square — KS needs no bin choice and catches shape drift PSI's fixed grid can smear): D = max over the merged value domain of |F1(v) − F2(v)| between returned (R) and delivered (N) lineitem quantity distributions, computed with ZERO floats — the ECDF gap |c1(v)·n2 − c2(v)·n1| is an exact cross-multiplication (the q87/t30 trick) widened through DECIMAL(38,0)/HUGEINT (c·n brushes 1e22 at corpus scale), the argmax value tie-broken to the smallest, and ks_ppm = max_gap·1e6 div (n1·n2) one flooring division at the very end. The cumulative counts come from an inequality self-join on the PRE-AGGREGATED value grid (the q113 window-free spine — the quantity domain is dimension-sized, 50 values, so the O(V²) join is a constant-cost plan and keeps the global-window whitelist untouched). Scale posture: one value-keyed count over the corpus (map-side combinable), then pure dimension-sized arithmetic — at 100 TB the corpus pass is scan-bound and everything after is free",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |                  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |           FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |cum AS (SELECT a.q, CAST(sum(b.c1) AS BIGINT) AS f1, CAST(sum(b.c2) AS BIGINT) AS f2
+        |        FROM v a JOIN v b ON b.q <= a.q GROUP BY a.q),
+        |gap AS (SELECT q, abs(CAST(f1 AS HUGEINT) * n.n2 - CAST(f2 AS HUGEINT) * n.n1) AS g
+        |        FROM cum CROSS JOIN n),
+        |mx AS (SELECT max(g) AS gm FROM gap)
+        |SELECT n.n1, n.n2, min(gap.q) AS at_value,
+        |       CAST(mx.gm * 1000000 // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ks_ppm
+        |FROM gap CROSS JOIN n CROSS JOIN mx
+        |WHERE gap.g = mx.gm
+        |GROUP BY n.n1, n.n2, mx.gm""") { (s, dir) =>
+      val v = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long").as("c1"),
+          sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).cast("long").as("c2"))
+      val n = v.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2"))
+      val cum = v.as("a")
+        .join(v.as("b"), col("b.q") <= col("a.q"))
+        .groupBy(col("a.q").as("q"))
+        .agg(sum("b.c1").cast("long").as("f1"), sum("b.c2").cast("long").as("f2"))
+      val gap = cum.crossJoin(broadcast(n))
+        .select(col("q"), col("n1"), col("n2"),
+          abs(expr("cast(f1 as decimal(38,0)) * n2 - cast(f2 as decimal(38,0)) * n1")).as("g"))
+      val mx = gap.agg(max("g").as("gm"))
+      gap.crossJoin(broadcast(mx))
+        .filter(col("g") === col("gm"))
+        .groupBy("n1", "n2", "gm")
+        .agg(min("q").as("at_value"))
+        .select(col("n1"), col("n2"), col("at_value"),
+          expr("(gm * 1000000) div (cast(n1 as decimal(38,0)) * n2)").cast("long").as("ks_ppm"))
     }
   )
 }

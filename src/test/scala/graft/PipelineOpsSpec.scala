@@ -1377,6 +1377,21 @@ class PipelineOpsSpec extends SparkSpec {
       ("crawlB", 2L, 12L, 1L, 7L, 583333L)), got.mkString(", "))
   }
 
+  test("a15 two-sample KS: hand-traced max ECDF gap on the cross-multiplied grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a15spec").toString
+    // R quantities {1,1,3} (n1=3), N {2,3,3,3} (n2=4), one A row ignored.
+    // F1*n2 vs F2*n1 over {1,2,3}: gaps |8-0|=8, |8-3|=5, |12-12|=0 ->
+    // D at v=1, ks_ppm = 8e6 // 12 = 666666
+    Seq((1.0, "R"), (1.0, "R"), (3.0, "R"),
+      (2.0, "N"), (3.0, "N"), (3.0, "N"), (3.0, "N"), (9.0, "A"))
+      .toDF("l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("a15_ks_two_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((3L, 4L, 1L, 666666L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
