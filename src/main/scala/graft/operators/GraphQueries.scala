@@ -866,6 +866,51 @@ object GraphQueries {
         |ORDER BY u, v""") { (s, dir) => edgeJaccard(s, dir) },
 
     g13Entry,
+
+    sql(
+      "g14_adamic_adar",
+      "Adamic-Adar link prediction over the co-purchase graph (the hub-discounting upgrade of g05: a shared RARE companion is strong evidence two parts belong together, a shared EVERYWHERE-hub is weak — AA weights each common neighbor by 1/ln(degree) so mega-hubs stop dominating the candidate ranking, which is why recommender candidate-gen uses AA over raw counts on power-law graphs like g13 measures): for every non-adjacent pair with >= 2 common neighbors, common count and aa_score = Σ over shared middles of 1e12 div ln_grid(deg(m)) — each middle's weight ONE flooring division off the 1e6 ln grid (the t26/t31 idiom; a wedge middle always has degree >= 2 so ln > 0), the per-pair sum an order-independent exact BIGINT. Scale posture: g05's exact join shape (wedge equi-join on the middle, never nodes x nodes) plus one middle-keyed weight join — the hub cap note from g05 applies unchanged, and AA's own discounting is precisely the analytic defence against the hubs that cap protects the plan from",
+      s"""WITH $copurchasePairsSql,
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |                     UNION ALL SELECT v, u FROM pairs),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |                     FROM sym GROUP BY src),
+        |w AS (SELECT node, CAST(1000000000000 // CAST(floor(ln(d * 1.0) * 1000000 + 0.5) AS BIGINT) AS BIGINT) AS w
+        |      FROM deg WHERE d >= 2),
+        |cn AS (SELECT e1.dst AS a, e2.dst AS b,
+        |              CAST(count(*) AS BIGINT) AS common, CAST(sum(w.w) AS BIGINT) AS aa_score
+        |       FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |       JOIN w ON w.node = e1.src
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT cn.a, cn.b, cn.common, cn.aa_score FROM cn
+        |       LEFT JOIN pairs p ON p.u = cn.a AND p.v = cn.b WHERE p.u IS NULL)
+        |SELECT a, b, common, aa_score FROM ne ORDER BY a, b""") { (s, dir) =>
+      val (edges, _) = persistCompact(copurchasePairs(s, dir))
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      val wdeg = sym.groupBy(col("src").as("m"))
+        .agg(count(lit(1)).cast("long").as("d"))
+        .filter(col("d") >= 2)
+        .select(col("m"),
+          expr("1000000000000 div cast(floor(ln(d * 1.0) * 1000000 + 0.5) as bigint)")
+            .cast("long").as("w"))
+      val cn = sym.select(col("src").as("m"), col("dst").as("a"))
+        .join(sym.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
+        .filter(col("a") < col("b"))
+        .join(wdeg.hint("shuffle_hash"), "m")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).cast("long").as("common"), sum("w").cast("long").as("aa_score"))
+        .filter(col("common") >= 2)
+      val out = cn
+        .join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
+          Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("common"), col("aa_score"))
+        .orderBy("a", "b")
+        .persist()
+      out.count()
+      edges.unpersist(blocking = false)
+      out
+    },
   )
 
   /** g12's body — see the registry doc. `basketCap` is the basket-size cap

@@ -1392,6 +1392,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((3L, 4L, 1L, 666666L)), got.mkString(", "))
   }
 
+  test("g14 Adamic-Adar: the rare middle outweighs the hub on the ln grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g14spec").toString
+    // co-purchase edges (each needs 2 shared orders): hub 1 - {10,11,12},
+    // rare middle 2 - {10,11}. Non-adjacent pairs with common >= 2:
+    // (1,2) via middles {10,11} (both deg 2) and (10,11) via {1 (deg 3),
+    // 2 (deg 2)} — the deg-2 middle contributes MORE than the deg-3 hub.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+    val rows = edges.zipWithIndex.flatMap { case ((p, q), i) =>
+      Seq((101L + i * 2, p), (101L + i * 2, q), (102L + i * 2, p), (102L + i * 2, q))
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def w(d: Long): Long =
+      1000000000000L / math.floor(math.log(d.toDouble) * 1000000 + 0.5).toLong
+    val got = SparkEntry.queries("g14_adamic_adar")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 2 * w(2)), (10L, 11L, 2L, w(3) + w(2))),
+      got.mkString(", "))
+    assert(w(2) > w(3), "the rarer middle must carry the larger AA weight")
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
