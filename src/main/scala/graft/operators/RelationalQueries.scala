@@ -1681,6 +1681,52 @@ object RelationalQueries {
           sum("delta").cast("long").as("net_delta_cents"),
           max(abs(col("delta"))).cast("long").as("max_abs_delta_cents"))
         .orderBy("priority")
+    },
+
+    sql(
+      "q116_scd2_intervals",
+      "slowly-changing-dimension type-2 build, loader-grade — u02 versions EVERY raw event; this is the dim-loader's actual pipeline on top of that idea: grain compaction (last-write-wins within the load grain), NO-OP COLLAPSE (repeat values must not open spurious versions — the bug that bloats naive SCD2 dims), and dense version numbers (each attribute change opens a new validity interval and closes the prior one; point-in-time joins then hit exactly one version): the change stream is synthesized deterministically from the data (the p02/u09/u13 discipline) — per (custkey, order-month ym = year*12+month) the month's FINAL priority via max_by over the unique orderkey (last-write-wins per grain, the real loader semantic), no-op repeats collapsed by a lag-compare change flag, version numbers from a running sum of flags, intervals [valid_from, valid_to) closed by the NEXT version's open month via lead, the current row closed at the 999999 sentinel with is_current = 1 (all-integer, no NULL in the hash surface). All three windows partition by custkey — partition-parallel, never global. Scale posture: one (cust, ym)-keyed argmax aggregation over the corpus, then custkey-partitioned windows on the month-grain frame (orders-of-magnitude smaller than the fact table) — the standard MERGE-free SCD2 batch build; at 100 TB the dim build shuffles once on custkey and every window rides that partitioning",
+      """WITH m AS (SELECT o_custkey AS c, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        |                  max_by(o_orderpriority, o_orderkey) AS val
+        |           FROM orders GROUP BY 1, 2),
+        |ch AS (SELECT c, ym, val,
+        |              CASE WHEN lag(val) OVER (PARTITION BY c ORDER BY ym) IS NULL
+        |                        OR lag(val) OVER (PARTITION BY c ORDER BY ym) != val THEN 1 ELSE 0 END AS chg
+        |       FROM m),
+        |ver AS (SELECT c, ym, val,
+        |               CAST(sum(chg) OVER (PARTITION BY c ORDER BY ym
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |        FROM ch),
+        |seg AS (SELECT c, version, val, min(ym) AS valid_from FROM ver GROUP BY 1, 2, 3),
+        |iv AS (SELECT c, version, val, valid_from,
+        |              coalesce(lead(valid_from) OVER (PARTITION BY c ORDER BY version), 999999) AS valid_to
+        |       FROM seg)
+        |SELECT c AS custkey, version, val AS segment_value, valid_from, valid_to,
+        |       CAST(CASE WHEN valid_to = 999999 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY custkey, version""") { (s, dir) =>
+      val wOrd = Window.partitionBy("c").orderBy("ym")
+      val wVer = Window.partitionBy("c").orderBy("version")
+      val m = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"),
+          col("o_orderpriority").as("p"), col("o_orderkey").as("k"))
+        .groupBy("c", "ym")
+        .agg(expr("max_by(p, k)").as("val"))
+      val ver = m
+        .withColumn("chg",
+          when(lag("val", 1).over(wOrd).isNull || lag("val", 1).over(wOrd) =!= col("val"), 1L)
+            .otherwise(0L))
+        .withColumn("version",
+          sum("chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+      ver.groupBy("c", "version", "val")
+        .agg(min("ym").as("valid_from"))
+        .withColumn("valid_to",
+          coalesce(lead("valid_from", 1).over(wVer), lit(999999L)))
+        .select(col("c").as("custkey"), col("version"), col("val").as("segment_value"),
+          col("valid_from"), col("valid_to"),
+          when(col("valid_to") === 999999L, 1L).otherwise(0L).cast("long").as("is_current"))
+        .orderBy("custkey", "version")
     }
   )
 }

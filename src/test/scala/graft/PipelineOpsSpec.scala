@@ -1414,6 +1414,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w(2) > w(3), "the rarer middle must carry the larger AA weight")
   }
 
+  test("q116 SCD2: last-write-wins grain, no-op collapse, interval chaining, current flag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q116spec").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cust 1: Jan has A then B (orderkey 2 wins the month -> B), Feb
+    // repeats B (no-op, collapses into version 1), Mar flips to A
+    // (version 2, current). cust 2: one month, one current version.
+    Seq((1L, 1L, ts("2020-01-10"), "A"), (2L, 1L, ts("2020-01-20"), "B"),
+      (3L, 1L, ts("2020-02-05"), "B"), (4L, 1L, ts("2020-03-01"), "A"),
+      (5L, 2L, ts("2021-06-09"), "C"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q116_scd2_intervals")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "B", 24241L, 24243L, 0L),
+      (1L, 2L, "A", 24243L, 999999L, 1L),
+      (2L, 1L, "C", 24258L, 999999L, 1L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
