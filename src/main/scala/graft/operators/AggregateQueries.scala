@@ -497,6 +497,41 @@ object AggregateQueries {
         .agg(min("q").as("at_value"))
         .select(col("n1"), col("n2"), col("at_value"),
           expr("(gm * 1000000) div (cast(n1 as decimal(38,0)) * n2)").cast("long").as("ks_ppm"))
+    },
+
+    sql(
+      "a16_benford_audit",
+      "Benford first-digit audit of order totals (the forensic data-quality screen auditors and fraud teams run on any money column: naturally-grown multiplicative amounts follow P(d) = log10(1+1/d), while fabricated, capped, or uniform-generated amounts do not — THIS corpus's generator visibly fails it, observed d=1 at ~222k ppm vs Benford's 301k, which is exactly the synthetic-data signal the audit exists to raise): leading digit extracted via the cents-grid integer's DECIMAL STRING head (substring of CAST(cents AS VARCHAR) — exact in both engines over all magnitudes, where a log10/pow extraction would risk a 1-ULP boundary flip at exact powers of ten), per digit the count, flooring-ppm observed share, the Benford expectation as nine LITERAL ppm constants (mathematical constants summing to exactly 1e6 — no runtime log10, nothing to diverge), and the signed delta. Zero-filled 9-digit grid (the q111 discipline). Scale posture: one map-side digit projection + a 9-key count against a broadcast total and a 9-row literal join — dimension-sized everything after the scan",
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+        |           WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM n),
+        |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |                              (6, 66947), (7, 57992), (8, 51153), (9, 45757)) AS e(digit, expected_ppm))
+        |SELECT CAST(e.digit AS BIGINT) AS digit, CAST(coalesce(n.n, 0) AS BIGINT) AS n,
+        |       CAST(coalesce(n.n, 0) * 1000000 // t.t AS BIGINT) AS observed_ppm,
+        |       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |       CAST(coalesce(n.n, 0) * 1000000 // t.t - e.expected_ppm AS BIGINT) AS delta_ppm
+        |FROM exp e LEFT JOIN n ON n.digit = e.digit CROSS JOIN tot t
+        |ORDER BY digit""") { (s, dir) =>
+      import s.implicits._
+      val benford = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+        (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L), (9L, 45757L))
+        .toDF("digit", "expected_ppm")
+      val n = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+      val tot = n.agg(sum("n").cast("long").as("t"))
+      benford.join(n, Seq("digit"), "left").na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div t").as("observed_ppm"),
+          col("expected_ppm"),
+          expr("(n * 1000000) div t - expected_ppm").as("delta_ppm"))
+        .orderBy("digit")
     }
   )
 }

@@ -1435,6 +1435,24 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 1L, "C", 24258L, 999999L, 1L)), got.mkString(", "))
   }
 
+  test("a16 Benford: cents-string leading digits, zero-filled grid, literal expectations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a16spec").toString
+    // cents: 100, 19 -> digit 1; 250 -> 2; 999999 -> 9; 0.00 filtered out
+    Seq(1.00, 0.19, 2.50, 9999.99, 0.0).toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("a16_benford_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.size == 9 && got.map(_._1) == (1L to 9L), got.mkString(", "))
+    assert(got(0) == ((1L, 2L, 500000L, 301030L, 198970L)), got(0).toString)
+    assert(got(1) == ((2L, 1L, 250000L, 176091L, 73909L)), got(1).toString)
+    assert(got(8) == ((9L, 1L, 250000L, 45757L, 204243L)), got(8).toString)
+    // zero-filled digits report the full negative Benford expectation
+    assert(got(2) == ((3L, 0L, 0L, 124939L, -124939L)), got(2).toString)
+    // the nine literal expectations are a probability measure on the ppm grid
+    assert(got.map(_._4).sum == 1000000L)
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
