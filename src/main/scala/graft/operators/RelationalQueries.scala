@@ -1727,6 +1727,45 @@ object RelationalQueries {
           col("valid_from"), col("valid_to"),
           when(col("valid_to") === 999999L, 1L).otherwise(0L).cast("long").as("is_current"))
         .orderBy("custkey", "version")
+    },
+
+    sql(
+      "q117_cohort_ltv",
+      "cohort lifetime-value curve — the MONEY companion to q83's retention matrix (retention counts who comes back; LTV is what finance actually plans against: how much cumulative revenue a signup cohort has produced by month N, per member — the payback-period / CAC-ceiling table): customers cohort by first-order month (ym = year*12+month, the u11 grain), each (cohort, age-in-months) cell reports active customers, exact-cent revenue (per-ORDER floor-to-cents before any sum, the q115 idiom, so every rollup is an order-independent BIGINT), the running cumulative revenue, and cum div cohort_size per-member cents (flooring division on non-negative integers). The cumulative is a cohort-PARTITIONED running-sum window ordered by age — partition-parallel by construction, never global (the q113 concern does not arise: cohorts are the partition key). Scale posture: one custkey-keyed min (first order), one custkey equi-join back to the fact rows, one (cohort, age)-keyed rollup with map-side combine, windows over the |cohorts|x|ages| dimension frame — fact-table work is two keyed passes, everything after is dimension-sized",
+      """WITH o AS (SELECT o_custkey AS c, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT c, min(ym) AS cym FROM o GROUP BY c),
+        |sz AS (SELECT cym, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cym),
+        |cell AS (SELECT f.cym, o.ym - f.cym AS age, CAST(count(DISTINCT o.c) AS BIGINT) AS n_active,
+        |                CAST(sum(o.cents) AS BIGINT) AS rev
+        |         FROM o JOIN f ON f.c = o.c GROUP BY 1, 2),
+        |cum AS (SELECT cym, age, n_active, rev,
+        |               CAST(sum(rev) OVER (PARTITION BY cym ORDER BY age
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+        |        FROM cell)
+        |SELECT cym AS cohort_ym, age AS age_months, s.cohort_size, n_active,
+        |       rev AS revenue_cents, cum_rev AS cum_revenue_cents,
+        |       CAST(cum_rev // s.cohort_size AS BIGINT) AS cum_per_user_cents
+        |FROM cum JOIN sz s USING (cym) ORDER BY cohort_ym, age_months""") { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val f = o.groupBy("c").agg(min("ym").as("cym"))
+      val sz = f.groupBy("cym").agg(count(lit(1)).cast("long").as("cohort_size"))
+      val w = Window.partitionBy("cym").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(f, "c")
+        .groupBy(col("cym"), (col("ym") - col("cym")).as("age"))
+        .agg(countDistinct("c").cast("long").as("n_active"),
+          sum("cents").cast("long").as("rev"))
+        .withColumn("cum_rev", sum("rev").over(w).cast("long"))
+        .join(sz, "cym")
+        .select(col("cym").as("cohort_ym"), col("age").as("age_months"),
+          col("cohort_size"), col("n_active"), col("rev").as("revenue_cents"),
+          col("cum_rev").as("cum_revenue_cents"),
+          expr("cum_rev div cohort_size").as("cum_per_user_cents"))
+        .orderBy("cohort_ym", "age_months")
     }
   )
 }

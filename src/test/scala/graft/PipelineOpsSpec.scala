@@ -1453,6 +1453,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum == 1000000L)
   }
 
+  test("q117 cohort LTV: hand-traced cumulative per-member revenue by cohort age") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q117spec").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cohort 2020-01 (ym 24241): custs 1,2; cust 1 returns at age 2.
+    // cohort 2020-03 (ym 24243): cust 3 alone.
+    Seq((1L, ts("2020-01-05"), 10.00), (1L, ts("2020-03-20"), 5.00),
+      (2L, ts("2020-01-15"), 20.00), (3L, ts("2020-03-01"), 7.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q117_cohort_ltv")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (24241L, 0L, 2L, 2L, 3000L, 3000L, 1500L),
+      (24241L, 2L, 2L, 1L, 500L, 3500L, 1750L),
+      (24243L, 0L, 1L, 1L, 700L, 700L, 700L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
