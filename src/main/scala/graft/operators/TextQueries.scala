@@ -2027,6 +2027,70 @@ object TextQueries {
           expr("(cast(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) as decimal(38,0)) * 1000000) div sum(nt)")
             .cast("long").as("yield_ppm"))
         .orderBy("source")
+    },
+
+    sql(
+      "t34_pii_scrub",
+      "PII detection + scrubbing (the redaction pass every public-corpus release runs between curation and training — emails, phone numbers, IPs replaced with typed placeholders, with per-doc detection counts for the privacy report): the corpus is letters-only word salad, so PII is SYNTHESIZED per-doc from doc_id identically in both dialects (the t23 synthesize-then-process discipline — an email on even ids, a tel: on multiples of 3, an ip: on multiples of 5, so the 2/3/5 residue grid covers every count combination), then scrubbed by three chained regexp_replace stages over the Java-regex ∩ RE2 common subset (DuckDB carries the 'g' flag to match Spark's replace-all). Two engine-visible end-to-end properties ride every row: original_intact (the scrubbed text still starts with the untouched original — the detector has ZERO false positives on the real corpus words) and pii_free (re-running all three detectors on the scrubbed text finds nothing — zero false negatives on the planted grid); md5 makes the scrubbed text byte-exact across engines. Scale posture: pure codegen'd map over document partitions, zero shuffle — scan-bandwidth-bound at 100 TB, fusing into the first projection like t23",
+      """WITH synth AS (
+        |  SELECT doc_id, text,
+        |         text
+        |         || CASE WHEN doc_id % 2 = 0
+        |                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@crawl' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 3 = 0
+        |                 THEN ' tel:' || CAST(555000000 + doc_id % 1000000 AS VARCHAR)
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' ip:10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7'
+        |                 ELSE '' END AS raw
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+        |         CAST(len(regexp_extract_all(raw, 'tel:[0-9]+')) AS BIGINT) AS n_phone,
+        |         CAST(len(regexp_extract_all(raw, 'ip:[0-9.]+')) AS BIGINT) AS n_ip,
+        |         regexp_replace(regexp_replace(regexp_replace(raw,
+        |           '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'), 'tel:[0-9]+', '<PHONE>', 'g'),
+        |           'ip:[0-9.]+', '<IP>', 'g') AS clean
+        |  FROM synth)
+        |SELECT doc_id, n_email, n_phone, n_ip, md5(clean) AS clean_md5,
+        |       CAST(CASE WHEN substring(clean, 1, length(text)) = text THEN 1 ELSE 0 END AS BIGINT) AS original_intact,
+        |       CAST(CASE WHEN len(regexp_extract_all(clean, '[a-z0-9]+@[a-z0-9.]+|tel:[0-9]+|ip:[0-9.]+')) = 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS pii_free
+        |FROM scrub ORDER BY doc_id""") { (s, dir) =>
+      val raw = concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@crawl"), (col("doc_id") % 7).cast("string"), lit(".example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel:"), (lit(555000000L) + col("doc_id") % 1000000).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ip:10."), (col("doc_id") % 256).cast("string"), lit("."),
+            expr("(doc_id div 256) % 256").cast("string"), lit(".7")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), raw.as("raw"))
+        .withColumn("n_email",
+          size(expr("regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+', 0)")).cast("long"))
+        .withColumn("n_phone",
+          size(expr("regexp_extract_all(raw, 'tel:[0-9]+', 0)")).cast("long"))
+        .withColumn("n_ip",
+          size(expr("regexp_extract_all(raw, 'ip:[0-9.]+', 0)")).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"), "tel:[0-9]+", "<PHONE>"),
+            "ip:[0-9.]+", "<IP>"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("clean")).as("clean_md5"),
+          when(expr("substring(clean, 1, length(text))") === col("text"), 1L)
+            .otherwise(0L).cast("long").as("original_intact"),
+          when(size(expr(
+            "regexp_extract_all(clean, '[a-z0-9]+@[a-z0-9.]+|tel:[0-9]+|ip:[0-9.]+', 0)")) === 0, 1L)
+            .otherwise(0L).cast("long").as("pii_free"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1472,6 +1472,26 @@ class PipelineOpsSpec extends SparkSpec {
       (24243L, 0L, 1L, 1L, 700L, 700L, 700L)), got.mkString(", "))
   }
 
+  test("t34 PII scrub: planted residue grid scrubs to hand-built placeholders, real text untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t34spec").toString
+    // doc 6 plants email+phone, doc 7 nothing, doc 30 all three
+    Seq((6L, "hello world"), (7L, "hello world"), (30L, "hello world"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SparkEntry.queries("t34_pii_scrub")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (6L, 1L, 1L, 0L, md5("hello world contact <EMAIL> <PHONE>"), 1L, 1L),
+      (7L, 0L, 0L, 0L, md5("hello world"), 1L, 1L),
+      (30L, 1L, 1L, 1L, md5("hello world contact <EMAIL> <PHONE> <IP>"), 1L, 1L)),
+      got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
