@@ -2091,6 +2091,74 @@ object TextQueries {
             "regexp_extract_all(clean, '[a-z0-9]+@[a-z0-9.]+|tel:[0-9]+|ip:[0-9.]+', 0)")) === 0, 1L)
             .otherwise(0L).cast("long").as("pii_free"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "p19_epoch_materialize",
+      "epoch-plan EXECUTION — the materialization step between p17's repetition manifest and the training shuffle (p17 says 'source X runs 1.87 epochs'; something must decide WHICH docs form the 0.87 partial epoch, deterministically, or retries produce different corpora): every doc replicates epochs_x100 div 100 full times, and the partial epoch takes the (n_docs·(epochs_x100 % 100)) div 100 docs with the SMALLEST splitmix priority (seed 19 — the p03/p05 hash-priority discipline, so the partial pick is retry-stable and layout-independent, the upsampling mirror of p03's downsampling). Per source the audit reports the plan epochs, emitted docs/tokens, the token target, and fill_ppm = emitted·1e6 div allocated — the honest doc-grain-vs-token-target gap (a partial epoch picks documents, not tokens, so fill lands near but not exactly at 1e6; the column is the error bar a budgeted run monitors). Widened division via DECIMAL(38,0)/HUGEINT. Scale posture: p17's keyed counts + one source-partitioned rank window + one keyed rollup — the physical replication itself is a later explode(sequence(1, rep)) whose size THIS table predicts without materializing a row",
+      s"""WITH src AS (SELECT doc_id, source,
+        |                    CAST(length(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "doc_id", 19L, "doc_id, source, nt")},
+        |wts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |               CAST(floor(sqrt(CAST(sum(nt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_scaled
+        |        FROM src GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_scaled) AS HUGEINT) AS tw, CAST(sum(n_tokens) AS BIGINT) AS tn FROM wts),
+        |plan AS (SELECT source, n_docs, n_tokens,
+        |                least(CAST((CAST(2 AS HUGEINT) * tn * w_scaled) // tw AS BIGINT), 4 * n_tokens) AS allocated
+        |         FROM wts CROSS JOIN tot),
+        |ep AS (SELECT source, n_docs, n_tokens, allocated,
+        |              allocated * 100 // n_tokens AS epochs_x100 FROM plan),
+        |ranked AS (SELECT p.source, p.nt,
+        |                  row_number() OVER (PARTITION BY p.source ORDER BY p.pri, p.doc_id) AS rn
+        |           FROM ph4 p),
+        |part AS (SELECT r.source, CAST(sum(r.nt) AS BIGINT) AS partial_tokens,
+        |                CAST(count(*) AS BIGINT) AS partial_docs
+        |         FROM ranked r JOIN ep e USING (source)
+        |         WHERE r.rn <= (e.n_docs * (e.epochs_x100 % 100)) // 100
+        |         GROUP BY r.source)
+        |SELECT e.source, e.epochs_x100, e.n_docs,
+        |       e.n_docs * (e.epochs_x100 // 100) + coalesce(p.partial_docs, 0) AS n_docs_emitted,
+        |       e.n_tokens * (e.epochs_x100 // 100) + coalesce(p.partial_tokens, 0) AS n_tokens_emitted,
+        |       e.allocated AS allocated_tokens,
+        |       CAST(CAST(e.n_tokens * (e.epochs_x100 // 100) + coalesce(p.partial_tokens, 0) AS HUGEINT)
+        |            * 1000000 // e.allocated AS BIGINT) AS fill_ppm
+        |FROM ep e LEFT JOIN part p USING (source)
+        |ORDER BY e.source""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .withColumn("pri", HashFunctions.priorityHash(col("doc_id"), 19L))
+      val wts = src.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"), sum("nt").cast("long").as("n_tokens"))
+        .withColumn("w_scaled",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000000 + lit(0.5)).cast("long"))
+      val tot = wts.agg(sum("w_scaled").cast("decimal(38,0)").as("tw"),
+        sum("n_tokens").cast("long").as("tn"))
+      val ep = wts.crossJoin(broadcast(tot))
+        .withColumn("allocated",
+          least(expr("(cast(2 as decimal(38,0)) * tn * w_scaled) div tw").cast("long"),
+            col("n_tokens") * 4))
+        .withColumn("epochs_x100", expr("(allocated * 100) div n_tokens"))
+        .select("source", "n_docs", "n_tokens", "allocated", "epochs_x100")
+      val ranked = src.withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("pri", "doc_id")).cast("long"))
+      val part = ranked.join(broadcast(ep), "source")
+        .filter(col("rn") <= expr("(n_docs * (epochs_x100 % 100)) div 100"))
+        .groupBy("source")
+        .agg(sum("nt").cast("long").as("partial_tokens"),
+          count(lit(1)).cast("long").as("partial_docs"))
+      ep.join(part, Seq("source"), "left")
+        .na.fill(0L, Seq("partial_tokens", "partial_docs"))
+        .select(col("source"), col("epochs_x100"), col("n_docs"),
+          (col("n_docs") * expr("epochs_x100 div 100") + col("partial_docs"))
+            .cast("long").as("n_docs_emitted"),
+          (col("n_tokens") * expr("epochs_x100 div 100") + col("partial_tokens"))
+            .cast("long").as("n_tokens_emitted"),
+          col("allocated").as("allocated_tokens"),
+          expr("(cast(n_tokens * (epochs_x100 div 100) + partial_tokens as decimal(38,0)) * 1000000) div allocated")
+            .cast("long").as("fill_ppm"))
+        .orderBy("source")
     }
   )
 }

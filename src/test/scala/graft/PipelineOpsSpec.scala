@@ -1492,6 +1492,26 @@ class PipelineOpsSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("p19 epoch materialize: full copies plus a hash-picked partial epoch, fill audited") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p19spec").toString
+    // A: 4 docs x 25 tokens (100), B: 1 doc x 25. tn=125, budget 250.
+    // wA=1e7, wB=5e6 -> allocA = 250*1e7//1.5e7 = 166 (under the 400 cap),
+    // epochsA = 166: 1 full + partial cut (4*66)//100 = 2 docs -> 6 docs /
+    // 150 tokens, fill 150e6//166 = 903614. B: alloc 83, epochs 332:
+    // 3 full + cut (1*32)//100 = 0 -> 3 docs / 75 tokens, fill 903614.
+    val doc25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    ((0 to 3).map(i => (i.toLong, doc25, "srcA")) :+ ((4L, doc25, "srcB")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p19_epoch_materialize")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("srcA", 166L, 4L, 6L, 150L, 166L, 903614L),
+      ("srcB", 332L, 1L, 3L, 75L, 83L, 903614L)), got.mkString(", "))
+  }
+
   test("p15 curriculum: ntile(4) over 6 docs yields 2/2/1/1 buckets in ttr order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("p15spec").toString
