@@ -37,7 +37,18 @@ def main() -> int:
     args = ap.parse_args()
     os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-    base = git("log", "-1", "--format=%H", "--", "ADVICE.md").strip()
+    # Baseline = the DRIVER's round-artifact commit (subject "round N: ..."),
+    # not merely the last commit touching ADVICE.md — this tool's own output
+    # commits touch the file too and must not move the closure horizon.
+    hist = git("log", "--format=%H %s", "--", "ADVICE.md").splitlines()
+    base = ""
+    for line in hist:
+        h, _, subj = line.partition(" ")
+        if re.match(r"round \d+:", subj):
+            base = h
+            break
+    if not base and hist:
+        base = hist[-1].split()[0]  # fall back to the file's first commit
     if not base:
         print("regen_advice: ADVICE.md has no history; nothing to do")
         return 0
