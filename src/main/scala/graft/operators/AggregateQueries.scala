@@ -532,6 +532,40 @@ object AggregateQueries {
           col("expected_ppm"),
           expr("(n * 1000000) div t - expected_ppm").as("delta_ppm"))
         .orderBy("digit")
+    },
+
+    sql(
+      "a17_mannwhitney_auc",
+      "Mann-Whitney rank-sum effect size, EXACT (the companion inference to a15's KS on the same two samples: KS answers 'do the distributions differ anywhere', this answers 'by HOW MUCH does one stochastically dominate' — U/(n1·n2) is the common-language effect size, identically the AUC of the one-feature classifier, the number an A/B readout or feature screen actually reports): doubled to kill the tie half-credit float (U2 = 2·#{x<y} + #{x=y}, all pair counts from the PRE-AGGREGATED value grid — Σ c1(v1)·c2(v2) over v1<v2 via the a15 inequality join plus a tie term, each product HUGEINT/DECIMAL(38,0)-widened because c·c brushes 1e22 at corpus scale), then auc_ppm = U2·1e6 div (2·n1·n2) and ties_ppm = #{x=y}·1e6 div (n1·n2) — only BOUNDED integers leave the query (U2 itself would overflow BIGINT at the advertised scale, so it stays an internal wide intermediate; the ppm outputs are ≤ 1e6 by construction). Scale posture: identical to a15 — one value-keyed corpus count, then dimension-sized (50-value grid) joins; zero windows",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |                  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |           FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |lt AS (SELECT CAST(coalesce(sum(CAST(a.c1 AS HUGEINT) * b.c2), 0) AS HUGEINT) AS s_lt
+        |       FROM v a JOIN v b ON a.q < b.q),
+        |eq AS (SELECT CAST(coalesce(sum(CAST(c1 AS HUGEINT) * c2), 0) AS HUGEINT) AS s_eq FROM v)
+        |SELECT n.n1, n.n2,
+        |       CAST((2 * lt.s_lt + eq.s_eq) * 1000000 // (CAST(2 AS HUGEINT) * n.n1 * n.n2) AS BIGINT) AS auc_ppm,
+        |       CAST(eq.s_eq * 1000000 // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ties_ppm
+        |FROM n CROSS JOIN lt CROSS JOIN eq""") { (s, dir) =>
+      val v = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long").as("c1"),
+          sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).cast("long").as("c2"))
+      val n = v.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2"))
+      val lt = v.as("a").join(v.as("b"), col("a.q") < col("b.q"))
+        .agg(coalesce(sum(expr("cast(a.c1 as decimal(38,0)) * b.c2")),
+          lit(0).cast("decimal(38,0)")).as("s_lt"))
+      val eq = v.agg(coalesce(sum(expr("cast(c1 as decimal(38,0)) * c2")),
+        lit(0).cast("decimal(38,0)")).as("s_eq"))
+      n.crossJoin(broadcast(lt)).crossJoin(broadcast(eq))
+        .select(col("n1"), col("n2"),
+          expr("((2 * s_lt + s_eq) * 1000000) div (cast(2 as decimal(38,0)) * n1 * n2)")
+            .cast("long").as("auc_ppm"),
+          expr("(s_eq * 1000000) div (cast(n1 as decimal(38,0)) * n2)")
+            .cast("long").as("ties_ppm"))
     }
   )
 }

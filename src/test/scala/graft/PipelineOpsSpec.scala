@@ -1390,6 +1390,12 @@ class PipelineOpsSpec extends SparkSpec {
     val got = SparkEntry.queries("a15_ks_two_sample")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((3L, 4L, 1L, 666666L)), got.mkString(", "))
+    // a17 on the SAME fixture: #{x<y} = c1(1)*(c2(2)+c2(3)) = 2*4 = 8,
+    // ties at q=3: 1*3 = 3 -> U2 = 19, auc = 19e6//24 = 791666,
+    // ties_ppm = 3e6//12 = 250000
+    val auc = SparkEntry.queries("a17_mannwhitney_auc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(auc == Seq((3L, 4L, 791666L, 250000L)), auc.mkString(", "))
   }
 
   test("g14 Adamic-Adar: the rare middle outweighs the hub on the ln grid") {
