@@ -1766,6 +1766,42 @@ object RelationalQueries {
           col("cum_rev").as("cum_revenue_cents"),
           expr("cum_rev div cohort_size").as("cum_per_user_cents"))
         .orderBy("cohort_ym", "age_months")
+    },
+
+    sql(
+      "q118_hhi_concentration",
+      "Herfindahl-Hirschman supplier-concentration index per (region, ship-year) — the antitrust-standard market-structure scalar beside a13's Gini (inequality of a distribution) and q114's top-decile share (tail mass): HHI = Σ share_i² rewards few-large-players structure specifically, which is why procurement-risk and market-power dashboards report it (10000-point scale convention; here exact ppm). Exactness: per-supplier revenue is the q115 cents-grid sum (per-ROW floor of extendedprice·(1−discount)·100 before any aggregation), then hhi_ppm = Σ cents_i² · 1e6 div (Σ cents)² with the squared sums HUGEINT/DECIMAL(38,0)-widened (cents² ~1e26 at the advertised scale), plus the top-1 share — zero floats anywhere. Scale posture: one (region, year, supplier)-keyed cents rollup over the fact table (map-side combinable; supplier→nation→region are broadcast dims), then a dimension-sized (region×year) fold — the corpus pass is the only data-scale work",
+      """WITH rev AS (SELECT r.r_name AS region, CAST(year(l.l_shipdate) AS BIGINT) AS yr, s.s_suppkey,
+        |                    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |             FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |             JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |             JOIN region r ON r.r_regionkey = n.n_regionkey
+        |             GROUP BY 1, 2, 3)
+        |SELECT region, yr, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+        |            // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT) AS hhi_ppm,
+        |       CAST(CAST(max(cents) AS HUGEINT) * 1000000 // sum(cents) AS BIGINT) AS top_share_ppm
+        |FROM rev GROUP BY region, yr ORDER BY region, yr""") { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name").as("region"), year(col("l_shipdate")).cast("long").as("yr"),
+          col("s_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+          .cast("long")).cast("long").as("cents"))
+      rev.groupBy("region", "yr")
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          sum("cents").cast("long").as("total_cents"),
+          sum(expr("cast(cents as decimal(38,0)) * cents")).as("sq"),
+          max("cents").as("mx"))
+        .select(col("region"), col("yr"), col("n_suppliers"), col("total_cents"),
+          expr("(sq * 1000000) div (cast(total_cents as decimal(38,0)) * total_cents)")
+            .cast("long").as("hhi_ppm"),
+          expr("(cast(mx as decimal(38,0)) * 1000000) div total_cents")
+            .cast("long").as("top_share_ppm"))
+        .orderBy("region", "yr")
     }
   )
 }

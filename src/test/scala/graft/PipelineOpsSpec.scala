@@ -1398,6 +1398,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(auc == Seq((3L, 4L, 791666L, 250000L)), auc.mkString(", "))
   }
 
+  test("q118 HHI: duopoly vs monopoly hand-trace on the cents grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q118spec").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // R1 2020: s1 300c, s2 100c -> hhi (9e4+1e4)e6 // 16e4 = 625000, top 750000
+    // R2 2020: monopoly 500c -> hhi = top = 1e6
+    Seq((1L, ts("2020-05-01"), 3.00, 0.0), (2L, ts("2020-06-01"), 1.00, 0.0),
+      (3L, ts("2020-07-01"), 5.00, 0.0))
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((10L, 100L), (20L, 200L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((100L, "R1"), (200L, "R2")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val got = SparkEntry.queries("q118_hhi_concentration")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("R1", 2020L, 2L, 400L, 625000L, 750000L),
+      ("R2", 2020L, 1L, 500L, 1000000L, 1000000L)), got.mkString(", "))
+  }
+
   test("g14 Adamic-Adar: the rare middle outweighs the hub on the ln grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("g14spec").toString

@@ -168,7 +168,8 @@ class ScaleSpec extends SparkSpec {
       "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget",
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
-      "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc")
+      "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
+      "q118_hhi_concentration")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -234,7 +235,8 @@ class ScaleSpec extends SparkSpec {
       "s21_matryoshka_audit", "p17_epoch_plan", "m11_token_budget",
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
-      "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc")
+      "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
+      "q118_hhi_concentration")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
