@@ -655,7 +655,7 @@ object GraphQueries {
 
     sql(
       "g05_common_neighbors",
-      "common-neighbor link prediction over the co-purchase graph (the similarity/recommendation primitive the g-family was missing: 'parts bought with the same companions' — rank NON-adjacent node pairs by shared-neighbor structure): for every unordered non-edge pair with >= 2 common neighbors, the common-neighbor count and neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Integer wedge counts, r4 ratio; the oracle replays wedge join, degree join, and the existing-edge anti-join exactly. Scale posture: candidate pairs form ONLY through the wedge equi-join on the shared middle vertex (never nodes × nodes), the same O(Σ deg²) bound as g02's wedge phase, which the support-2 edge threshold keeps corpus-proportional; at 100 TB the standard hub cap (drop middles above a degree ceiling, as LSH banding drops mega-bands) bounds the quadratic term — the join SHAPE is unchanged",
+      "common-neighbor link prediction over the co-purchase graph (the similarity/recommendation primitive the g-family was missing: 'parts bought with the same companions' — rank NON-adjacent node pairs by shared-neighbor structure): for every unordered non-edge pair with >= 2 common neighbors, the common-neighbor count and neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Integer wedge counts, r4 ratio; the oracle replays wedge join, degree join, and the existing-edge anti-join exactly. Scale posture: candidate pairs form ONLY through the wedge equi-join on the shared middle vertex (never nodes × nodes), the same O(Σ deg²) bound as g02's wedge phase, which the support-2 edge threshold keeps corpus-proportional; on the power-law degrees g13 measures a mega-hub middle alone contributes a quadratic term, so the hub cap is WIRED, not a note: commonNeighbors(middleCap=...) drops over-degree middles with one keyed count + anti-join BEFORE the self-join (the d04/s20/g12 df-cap shape, default-off so this oracle replays the uncapped join bit-exact; SkewSpec plants a part-in-every-order hub and measures the wedge collapse with endpoint degrees — the Jaccard denominator — kept TRUE)",
       s"""WITH $copurchasePairsSql,
         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
         |                     UNION ALL SELECT v, u FROM pairs),
@@ -669,27 +669,7 @@ object GraphQueries {
         |SELECT ne.a, ne.b, ne.common,
         |       floor(ne.common * 1.0 / (da.d + db.d - ne.common) * 10000 + 0.5) / 10000 AS jaccard
         |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
-        |ORDER BY ne.a, ne.b""") { (s, dir) =>
-      val (edges, _) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      val deg = sym.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).cast("long").as("d"))
-      // wedge join on the middle vertex; shuffle_hash keeps AQE from
-      // broadcasting a side that is only small at bench scale
-      val cn = sym.select(col("src").as("m"), col("dst").as("a"))
-        .join(sym.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
-        .filter(col("common") >= 2)
-      val ne = cn.join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
-        Seq("a", "b"), "left_anti")
-      ne.join(deg.select(col("node").as("a"), col("d").as("da")).hint("shuffle_hash"), "a")
-        .join(deg.select(col("node").as("b"), col("d").as("db")).hint("shuffle_hash"), "b")
-        .select(col("a"), col("b"), col("common"),
-          r4(col("common") * lit(1.0) / (col("da") + col("db") - col("common"))).as("jaccard"))
-        .orderBy("a", "b")
-    },
+        |ORDER BY ne.a, ne.b""") { (s, dir) => commonNeighbors(s, dir) },
 
     sql(
       "g06_assortativity",
@@ -869,7 +849,7 @@ object GraphQueries {
 
     sql(
       "g14_adamic_adar",
-      "Adamic-Adar link prediction over the co-purchase graph (the hub-discounting upgrade of g05: a shared RARE companion is strong evidence two parts belong together, a shared EVERYWHERE-hub is weak — AA weights each common neighbor by 1/ln(degree) so mega-hubs stop dominating the candidate ranking, which is why recommender candidate-gen uses AA over raw counts on power-law graphs like g13 measures): for every non-adjacent pair with >= 2 common neighbors, common count and aa_score = Σ over shared middles of 1e12 div ln_grid(deg(m)) — each middle's weight ONE flooring division off the 1e6 ln grid (the t26/t31 idiom; a wedge middle always has degree >= 2 so ln > 0), the per-pair sum an order-independent exact BIGINT. Scale posture: g05's exact join shape (wedge equi-join on the middle, never nodes x nodes) plus one middle-keyed weight join — the hub cap note from g05 applies unchanged, and AA's own discounting is precisely the analytic defence against the hubs that cap protects the plan from",
+      "Adamic-Adar link prediction over the co-purchase graph (the hub-discounting upgrade of g05: a shared RARE companion is strong evidence two parts belong together, a shared EVERYWHERE-hub is weak — AA weights each common neighbor by 1/ln(degree) so mega-hubs stop dominating the candidate ranking, which is why recommender candidate-gen uses AA over raw counts on power-law graphs like g13 measures): for every non-adjacent pair with >= 2 common neighbors, common count and aa_score = Σ over shared middles of 1e12 div ln_grid(deg(m)) — each middle's weight ONE flooring division off the 1e6 ln grid (the t26/t31 idiom; a wedge middle always has degree >= 2 so ln > 0), the per-pair sum an order-independent exact BIGINT. Scale posture: g05's exact join shape (wedge equi-join on the middle, never nodes x nodes) plus one middle-keyed weight join — and g05's WIRED middleCap applies unchanged (adamicAdar(middleCap=...), same keyed-count + anti-join prefilter, shared capMiddles helper, default-off for this oracle): AA's 1/ln(deg) discount shrinks a hub's SCORE, not the join volume, so the cap is the volume defence and the discount the ranking defence",
       s"""WITH $copurchasePairsSql,
         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
         |                     UNION ALL SELECT v, u FROM pairs),
@@ -884,34 +864,121 @@ object GraphQueries {
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
         |ne AS (SELECT cn.a, cn.b, cn.common, cn.aa_score FROM cn
         |       LEFT JOIN pairs p ON p.u = cn.a AND p.v = cn.b WHERE p.u IS NULL)
-        |SELECT a, b, common, aa_score FROM ne ORDER BY a, b""") { (s, dir) =>
-      val (edges, _) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      val wdeg = sym.groupBy(col("src").as("m"))
-        .agg(count(lit(1)).cast("long").as("d"))
-        .filter(col("d") >= 2)
-        .select(col("m"),
-          expr("1000000000000 div cast(floor(ln(d * 1.0) * 1000000 + 0.5) as bigint)")
-            .cast("long").as("w"))
-      val cn = sym.select(col("src").as("m"), col("dst").as("a"))
-        .join(sym.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
-        .filter(col("a") < col("b"))
-        .join(wdeg.hint("shuffle_hash"), "m")
-        .groupBy("a", "b")
-        .agg(count(lit(1)).cast("long").as("common"), sum("w").cast("long").as("aa_score"))
-        .filter(col("common") >= 2)
-      val out = cn
-        .join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
-          Seq("a", "b"), "left_anti")
-        .select(col("a"), col("b"), col("common"), col("aa_score"))
-        .orderBy("a", "b")
-        .persist()
-      out.count()
-      edges.unpersist(blocking = false)
-      out
-    },
+        |SELECT a, b, common, aa_score FROM ne ORDER BY a, b""") { (s, dir) => adamicAdar(s, dir) },
   )
+
+  /** Symmetrized edge list (both directions of each u<v edge) — the wedge
+    * join's base relation, shared by g05/g14 so the two entries cannot
+    * drift on it.
+    */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+
+  /** Wedge-middle df-cap shared by g05 [[commonNeighbors]] and g14
+    * [[adamicAdar]] — the last member of the d04/s20/g12 banding-join
+    * discipline class to get its cap wired (r14 verdict #1). The wedge
+    * self-join on the shared middle vertex enumerates O(Σ deg(m)²)
+    * candidate pairs concentrated per middle key, and unlike g12's baskets
+    * no data contract bounds a middle's degree: on the power-law degree
+    * distribution the registry itself measures (g13), a mega-hub middle is
+    * the NORM at corpus scale, and its quadratic term grows with the data
+    * (entity-disjoint probe replicas hold degrees constant, which is
+    * exactly why the 10×/100× rows never surfaced it — ProbeGen's `hub`
+    * mode exists to grow one). `middleCap > 0` drops middles whose degree
+    * exceeds the cap with ONE keyed degree count + anti-join BEFORE the
+    * self-join (the hub list is tiny, so the anti-join broadcasts), so no
+    * wedge through a hub is ever materialized. Default 0 = off: the DuckDB
+    * oracles replay the uncapped join bit-exact. Dropping a middle removes
+    * only the wedges it CENTERS — callers keep endpoint degrees (g05's
+    * Jaccard denominator) and middle weights (g14's ln grid) computed from
+    * the FULL sym table, so surviving pairs lose exactly the dropped
+    * middles' contributions and nothing else (SkewSpec plants a
+    * part-in-every-order hub and pins candidates C(60,2)+480 → 480 with
+    * the non-hub contributions bit-identical).
+    */
+  private def capMiddles(sym: DataFrame, middleCap: Int): DataFrame =
+    if (middleCap <= 0) sym
+    else {
+      val hubs = sym.groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") > middleCap).select("src")
+      sym.join(hubs, Seq("src"), "left_anti")
+    }
+
+  /** Raw wedge candidates (m, a, b) with a < b — the pre-aggregation
+    * volume [[capMiddles]] bounds; exposed so SkewSpec can measure the
+    * hub collapse at the candidate grain (the knnGraphCandidates pattern).
+    */
+  private[graft] def wedgeCandidates(s: SparkSession, dir: String,
+      middleCap: Int = 0): DataFrame = {
+    val sym = symmetrize(copurchasePairs(s, dir))
+    val base = capMiddles(sym, middleCap)
+    base.select(col("src").as("m"), col("dst").as("a"))
+      .join(base.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
+      .filter(col("a") < col("b"))
+  }
+
+  /** g05's body — see the registry doc and [[capMiddles]] for the
+    * `middleCap` df-cap (default-off; the oracle replays uncapped).
+    */
+  private[graft] def commonNeighbors(s: SparkSession, dir: String,
+      middleCap: Int = 0): DataFrame = {
+    val (edges, _) = persistCompact(copurchasePairs(s, dir))
+    val sym = symmetrize(edges)
+    // TRUE degrees from the full sym table even under the cap: the cap
+    // bounds join volume, it must not redefine the Jaccard denominator
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val base = capMiddles(sym, middleCap)
+    // wedge join on the middle vertex; shuffle_hash keeps AQE from
+    // broadcasting a side that is only small at bench scale
+    val cn = base.select(col("src").as("m"), col("dst").as("a"))
+      .join(base.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
+      .filter(col("common") >= 2)
+    val ne = cn.join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
+      Seq("a", "b"), "left_anti")
+    ne.join(deg.select(col("node").as("a"), col("d").as("da")).hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")).hint("shuffle_hash"), "b")
+      .select(col("a"), col("b"), col("common"),
+        r4(col("common") * lit(1.0) / (col("da") + col("db") - col("common"))).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** g14's body — see the registry doc and [[capMiddles]] for the
+    * `middleCap` df-cap (default-off; the oracle replays uncapped).
+    */
+  private[graft] def adamicAdar(s: SparkSession, dir: String,
+      middleCap: Int = 0): DataFrame = {
+    val (edges, _) = persistCompact(copurchasePairs(s, dir))
+    val sym = symmetrize(edges)
+    // middle weights off the FULL degree table: a surviving middle's
+    // 1/ln(deg) discount is a property of the graph, not of the cap
+    val wdeg = sym.groupBy(col("src").as("m"))
+      .agg(count(lit(1)).cast("long").as("d"))
+      .filter(col("d") >= 2)
+      .select(col("m"),
+        expr("1000000000000 div cast(floor(ln(d * 1.0) * 1000000 + 0.5) as bigint)")
+          .cast("long").as("w"))
+    val base = capMiddles(sym, middleCap)
+    val cn = base.select(col("src").as("m"), col("dst").as("a"))
+      .join(base.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")
+      .filter(col("a") < col("b"))
+      .join(wdeg.hint("shuffle_hash"), "m")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("common"), sum("w").cast("long").as("aa_score"))
+      .filter(col("common") >= 2)
+    val out = cn
+      .join(edges.select(col("u").as("a"), col("v").as("b")).hint("shuffle_hash"),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common"), col("aa_score"))
+      .orderBy("a", "b")
+      .persist()
+    out.count()
+    edges.unpersist(blocking = false)
+    out
+  }
 
   /** g12's body — see the registry doc. `basketCap` is the basket-size cap
     * every production co-occurrence job sets (the d04 df-cap analog at the

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.{DedupQueries, SimilarityQueries}
+import graft.operators.{DedupQueries, GraphQueries, SimilarityQueries}
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.functions._
 
@@ -205,5 +205,93 @@ class SkewSpec extends SparkSpec {
       s"(flood contribution ${floodCands.size}, collateral background drops " +
       s"${collateral.size} — none of them top-3 edges); " +
       s"graph rows ${gUncapped.size} -> ${gCapped.size}")
+  }
+
+  /** Planted HUB for the g05/g14 wedge-middle cap (r14 verdict #1): one
+    * part (999) in EVERY order, so its co-purchase degree is the whole
+    * part universe — the mega-hub the g13 power-law fit says is the norm
+    * at corpus scale. 10 disjoint 6-part "cliques", 6 orders each:
+    * orders 1-2 = {p0..p3}, 3-4 = {p0,p1,q0}, 5-6 = {p0,p1,q1} (+hub in
+    * all). Hand-traced graph: in-clique degrees p0/p1=6, p2/p3=4,
+    * q0/q1=3, hub=60; the 50 output pairs (5 per clique: (q0,q1),
+    * (q0,p2), (q0,p3), (q1,p2), (q1,p3)) each have common middles
+    * exactly {p0, p1, hub}.
+    */
+  private lazy val hubDir: String = {
+    import spark.implicits._
+    val hub = 999L
+    val rows = for {
+      c <- 0 until 10
+      (ps, oix) <- Seq(
+        Seq(0L, 1L, 2L, 3L) -> 0, Seq(0L, 1L, 2L, 3L) -> 1,
+        Seq(0L, 1L, 4L) -> 2, Seq(0L, 1L, 4L) -> 3,
+        Seq(0L, 1L, 5L) -> 4, Seq(0L, 1L, 5L) -> 5)
+      o = (c * 6 + oix + 1).toLong
+      p <- ps.map(i => (c + 1) * 10 + i) :+ hub
+    } yield (o, p)
+    val dir = Files.createTempDirectory("graft-skew-hub").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .repartition(8)
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("g05/g14 middleCap collapses a planted hub's wedge candidates (non-hub contributions bit-identical)") {
+    val hub = 999L
+    val cap = 16 // above every in-clique degree (<= 6), far below hub's 60
+    def candSet(c: Int): Set[(Long, Long, Long)] =
+      GraphQueries.wedgeCandidates(spark, hubDir, middleCap = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = candSet(0)
+    val capped = candSet(cap)
+    val hubWedges = uncapped.filter(_._1 == hub)
+    // the hub centers C(60,2) wedges — 79% of the whole candidate volume
+    assert(hubWedges.size === 60 * 59 / 2,
+      s"expected C(60,2)=1770 hub wedges, got ${hubWedges.size}")
+    assert(uncapped.size === 1770 + 480,
+      s"hand-traced candidate volume 2250, got ${uncapped.size}")
+    // the cap removes exactly the hub-centered wedges and nothing else
+    assert(capped === uncapped -- hubWedges,
+      "middleCap must drop exactly the hub-middle wedges")
+
+    // g05: same 50 non-edge pairs survive (their {p0,p1} support stands
+    // without the hub); each loses exactly the hub's +1 common, and the
+    // Jaccard denominator keeps TRUE degrees
+    def g05Rows(c: Int): Map[(Long, Long), (Long, Double)] =
+      GraphQueries.commonNeighbors(spark, hubDir, middleCap = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val g05U = g05Rows(0)
+    val g05C = g05Rows(cap)
+    assert(g05U.size === 50 && g05C.keySet === g05U.keySet,
+      s"same 50 candidate pairs capped vs uncapped, got ${g05U.size}/${g05C.size}")
+    for ((pair, (cu, _)) <- g05U)
+      assert(g05C(pair)._1 === cu - 1, s"$pair must lose exactly the hub middle")
+    // hand-traced rows for clique 0's (q0,q1)=(14,15): deg 3 and 3,
+    // uncapped common {p0,p1,hub}=3 (jaccard 3/3=1.0), capped 2 with the
+    // TRUE-degree denominator (2/(3+3-2)=0.5)
+    assert(g05U((14L, 15L)) === ((3L, 1.0)))
+    assert(g05C((14L, 15L)) === ((2L, 0.5)))
+    // and (q0,p2)=(12,14): degs 4,3 -> uncapped 3/4=0.75, capped 2/5=0.4
+    assert(g05U((12L, 14L)) === ((3L, 0.75)))
+    assert(g05C((12L, 14L)) === ((2L, 0.4)))
+
+    // g14: every pair's AA score drops by exactly the hub's ln-grid
+    // weight (degree stays the FULL-graph 60), leaving 2·w(6) — the two
+    // p0/p1 middles — for every surviving pair
+    def w(d: Long): Long = 1000000000000L / math.round(math.log(d.toDouble) * 1e6)
+    def g14Rows(c: Int): Map[(Long, Long), (Long, Long)] =
+      GraphQueries.adamicAdar(spark, hubDir, middleCap = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val g14U = g14Rows(0)
+    val g14C = g14Rows(cap)
+    assert(g14C.keySet === g14U.keySet && g14U.keySet === g05U.keySet)
+    for ((pair, (cu, au)) <- g14U) {
+      assert(g14C(pair) === ((cu - 1, au - w(60))),
+        s"$pair must lose exactly the hub's weight w(60)=${w(60)}")
+      assert(g14C(pair)._2 === 2 * w(6), s"$pair capped AA must be 2*w(6)")
+    }
+    info(s"wedge candidates: uncapped=${uncapped.size}, capped=${capped.size} " +
+      s"(hub contribution ${hubWedges.size}); 50 output pairs kept, " +
+      s"common -1 and aa -${w(60)} each, Jaccard on true degrees")
   }
 }
