@@ -24,12 +24,25 @@ import org.apache.spark.sql.functions._
   *     which scales q71's per-user spine count and st06's key space
   *     linearly with K.
   *
-  * Usage: `sbt "runMain graft.ProbeGen <inDir> <outDir> <K>"`.
+  * Usage: `sbt "runMain graft.ProbeGen <inDir> <outDir> <K> [hub]"`.
+  *
+  * `hub` mode (r14 verdict #3): entity-disjoint replication holds every
+  * node's degree CONSTANT by construction, which is exactly why the
+  * 10×/100× tiers structurally cannot surface per-key quadratic growth —
+  * the g05/g14 wedge middle's failure class. In hub mode ONE part (the
+  * input corpus's highest-order-count part, deterministic) keeps its id
+  * UN-offset across lineitem replicas, so its co-purchase degree grows
+  * ~K× (each replica contributes a disjoint partner set) while every
+  * other degree stays constant: wedges centered on the hub grow ~K², the
+  * hub-growth signal the capped-vs-uncapped probe row measures (see
+  * [[WedgeProbe]] and README's probe table).
   */
 object ProbeGen {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ProbeGen <inDir> <outDir> <K>")
+    require(args.length == 3 || (args.length == 4 && args(3) == "hub"),
+      "usage: ProbeGen <inDir> <outDir> <K> [hub]")
     val (inDir, outDir, k) = (args(0), args(1), args(2).toInt)
+    val hubMode = args.length == 4
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -82,6 +95,17 @@ object ProbeGen {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * off))
     }
+    // hub mode: the shared-hub part id (most orders, smallest key on
+    // ties); a driver-side scalar, the loop-control collect class
+    val hubKey: Long =
+      if (!hubMode) -1L
+      else spark.read.parquet(s"$inDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey"))
+        .limit(1).collect()(0).getAs[Number]("l_partkey").longValue()
+    if (hubMode) println(s"[probegen] hub mode: shared part $hubKey")
+
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
         // replicas stay suppkey-disjoint at any K, but the +1e6 supplier
@@ -91,7 +115,11 @@ object ProbeGen {
         // excludes the trade-graph queries (g01/g09); the co-purchase
         // family (partkey ids, offset i*off) is collision-free at any K
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * off / 100))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+        .withColumn("l_partkey",
+          if (hubMode)
+            when(col("l_partkey") === hubKey, lit(hubKey))
+              .otherwise(col("l_partkey") + lit(i * off))
+          else col("l_partkey") + lit(i * off))
     }
     // remaining tables copied as-is (dims; not on any probe query's path)
     for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
@@ -100,6 +128,45 @@ object ProbeGen {
       println(s"[probegen] $t copied")
     }
     println(s"[probegen] wrote ${k}x probe corpus: $inDir -> $outDir")
+    spark.stop()
+  }
+}
+
+/** Capped-vs-uncapped wedge-join probe (r14 verdict #3's "done" row):
+  * times g14's [[graft.operators.GraphQueries.adamicAdar]] at a given
+  * `middleCap` over `SPARK_GRAFT_SF_DIR` — point it at a [[ProbeGen]]
+  * `hub`-mode corpus to measure how the planted hub's ~K² wedge growth
+  * responds to the cap (QueryTime can't express the capped variant: the
+  * registry entry is contractually uncapped so its oracle replays).
+  * Session/timing shape mirrors [[QueryTime]] (noop sink, warm takes,
+  * wall seconds on stdout).
+  *
+  * Usage: `runMain graft.WedgeProbe <middleCap> [takes]`.
+  */
+object WedgeProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: WedgeProbe <middleCap> [takes]")
+    val middleCap = args(0).toInt
+    val takes = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to takes).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.GraphQueries.adamicAdar(spark, sfDir, middleCap)
+        .write.format("noop").mode("overwrite").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[wedgeprobe] g14 cap=$middleCap take $i: $elapsed%.2f s wall")
+    }
     spark.stop()
   }
 }
