@@ -95,15 +95,25 @@ object ProbeGen {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * off))
     }
-    // hub mode: the shared-hub part id (most orders, smallest key on
-    // ties); a driver-side scalar, the loop-control collect class
+    // hub mode: the shared-hub part id = the max-DEGREE node of the
+    // support-2 co-purchase graph (NOT the most-orders part — at sf0.1
+    // that part has zero support-2 edges, so replicating it grows
+    // nothing). Tie-break smallest key. A driver-side scalar, the
+    // loop-control collect class.
     val hubKey: Long =
       if (!hubMode) -1L
-      else spark.read.parquet(s"$inDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l_partkey"))
-        .limit(1).collect()(0).getAs[Number]("l_partkey").longValue()
+      else {
+        val ob = spark.read.parquet(s"$inDir/lineitem.parquet")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val pairs = ob.as("a")
+          .join(ob.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+        pairs.select(col("u").as("x")).unionAll(pairs.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("x"))
+          .limit(1).collect()(0).getAs[Number]("x").longValue()
+      }
     if (hubMode) println(s"[probegen] hub mode: shared part $hubKey")
 
     replicate("lineitem") { (df, i) =>
@@ -159,6 +169,11 @@ object WedgeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // candidate volume is the quantity the cap bounds — report it beside
+    // wall time (at probe scales fixed session costs can drown the join)
+    val cands = graft.operators.GraphQueries
+      .wedgeCandidates(spark, sfDir, middleCap).count()
+    println(s"[wedgeprobe] g14 cap=$middleCap wedge candidates: $cands")
     (1 to takes).foreach { i =>
       val t0 = System.nanoTime()
       graft.operators.GraphQueries.adamicAdar(spark, sfDir, middleCap)

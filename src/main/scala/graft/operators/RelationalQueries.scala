@@ -1802,6 +1802,75 @@ object RelationalQueries {
           expr("(cast(mx as decimal(38,0)) * 1000000) div total_cents")
             .cast("long").as("top_share_ppm"))
         .orderBy("region", "yr")
+    },
+
+    sql(
+      "q119_apriori_triples",
+      "A-priori level-3 frequent itemsets (r14 verdict #5 — the canonical frequent-itemset ITERATION q105 stops short of): frequent brand triples at minsup 4000 ppm, with candidate 3-itemsets generated from the LEVEL-2 frequent pairs and support-pruned between levels — the downward-closure step that makes A-priori A-priori (every (k−1)-subset of a frequent k-set is frequent, so triples touching an infrequent pair are never counted). One minsup across both levels (monotonicity breaks under mixed thresholds; q105's 2% pair threshold is a different entry's contract). The Spark side prunes BEFORE the counting shuffle: 3-combinations explode MAP-SIDE from each order's sorted brand array (the q105 kernel one level up — i<j<k via nested slice/transform, <= C(25,3) per basket bounded by the 25-brand dimension), then three BROADCAST semi-joins against the dimension-sized frequent-pair set drop non-candidate triples inside the scan stage, so the only shuffle carries surviving candidates; the oracle keeps the classical three-way self-join + pair joins to prove the kernel equivalent. Output carries the admitting pair supports (n_ab/n_ac/n_bc — the pruning evidence) beside the triple support; all metrics integer ppm via flooring division on non-negative operands. Scale posture: one basket shuffle + one candidate-keyed count, frequent pairs a broadcast (bounded by the item dimension, the A-priori contract); PipelineOpsSpec plants a pair-frequent-but-triple-infrequent basket set pinning the between-level prune",
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+        |pairs AS (SELECT x.b AS pa, y.b AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |          FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2),
+        |fp AS (SELECT pa, pb, n_ab FROM pairs, n WHERE (1000000 * n_ab) // n_orders >= 4000),
+        |trip AS (SELECT x.b AS a, y.b AS b, z.b AS c, CAST(count(*) AS BIGINT) AS n_abc
+        |         FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+        |                   JOIN ob z ON y.o = z.o AND y.b < z.b
+        |         GROUP BY 1, 2, 3)
+        |SELECT t.a AS item_a, t.b AS item_b, t.c AS item_c,
+        |       ab.n_ab, ac.n_ab AS n_ac, bc.n_ab AS n_bc, t.n_abc,
+        |       (1000000 * t.n_abc) // n.n_orders AS support_ppm
+        |FROM trip t
+        |JOIN fp ab ON ab.pa = t.a AND ab.pb = t.b
+        |JOIN fp ac ON ac.pa = t.a AND ac.pb = t.c
+        |JOIN fp bc ON bc.pa = t.b AND bc.pb = t.c
+        |CROSS JOIN n
+        |WHERE (1000000 * t.n_abc) // n.n_orders >= 4000
+        |ORDER BY item_a, item_b, item_c""") { (s, dir) =>
+      val ob = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val baskets = ob.groupBy("o").agg(sort_array(collect_set(col("b"))).as("items"))
+      val nOrders = baskets.agg(count(lit(1)).cast("long").as("n_orders"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), y -> struct(x AS pa, y AS pb))))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).cast("long").as("n_ab"))
+      val fp = pairs.crossJoin(broadcast(nOrders))
+        .filter(expr("(1000000 * n_ab) div n_orders >= 4000"))
+        .select("pa", "pb", "n_ab")
+      // 3-combinations i<j<k from the sorted basket: x at 0-based i, y at
+      // j within the post-x slice (original i+1+j), z after y — slice is
+      // 1-based, hence i+2 / i+j+3
+      val trips = baskets
+        .select(explode(expr(
+          "flatten(flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), (y, j) -> " +
+            "transform(slice(items, i + j + 3, size(items)), " +
+            "z -> struct(x AS a, y AS b, z AS c))))))")).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      // downward-closure prune BEFORE the counting shuffle: all three
+      // member pairs must be level-2 frequent; the pair table is
+      // dimension-bounded, so the joins broadcast and stay map-side
+      val cand = trips
+        .join(broadcast(fp.select(col("pa").as("a"), col("pb").as("b"), col("n_ab"))),
+          Seq("a", "b"))
+        .join(broadcast(fp.select(col("pa").as("a"), col("pb").as("c"), col("n_ab").as("n_ac"))),
+          Seq("a", "c"))
+        .join(broadcast(fp.select(col("pa").as("b"), col("pb").as("c"), col("n_ab").as("n_bc"))),
+          Seq("b", "c"))
+      cand.groupBy("a", "b", "c", "n_ab", "n_ac", "n_bc")
+        .agg(count(lit(1)).cast("long").as("n_abc"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support_ppm", expr("(1000000 * n_abc) div n_orders"))
+        .filter(col("support_ppm") >= 4000)
+        .select(col("a").as("item_a"), col("b").as("item_b"), col("c").as("item_c"),
+          col("n_ab"), col("n_ac"), col("n_bc"), col("n_abc"), col("support_ppm"))
+        .orderBy("item_a", "item_b", "item_c")
     }
   )
 }

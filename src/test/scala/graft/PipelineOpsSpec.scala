@@ -1718,4 +1718,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert((last.getLong(5), last.getLong(6), last.getLong(7), last.getLong(8))
       == ((13L, 12L, 208L, 192L)), last.toString)
   }
+
+  test("q119 A-priori triples: planted frequent triple, boundary triple, and the between-level prune") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q119spec").toString
+    // 500 orders, minsup 4000 ppm = 2 orders. Baskets:
+    //   o1-5   {B01,B02,B03}  -> triple support 5 (10000 ppm), pairs 5
+    //   o6-9   {B04,B05}; o10-12 {B04,B06}; o13-15 {B05,B06}; o16 {B04,B05,B06}
+    //          -> all three pairs frequent (5/4/4) but the triple occurs
+    //             ONCE (2000 ppm): the candidate A-priori generates and
+    //             the support prune kills — the between-level step
+    //   o17-18 {B07,B08,B09}  -> triple support 2 = exactly 4000 ppm
+    //             (>= boundary included), pairs 2 = pair boundary too
+    //   o19-500 {B10} singleton filler (no pairs)
+    val baskets: Seq[(Long, Seq[Long])] =
+      (1L to 5L).map(o => o -> Seq(1L, 2L, 3L)) ++
+      (6L to 9L).map(o => o -> Seq(4L, 5L)) ++
+      (10L to 12L).map(o => o -> Seq(4L, 6L)) ++
+      (13L to 15L).map(o => o -> Seq(5L, 6L)) ++
+      Seq(16L -> Seq(4L, 5L, 6L)) ++
+      (17L to 18L).map(o => o -> Seq(7L, 8L, 9L)) ++
+      (19L to 500L).map(o => o -> Seq(10L))
+    baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 10L).map(k => (k, f"B$k%02d")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q119_apriori_triples")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      ("B01", "B02", "B03", 5L, 5L, 5L, 5L, 10000L),
+      ("B07", "B08", "B09", 2L, 2L, 2L, 2L, 4000L)), got.mkString(", "))
+  }
 }
