@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.GraftQuery.{rowsOnly, sql}
+import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 import graft.operators.Det._
@@ -889,7 +890,92 @@ object SimilarityQueries {
             .cast("long").as("top1_match"),
           max(when(col("rf") === 1, col("rt"))).cast("long").as("trunc_rank_of_top1"))
         .orderBy("q_id")
-    }
+    },
+
+    sql(
+      "s22_rrf_fusion",
+      "hybrid retrieval via reciprocal-rank fusion (r14 verdict #4 — the fusion step every production RAG stack runs between its two retrieval legs, both already in the registry: t32's BM25 lexical scorer and s01's exact dense cosine): for each of the 10 query documents, leg A ranks the corpus by summed per-term BM25 against the query's terms (t32's exact idf_ppm x sat_ppm integer scores, term-keyed inverted-index join — a doc shares terms with the query or never appears), leg B is the s01 brute-force cosine ranking over the matching embeddings, each leg truncated to top-10 under its own (score DESC, doc_id) total order; RRF then scores every doc seen by either leg as Σ legs 1e6 div (60 + rank) — Cormack et al.'s k=60, one flooring division per leg on non-negative integers, an absent leg contributing 0 — and the fused top-5 emerges under the (rrf_score DESC, doc_id) total order with both leg ranks carried (0 = absent) as provenance. The whole path is exact integers on top of two already-hash-exact rankings, so fusion replays bit-exact in DuckDB. Scale posture: leg A is t32's keyed-count shapes plus a term-keyed join whose probe side is 10 query docs' terms; leg B is s01's broadcast-query scan; fusion itself is a (q,doc)-keyed full-outer join of two <= 10-row-per-query rankings + a q-partitioned window — rank-k truncation makes the fused state per query O(k), independent of corpus size, which is exactly why RRF (not score normalization) is the production default; PipelineOpsSpec plants a corpus where the fused top-1 differs from BOTH legs' top-1s",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok WHERE t != '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        |qt AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id < $NQueries),
+        |lexsc AS (SELECT q.q_id, f.doc_id,
+        |            CAST(sum(
+        |              CAST(floor(ln((2*g.n + 2) * 1.0 / (2*d.df + 1)) * 1000000 + 0.5) AS BIGINT) *
+        |              CAST((CAST(22 AS HUGEINT) * f.tf * g.tt * 1000000)
+        |                   // (CAST(10 AS HUGEINT) * f.tf * g.tt + 3 * g.tt + 9 * l.dl * g.n) AS BIGINT)
+        |            ) AS BIGINT) AS score
+        |          FROM qt q JOIN tf f ON f.t = q.t AND f.doc_id <> q.q_id
+        |          JOIN df d ON d.t = f.t JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN g
+        |          GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, r_lex, 1000000 // (60 + r_lex) AS c_lex FROM (
+        |          SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+        |                 ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lexsc)
+        |        WHERE r_lex <= 10),
+        |den AS (SELECT q_id, doc_id, r_dense, 1000000 // (60 + r_dense) AS c_dense FROM (
+        |          SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+        |                 CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS r_dense
+        |          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |          WHERE q.vec_id < $NQueries)
+        |        WHERE r_dense <= 10),
+        |fused AS (SELECT COALESCE(l.q_id, d.q_id) AS q_id, COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |                 COALESCE(l.r_lex, 0) AS r_lex, COALESCE(d.r_dense, 0) AS r_dense,
+        |                 COALESCE(l.c_lex, 0) + COALESCE(d.c_dense, 0) AS rrf_score
+        |          FROM lex l FULL OUTER JOIN den d ON d.q_id = l.q_id AND d.doc_id = l.doc_id)
+        |SELECT q_id, rnk, doc_id, r_lex, r_dense, rrf_score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+        |      FROM fused)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      // leg A: t32's exact BM25 integer scores, summed over the QUERY
+      // doc's terms — the inverted-index join (probe side: 10 docs' terms)
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      val dft = tf.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      val g = dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("tt"))
+      val qt = tf.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q_id"), col("t"))
+      val lexsc = qt.join(tf, Seq("t"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dft, Seq("t")).join(dl, Seq("doc_id")).crossJoin(broadcast(g))
+        .withColumn("idf_ppm",
+          floor(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
+            * 1000000 + lit(0.5)).cast("long"))
+        .withColumn("sat_ppm",
+          expr("(cast(22 as decimal(38,0)) * tf * tt * 1000000) div " +
+            "(cast(10 as decimal(38,0)) * tf * tt + cast(3 as decimal(38,0)) * tt + " +
+            "cast(9 as decimal(38,0)) * dl * n)").cast("long"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("idf_ppm") * col("sat_ppm")).cast("long").as("score"))
+      val wl = Window.partitionBy("q_id").orderBy(desc("score"), col("doc_id"))
+      val lex = lexsc.withColumn("r_lex", row_number().over(wl).cast("long"))
+        .filter(col("r_lex") <= 10)
+        .select(col("q_id"), col("doc_id"), col("r_lex"),
+          expr("1000000 div (60 + r_lex)").as("c_lex"))
+      // leg B: s01's exact dense ranking, truncated at 10
+      val den = knnBrute(s, dir, k = 10)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rnk").as("r_dense"),
+          expr("1000000 div (60 + rnk)").as("c_dense"))
+      // fusion: both rankings are <= 10 rows/query — per-query state O(k)
+      val wf = Window.partitionBy("q_id").orderBy(desc("rrf_score"), col("doc_id"))
+      lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+          (coalesce(col("c_lex"), lit(0L)) + coalesce(col("c_dense"), lit(0L)))
+            .as("rrf_score"))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("r_lex"), col("r_dense"),
+          col("rrf_score"))
+        .orderBy("q_id", "rnk")
+    },
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,

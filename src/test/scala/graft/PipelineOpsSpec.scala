@@ -1751,4 +1751,44 @@ class PipelineOpsSpec extends SparkSpec {
       ("B01", "B02", "B03", 5L, 5L, 5L, 5L, 10000L),
       ("B07", "B08", "B09", 2L, 2L, 2L, 2L, 4000L)), got.mkString(", "))
   }
+
+  test("s22 RRF: fused top-1 differs from BOTH legs' top-1s (hand-traced contributions)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s22spec").toString
+    // One query (doc 0, 'alpha'). Lexical leg: only d12 (tf=3, dl=3) and
+    // d13 (tf=1, dl=1) share 'alpha'; same idf, d12's saturation term is
+    // larger (22*3*tt/(33*tt+27N) > 22*tt/(13*tt+9N)) -> lex ranks d12=1,
+    // d13=2, everyone else absent. Dense leg: planar unit-ish vectors
+    // (c, sqrt(1-c^2), 0, 0) make cosine-to-q ~c; d11=.99 (rank 1),
+    // d13=.95 (rank 2), d14..d21 .90...-.55 (ranks 3..10), d22/.50 d23/.45
+    // ranks 11-12, d12=.05 rank 13 -> d12, d22, d23 outside the top-10 leg.
+    // RRF (k=60): d13 = 1e6//62 + 1e6//62 = 32258 beats d11 (dense top-1,
+    // 1e6//61 = 16393) and d12 (lex top-1, 16393) -> fused top-1 = d13,
+    // differing from both legs' top-1s; the 16393 tie breaks by doc_id.
+    val docs = Seq(
+      (0L, "alpha"), (11L, "eleven x1"), (12L, "alpha alpha alpha"), (13L, "alpha"),
+      (14L, "f14"), (15L, "f15"), (16L, "f16"), (17L, "f17"), (18L, "f18"),
+      (19L, "f19"), (20L, "f20"), (21L, "f21"), (22L, "f22"), (23L, "f23"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cos = Map(11L -> 0.99, 13L -> 0.95, 14L -> 0.90, 15L -> 0.85, 16L -> 0.80,
+      17L -> 0.75, 18L -> 0.70, 19L -> 0.65, 20L -> 0.60, 21L -> 0.55,
+      22L -> 0.50, 23L -> 0.45, 12L -> 0.05)
+    val embs = (0L -> Array(1.0f, 0.0f, 0.0f, 0.0f)) +: cos.toSeq.map { case (id, c) =>
+      id -> Array(c.toFloat, math.sqrt(1 - c * c).toFloat, 0.0f, 0.0f)
+    }
+    embs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s22_rrf_fusion")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 13L, 2L, 2L, 32258L),
+      (0L, 2L, 11L, 0L, 1L, 16393L),
+      (0L, 3L, 12L, 1L, 0L, 16393L),
+      (0L, 4L, 14L, 0L, 3L, 15873L),
+      (0L, 5L, 15L, 0L, 4L, 15625L)), got.mkString(", "))
+  }
 }

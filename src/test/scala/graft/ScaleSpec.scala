@@ -169,7 +169,7 @@ class ScaleSpec extends SparkSpec {
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
       "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
-      "q118_hhi_concentration", "q119_apriori_triples")
+      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -236,7 +236,7 @@ class ScaleSpec extends SparkSpec {
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
       "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
-      "q118_hhi_concentration", "q119_apriori_triples")
+      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
