@@ -501,10 +501,11 @@ object AggregateQueries {
 
     sql(
       "a16_benford_audit",
-      "Benford first-digit audit of order totals (the forensic data-quality screen auditors and fraud teams run on any money column: naturally-grown multiplicative amounts follow P(d) = log10(1+1/d), while fabricated, capped, or uniform-generated amounts do not — THIS corpus's generator visibly fails it, observed d=1 at ~222k ppm vs Benford's 301k, which is exactly the synthetic-data signal the audit exists to raise): leading digit extracted via the cents-grid integer's DECIMAL STRING head (substring of CAST(cents AS VARCHAR) — exact in both engines over all magnitudes, where a log10/pow extraction would risk a 1-ULP boundary flip at exact powers of ten), per digit the count, flooring-ppm observed share, the Benford expectation as nine LITERAL ppm constants (mathematical constants summing to exactly 1e6 — no runtime log10, nothing to diverge), and the signed delta. Zero-filled 9-digit grid (the q111 discipline). Scale posture: one map-side digit projection + a 9-key count against a broadcast total and a 9-row literal join — dimension-sized everything after the scan",
+      "Benford first-digit audit of order totals (the forensic data-quality screen auditors and fraud teams run on any money column: naturally-grown multiplicative amounts follow P(d) = log10(1+1/d), while fabricated, capped, or uniform-generated amounts do not — THIS corpus's generator visibly fails it, observed d=1 at ~222k ppm vs Benford's 301k, which is exactly the synthetic-data signal the audit exists to raise): leading digit extracted via the cents-grid integer's DECIMAL STRING head (substring of CAST(cents AS VARCHAR) — exact in both engines over all magnitudes, where a log10/pow extraction would risk a 1-ULP boundary flip at exact powers of ten), per digit the count, flooring-ppm observed share, the Benford expectation as nine LITERAL ppm constants (mathematical constants summing to exactly 1e6 — no runtime log10, nothing to diverge), and the signed delta. Zero-filled 9-digit grid (the q111 discipline); sub-cent totals (cents = 0, possible on general data though not TPC-H) are excluded from the audit universe BEFORE the denominator, so a '0' head can never deflate the 1-9 shares (r14 advice). Scale posture: one map-side digit projection + a 9-key count against a broadcast total and a 9-row literal join — dimension-sized everything after the scan",
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
         |           WHERE o_totalprice > 0),
-        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+        |      WHERE cents >= 1),
         |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM n),
         |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
@@ -523,6 +524,11 @@ object AggregateQueries {
         .filter(col("o_totalprice") > 0)
         .select(substring(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
           .cast("string"), 1, 1).cast("long").as("digit"))
+        // cents = 0 (0 < total < 0.005) would put its '0' head in the
+        // denominator while the 1-9 grid excludes it, deflating every
+        // observed_ppm (r14 advice); a sub-cent total has no Benford
+        // leading digit, so it leaves the audit universe entirely
+        .filter(col("digit") >= 1)
         .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
       val tot = n.agg(sum("n").cast("long").as("t"))
       benford.join(n, Seq("digit"), "left").na.fill(0L, Seq("n"))

@@ -2120,8 +2120,9 @@ object TextQueries {
         |       e.n_docs * (e.epochs_x100 // 100) + coalesce(p.partial_docs, 0) AS n_docs_emitted,
         |       e.n_tokens * (e.epochs_x100 // 100) + coalesce(p.partial_tokens, 0) AS n_tokens_emitted,
         |       e.allocated AS allocated_tokens,
-        |       CAST(CAST(e.n_tokens * (e.epochs_x100 // 100) + coalesce(p.partial_tokens, 0) AS HUGEINT)
-        |            * 1000000 // e.allocated AS BIGINT) AS fill_ppm
+        |       CASE WHEN e.allocated = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(CAST(e.n_tokens * (e.epochs_x100 // 100) + coalesce(p.partial_tokens, 0) AS HUGEINT)
+        |                 * 1000000 // e.allocated AS BIGINT) END AS fill_ppm
         |FROM ep e LEFT JOIN part p USING (source)
         |ORDER BY e.source""") { (s, dir) =>
       import graft.functions.HashFunctions
@@ -2156,8 +2157,13 @@ object TextQueries {
           (col("n_tokens") * expr("epochs_x100 div 100") + col("partial_tokens"))
             .cast("long").as("n_tokens_emitted"),
           col("allocated").as("allocated_tokens"),
-          expr("(cast(n_tokens * (epochs_x100 div 100) + partial_tokens as decimal(38,0)) * 1000000) div allocated")
-            .cast("long").as("fill_ppm"))
+          // allocated = 0 is reachable on degenerate corpora (a source
+          // whose temperature share rounds down to zero tokens): Spark's
+          // non-ANSI div returns NULL there while DuckDB's // errors —
+          // guard BOTH dialects to an explicit 0 (r14 advice)
+          when(col("allocated") === 0, lit(0L))
+            .otherwise(expr("(cast(n_tokens * (epochs_x100 div 100) + partial_tokens as decimal(38,0)) * 1000000) div allocated")
+              .cast("long")).as("fill_ppm"))
         .orderBy("source")
     }
   )

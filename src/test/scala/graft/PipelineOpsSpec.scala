@@ -1752,6 +1752,21 @@ class PipelineOpsSpec extends SparkSpec {
       ("B07", "B08", "B09", 2L, 2L, 2L, 2L, 4000L)), got.mkString(", "))
   }
 
+  test("a16 Benford: a sub-cent total (cents = 0) leaves the audit universe, not just the grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a16spec").toString
+    // 0.004 -> cents 0 (digit '0'): before the r14-advice fix its count
+    // landed in the denominator while the 1-9 grid excluded it, deflating
+    // every observed share; now the denominator is 2, shares 500000 each
+    Seq(0.004, 0.005, 2.50).toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("a16_benford_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == 9)
+    assert(got.take(2) == Seq((1L, 1L, 500000L), (2L, 1L, 500000L)), got.mkString(", "))
+    assert(got.drop(2).forall { case (_, n, ppm) => n == 0L && ppm == 0L })
+  }
+
   test("s22 RRF: fused top-1 differs from BOTH legs' top-1s (hand-traced contributions)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("s22spec").toString
