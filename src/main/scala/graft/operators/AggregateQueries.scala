@@ -572,6 +572,80 @@ object AggregateQueries {
             .cast("long").as("auc_ppm"),
           expr("(s_eq * 1000000) div (cast(n1 as decimal(38,0)) * n2)")
             .cast("long").as("ties_ppm"))
+    },
+
+    sql(
+      "a18_randomization_test",
+      "Monte-Carlo randomization test for the treatment effect, EXACT and retry-stable (the inference companion a15/a17 lack: KS says the distributions differ, AUC says by how much — this says whether the OBSERVED mean gap could be chance, the p-value an experimentation readout ships): treatment = urgent/high order priority, metric = o_totalprice on the cents grid, statistic = the cross-multiplied mean gap |s1*c2 - s2*c1| (exact, no float means). 100 replicates re-assign every order by Bernoulli(p = observed treated share) using the splitmix priority of (o_orderkey*128 + rep) — hash-randomization, so retries and partition layout replay the identical null draw and DuckDB replays it in HUGEINT (the p03/p05 discipline; Bernoulli re-assignment rather than a fixed-margin permutation is the randomization-design variant — group sizes vary binomially as part of the null, the classical conditioned-margins test would need a per-replicate global rank). Replicate extremeness compares FLOORED mean gaps on the 1e-4-cent grid (gap*10000 div (c1*c2), both sides — keeps every product inside DECIMAL(38,0)/HUGEINT at 1e9-order scale where the raw cross-product comparison gap*c*c would brush 1e42; equal-floor ties count extreme, the conservative direction), an empty replicate arm (possible only on degenerate corpora) is defined extreme rather than dividing by zero (the p19 advisory class — guarded identically in both dialects), and p_value_ppm = (1 + n_extreme)*1e6 div 101, the add-one Monte-Carlo estimator that can never report zero. Scale posture: one scan exploded x100 map-side with partial aggregation keyed by rep — the shuffle carries 100 rows per partition, no window, no join beyond two broadcast 1-row scalars; R is a constant, so the 100 TB cost is one fact pass with a constant map amplification",
+      s"""WITH o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS t
+        |           FROM orders),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS c1,
+        |               CAST(count(*) - sum(t) AS BIGINT) AS c2,
+        |               CAST(coalesce(sum(CASE WHEN t = 1 THEN cents END), 0) AS HUGEINT) AS s1,
+        |               CAST(coalesce(sum(CASE WHEN t = 0 THEN cents END), 0) AS HUGEINT) AS s2
+        |        FROM o),
+        |og AS (SELECT n, c1, c2,
+        |              CAST(abs(s1 * c2 - s2 * c1) * 10000 // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS obs_gap_x10k,
+        |              CAST(c1 AS HUGEINT) * 1000000 // n AS p_ppm
+        |       FROM obs),
+        |src AS (SELECT o.o_orderkey * 128 + r.rep AS k, r.rep, o.cents
+        |        FROM o CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS rep) r),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "k", 27L, "rep, cents")},
+        |rep AS (SELECT ph4.rep,
+        |               CAST(sum(CASE WHEN pri % 1000000 < og.p_ppm THEN 1 ELSE 0 END) AS BIGINT) AS rc1,
+        |               CAST(sum(CASE WHEN pri % 1000000 < og.p_ppm THEN 0 ELSE 1 END) AS BIGINT) AS rc2,
+        |               CAST(coalesce(sum(CASE WHEN pri % 1000000 < og.p_ppm THEN cents END), 0) AS HUGEINT) AS rs1,
+        |               CAST(coalesce(sum(CASE WHEN pri % 1000000 >= og.p_ppm THEN cents END), 0) AS HUGEINT) AS rs2
+        |        FROM ph4 CROSS JOIN og GROUP BY ph4.rep),
+        |gaps AS (SELECT rep, CASE WHEN rc1 = 0 OR rc2 = 0 THEN og.obs_gap_x10k
+        |                          ELSE CAST(abs(rs1 * rc2 - rs2 * rc1) * 10000
+        |                                    // (CAST(rc1 AS HUGEINT) * rc2) AS BIGINT) END AS gap_x10k
+        |         FROM rep CROSS JOIN og)
+        |SELECT og.n, og.c1, og.c2, og.obs_gap_x10k,
+        |       CAST(sum(CASE WHEN gaps.gap_x10k >= og.obs_gap_x10k THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |       CAST((1 + sum(CASE WHEN gaps.gap_x10k >= og.obs_gap_x10k THEN 1 ELSE 0 END)) * 1000000 // 101 AS BIGINT) AS p_value_ppm
+        |FROM gaps CROSS JOIN og
+        |GROUP BY og.n, og.c1, og.c2, og.obs_gap_x10k""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L).as("t"))
+      val og = o.agg(count(lit(1)).cast("long").as("n"),
+          sum("t").cast("long").as("c1"),
+          (count(lit(1)) - sum("t")).cast("long").as("c2"),
+          coalesce(sum(when(col("t") === 1, col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("s1"),
+          coalesce(sum(when(col("t") === 0, col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("s2"))
+        .select(col("n"), col("c1"), col("c2"),
+          expr("(abs(s1 * c2 - s2 * c1) * 10000) div (cast(c1 as decimal(38,0)) * c2)")
+            .cast("long").as("obs_gap_x10k"),
+          expr("(cast(c1 as decimal(38,0)) * 1000000) div n").cast("long").as("p_ppm"))
+      val rep = o.select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(1L, 100L)")).as("rep"))
+        .withColumn("pri",
+          HashFunctions.priorityHash(col("o_orderkey") * 128 + col("rep"), 27L))
+        .crossJoin(broadcast(og))
+        .withColumn("g1", (col("pri") % 1000000) < col("p_ppm"))
+        .groupBy("rep")
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).cast("long").as("rc1"),
+          sum(when(col("g1"), 0L).otherwise(1L)).cast("long").as("rc2"),
+          coalesce(sum(when(col("g1"), col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("rs1"),
+          coalesce(sum(when(!col("g1"), col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("rs2"))
+      rep.crossJoin(broadcast(og))
+        .withColumn("gap_x10k",
+          when(col("rc1") === 0 || col("rc2") === 0, col("obs_gap_x10k"))
+            .otherwise(expr("(abs(rs1 * rc2 - rs2 * rc1) * 10000) div (cast(rc1 as decimal(38,0)) * rc2)")
+              .cast("long")))
+        .groupBy("n", "c1", "c2", "obs_gap_x10k")
+        .agg(sum(when(col("gap_x10k") >= col("obs_gap_x10k"), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+        .select(col("n"), col("c1"), col("c2"), col("obs_gap_x10k"), col("n_extreme"),
+          expr("((1 + n_extreme) * 1000000) div 101").as("p_value_ppm"))
     }
   )
 }

@@ -1113,6 +1113,51 @@ object DedupQueries {
           (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
           expr("sz * n_clusters * 1000000 div n").as("doc_share_ppm"))
         .orderBy("cluster_size")
+    },
+
+    sql(
+      "d19_containment_pairs",
+      "asymmetric CONTAINMENT detection (Broder's other coefficient — resemblance/Jaccard is symmetric and collapses when sizes differ, so a short doc embedded whole inside a long one scores J = |A|/|B| ~ 0 and sails past every resemblance threshold d02/d04 enforce; containment C(A in B) = |A intersect B| / |A| scores it ~1e6 ppm, which is why quote-farms, boilerplate wrappers, and excerpt spam need this pass): word-3-gram distinct sets, candidates from the inverted-index gram join (the d14 shape) over the CONTRACTUAL rare-gram universe df <= 20 (stop-gram removal — a gram in >20 docs carries no pair signal and is exactly the df explosion the d04 cap class exists to kill; the filter is part of the metric's definition here, replayed identically in the oracle, NOT a default-off performance knob: per-doc denominators count the doc's grams inside the same capped universe so both dialects measure the same quantity), both direction ppms plus the Jaccard for contrast, top-20 under the (max containment DESC, id_a, id_b) total order. Scale posture: explode + one gram-keyed count + one gram-keyed self-join whose per-key fan-out is df-capped at 20 by construction + two broadcast-size per-doc count joins; at 100 TB grams travel as 64-bit fingerprints (the d14 note) and the cap keeps every join key sub-quadratic",
+      """WITH t AS (SELECT doc_id,
+        |                 list_distinct(list_transform(generate_series(1, length(tk) - 2),
+        |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+        |          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY gram),
+        |keep AS (SELECT e.doc_id, e.gram FROM e JOIN df USING (gram) WHERE df.df <= 20),
+        |dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM keep GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        |          FROM keep a JOIN keep b ON b.gram = a.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, da.n_g AS n_a, db.n_g AS n_b, n_common,
+        |       CAST(n_common * 1000000 // da.n_g AS BIGINT) AS cont_a_ppm,
+        |       CAST(n_common * 1000000 // db.n_g AS BIGINT) AS cont_b_ppm,
+        |       CAST(n_common * 1000000 // (da.n_g + db.n_g - n_common) AS BIGINT) AS jaccard_ppm
+        |FROM inter JOIN dn da ON da.doc_id = id_a JOIN dn db ON db.doc_id = id_b
+        |ORDER BY greatest(CAST(n_common * 1000000 // da.n_g AS BIGINT),
+        |                  CAST(n_common * 1000000 // db.n_g AS BIGINT)) DESC, id_a, id_b
+        |LIMIT 20""") { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), HashFunctions.shingleStrings(toks, 3).as("grams"))
+      val e = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val df = e.groupBy("gram").agg(count(lit(1)).cast("long").as("df"))
+      val keep = e.join(df.filter(col("df") <= 20).select("gram"), Seq("gram"))
+      val dn = keep.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_g"))
+      val inter = keep.select(col("doc_id").as("id_a"), col("gram"))
+        .join(keep.select(col("doc_id").as("id_b"), col("gram")), Seq("gram"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      inter
+        .join(dn.select(col("doc_id").as("id_a"), col("n_g").as("n_a")), Seq("id_a"))
+        .join(dn.select(col("doc_id").as("id_b"), col("n_g").as("n_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
+          expr("(n_common * 1000000) div n_a").as("cont_a_ppm"),
+          expr("(n_common * 1000000) div n_b").as("cont_b_ppm"),
+          expr("(n_common * 1000000) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+        .orderBy(greatest(col("cont_a_ppm"), col("cont_b_ppm")).desc,
+          col("id_a"), col("id_b"))
+        .limit(20)
     }
   )
 

@@ -911,7 +911,8 @@ object GraphQueries {
     */
   private[graft] def wedgeCandidates(s: SparkSession, dir: String,
       middleCap: Int = 0): DataFrame = {
-    val sym = symmetrize(copurchasePairs(s, dir))
+    val (edges, _) = persistCompact(copurchasePairs(s, dir))
+    val sym = symmetrize(edges)
     val base = capMiddles(sym, middleCap)
     base.select(col("src").as("m"), col("dst").as("a"))
       .join(base.select(col("src").as("m"), col("dst").as("b")).hint("shuffle_hash"), "m")

@@ -433,6 +433,90 @@ object MultimodalQueries {
           expr("(cast(total_tokens as decimal(38,0)) * 1000000) div gt")
             .cast("long").as("share_ppm"))
         .orderBy("media_type")
+    },
+
+    sql(
+      "m12_interleave_manifest",
+      "interleaved multimodal sequence layout under ATOMIC-BLOCK truncation — the packing rule an interleaved image-text run (Flamingo/MM1 shape) actually enforces and m11's per-modality budget can't see: each doc's training sequence is its text tokens with the doc's media token block (m11's header-derived patch/frame count) inserted mid-text (after n_text div 2 tokens), truncated to a 512-token context where a media block either fits WHOLE after the leading text or is dropped WHOLE (a half-inserted image is garbage — the atomicity constraint is the whole point), and trailing text backfills whatever remains. Kept text = least(half1, 512) + least(rest, 512 - half1 - kept_media); all min/max flooring arithmetic on header-derived integers, no decode. Per media_type: docs, docs whose media block was DROPPED by atomicity (media_dropped — the quantity an interleaving curator tunes insert position and context length against, invisible to naive token budgets), truncated docs, kept text/media token mass, and fill_ppm = kept sequence mass * 1e6 div (512 * docs) widened through DECIMAL(38,0)/HUGEINT. Scale posture: pure per-doc map arithmetic fused into the scan (header bytes + one token count, binary projection pushdown) + one 3-key rollup with a broadcast-free literal denominator — nothing after the scan is corpus-sized",
+      """WITH b AS (SELECT doc_id,
+        |                  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |                  octet_length(CAST(text AS BLOB)) AS n,
+        |                  CAST(length(string_split(text, ' ')) AS BIGINT) AS nt,
+        |                  CASE WHEN octet_length(CAST(text AS BLOB)) >= 8
+        |                       THEN ascii(substring(text, 5, 1)) * 256 + ascii(substring(text, 6, 1)) ELSE 0 END AS w,
+        |                  CASE WHEN octet_length(CAST(text AS BLOB)) >= 8
+        |                       THEN ascii(substring(text, 7, 1)) * 256 + ascii(substring(text, 8, 1)) ELSE 0 END AS ht
+        |           FROM documents),
+        |s AS (SELECT doc_id, media_type, n, nt,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN w ELSE w * 224 // greatest(w, ht) END AS sw,
+        |             CASE WHEN greatest(w, ht) <= 224 THEN ht ELSE ht * 224 // greatest(w, ht) END AS sh
+        |      FROM b),
+        |tok AS (SELECT doc_id, media_type, nt,
+        |               CAST(CASE
+        |                 WHEN media_type = 'image' THEN CASE WHEN n >= 8 THEN (sh // 16) * (sw // 16) ELSE 0 END
+        |                 WHEN media_type = 'audio' THEN CASE WHEN n > 0 THEN (n - 1) // 32 + 1 ELSE 0 END
+        |                 ELSE CASE WHEN n > 0 THEN ((n - 1) // 64) // 2 + 1 ELSE 0 END END AS BIGINT) AS mt
+        |        FROM s),
+        |lay AS (SELECT media_type, nt, mt,
+        |               least(nt // 2, 512) AS half1,
+        |               CASE WHEN least(nt // 2, 512) + mt <= 512 AND mt > 0 THEN mt ELSE 0 END AS kept_media
+        |        FROM tok),
+        |seq AS (SELECT media_type, mt, kept_media,
+        |               half1 + least(nt - nt // 2, 512 - half1 - kept_media) AS kept_text,
+        |               CASE WHEN nt + mt > 512 THEN 1 ELSE 0 END AS truncated,
+        |               CASE WHEN mt > 0 AND kept_media = 0 THEN 1 ELSE 0 END AS dropped
+        |        FROM lay)
+        |SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(dropped) AS BIGINT) AS media_dropped,
+        |       CAST(sum(truncated) AS BIGINT) AS truncated_docs,
+        |       CAST(sum(kept_text) AS BIGINT) AS kept_text_tokens,
+        |       CAST(sum(kept_media) AS BIGINT) AS kept_media_tokens,
+        |       CAST(CAST(sum(kept_text) + sum(kept_media) AS HUGEINT) * 1000000
+        |            // (512 * count(*)) AS BIGINT) AS fill_ppm
+        |FROM seq GROUP BY media_type ORDER BY media_type""") { (s, dir) =>
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          length(col("text").cast("binary")).cast("long").as("n"),
+          size(split(col("text"), " ")).cast("long").as("nt"),
+          when(length(col("text").cast("binary")) >= 8,
+            ascii(substring(col("text"), 5, 1)) * 256 + ascii(substring(col("text"), 6, 1)))
+            .otherwise(0L).cast("long").as("w"),
+          when(length(col("text").cast("binary")) >= 8,
+            ascii(substring(col("text"), 7, 1)) * 256 + ascii(substring(col("text"), 8, 1)))
+            .otherwise(0L).cast("long").as("ht"))
+        .withColumn("m", greatest(col("w"), col("ht")))
+        .withColumn("sw", when(col("m") <= 224, col("w")).otherwise(expr("w * 224 div m")))
+        .withColumn("sh", when(col("m") <= 224, col("ht")).otherwise(expr("ht * 224 div m")))
+        .withColumn("mt",
+          when(col("media_type") === "image",
+            when(col("n") >= 8, expr("(sh div 16) * (sw div 16)")).otherwise(0L))
+            .when(col("media_type") === "audio",
+              when(col("n") > 0, expr("(n - 1) div 32 + 1")).otherwise(0L))
+            .otherwise(
+              when(col("n") > 0, expr("((n - 1) div 64) div 2 + 1")).otherwise(0L))
+            .cast("long"))
+        .withColumn("half1", least(expr("nt div 2"), lit(512L)))
+        .withColumn("kept_media",
+          when(col("half1") + col("mt") <= 512 && col("mt") > 0, col("mt")).otherwise(0L))
+        .withColumn("kept_text",
+          col("half1") + least(col("nt") - expr("nt div 2"),
+            lit(512L) - col("half1") - col("kept_media")))
+        .withColumn("truncated", when(col("nt") + col("mt") > 512, 1L).otherwise(0L))
+        .withColumn("dropped",
+          when(col("mt") > 0 && col("kept_media") === 0, 1L).otherwise(0L))
+      b.groupBy("media_type")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dropped").cast("long").as("media_dropped"),
+          sum("truncated").cast("long").as("truncated_docs"),
+          sum("kept_text").cast("long").as("kept_text_tokens"),
+          sum("kept_media").cast("long").as("kept_media_tokens"))
+        .select(col("media_type"), col("n_docs"), col("media_dropped"),
+          col("truncated_docs"), col("kept_text_tokens"), col("kept_media_tokens"),
+          expr("(cast(kept_text_tokens + kept_media_tokens as decimal(38,0)) * 1000000) div (512 * n_docs)")
+            .cast("long").as("fill_ppm"))
+        .orderBy("media_type")
     }
   )
 }

@@ -1871,6 +1871,82 @@ object RelationalQueries {
         .select(col("a").as("item_a"), col("b").as("item_b"), col("c").as("item_c"),
           col("n_ab"), col("n_ac"), col("n_bc"), col("n_abc"), col("support_ppm"))
         .orderBy("item_a", "item_b", "item_c")
+    },
+
+    sql(
+      "q120_fifo_matching",
+      "FIFO lot matching (first-in-first-out inventory costing — the warehouse/accounting primitive every ERP closes the books with, and the classic hard case for set-oriented engines because the naive form is a per-part sequential scan): per part, receipt lots (non-returned lines) and issue demands (returned lines) each get cumulative-quantity intervals [lo, hi) in (shipdate, orderkey, linenumber) arrival order — two part-partitioned running sums — and the sequential matching becomes a declarative INTERVAL INTERSECTION: lot l satisfies issue s for greatest(0, least(l.hi, s.hi) - greatest(l.lo, s.lo)) units exactly when the intervals overlap, which replaces the row-at-a-time loop with one part-keyed join (the q70 range shape riding the equi-key). Allocated cost = matched_units * lot_cents div lot_qty (flooring per slice — allocation can under-report a lot's cents by at most lot_qty-1 sub-cent remainders, the documented grain). Per-part rollup: lots, issues, supply/demand units, matched units, FIFO cost cents, and the unmatched remainder on both sides (demand past supply AND stock left over). Output = every part with at least one issue (left join — shortage must be reported, not omitted). Scale posture: two part-partitioned windows + one part-keyed join; per-part candidate pairs are bounded because each issue interval overlaps a CONTIGUOUS lot run (matched pairs <= lots + issues per part, though the equi-join evaluates the rectangle — bounded by TPC-H's fixed lines-per-part contract, the g12 basket argument; at true 100 TB with unbounded part history the cumulative axis itself becomes the secondary bucket key, turning the rectangle into per-bucket strips)",
+      """WITH l AS (SELECT l_partkey AS part, l_returnflag AS f,
+        |                  CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |                  l_shipdate, l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |lots AS (SELECT part, q, cents,
+        |                CAST(sum(q) OVER (PARTITION BY part ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        |         FROM l WHERE f <> 'R'),
+        |iss AS (SELECT part, q,
+        |               CAST(sum(q) OVER (PARTITION BY part ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        |        FROM l WHERE f = 'R'),
+        |m AS (SELECT i.part,
+        |             least(lo.hi, i.hi) - greatest(lo.hi - lo.q, i.hi - i.q) AS units,
+        |             lo.cents, lo.q AS lot_q
+        |      FROM iss i JOIN lots lo ON lo.part = i.part
+        |                            AND lo.hi - lo.q < i.hi AND i.hi - i.q < lo.hi),
+        |ml AS (SELECT part, CAST(sum(units) AS BIGINT) AS matched_units,
+        |              CAST(sum(units * cents // lot_q) AS BIGINT) AS fifo_cost_cents
+        |       FROM m GROUP BY part),
+        |la AS (SELECT part, CAST(count(*) AS BIGINT) AS n_lots, CAST(sum(q) AS BIGINT) AS supply_units
+        |       FROM lots GROUP BY part),
+        |ia AS (SELECT part, CAST(count(*) AS BIGINT) AS n_issues, CAST(sum(q) AS BIGINT) AS demand_units
+        |       FROM iss GROUP BY part)
+        |SELECT ia.part, ia.n_issues, CAST(coalesce(la.n_lots, 0) AS BIGINT) AS n_lots,
+        |       ia.demand_units, CAST(coalesce(la.supply_units, 0) AS BIGINT) AS supply_units,
+        |       CAST(coalesce(ml.matched_units, 0) AS BIGINT) AS matched_units,
+        |       CAST(coalesce(ml.fifo_cost_cents, 0) AS BIGINT) AS fifo_cost_cents,
+        |       ia.demand_units - CAST(coalesce(ml.matched_units, 0) AS BIGINT) AS short_units,
+        |       CAST(coalesce(la.supply_units, 0) - coalesce(ml.matched_units, 0) AS BIGINT) AS leftover_units
+        |FROM ia LEFT JOIN la ON la.part = ia.part LEFT JOIN ml ON ml.part = ia.part
+        |ORDER BY ia.part""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("part"), col("l_returnflag").as("f"),
+          col("l_quantity").cast("long").as("q"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("part")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lots = l.filter(col("f") =!= "R")
+        .withColumn("hi", sum("q").over(w).cast("long"))
+        .select(col("part"), col("q"), col("cents"), col("hi"))
+      val iss = l.filter(col("f") === "R")
+        .withColumn("hi", sum("q").over(w).cast("long"))
+        .select(col("part"), col("q"), col("hi"))
+      val m = iss.as("i")
+        .join(lots.as("lo"),
+          col("lo.part") === col("i.part")
+            && col("lo.hi") - col("lo.q") < col("i.hi")
+            && col("i.hi") - col("i.q") < col("lo.hi"))
+        .select(col("i.part").as("part"),
+          (least(col("lo.hi"), col("i.hi"))
+            - greatest(col("lo.hi") - col("lo.q"), col("i.hi") - col("i.q"))).as("units"),
+          col("lo.cents").as("cents"), col("lo.q").as("lot_q"))
+        .groupBy("part")
+        .agg(sum("units").cast("long").as("matched_units"),
+          sum(expr("(units * cents) div lot_q")).cast("long").as("fifo_cost_cents"))
+      val la = lots.groupBy("part")
+        .agg(count(lit(1)).cast("long").as("n_lots"), sum("q").cast("long").as("supply_units"))
+      val ia = iss.groupBy("part")
+        .agg(count(lit(1)).cast("long").as("n_issues"), sum("q").cast("long").as("demand_units"))
+      ia.join(la, Seq("part"), "left").join(m, Seq("part"), "left")
+        .na.fill(0L, Seq("n_lots", "supply_units", "matched_units", "fifo_cost_cents"))
+        .select(col("part"), col("n_issues"), col("n_lots"), col("demand_units"),
+          col("supply_units"), col("matched_units"), col("fifo_cost_cents"),
+          (col("demand_units") - col("matched_units")).as("short_units"),
+          (col("supply_units") - col("matched_units")).as("leftover_units"))
+        .orderBy("part")
     }
   )
 }

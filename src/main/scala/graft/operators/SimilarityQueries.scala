@@ -976,6 +976,102 @@ object SimilarityQueries {
           col("rrf_score"))
         .orderBy("q_id", "rnk")
     },
+
+    sql(
+      "s23_mmr_rerank",
+      "maximal-marginal-relevance diversity rerank (Carbonell & Goldstein's MMR — the step between retrieval and the context window that s22's pure-relevance fusion skips: a RAG prompt with 3 slots wants three DIFFERENT relevant passages, but near-duplicate top hits are exactly what dense retrieval returns, so production rerankers trade relevance against redundancy): over each query's top-10 exact-cosine candidates (ranked on the 1e6 integer grid rel = floor(cos*1e6+0.5) under a (rel DESC, id) total order — the grid, not the raw double, keys every decision so both engines replay the identical greedy trajectory), three UNROLLED greedy rounds select argmax of score = 7*rel - 3*penalty (lambda = 0.7 scaled x10 — never divided, so no floor-direction trap on the legitimately NEGATIVE cosines), penalty = max candidate-to-already-picked cosine on the same grid, ties by smallest id; output (q, rnk 1-3, doc, rel_ppm, penalty_ppm, mmr_score_x10) with round 1's penalty identically 0 (MMR's empty-set convention). Everything after the two cosine kernels is exact BIGINT arithmetic. Scale posture: candidates come from whatever ANN tier feeds the rerank (here s01's broadcast-query scan), then ALL state is per-query O(k^2) — a k x k pair table and three window-free-able argmax rounds on <= 10-row groups, constant cost per query regardless of corpus size, which is why MMR runs at serving time at all; the q-partitioned windows are dimension-sized",
+      s"""WITH base AS (SELECT q.vec_id AS q_id, e.vec_id AS id, e.embedding AS emb,
+        |                     CAST(floor((${cosineSql("q.embedding", "e.embedding")}) * 1000000 + 0.5) AS BIGINT) AS rel
+        |              FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |              WHERE q.vec_id < $NQueries),
+        |cand AS (SELECT q_id, id, emb, rel FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, id) AS rn
+        |           FROM base) WHERE rn <= 10),
+        |pairs AS (SELECT a.q_id, a.id AS id_a, b.id AS id_b,
+        |                 CAST(floor((${cosineSql("a.emb", "b.emb")}) * 1000000 + 0.5) AS BIGINT) AS sim
+        |          FROM cand a JOIN cand b ON b.q_id = a.q_id AND b.id <> a.id),
+        |p1 AS (SELECT q_id, id AS pick, rel FROM (
+        |         SELECT q_id, id, rel, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, id) AS rn
+        |         FROM cand) WHERE rn = 1),
+        |r2 AS (SELECT c.q_id, c.id, c.rel, p.sim AS pen, 7 * c.rel - 3 * p.sim AS sc
+        |       FROM cand c JOIN p1 ON p1.q_id = c.q_id AND c.id <> p1.pick
+        |       JOIN pairs p ON p.q_id = c.q_id AND p.id_a = c.id AND p.id_b = p1.pick),
+        |p2 AS (SELECT q_id, id AS pick, rel, pen, sc FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, id) AS rn
+        |         FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT c.q_id, c.id, c.rel, greatest(pa.sim, pb.sim) AS pen,
+        |              7 * c.rel - 3 * greatest(pa.sim, pb.sim) AS sc
+        |       FROM cand c JOIN p1 ON p1.q_id = c.q_id JOIN p2 ON p2.q_id = c.q_id
+        |       JOIN pairs pa ON pa.q_id = c.q_id AND pa.id_a = c.id AND pa.id_b = p1.pick
+        |       JOIN pairs pb ON pb.q_id = c.q_id AND pb.id_a = c.id AND pb.id_b = p2.pick
+        |       WHERE c.id <> p1.pick AND c.id <> p2.pick),
+        |p3 AS (SELECT q_id, id AS pick, rel, pen, sc FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, id) AS rn
+        |         FROM r3) WHERE rn = 1)
+        |SELECT q_id, CAST(1 AS BIGINT) AS rnk, pick AS doc_id, rel AS rel_ppm,
+        |       CAST(0 AS BIGINT) AS penalty_ppm, 7 * rel AS mmr_score_x10 FROM p1
+        |UNION ALL
+        |SELECT q_id, CAST(2 AS BIGINT), pick, rel, pen, sc FROM p2
+        |UNION ALL
+        |SELECT q_id, CAST(3 AS BIGINT), pick, rel, pen, sc FROM p3
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wRel = Window.partitionBy("q_id").orderBy(desc("rel"), col("id"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("id"), col("embedding").as("emb"),
+          floor(cosineSim(col("q_emb"), col("embedding")) * 1000000 + lit(0.5))
+            .cast("long").as("rel"))
+        .withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= 10)
+        .drop("rn")
+      // the k x k candidate pair table — per-query O(k^2) state, the whole
+      // reason MMR stays serving-time cheap; both directions materialized
+      // so each round is one equi-join lookup
+      val pairs = cand.select(col("q_id"), col("id").as("id_a"), col("emb").as("emb_a"))
+        .join(cand.select(col("q_id"), col("id").as("id_b"), col("emb").as("emb_b")),
+          Seq("q_id"))
+        .filter(col("id_b") =!= col("id_a"))
+        .select(col("q_id"), col("id_a"), col("id_b"),
+          floor(cosineSim(col("emb_a"), col("emb_b")) * 1000000 + lit(0.5))
+            .cast("long").as("sim"))
+      val p1 = cand.withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+        .select(col("q_id"), col("id").as("pick"), col("rel"))
+      val r2 = cand.join(p1.select(col("q_id"), col("pick")), Seq("q_id"))
+        .filter(col("id") =!= col("pick"))
+        .join(pairs.select(col("q_id"), col("id_a").as("id"), col("id_b").as("pick"),
+          col("sim")), Seq("q_id", "id", "pick"))
+        .select(col("q_id"), col("id"), col("rel"), col("sim").as("pen"),
+          (col("rel") * 7 - col("sim") * 3).as("sc"))
+      val wSc = Window.partitionBy("q_id").orderBy(desc("sc"), col("id"))
+      val p2 = r2.withColumn("rn", row_number().over(wSc)).filter(col("rn") === 1)
+        .select(col("q_id"), col("id").as("pick"), col("rel"), col("pen"), col("sc"))
+      val r3 = cand
+        .join(p1.select(col("q_id"), col("pick").as("pk1")), Seq("q_id"))
+        .join(p2.select(col("q_id"), col("pick").as("pk2")), Seq("q_id"))
+        .filter(col("id") =!= col("pk1") && col("id") =!= col("pk2"))
+        .join(pairs.select(col("q_id"), col("id_a").as("id"), col("id_b").as("pk1"),
+          col("sim").as("s1")), Seq("q_id", "id", "pk1"))
+        .join(pairs.select(col("q_id"), col("id_a").as("id"), col("id_b").as("pk2"),
+          col("sim").as("s2")), Seq("q_id", "id", "pk2"))
+        .select(col("q_id"), col("id"), col("rel"),
+          greatest(col("s1"), col("s2")).as("pen"),
+          (col("rel") * 7 - greatest(col("s1"), col("s2")) * 3).as("sc"))
+      val p3 = r3.withColumn("rn", row_number().over(wSc)).filter(col("rn") === 1)
+        .select(col("q_id"), col("id").as("pick"), col("rel"), col("pen"), col("sc"))
+      p1.select(col("q_id"), lit(1L).as("rnk"), col("pick").as("doc_id"),
+          col("rel").as("rel_ppm"), lit(0L).as("penalty_ppm"),
+          (col("rel") * 7).as("mmr_score_x10"))
+        .unionAll(p2.select(col("q_id"), lit(2L).as("rnk"), col("pick").as("doc_id"),
+          col("rel").as("rel_ppm"), col("pen").as("penalty_ppm"),
+          col("sc").as("mmr_score_x10")))
+        .unionAll(p3.select(col("q_id"), lit(3L).as("rnk"), col("pick").as("doc_id"),
+          col("rel").as("rel_ppm"), col("pen").as("penalty_ppm"),
+          col("sc").as("mmr_score_x10")))
+        .orderBy("q_id", "rnk")
+    },
   )
 
   /** PQ/ADC search — see the s13 registry doc. 4 subspaces x 16 dims,

@@ -2165,6 +2165,77 @@ object TextQueries {
             .otherwise(expr("(cast(n_tokens * (epochs_x100 div 100) + partial_tokens as decimal(38,0)) * 1000000) div allocated")
               .cast("long")).as("fill_ppm"))
         .orderBy("source")
+    },
+
+    sql(
+      "p20_anneal_schedule",
+      "two-phase anneal (midtraining) schedule — the data plan modern runs actually execute (one temperature-weighted pretrain phase, then a final ~10%-of-budget phase fed ONLY quality-gated data upsampled hard: the Llama-3/MiniCPM-era 'annealing' recipe p17's single-phase plan can't express): budget B = total corpus tokens split B_ann = B div 10 / B_pre = B - B_ann; the pretrain leg allocates B_pre by p17's sqrt-temperature weights capped at 2 epochs per source; the anneal leg first gates each doc by two exact Gopher-style rules (20 <= n_tokens <= 2000 AND 3*n_tokens <= n_chars - (n_tokens - 1) <= 10*n_tokens — the mean-word-length window on the single-space char identity, all integer) and allocates B_ann proportional to each source's gated pool, capped at 4 pool epochs. Every division is widened flooring (B*w ~ 6e25 at the advertised scale -> DECIMAL(38,0)/HUGEINT); an EMPTY global anneal pool and a zero total allocation are both guarded to explicit zeros identically in both dialects (the p19 advisory class — degenerate corpora report, not crash or diverge). Per source: corpus tokens, gated pool tokens, both phase allocations, combined epochs_x100, and ann_share_ppm — the fraction of this source's training diet that is anneal-phase, the number a mixture review reads first. Scale posture: one doc-grain map projection (token/char counts fuse into the scan) + one source-keyed rollup + two broadcast 1-row totals — the p17 shuffle shape; the plan table stays dimension-sized",
+      """WITH d AS (SELECT source,
+        |                  CAST(length(string_split(text, ' ')) AS BIGINT) AS nt,
+        |                  CAST(length(text) AS BIGINT) AS nc
+        |           FROM documents),
+        |g AS (SELECT source, nt,
+        |             CASE WHEN nt BETWEEN 20 AND 2000
+        |                   AND 3 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 10 * nt
+        |                  THEN nt ELSE 0 END AS pool_nt
+        |      FROM d),
+        |src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |               CAST(sum(pool_nt) AS BIGINT) AS pool_tokens,
+        |               CAST(floor(sqrt(CAST(sum(nt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_scaled
+        |        FROM g GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_scaled) AS HUGEINT) AS tw, CAST(sum(n_tokens) AS BIGINT) AS tn,
+        |               CAST(sum(pool_tokens) AS HUGEINT) AS tp
+        |        FROM src),
+        |plan AS (SELECT source, n_tokens, pool_tokens,
+        |                least(CAST((CAST(tn - tn // 10 AS HUGEINT) * w_scaled) // tw AS BIGINT),
+        |                      2 * n_tokens) AS pre_alloc_tokens,
+        |                CASE WHEN tp = 0 THEN 0
+        |                     ELSE least(CAST((CAST(tn // 10 AS HUGEINT) * pool_tokens) // tp AS BIGINT),
+        |                                4 * pool_tokens) END AS ann_alloc_tokens
+        |         FROM src CROSS JOIN tot)
+        |SELECT source, n_tokens, pool_tokens, pre_alloc_tokens, ann_alloc_tokens,
+        |       pre_alloc_tokens + ann_alloc_tokens AS total_alloc_tokens,
+        |       CAST((pre_alloc_tokens + ann_alloc_tokens) * 100 // n_tokens AS BIGINT) AS epochs_x100,
+        |       CASE WHEN pre_alloc_tokens + ann_alloc_tokens = 0 THEN 0
+        |            ELSE CAST(CAST(ann_alloc_tokens AS HUGEINT) * 1000000
+        |                      // (pre_alloc_tokens + ann_alloc_tokens) AS BIGINT) END AS ann_share_ppm
+        |FROM plan ORDER BY source""") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+      val src = d
+        .withColumn("pool_nt",
+          when(col("nt").between(20, 2000)
+            && lit(3) * col("nt") <= col("nc") - (col("nt") - 1)
+            && col("nc") - (col("nt") - 1) <= lit(10) * col("nt"), col("nt"))
+            .otherwise(0L))
+        .groupBy("source")
+        .agg(sum("nt").cast("long").as("n_tokens"),
+          sum("pool_nt").cast("long").as("pool_tokens"))
+        .withColumn("w_scaled",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000000 + lit(0.5)).cast("long"))
+      val tot = src.agg(sum("w_scaled").cast("decimal(38,0)").as("tw"),
+        sum("n_tokens").cast("long").as("tn"),
+        sum("pool_tokens").cast("decimal(38,0)").as("tp"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("pre_alloc_tokens",
+          least(expr("(cast(tn - tn div 10 as decimal(38,0)) * w_scaled) div tw").cast("long"),
+            col("n_tokens") * 2))
+        .withColumn("ann_alloc_tokens",
+          when(col("tp") === 0, lit(0L))
+            .otherwise(least(
+              expr("(cast(tn div 10 as decimal(38,0)) * pool_tokens) div tp").cast("long"),
+              col("pool_tokens") * 4)))
+        .select(col("source"), col("n_tokens"), col("pool_tokens"),
+          col("pre_alloc_tokens"), col("ann_alloc_tokens"),
+          (col("pre_alloc_tokens") + col("ann_alloc_tokens")).as("total_alloc_tokens"),
+          expr("((pre_alloc_tokens + ann_alloc_tokens) * 100) div n_tokens")
+            .cast("long").as("epochs_x100"),
+          when(col("pre_alloc_tokens") + col("ann_alloc_tokens") === 0, lit(0L))
+            .otherwise(expr("(cast(ann_alloc_tokens as decimal(38,0)) * 1000000) div (pre_alloc_tokens + ann_alloc_tokens)")
+              .cast("long")).as("ann_share_ppm"))
+        .orderBy("source")
     }
   )
 }

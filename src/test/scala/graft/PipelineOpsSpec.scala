@@ -1806,4 +1806,177 @@ class PipelineOpsSpec extends SparkSpec {
       (0L, 4L, 14L, 0L, 3L, 15873L),
       (0L, 5L, 15L, 0L, 4L, 15625L)), got.mkString(", "))
   }
+
+  test("a18 randomization: a zero-effect corpus reports p = 1e6 exactly; an effect corpus matches the sequential mirror") {
+    import spark.implicits._
+    // null corpus: every order the same price -> obs gap 0, every replicate
+    // gap >= 0 counts extreme, p = (1+100)*1e6 div 101 = 1000000 exactly
+    val dir0 = java.nio.file.Files.createTempDirectory("a18null").toString
+    (1L to 100L).map(k => (k, 100.00, if (k <= 30) "1-URGENT" else "5-LOW"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir0/orders.parquet")
+    val got0 = SparkEntry.queries("a18_randomization_test")(spark, dir0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got0 == Seq((100L, 30L, 70L, 0L, 100L, 1000000L)), got0.mkString(", "))
+
+    // effect corpus: the full Monte-Carlo trajectory replayed by a
+    // sequential (non-Spark) mirror over the same splitmix priorities
+    val dir1 = java.nio.file.Files.createTempDirectory("a18eff").toString
+    val rows = (1L to 40L).map { k =>
+      val treated = k <= 15
+      val cents = if (treated) 1000L + 37L * k else 500L + 11L * k
+      (k, cents / 100.0, if (treated) "2-HIGH" else "3-MEDIUM", cents)
+    }
+    rows.map(r => (r._1, r._2, r._3)).toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir1/orders.parquet")
+    val cents = rows.map(r => r._1 -> r._4).toMap
+    val treat = rows.filter(_._3 == "2-HIGH").map(_._1).toSet
+    val (c1, c2) = (BigInt(treat.size), BigInt(40 - treat.size))
+    val s1 = BigInt(rows.filter(r => treat(r._1)).map(_._4).sum)
+    val s2 = BigInt(rows.filterNot(r => treat(r._1)).map(_._4).sum)
+    val obsGap = ((s1 * c2 - s2 * c1).abs * 10000) / (c1 * c2)
+    val pPpm = c1 * 1000000 / 40
+    val nExtreme = (1 to 100).count { rep =>
+      val g1 = (1L to 40L).filter { k =>
+        graft.functions.HashOps.priorityHash(k * 128 + rep, 27L) % 1000000 < pPpm }
+      val (rc1, rc2) = (BigInt(g1.size), BigInt(40 - g1.size))
+      val rs1 = BigInt(g1.map(cents).sum)
+      val rs2 = BigInt(cents.values.sum) - rs1
+      val gap = if (rc1 == 0 || rc2 == 0) obsGap
+        else ((rs1 * rc2 - rs2 * rc1).abs * 10000) / (rc1 * rc2)
+      gap >= obsGap
+    }
+    val got1 = SparkEntry.queries("a18_randomization_test")(spark, dir1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got1 == Seq((40L, 15L, 25L, obsGap.toLong, nExtreme.toLong,
+      (BigInt(1 + nExtreme) * 1000000 / 101).toLong)), got1.mkString(", "))
+  }
+
+  test("q120 FIFO: hand-traced lot/issue interval intersection, shortage reported, lot-only parts silent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q120spec").toString
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // part 1: lots [0,5)@500c/5u, [5,8)@600c/3u; issues [0,4), [4,10)
+    //   I1 x L1 = 4u -> 4*500 div 5 = 400; I2 x L1 = 1u -> 100;
+    //   I2 x L2 = 3u -> 600; matched 8 of demand 10, short 2, leftover 0
+    // part 2: issue only -> matched 0, short 7
+    // part 3: lot only -> absent (output grain = parts with issues)
+    Seq(
+      (1L, "N", 5.0, 5.00, t("2024-01-01 00:00:00"), 1L, 1),
+      (1L, "N", 3.0, 6.00, t("2024-01-02 00:00:00"), 2L, 1),
+      (1L, "R", 4.0, 1.00, t("2024-01-01 00:00:00"), 3L, 1),
+      (1L, "R", 6.0, 1.00, t("2024-01-02 00:00:00"), 4L, 1),
+      (2L, "R", 7.0, 1.00, t("2024-01-03 00:00:00"), 5L, 1),
+      (3L, "A", 9.0, 2.00, t("2024-01-04 00:00:00"), 6L, 1))
+      .toDF("l_partkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q120_fifo_matching")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 10L, 8L, 8L, 1100L, 2L, 0L),
+      (2L, 1L, 0L, 7L, 0L, 0L, 0L, 7L, 0L)), got.mkString(", "))
+  }
+
+  test("p20 anneal: quality gate fills the pool, both phase allocations and shares trace by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p20spec").toString
+    // source a: one anneal-grade doc (20 tokens x 4 letters: letters 80 in
+    // [60, 200]) + one too-short doc (3 tokens) -> n_tokens 23, pool 20.
+    // source b: 30 tokens x 20 letters -> mean word length 20 > 10, pool 0.
+    // tn = 53 -> B_ann = 5, B_pre = 48; w(a) = floor(sqrt(23)*1e6+.5) =
+    // 4795832, w(b) = 5477226, tw = 10273058.
+    // pre(a) = 48*4795832 div tw = 22 (cap 46); pre(b) = 25 (cap 60).
+    // ann(a) = min(4*20, 5*20 div 20) = 5; ann(b) = 0.
+    // a: total 27, epochs 2700 div 23 = 117, share 5e6 div 27 = 185185.
+    // b: total 25, epochs 2500 div 30 = 83, share 0.
+    val docA1 = Array.fill(20)("abcd").mkString(" ")
+    val docA2 = "x y z"
+    val docB1 = Array.fill(30)("a" * 20).mkString(" ")
+    Seq((1L, docA1, "a"), (2L, docA2, "a"), (3L, docB1, "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p20_anneal_schedule")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      ("a", 23L, 20L, 22L, 5L, 27L, 117L, 185185L),
+      ("b", 30L, 0L, 25L, 0L, 25L, 83L, 0L)), got.mkString(", "))
+  }
+
+  test("m12 interleave: atomic media blocks — fits-whole, drops-whole, and text backfill all trace by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m12spec").toString
+    // doc 0 (image): header ABCD -> 16706 x 17220 -> scaled 217 x 224 ->
+    //   182 patches; 1 text token -> half1 0, media fits, kept_text 1
+    // doc 3 (image): 4 bytes, truncated header -> 0 media tokens
+    // doc 1 (audio): 600 1-char tokens (1199 B) -> 38 frames; half1 300,
+    //   media fits (338 <= 512), backfill 174 -> kept_text 474, seq 512
+    // doc 2 (video): 65537 B, 1 token -> 513 sampled frames > 512 ->
+    //   DROPPED whole, kept_text 1
+    Seq((0L, "abcdABCD"), (3L, "tiny"),
+      (1L, Array.fill(600)("a").mkString(" ")), (2L, "x" * 65537))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m12_interleave_manifest")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("audio", 1L, 0L, 1L, 474L, 38L, 1000000L),
+      ("image", 2L, 0L, 0L, 2L, 182L, 179687L),
+      ("video", 1L, 1L, 1L, 1L, 0L, 1953L)), got.mkString(", "))
+  }
+
+  test("d19 containment: an embedded doc scores 1e6 one way, Jaccard halves, stop-grams (df > 20) carry no pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d19spec").toString
+    // doc 1's 3 grams all occur in doc 2 (6 grams): C(1 in 2) = 1e6,
+    // C(2 in 1) = 500000, J = 3/(3+6-3) = 500000 — the size-asymmetric
+    // pair Jaccard thresholds miss. 25 fillers share gram 'z z z'
+    // (df 25 > 20 -> excluded); their second gram is unique (df 1) ->
+    // they produce NO pairs and exactly one pair survives.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f g h")) ++
+      (100L to 124L).map(k => (k, s"z z z q$k"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d19_containment_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq((1L, 2L, 3L, 6L, 3L, 1000000L, 500000L, 500000L)),
+      got.mkString(", "))
+  }
+
+  test("s23 MMR: a planted near-duplicate of the top hit loses round 2 to a more diverse candidate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s23spec").toString
+    // q0 = e1. Candidates: vec 10 (rel ~.99), vec 11 = EXACT COPY of 10,
+    // vec 12 (rel ~.97 but pointing AWAY from 10 in the second axis:
+    // cos(10,12) ~ .926). Relevance alone ranks 10, 11, 12 — but round 2
+    // scores 11 at 7*990000 - 3*1000000 = 3930000 vs 12 at
+    // 7*970000 - 3*926005 ~ 4011985, an ~82k-ppm margin no float32
+    // rounding can flip -> MMR picks 10, 12, 11. Vectors 1-9 are
+    // orthogonal to q0 (rel 0, scores <= 3e6), never contenders.
+    val d10 = Array(0.99f, 0.14106736f, 0f, 0f)
+    val d12 = Array(0.97f, -0.24310492f, 0f, 0f)
+    val others = (1 to 9).map { k =>
+      val phi = k * math.Pi / 18
+      (k.toLong, Array(0f, math.cos(phi).toFloat, math.sin(phi).toFloat, 0f))
+    }
+    val embs = Seq((0L, Array(1f, 0f, 0f, 0f))) ++ others ++
+      Seq((10L, d10), (11L, d10.clone), (12L, d12))
+    embs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s23_mmr_rerank")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    // (rnk, doc, penalty): round 1 penalty is identically 0; round 3's
+    // penalty is the exact-duplicate cosine = 1e6 on the grid
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, 10L), (2L, 12L), (3L, 11L)),
+      got.mkString(", "))
+    assert(got.head._3 == 0L, s"round-1 penalty must be 0: $got")
+    assert(got.last._3 == 1000000L, s"duplicate's penalty must be the full grid: $got")
+  }
 }
