@@ -646,6 +646,84 @@ object AggregateQueries {
           .cast("long").as("n_extreme"))
         .select(col("n"), col("c1"), col("c2"), col("obs_gap_x10k"), col("n_extreme"),
           expr("((1 + n_extreme) * 1000000) div 101").as("p_value_ppm"))
+    },
+
+    sql(
+      "a19_poisson_bootstrap",
+      "Poisson-bootstrap confidence interval for the mean, EXACT and retry-stable (a18 tests a hypothesis; this puts the ERROR BAR on the estimate — and the Poisson bootstrap is THE distributed form: classical resampling draws n times WITH replacement, which needs global coordination, while Poisson(1) per-row copy counts approximate the same multinomial with zero coordination — each row decides its own replicate weights, the trick every large-scale A/B platform runs): 100 replicates, row r's copy count in replicate b = the count of LITERAL cumulative-Poisson(1) ppm thresholds [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989] at or below the splitmix priority of (key*128 + b) mod 1e6 — capped at 8 copies (P(k>8) ~ 1.1e-6, documented truncation like the grid's <= 1 ppm quantization; mathematical constants, no runtime exp(), nothing to diverge). Replicate means on the 1e-2-cent grid (sum*10000 div count, DECIMAL(38,0)/HUGEINT-widened — an 8x-weighted cents sum times 1e4 brushes 1e21 at 1e9-order scale), an empty replicate (degenerate corpora only) pinned to the observed mean identically in both dialects; the 95% percentile CI reads ranks 3 and 98 of the (mean, rep) total order — ranks from a 100x100 inequality SELF-JOIN on the replicate table, NOT a global window (the a15 spine: the one partition-less-window shape that cannot scale stays out of the plan; 100 rows make the join constant-cost). Scale posture: one scan exploded x100 with map-side partial aggregation keyed by rep (the a18 shape — 100-row shuffle), then constant-size arithmetic; B is a constant so 100 TB cost is one fact pass with constant amplification",
+      s"""WITH o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(CAST(sum(cents) AS HUGEINT) * 10000 // count(*) AS BIGINT) AS obs_mean_x100
+        |        FROM o),
+        |src AS (SELECT o.o_orderkey * 128 + r.rep AS k, r.rep, o.cents
+        |        FROM o CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS rep) r),
+        |${graft.functions.HashFunctions.priorityHashCtes("src", "k", 31L, "rep, cents")},
+        |draw AS (SELECT rep, cents,
+        |                (CASE WHEN pri % 1000000 >= 367879 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 735758 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 919698 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 981011 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 996340 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 999405 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 999916 THEN 1 ELSE 0 END) +
+        |                (CASE WHEN pri % 1000000 >= 999989 THEN 1 ELSE 0 END) AS cnt
+        |         FROM ph4),
+        |reps AS (SELECT rep, CAST(sum(cnt) AS BIGINT) AS c,
+        |                CAST(coalesce(sum(CAST(cnt AS HUGEINT) * cents), 0) AS HUGEINT) AS s
+        |         FROM draw GROUP BY rep),
+        |means AS (SELECT rep, CASE WHEN c = 0 THEN obs.obs_mean_x100
+        |                           ELSE CAST(s * 10000 // c AS BIGINT) END AS m
+        |          FROM reps CROSS JOIN obs),
+        |rk AS (SELECT a.rep, a.m, CAST(count(*) AS BIGINT) AS rnk
+        |       FROM means a JOIN means b
+        |         ON b.m < a.m OR (b.m = a.m AND b.rep <= a.rep)
+        |       GROUP BY a.rep, a.m),
+        |ci AS (SELECT max(CASE WHEN rnk = 3 THEN m END) AS lo_mean_x100,
+        |              max(CASE WHEN rnk = 98 THEN m END) AS hi_mean_x100
+        |       FROM rk)
+        |SELECT obs.n, obs.obs_mean_x100, ci.lo_mean_x100, ci.hi_mean_x100,
+        |       ci.hi_mean_x100 - ci.lo_mean_x100 AS ci_width_x100,
+        |       CAST(CASE WHEN obs.obs_mean_x100 BETWEEN ci.lo_mean_x100 AND ci.hi_mean_x100
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS covered
+        |FROM obs CROSS JOIN ci""") { (s, dir) =>
+      import graft.functions.HashFunctions
+      val thresholds = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+        999916L, 999989L)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val obs = o.agg(count(lit(1)).cast("long").as("n"),
+          sum("cents").cast("decimal(38,0)").as("sc"))
+        .select(col("n"),
+          expr("(sc * 10000) div n").cast("long").as("obs_mean_x100"))
+      val reps = o.select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(1L, 100L)")).as("rep"))
+        .withColumn("u",
+          HashFunctions.priorityHash(col("o_orderkey") * 128 + col("rep"), 31L) % 1000000)
+        .withColumn("cnt",
+          thresholds.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+        .groupBy("rep")
+        .agg(sum("cnt").cast("long").as("c"),
+          coalesce(sum(col("cnt").cast("decimal(38,0)") * col("cents")),
+            lit(0L).cast("decimal(38,0)")).as("s"))
+      val means = reps.crossJoin(broadcast(obs))
+        .select(col("rep"),
+          when(col("c") === 0, col("obs_mean_x100"))
+            .otherwise(expr("(s * 10000) div c").cast("long")).as("m"))
+      val rk = means.as("a")
+        .join(means.as("b"),
+          col("b.m") < col("a.m") || (col("b.m") === col("a.m") && col("b.rep") <= col("a.rep")))
+        .groupBy(col("a.rep").as("rep"), col("a.m").as("m"))
+        .agg(count(lit(1)).cast("long").as("rnk"))
+      val ci = rk.agg(
+        max(when(col("rnk") === 3, col("m"))).as("lo_mean_x100"),
+        max(when(col("rnk") === 98, col("m"))).as("hi_mean_x100"))
+      obs.crossJoin(broadcast(ci))
+        .select(col("n"), col("obs_mean_x100"), col("lo_mean_x100"), col("hi_mean_x100"),
+          (col("hi_mean_x100") - col("lo_mean_x100")).as("ci_width_x100"),
+          when(col("obs_mean_x100").between(col("lo_mean_x100"), col("hi_mean_x100")), 1L)
+            .otherwise(0L).as("covered"))
     }
   )
 }

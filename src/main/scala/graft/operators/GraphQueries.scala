@@ -865,6 +865,60 @@ object GraphQueries {
         |ne AS (SELECT cn.a, cn.b, cn.common, cn.aa_score FROM cn
         |       LEFT JOIN pairs p ON p.u = cn.a AND p.v = cn.b WHERE p.u IS NULL)
         |SELECT a, b, common, aa_score FROM ne ORDER BY a, b""") { (s, dir) => adamicAdar(s, dir) },
+
+    sql(
+      "g15_hits",
+      "HITS hubs-and-authorities ranking (Kleinberg's dual of g01's PageRank on the DIRECTED bipartite trade graph — PageRank scores one stationary walk, HITS mutually recurses two roles: a good buyer (hub) is one who buys from good suppliers (authorities), and a good supplier is one good buyers buy from; the supplier-quality signal a marketplace or curation pipeline reads when endorsement direction matters): two unrolled iterations over the distinct customer->supplier edge set, every step an edge-keyed join + destination-keyed sum with L1 NORMALIZATION back to the 1e12 integer grid (score*1e12 div total — the grid absorbs HITS's scale-invariance, so no float norm exists to diverge; per-node sums widen through HUGEINT/DECIMAL(38,0) because 1e9 edges x 1e12-grid scores brush 1e21). Output: top-20 authorities under the (auth_scaled DESC, node) total order with in-degree carried — the rank-vs-degree gap IS the signal (an authority beats its in-degree when GOOD hubs point at it). Scale posture: g01's exactly — the edge list derives once (one fact join + distinct) and persists compact, each half-iteration is one keyed join + one keyed aggregation, the three normalization totals are broadcast 1-row scalars; iteration count is a constant 2, so 100 TB cost is the edge build plus 3 edge-sized keyed passes",
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |                  CAST(l_suppkey + 1000000 AS BIGINT) AS s
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM e),
+        |h0 AS (SELECT c, 1000000000000 // n AS h FROM (SELECT DISTINCT c FROM e) CROSS JOIN nc),
+        |a1r AS (SELECT e.s, CAST(sum(CAST(h0.h AS HUGEINT)) AS HUGEINT) AS r
+        |        FROM e JOIN h0 USING (c) GROUP BY e.s),
+        |a1t AS (SELECT CAST(sum(r) AS HUGEINT) AS t FROM a1r),
+        |a1 AS (SELECT s, CAST(r * 1000000000000 // t AS BIGINT) AS a FROM a1r CROSS JOIN a1t),
+        |h1r AS (SELECT e.c, CAST(sum(CAST(a1.a AS HUGEINT)) AS HUGEINT) AS r
+        |        FROM e JOIN a1 USING (s) GROUP BY e.c),
+        |h1t AS (SELECT CAST(sum(r) AS HUGEINT) AS t FROM h1r),
+        |h1 AS (SELECT c, CAST(r * 1000000000000 // t AS BIGINT) AS h FROM h1r CROSS JOIN h1t),
+        |a2r AS (SELECT e.s, CAST(sum(CAST(h1.h AS HUGEINT)) AS HUGEINT) AS r
+        |        FROM e JOIN h1 USING (c) GROUP BY e.s),
+        |a2t AS (SELECT CAST(sum(r) AS HUGEINT) AS t FROM a2r),
+        |a2 AS (SELECT s, CAST(r * 1000000000000 // t AS BIGINT) AS a FROM a2r CROSS JOIN a2t),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY s)
+        |SELECT a2.s AS node, deg.in_deg, a2.a AS auth_scaled
+        |FROM a2 JOIN deg ON deg.s = a2.s
+        |ORDER BY auth_scaled DESC, node LIMIT 20""") { (s, dir) =>
+      val (e, _) = DedupQueries.persistCompact(
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (col("l_suppkey").cast("long") + 1000000L).as("s"))
+          .distinct())
+      def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+        val t = raw.agg(sum("r").cast("decimal(38,0)").as("t"))
+        raw.crossJoin(broadcast(t))
+          .select(col(key), expr("(r * 1000000000000) div t").cast("long").as(out))
+      }
+      val nc = e.agg(countDistinct("c").cast("long").as("n"))
+      val h0 = e.select("c").distinct().crossJoin(broadcast(nc))
+        .select(col("c"), expr("1000000000000 div n").as("h"))
+      val a1 = normalize(
+        e.join(h0, Seq("c")).groupBy("s")
+          .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
+      val h1 = normalize(
+        e.join(a1, Seq("s")).groupBy("c")
+          .agg(sum(col("a").cast("decimal(38,0)")).as("r")), "c", "h")
+      val a2 = normalize(
+        e.join(h1, Seq("c")).groupBy("s")
+          .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
+      val deg = e.groupBy("s").agg(count(lit(1)).cast("long").as("in_deg"))
+      a2.join(deg, Seq("s"))
+        .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
+        .orderBy(desc("auth_scaled"), col("node"))
+        .limit(20)
+    },
   )
 
   /** Symmetrized edge list (both directions of each u<v edge) — the wedge

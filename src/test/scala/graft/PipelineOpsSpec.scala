@@ -1979,4 +1979,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.head._3 == 0L, s"round-1 penalty must be 0: $got")
     assert(got.last._3 == 1000000L, s"duplicate's penalty must be the full grid: $got")
   }
+
+  test("a19 bootstrap: a constant corpus collapses the CI to a point; a varied corpus matches the sequential mirror") {
+    import spark.implicits._
+    // constant corpus: every replicate mean = 1e8 on the 1e-2-cent grid
+    // (empty replicates pin to the identical observed mean), so the
+    // percentile CI is the point [1e8, 1e8], width 0, covered
+    val dir0 = java.nio.file.Files.createTempDirectory("a19const").toString
+    (1L to 50L).map(k => (k, 100.00)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir0/orders.parquet")
+    val got0 = SparkEntry.queries("a19_poisson_bootstrap")(spark, dir0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got0 == Seq((50L, 100000000L, 100000000L, 100000000L, 0L, 1L)),
+      got0.mkString(", "))
+
+    // varied corpus: the full 100-replicate Poisson-draw trajectory,
+    // replicate means, and percentile ranks replayed sequentially
+    val dir1 = java.nio.file.Files.createTempDirectory("a19var").toString
+    val cents = (1L to 30L).map(k => k -> (777L + 123L * k)).toMap
+    cents.toSeq.map { case (k, c) => (k, c / 100.0) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir1/orders.parquet")
+    val thresholds = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+      999916L, 999989L)
+    val obsMean = (BigInt(cents.values.sum) * 10000) / 30
+    val means = (1 to 100).map { rep =>
+      val draws = (1L to 30L).map { k =>
+        val u = graft.functions.HashOps.priorityHash(k * 128 + rep, 31L) % 1000000
+        k -> thresholds.count(u >= _)
+      }
+      val c = BigInt(draws.map(_._2).sum)
+      val s = draws.map { case (k, n) => BigInt(n) * cents(k) }.sum
+      val m = if (c == 0) obsMean else (s * 10000) / c
+      (m, rep)
+    }.sorted
+    val (lo, hi) = (means(2)._1, means(97)._1)
+    val got1 = SparkEntry.queries("a19_poisson_bootstrap")(spark, dir1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val covered = if (obsMean >= lo && obsMean <= hi) 1L else 0L
+    assert(got1 == Seq((30L, obsMean.toLong, lo.toLong, hi.toLong,
+      (hi - lo).toLong, covered)), got1.mkString(", "))
+  }
+
+  test("g15 HITS: two-customer trace — normalization, mutual recursion, and the authority-beats-degree ordering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g15spec").toString
+    // c1 -> {s1, s2, s3}, c2 -> {s1}: s1 is the shared authority
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val T = BigInt("1000000000000")
+    // h0 = T/2 each; a1 = {s1: T/2, s2: T/4, s3: T/4} after norm;
+    // h1 = {c1: 2T/3 floor, c2: T/3 floor}; a2r = {s1: h1(c1)+h1(c2),
+    // s2/s3: h1(c1)} — the mirror below floors exactly as both engines do
+    val h1c1 = (T * T) / (T * 3 / 2)
+    val h1c2 = ((T / 2) * T) / (T * 3 / 2)
+    val a2t = (h1c1 + h1c2) + h1c1 * 2
+    val a2s1 = ((h1c1 + h1c2) * T) / a2t
+    val a2s23 = (h1c1 * T) / a2t
+    val got = SparkEntry.queries("g15_hits")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1000001L, 2L, a2s1.toLong),
+      (1000002L, 1L, a2s23.toLong),
+      (1000003L, 1L, a2s23.toLong)), got.mkString(", "))
+    assert(a2s1 > a2s23, "the shared authority must outrank the solo ones")
+  }
 }
