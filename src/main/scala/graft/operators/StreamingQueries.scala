@@ -483,6 +483,43 @@ object StreamingQueries {
           .agg(count(lit(1)).cast("long").as("n_triples"))
           .orderBy("user_id")
       }
+    },
+
+    sql(
+      "st16_stream_fifo",
+      "STREAMING FIFO matcher (EventStreams.fifoMatches) — q120's lot-matching semantics as an ONLINE state machine, the order-book/inventory-reservation pattern that is the canonical reason stateful streaming exists (a purchase consumes only supply that has ALREADY arrived, head-first, and unfilled demand is LOST, not backlogged — the matcher answers now and cannot borrow from the future; no batch operator exhibits this arrival-order dependence): each user's transformWithState ListState carries the FIFO queue of remaining lot units — a genuine QUEUE, the state shape ValueState (st12/st13), MapState (st14), and the st15 suffix ring all leave unexercised — with 'view' events appending greatest(0, cents(value)) lots and 'purchase' events draining and emitting (demand, matched). The oracle replays the inherently sequential recurrence M_p = min(S_p, M_{p-1} + d_p) DECLARATIVELY via its min-plus unrolling: total matched = D + min(0, min over purchase rows of (S_j - D_j)) — one user-partitioned running-sum window, exact integers end to end; the bounded single-batch replay (st06's guard) makes emissions the exact batch answer. Scale posture: per-user state is the open-lot queue (drained lots leave; bounded by unconsumed supply lots, not event history), emissions are purchase-sized, the rollup is one keyed count",
+      """WITH g AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts,
+        |                  greatest(0, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) AS u
+        |           FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |             AND user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |r AS (SELECT user_id, event_type,
+        |             CAST(sum(CASE WHEN event_type = 'view' THEN u ELSE 0 END)
+        |                  OVER w AS BIGINT) AS s_j,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN u ELSE 0 END)
+        |                  OVER w AS BIGINT) AS d_j
+        |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |             CAST(max(d_j) AS BIGINT) AS demand_units,
+        |             least(CAST(0 AS BIGINT), CAST(min(s_j - d_j) AS BIGINT)) AS slack
+        |      FROM r WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, n_purchases, demand_units,
+        |       demand_units + slack AS matched_units,
+        |       -slack AS lost_units
+        |FROM p ORDER BY user_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        runToMemory(s,
+          EventStreams.fifoMatches(s, typedEventStream(s, dir)).toDF(),
+          "st16_out", mode = "append", requireSingleBatch = true)
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_purchases"),
+            sum("demand_units").cast("long").as("demand_units"),
+            sum("matched_units").cast("long").as("matched_units"))
+          .select(col("user_id"), col("n_purchases"), col("demand_units"),
+            col("matched_units"),
+            (col("demand_units") - col("matched_units")).as("lost_units"))
+          .orderBy("user_id")
+      }
     }
   )
 }

@@ -453,6 +453,81 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One FIFO match emission per purchase event (demand in integer cents
+    * of `value`; matched ≤ demand, the shortfall is LOST, not backlogged).
+    */
+  final case class FifoEmit(user_id: Long, event_id: Long,
+      demand_units: Long, matched_units: Long)
+
+  /** Streaming FIFO matcher on transformWithState LIST state — q120's
+    * batch lot-matching semantics met INCREMENTALLY, with the one twist
+    * only an online matcher has: a purchase consumes exclusively from
+    * supply that has ALREADY ARRIVED, and unfilled demand is lost, not
+    * backlogged (the matcher answers now; it cannot borrow from the
+    * future). Each user carries the FIFO queue of remaining lot units as
+    * ListState (the order-book / inventory-reservation state shape — a
+    * genuine QUEUE, which neither a value cell nor a map models: lots
+    * retire strictly head-first), 'view' events append lots of
+    * greatest(0, cents(value)) units, 'purchase' events drain head-first
+    * and emit (demand, matched). Within a batch events fold in µs-exact
+    * (ts, event_id) order (the st11/st13 contract — ms-truncated getTime
+    * would reorder sub-ms neighbors against the batch twin) and the queue
+    * carries ACROSS batches. The batch twin is the min-plus unrolling of
+    * the recurrence M_p = min(S_p, M_{p−1} + d_p): total matched =
+    * D + min(0, min over purchases of (S_j − D_j)) — one user-partitioned
+    * running-sum window, which is how the oracle replays an inherently
+    * sequential state machine declaratively. Scale posture: per-user
+    * state is the open-lot queue (bounded by unconsumed supply LOTS, not
+    * events — drained lots leave); emissions are purchase-sized.
+    */
+  final class FifoMatcherProcessor extends StatefulProcessor[Long, Event, FifoEmit] {
+    @transient private var lots: ListState[Long] = _
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    private def units(value: Double): Long =
+      math.max(0L, math.floor(value * 100 + 0.5).toLong)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lots = getHandle.getListState[Long]("lots", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[FifoEmit] = {
+      var queue = if (lots.exists()) lots.get().toVector else Vector.empty[Long]
+      val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+        e.event_type match {
+          case "view" =>
+            val u = units(e.value)
+            if (u > 0) queue :+= u
+            None
+          case "purchase" =>
+            val demand = units(e.value)
+            var need = demand
+            while (need > 0 && queue.nonEmpty) {
+              val take = math.min(queue.head, need)
+              need -= take
+              queue = if (take == queue.head) queue.tail
+                      else (queue.head - take) +: queue.tail
+            }
+            Some(FifoEmit(user, e.event_id, demand, demand - need))
+          case _ => None
+        }
+      }
+      if (queue.nonEmpty) lots.put(queue.toArray) else if (lots.exists()) lots.clear()
+      out.iterator
+    }
+  }
+
+  /** Per-purchase FIFO matches via [[FifoMatcherProcessor]]. */
+  def fifoMatches(spark: SparkSession, events: Dataset[Event]): Dataset[FifoEmit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FifoMatcherProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
     * hatch when session logic outgrows `session_window` (reference has no
     * stateful ops at all; this is the M3/M4 pattern-setter). Emits the

@@ -2048,4 +2048,30 @@ class PipelineOpsSpec extends SparkSpec {
       (1000003L, 1L, a2s23.toLong)), got.mkString(", "))
     assert(a2s1 > a2s23, "the shared authority must outrank the solo ones")
   }
+
+  test("st16 FIFO entry: arrival order decides — early demand is lost, late demand matches (hand trace)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st16spec").toString
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // user 1: purchase 5.00 BEFORE supply (lost), view 10.00, purchase
+    // 3.00 (matched) -> demand 800, matched 300, lost 500 — same totals
+    // reversed would match fully, which is the order dependence the
+    // min-plus oracle must reproduce
+    // user 2: view 10.00, purchase 4.00, purchase 8.00 -> matched 1000
+    Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "purchase", 5.00),
+      (2L, t("2026-01-01 10:01:00"), 1L, "view", 10.00),
+      (3L, t("2026-01-01 10:02:00"), 1L, "purchase", 3.00),
+      (4L, t("2026-01-01 10:00:00"), 2L, "view", 10.00),
+      (5L, t("2026-01-01 10:01:00"), 2L, "purchase", 4.00),
+      (6L, t("2026-01-01 10:02:00"), 2L, "purchase", 8.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("st16_stream_fifo")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 800L, 300L, 500L),
+      (2L, 2L, 1200L, 1000L, 200L)), got.mkString(", "))
+  }
 }

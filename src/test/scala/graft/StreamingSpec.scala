@@ -650,4 +650,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((3L, 11L), (1L, 12L)), got.toString)
     }
   }
+
+  test("st16 FIFO: lots carry across the batch boundary, drain head-first, and lost demand is never backfilled") {
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, m: Int, u: Long, t: String, v: Double) =
+        EventStreams.Event(id, java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"), u, t, v)
+      // batch 1 — user 1: purchase BEFORE any supply (lost 500), then a
+      // 10.00 lot; user 2: two lots 3.00 + 2.00
+      ms.addData(Seq(
+        ev(1, 1, 1, "purchase", 5.00), ev(2, 2, 1, "view", 10.00),
+        ev(3, 1, 2, "view", 3.00), ev(4, 2, 2, "view", 2.00)))
+      val q = EventStreams.fifoMatches(spark, ms.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st16_spec").start()
+      q.processAllAvailable()
+      // batch 2 — user 1: purchase 3.00 against the CARRIED 10.00 lot
+      // (the earlier lost 5.00 must NOT consume it); user 2: purchase
+      // 4.00 drains lot 1 whole (300) + 100 from lot 2 head-first
+      ms.addData(Seq(
+        ev(5, 3, 1, "purchase", 3.00),
+        ev(6, 3, 2, "purchase", 4.00)))
+      q.processAllAvailable()
+      // batch 3 — user 2: purchase 2.00 against the 100 left in lot 2
+      ms.addData(Seq(ev(7, 4, 2, "purchase", 2.00)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st16_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, 1L, 500L, 0L),
+        (1L, 5L, 300L, 300L),
+        (2L, 6L, 400L, 400L),
+        (2L, 7L, 200L, 100L)), got.toString)
+    }
+  }
 }
