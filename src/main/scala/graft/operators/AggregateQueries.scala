@@ -724,6 +724,66 @@ object AggregateQueries {
           (col("hi_mean_x100") - col("lo_mean_x100")).as("ci_width_x100"),
           when(col("obs_mean_x100").between(col("lo_mean_x100"), col("hi_mean_x100")), 1L)
             .otherwise(0L).as("covered"))
+    },
+
+    sql(
+      "a20_cusum_alarm",
+      "CUSUM sequential change-point detector (Page 1954 — the control chart that catches a SUSTAINED SMALL mean shift the per-point tests structurally miss: q85's 2-sigma flags single spikes, a15/q110 compare two closed windows, but a 5% drift spread over weeks never trips either, while its cumulative excess grows linearly and CUSUM integrates exactly that): upper one-sided S_n = max(0, S_{n-1} + x_n - (target + allowance)) over the DAY-grain order-revenue series, with the inherently sequential recursion made declarative by the SAME min-plus unrolling st16's streaming matcher machine-checks — S_n = max(0, max over prior days j (cum_n - cum_j - (idx_n - idx_j)*(target+allowance))), including the virtual origin (idx 0, cum 0) so day 1 scores against an empty prefix. Self-calibrated integer parameters (target = mean daily cents, allowance = target div 20, threshold h = target div 2 — derived broadcast scalars, no tuning floats); day index and cumulative revenue come from the q113 inequality-join day spine, NOT a global window (the partition-less WindowExec stays whitelisted out of data paths; the |days|^2 pair join is calendar-bounded 16 B metadata). Output: series length, the three parameters, max CUSUM, first alarm day (epoch-day, 0 = never — the audit reports silence), alarm-day count; everything exact cents. Scale posture: one day-keyed corpus rollup (map-side combinable) is the only data-sized pass; all CUSUM arithmetic lives on the |days|-row frame",
+      """WITH d0 AS (SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderdate IS NOT NULL),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM d0 GROUP BY day),
+        |parms AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |                 CAST(sum(x) // count(*) AS BIGINT) AS target,
+        |                 CAST(sum(x) // count(*) + (sum(x) // count(*)) // 20 AS BIGINT) AS tk,
+        |                 CAST((sum(x) // count(*)) // 2 AS BIGINT) AS h
+        |          FROM daily),
+        |cum AS (SELECT a.day, CAST(count(*) AS BIGINT) AS idx, CAST(sum(b.x) AS BIGINT) AS cum
+        |        FROM daily a JOIN daily b ON b.day <= a.day GROUP BY a.day),
+        |cum0 AS (SELECT day, idx, cum FROM cum
+        |         UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |s AS (SELECT n.day,
+        |             greatest(CAST(0 AS BIGINT),
+        |                      CAST(max(CAST(n.cum AS HUGEINT) - j.cum - (n.idx - j.idx) * p.tk) AS BIGINT)) AS s_n
+        |      FROM cum n JOIN cum0 j ON j.idx < n.idx CROSS JOIN parms p
+        |      GROUP BY n.day)
+        |SELECT p.nd AS n_days, p.target AS target_cents, p.tk - p.target AS allowance_cents,
+        |       p.h AS threshold_cents,
+        |       CAST(max(s.s_n) AS BIGINT) AS max_cusum_cents,
+        |       CAST(coalesce(min(CASE WHEN s.s_n > p.h THEN s.day END), 0) AS BIGINT) AS first_alarm_day,
+        |       CAST(sum(CASE WHEN s.s_n > p.h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        |FROM s CROSS JOIN parms p
+        |GROUP BY p.nd, p.target, p.tk, p.h""") { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").isNotNull)
+        .select(expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day").agg(sum("cents").cast("long").as("x"))
+      val parms = daily
+        .agg(count(lit(1)).cast("long").as("nd"), sum("x").cast("long").as("tot"))
+        .select(col("nd"), expr("tot div nd").as("target"),
+          expr("tot div nd + (tot div nd) div 20").as("tk"),
+          expr("(tot div nd) div 2").as("h"))
+      val cum = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).cast("long").as("idx"), sum(col("b.x")).cast("long").as("cum"))
+      val cum0 = cum.unionAll(Seq((-1L, 0L, 0L)).toDF("day", "idx", "cum"))
+      val sN = cum.as("n").join(cum0.as("j"), col("j.idx") < col("n.idx"))
+        .crossJoin(broadcast(parms))
+        .groupBy(col("n.day").as("day"))
+        .agg(max(expr("cast(n.cum as decimal(38,0)) - j.cum - (n.idx - j.idx) * tk"))
+          .cast("long").as("mx"))
+        .select(col("day"), greatest(lit(0L), col("mx")).as("s_n"))
+      sN.crossJoin(broadcast(parms))
+        .groupBy("nd", "target", "tk", "h")
+        .agg(max("s_n").cast("long").as("max_cusum_cents"),
+          coalesce(min(when(col("s_n") > col("h"), col("day"))), lit(0L))
+            .cast("long").as("first_alarm_day"),
+          sum(when(col("s_n") > col("h"), 1L).otherwise(0L)).cast("long").as("n_alarm_days"))
+        .select(col("nd").as("n_days"), col("target").as("target_cents"),
+          (col("tk") - col("target")).as("allowance_cents"), col("h").as("threshold_cents"),
+          col("max_cusum_cents"), col("first_alarm_day"), col("n_alarm_days"))
     }
   )
 }

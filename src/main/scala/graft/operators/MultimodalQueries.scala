@@ -517,6 +517,75 @@ object MultimodalQueries {
           expr("(cast(kept_text_tokens + kept_media_tokens as decimal(38,0)) * 1000000) div (512 * n_docs)")
             .cast("long").as("fill_ppm"))
         .orderBy("media_type")
+    },
+
+    sql(
+      "m13_scene_cuts",
+      "video shot-boundary (scene-cut) segmentation from SAMPLED frame features — the pre-decode structure pass a video curation pipeline runs before choosing which frames to caption or embed (m03 samples frames, m11 prices them; THIS asks where the shots ARE, because one caption per shot beats one per fixed stride and a single-shot talking-head video needs different treatment from a 40-cut montage): each video's byte stream (doc_id % 3 = 2, the m11 convention) slices into 64-byte frames, a frame's feature is the exact integer sum of its first 8 octets (the cheap luma-proxy a real pipeline computes from a decoded thumbnail — here byte-exact so both engines replay it; the guard clamps past-end octets to 0 so the short final frame scores deterministically), a CUT fires where consecutive frame features differ by >= 64, and gap-and-islands on the frame axis (running cut count = shot id) yields per-video shot count and longest-shot length. All windows partition by doc_id under the (f) total order. Empty payloads (n = 0) have no frames and leave the audit (documented, not a divide guard). Scale posture: frame explosion is a per-doc map (x n/64, fused into the scan with binary projection pushdown), then two doc-partitioned windows and one (doc, shot) rollup — nothing crosses documents; at 100 TB the frame axis shards WITH the doc",
+      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        |           FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) >= 1),
+        |fr AS (SELECT doc_id, text, n, unnest(generate_series(0, CAST((n - 1) // 64 AS BIGINT))) AS f
+        |       FROM b),
+        |ft AS (SELECT doc_id, f,
+        |              CAST((CASE WHEN f*64+1 <= n THEN ascii(substring(text, CAST(f*64+1 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+2 <= n THEN ascii(substring(text, CAST(f*64+2 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+3 <= n THEN ascii(substring(text, CAST(f*64+3 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+4 <= n THEN ascii(substring(text, CAST(f*64+4 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+5 <= n THEN ascii(substring(text, CAST(f*64+5 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+6 <= n THEN ascii(substring(text, CAST(f*64+6 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+7 <= n THEN ascii(substring(text, CAST(f*64+7 AS INT), 1)) ELSE 0 END) +
+        |                   (CASE WHEN f*64+8 <= n THEN ascii(substring(text, CAST(f*64+8 AS INT), 1)) ELSE 0 END)
+        |                   AS BIGINT) AS feat
+        |       FROM fr),
+        |lg AS (SELECT doc_id, f, feat,
+        |              lag(feat) OVER (PARTITION BY doc_id ORDER BY f) AS pf
+        |       FROM ft),
+        |ct AS (SELECT doc_id, f,
+        |              CASE WHEN pf IS NOT NULL AND abs(feat - pf) >= 64 THEN 1 ELSE 0 END AS cut
+        |       FROM lg),
+        |sh AS (SELECT doc_id, f, cut,
+        |              CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |       FROM ct),
+        |shots AS (SELECT doc_id, sid, CAST(count(*) AS BIGINT) AS len FROM sh GROUP BY doc_id, sid),
+        |fa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |              CAST(sum(cut) AS BIGINT) AS n_cuts
+        |       FROM sh GROUP BY doc_id),
+        |sm AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS longest_shot_frames
+        |       FROM shots GROUP BY doc_id)
+        |SELECT fa.doc_id, fa.n_frames, fa.n_cuts, fa.n_cuts + 1 AS n_shots,
+        |       sm.longest_shot_frames
+        |FROM fa JOIN sm ON sm.doc_id = fa.doc_id
+        |ORDER BY fa.doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"),
+          length(col("text").cast("binary")).cast("long").as("n"))
+        .filter(col("n") >= 1)
+      val ft = b
+        .withColumn("f", explode(expr("sequence(0L, (n - 1) div 64)")))
+        .withColumn("feat",
+          (1 to 8).map(k =>
+            expr(s"CASE WHEN f*64+$k <= n THEN ascii(substr(text, f*64+$k, 1)) ELSE 0 END"))
+            .reduce(_ + _).cast("long"))
+        .select("doc_id", "f", "feat")
+      val wOrd = Window.partitionBy("doc_id").orderBy("f")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sh = ft
+        .withColumn("pf", lag("feat", 1).over(wOrd))
+        .withColumn("cut",
+          when(col("pf").isNotNull && abs(col("feat") - col("pf")) >= 64, 1L).otherwise(0L))
+        .withColumn("sid", sum("cut").over(wRun).cast("long"))
+      val shots = sh.groupBy("doc_id", "sid").agg(count(lit(1)).cast("long").as("len"))
+        .groupBy("doc_id").agg(max("len").cast("long").as("longest_shot_frames"))
+      sh.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          sum("cut").cast("long").as("n_cuts"))
+        .join(shots, Seq("doc_id"))
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          (col("n_cuts") + 1).as("n_shots"), col("longest_shot_frames"))
+        .orderBy("doc_id")
     }
   )
 }

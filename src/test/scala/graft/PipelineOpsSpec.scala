@@ -2074,4 +2074,48 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 2L, 800L, 300L, 500L),
       (2L, 2L, 1200L, 1000L, 200L)), got.mkString(", "))
   }
+
+  test("a20 CUSUM: a sustained +100% shift alarms on its second day; the flat prefix never accumulates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a20spec").toString
+    // 10 days at 100.00 then 5 days at 200.00: tot 200000c over 15 days ->
+    // target 13333, allowance 666, tk 13999, h 6666. Flat days score
+    // 10000 - 13999 < 0 (S pinned at 0); shifted days add +6001 each:
+    // S = 6001, 12002, 18003, 24004, 30005 -> first S > h on the SECOND
+    // shifted day (the detector needs two days of evidence at this h),
+    // 4 alarm days, max 30005
+    val rows = (1 to 10).map(k => (k.toLong, f"2024-01-$k%02d 00:00:00", 100.00)) ++
+      (11 to 15).map(k => (k.toLong, f"2024-01-$k%02d 00:00:00", 200.00))
+    rows.map { case (k, ts, v) => (k, java.sql.Timestamp.valueOf(ts), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val alarmDay = java.time.LocalDate.of(2024, 1, 12).toEpochDay
+    val got = SparkEntry.queries("a20_cusum_alarm")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq((15L, 13333L, 666L, 6666L, 30005L, alarmDay, 4L)),
+      got.mkString(", "))
+  }
+
+  test("m13 scene cuts: planted frame features — cut on the 64-delta, short final frame clamps, non-videos silent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m13spec").toString
+    // doc 2 (video): 4 x 64B frames AAyy -> features 520,520,968,968:
+    //   one cut at frame 2, two shots of length 2
+    // doc 5 (video): 64 x '0' + 6 x 'z' -> features 384, 732 (past-end
+    //   octets clamp to 0 on the short final frame) -> one cut
+    // doc 8 (video): 2 bytes -> single frame, zero cuts, one shot
+    // doc 0 (image): must not appear
+    Seq((2L, "A" * 128 + "y" * 128), (5L, "0" * 64 + "z" * 6),
+      (8L, "ab"), (0L, "A" * 256))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m13_scene_cuts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (2L, 4L, 1L, 2L, 2L),
+      (5L, 2L, 1L, 2L, 1L),
+      (8L, 1L, 0L, 1L, 1L)), got.mkString(", "))
+  }
 }
