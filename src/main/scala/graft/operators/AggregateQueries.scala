@@ -704,9 +704,15 @@ object AggregateQueries {
         .withColumn("cnt",
           thresholds.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
         .groupBy("rep")
+        // the weighted sum stays LONG in the hot path (cnt <= 8 x cents
+        // <= ~1.5e7 x 1e9 orders ~ 1.2e17 < 2^63 — the documented bound);
+        // only the x10000 mean step below needs the DECIMAL widening.
+        // A per-row DECIMAL multiply here measured 4.3 s cpu at sf0.1 vs
+        // ~0.6 s for the identical-shape a18 — codegen'd long arithmetic
+        // is the difference
         .agg(sum("cnt").cast("long").as("c"),
-          coalesce(sum(col("cnt").cast("decimal(38,0)") * col("cents")),
-            lit(0L).cast("decimal(38,0)")).as("s"))
+          coalesce(sum(col("cnt") * col("cents")), lit(0L))
+            .cast("decimal(38,0)").as("s"))
       val means = reps.crossJoin(broadcast(obs))
         .select(col("rep"),
           when(col("c") === 0, col("obs_mean_x100"))

@@ -901,17 +901,26 @@ object GraphQueries {
         raw.crossJoin(broadcast(t))
           .select(col(key), expr("(r * 1000000000000) div t").cast("long").as(out))
       }
+      // the rank tables are node-sized (customers/suppliers with edges,
+      // ~16 B/row), far under the broadcast threshold at any SF this
+      // engine benches, so each half-iteration BROADCASTS the ranks into
+      // the cached compact edge list — zero edge shuffles per round, only
+      // the map-side-combined destination aggregation moves; without the
+      // hint SMJ sorted the 600k-edge side three times (bench: 7.9 s wall
+      // / 17.9 cpu — the fix is the plan, not the math). At a 1e9-node
+      // deployment the hint comes off and the rank join runs co-partitioned
+      // on the edge key, the same degradation path g01's scaladoc records
       val nc = e.agg(countDistinct("c").cast("long").as("n"))
       val h0 = e.select("c").distinct().crossJoin(broadcast(nc))
         .select(col("c"), expr("1000000000000 div n").as("h"))
       val a1 = normalize(
-        e.join(h0, Seq("c")).groupBy("s")
+        e.join(broadcast(h0), Seq("c")).groupBy("s")
           .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
       val h1 = normalize(
-        e.join(a1, Seq("s")).groupBy("c")
+        e.join(broadcast(a1), Seq("s")).groupBy("c")
           .agg(sum(col("a").cast("decimal(38,0)")).as("r")), "c", "h")
       val a2 = normalize(
-        e.join(h1, Seq("c")).groupBy("s")
+        e.join(broadcast(h1), Seq("c")).groupBy("s")
           .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
       val deg = e.groupBy("s").agg(count(lit(1)).cast("long").as("in_deg"))
       a2.join(deg, Seq("s"))
