@@ -1947,6 +1947,39 @@ object RelationalQueries {
           (col("demand_units") - col("matched_units")).as("short_units"),
           (col("supply_units") - col("matched_units")).as("leftover_units"))
         .orderBy("part")
+    },
+
+    sql(
+      "q121_k_anonymity",
+      "k-anonymity audit over a quasi-identifier projection (the data-governance gate beside t34's PII scrub — scrubbing direct identifiers is not enough: Sweeney's result is that (zip, birthdate, sex) re-identifies most of a population, so before a 'de-identified' extract ships, the release reviewer reads THIS table: the minimum equivalence-class size IS the dataset's k, and every class below the k=5 floor is a re-identification handle whose rows must be suppressed or coarsened): quasi-identifiers = (nation, account-balance band of 1000) — the band via floor(x/1000) on the DOUBLE (legitimately negative balances floor identically in both engines; integer div would not), per nation the class count, the sub-k class count, rows they hold (= the suppression cost of enforcing k), flooring-ppm suppression rate, and min class size. Exact integers after the one floor. Scale posture: one QI-keyed count (map-side combinable — QI cardinality is nation x ~11 bands) then a nation-keyed rollup; the audit is dimension-sized regardless of corpus size, which is why it can run on every release",
+      """WITH q AS (SELECT c_nationkey AS nation,
+        |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |           FROM customer),
+        |cls AS (SELECT nation, band, CAST(count(*) AS BIGINT) AS sz
+        |        FROM q GROUP BY nation, band)
+        |SELECT CAST(nation AS BIGINT) AS nation,
+        |       CAST(sum(sz) AS BIGINT) AS n_customers,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+        |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000 // sum(sz) AS BIGINT) AS suppression_ppm,
+        |       CAST(min(sz) AS BIGINT) AS k_anonymity
+        |FROM cls GROUP BY nation ORDER BY nation""") { (s, dir) =>
+      val cls = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .groupBy("nation", "band").agg(count(lit(1)).cast("long").as("sz"))
+      cls.groupBy("nation")
+        .agg(sum("sz").cast("long").as("n_customers"),
+          count(lit(1)).cast("long").as("n_classes"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).cast("long").as("n_violating_classes"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("long").as("n_suppressed"),
+          min("sz").cast("long").as("k_anonymity"))
+        .select(col("nation"), col("n_customers"), col("n_classes"),
+          col("n_violating_classes"), col("n_suppressed"),
+          expr("(n_suppressed * 1000000) div n_customers").as("suppression_ppm"),
+          col("k_anonymity"))
+        .orderBy("nation")
     }
   )
 }

@@ -2236,6 +2236,52 @@ object TextQueries {
             .otherwise(expr("(cast(ann_alloc_tokens as decimal(38,0)) * 1000000) div (pre_alloc_tokens + ann_alloc_tokens)")
               .cast("long")).as("ann_share_ppm"))
         .orderBy("source")
+    },
+
+    sql(
+      "p21_domain_reweight",
+      "proxy-signal domain reweighting, one linearized multiplicative-weights step (the DoReMi shape — static mixtures like p03/p04 weight sources by SIZE; DoReMi-era pipelines weight them by LEARNING VALUE, running a proxy signal through an exponentiated-gradient update; here the proxy is each source's unigram token entropy on the a14 ln grid — a diverse source carries more signal per token than a repetitive one — and the update is LINEARIZED: factor = 1e6 + (H − H_min) div 4 instead of exp(η·excess), because exp is the one transcendental with no cross-engine grid discipline in this registry while the linear form is exact integers end to end and preserves the update's ordering; anchoring excess at the MINIMUM-entropy source keeps every operand non-negative, which sidesteps the Spark-div-vs-DuckDB-// negative-flooring divergence by construction rather than by guard). Per source: tokens, entropy grid (H = ln_grid(N) − Σ c·ln_grid(c) div N, the a14 formula with an exact integer division — numerator widened DECIMAL(38,0)/HUGEINT because N·ln(N) brushes 1.4e19 at corpus scale), excess over the anchor, the update factor, mixture_ppm = factor·1e6 div Σfactor, and the resulting token target against the 1-epoch budget. Scale posture: one (source, token)-keyed count is the only corpus-sized shuffle (map-side combinable); everything after is source-dimension arithmetic with two broadcast scalars",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, t),
+        |ent AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |               CAST(CAST(floor(ln(sum(c) * 1.0) * 1000000 + 0.5) AS HUGEINT)
+        |                    - CAST(sum(CAST(c AS HUGEINT) * CAST(floor(ln(c * 1.0) * 1000000 + 0.5) AS BIGINT)) AS HUGEINT)
+        |                      // sum(c) AS BIGINT) AS h_grid
+        |        FROM tc GROUP BY source),
+        |anchor AS (SELECT CAST(min(h_grid) AS BIGINT) AS h_min FROM ent),
+        |upd AS (SELECT source, n_tokens, h_grid, h_grid - a.h_min AS excess,
+        |               1000000 + (h_grid - a.h_min) // 4 AS factor
+        |        FROM ent CROSS JOIN anchor a),
+        |tot AS (SELECT CAST(sum(factor) AS HUGEINT) AS tf, CAST(sum(n_tokens) AS BIGINT) AS tn FROM upd)
+        |SELECT source, n_tokens, h_grid, excess, CAST(factor AS BIGINT) AS factor,
+        |       CAST(CAST(factor AS HUGEINT) * 1000000 // t.tf AS BIGINT) AS mixture_ppm,
+        |       CAST(CAST(factor AS HUGEINT) * t.tn // t.tf AS BIGINT) AS token_target
+        |FROM upd CROSS JOIN tot t
+        |ORDER BY source""") { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).cast("long").as("c"))
+      val ent = tc.groupBy("source")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          sum(col("c").cast("decimal(38,0)")
+            * floor(log(col("c") * lit(1.0)) * 1000000 + lit(0.5)).cast("long"))
+            .as("es"))
+        .select(col("source"), col("n_tokens"),
+          expr("cast(floor(ln(n_tokens * 1.0) * 1000000 + 0.5) as bigint) - (es div n_tokens)")
+            .cast("long").as("h_grid"))
+      val anchor = ent.agg(min("h_grid").cast("long").as("h_min"))
+      val upd = ent.crossJoin(broadcast(anchor))
+        .select(col("source"), col("n_tokens"), col("h_grid"),
+          (col("h_grid") - col("h_min")).as("excess"),
+          (lit(1000000L) + expr("(h_grid - h_min) div 4")).as("factor"))
+      val tot = upd.agg(sum("factor").cast("decimal(38,0)").as("tf"),
+        sum("n_tokens").cast("long").as("tn"))
+      upd.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("h_grid"), col("excess"),
+          col("factor"),
+          expr("(cast(factor as decimal(38,0)) * 1000000) div tf").cast("long").as("mixture_ppm"),
+          expr("(cast(factor as decimal(38,0)) * tn) div tf").cast("long").as("token_target"))
+        .orderBy("source")
     }
   )
 }

@@ -2118,4 +2118,50 @@ class PipelineOpsSpec extends SparkSpec {
       (5L, 2L, 1L, 2L, 1L),
       (8L, 1L, 0L, 1L, 1L)), got.mkString(", "))
   }
+
+  test("p21 reweight: max-entropy source anchors the update, repetitive source reads H = 0 exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p21spec").toString
+    // source a: 4 distinct tokens -> all c = 1, es = 0, H = ln_grid(4);
+    // source b: one token repeated 4x -> H = ln_grid(4) - 4*ln_grid(4)/4 = 0
+    // (zero entropy EXACTLY on the grid — the repetitive-source floor).
+    // factor(a) = 1e6 + ln_grid(4) div 4, factor(b) = 1e6; mirror below
+    Seq((1L, "t1 t2 t3 t4", "a"), (2L, "x x x x", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ln4 = math.floor(math.log(4.0) * 1000000 + 0.5).toLong
+    val fa = BigInt(1000000 + ln4 / 4)
+    val fb = BigInt(1000000)
+    val tf = fa + fb
+    val got = SparkEntry.queries("p21_domain_reweight")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("a", 4L, ln4, ln4, fa.toLong, (fa * 1000000 / tf).toLong, (fa * 8 / tf).toLong),
+      ("b", 4L, 0L, 0L, fb.toLong, (fb * 1000000 / tf).toLong, (fb * 8 / tf).toLong)),
+      got.mkString(", "))
+  }
+
+  test("q121 k-anonymity: sub-k classes flag, negative balances band by floor, clean nations read zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q121spec").toString
+    // nation 1: band 0 x6 (fine) + band 1 x2 (violating) -> k = 2,
+    //   suppressed 2 of 8 = 250000 ppm
+    // nation 2: one band of 10 -> k = 10, zero suppression
+    // nation 3: band -1 x3 (floor(-500/1000) = -1, the negative-balance
+    //   floor) -> everything suppressed
+    val rows = (1 to 6).map(i => (i.toLong, 1, 500.0)) ++
+      (7 to 8).map(i => (i.toLong, 1, 1500.0)) ++
+      (9 to 18).map(i => (i.toLong, 2, 200.0)) ++
+      (19 to 21).map(i => (i.toLong, 3, -500.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q121_k_anonymity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 8L, 2L, 1L, 2L, 250000L, 2L),
+      (2L, 10L, 1L, 0L, 0L, 0L, 10L),
+      (3L, 3L, 1L, 1L, 3L, 1000000L, 3L)), got.mkString(", "))
+  }
 }
