@@ -185,3 +185,41 @@ object WedgeProbe {
     spark.stop()
   }
 }
+
+/** g15 `broadcastRanks` A/B (r15 verdict #1): times [[graft.operators
+  * .GraphQueries.hitsRanking]] in both knob positions — `true` broadcasts
+  * the node-sized rank tables into the cached edge list (the measured
+  * bench plan), `false` runs the rank joins shuffle-hash co-partitioned
+  * on the edge key (the plan that survives a 1e9-node corpus where an
+  * O(V) broadcast would materialize on the driver). Session/timing shape
+  * mirrors [[WedgeProbe]].
+  *
+  * Usage: `runMain graft.HitsProbe <true|false> [takes]`.
+  */
+object HitsProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: HitsProbe <true|false> [takes]")
+    val broadcastRanks = args(0).toBoolean
+    val takes = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to takes).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.GraphQueries.hitsRanking(spark, sfDir, broadcastRanks)
+        .write.format("noop").mode("overwrite").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[hitsprobe] g15 broadcastRanks=$broadcastRanks take $i: $elapsed%.2f s wall")
+    }
+    spark.stop()
+  }
+}

@@ -576,7 +576,7 @@ object AggregateQueries {
 
     sql(
       "a18_randomization_test",
-      "Monte-Carlo randomization test for the treatment effect, EXACT and retry-stable (the inference companion a15/a17 lack: KS says the distributions differ, AUC says by how much — this says whether the OBSERVED mean gap could be chance, the p-value an experimentation readout ships): treatment = urgent/high order priority, metric = o_totalprice on the cents grid, statistic = the cross-multiplied mean gap |s1*c2 - s2*c1| (exact, no float means). 100 replicates re-assign every order by Bernoulli(p = observed treated share) using the splitmix priority of (o_orderkey*128 + rep) — hash-randomization, so retries and partition layout replay the identical null draw and DuckDB replays it in HUGEINT (the p03/p05 discipline; Bernoulli re-assignment rather than a fixed-margin permutation is the randomization-design variant — group sizes vary binomially as part of the null, the classical conditioned-margins test would need a per-replicate global rank). Replicate extremeness compares FLOORED mean gaps on the 1e-4-cent grid (gap*10000 div (c1*c2), both sides — keeps every product inside DECIMAL(38,0)/HUGEINT at 1e9-order scale where the raw cross-product comparison gap*c*c would brush 1e42; equal-floor ties count extreme, the conservative direction), an empty replicate arm (possible only on degenerate corpora) is defined extreme rather than dividing by zero (the p19 advisory class — guarded identically in both dialects), and p_value_ppm = (1 + n_extreme)*1e6 div 101, the add-one Monte-Carlo estimator that can never report zero. Scale posture: one scan exploded x100 map-side with partial aggregation keyed by rep — the shuffle carries 100 rows per partition, no window, no join beyond two broadcast 1-row scalars; R is a constant, so the 100 TB cost is one fact pass with a constant map amplification",
+      "Monte-Carlo randomization test for the treatment effect, EXACT and retry-stable (the inference companion a15/a17 lack: KS says the distributions differ, AUC says by how much — this says whether the OBSERVED mean gap could be chance, the p-value an experimentation readout ships): treatment = urgent/high order priority, metric = o_totalprice on the cents grid, statistic = the cross-multiplied mean gap |s1*c2 - s2*c1| (exact, no float means). 100 replicates re-assign every order by Bernoulli(p = observed treated share) using the splitmix priority of (o_orderkey*128 + rep) — hash-randomization, so retries and partition layout replay the identical null draw and DuckDB replays it in HUGEINT (the p03/p05 discipline; Bernoulli re-assignment rather than a fixed-margin permutation is the randomization-design variant — group sizes vary binomially as part of the null, the classical conditioned-margins test would need a per-replicate global rank). Replicate extremeness compares FLOORED mean gaps on the 1e-4-cent grid (gap*10000 div (c1*c2), both sides — keeps every product inside DECIMAL(38,0)/HUGEINT at 1e9-order scale where the raw cross-product comparison gap*c*c would brush 1e42; equal-floor ties count extreme, the conservative direction), an empty replicate arm (possible only on degenerate corpora) is defined extreme rather than dividing by zero (the p19 advisory class — guarded identically in both dialects), the OBSERVED arm carries the same guard (c1 = 0 OR c2 = 0 pins gap to 0, so every replicate ties and p reports 1e6 — a one-armed corpus has no testable effect, and neither dialect divides by zero), and p_value_ppm = (1 + n_extreme)*1e6 div 101, the add-one Monte-Carlo estimator that can never report zero. Scale posture: one scan exploded x100 map-side with partial aggregation keyed by rep — the shuffle carries 100 rows per partition, no window, no join beyond two broadcast 1-row scalars; R is a constant, so the 100 TB cost is one fact pass with a constant map amplification",
       s"""WITH o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
         |                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS t
         |           FROM orders),
@@ -586,7 +586,8 @@ object AggregateQueries {
         |               CAST(coalesce(sum(CASE WHEN t = 0 THEN cents END), 0) AS HUGEINT) AS s2
         |        FROM o),
         |og AS (SELECT n, c1, c2,
-        |              CAST(abs(s1 * c2 - s2 * c1) * 10000 // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS obs_gap_x10k,
+        |              CASE WHEN c1 = 0 OR c2 = 0 THEN 0
+        |                   ELSE CAST(abs(s1 * c2 - s2 * c1) * 10000 // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) END AS obs_gap_x10k,
         |              CAST(c1 AS HUGEINT) * 1000000 // n AS p_ppm
         |       FROM obs),
         |src AS (SELECT o.o_orderkey * 128 + r.rep AS k, r.rep, o.cents
@@ -620,8 +621,14 @@ object AggregateQueries {
           coalesce(sum(when(col("t") === 0, col("cents"))), lit(0L))
             .cast("decimal(38,0)").as("s2"))
         .select(col("n"), col("c1"), col("c2"),
-          expr("(abs(s1 * c2 - s2 * c1) * 10000) div (cast(c1 as decimal(38,0)) * c2)")
-            .cast("long").as("obs_gap_x10k"),
+          // an all-treated / all-untreated corpus has no gap to test: gap 0
+          // (=> every replicate extreme, p 1e6) identically in both dialects
+          // — DuckDB // raises on /0 while Spark div yields NULL, the same
+          // divergence class the replicate arms already guard
+          when(col("c1") === 0 || col("c2") === 0, lit(0L))
+            .otherwise(
+              expr("(abs(s1 * c2 - s2 * c1) * 10000) div (cast(c1 as decimal(38,0)) * c2)")
+                .cast("long")).as("obs_gap_x10k"),
           expr("(cast(c1 as decimal(38,0)) * 1000000) div n").cast("long").as("p_ppm"))
       val rep = o.select(col("o_orderkey"), col("cents"),
           explode(expr("sequence(1L, 100L)")).as("rep"))
@@ -650,7 +657,7 @@ object AggregateQueries {
 
     sql(
       "a19_poisson_bootstrap",
-      "Poisson-bootstrap confidence interval for the mean, EXACT and retry-stable (a18 tests a hypothesis; this puts the ERROR BAR on the estimate — and the Poisson bootstrap is THE distributed form: classical resampling draws n times WITH replacement, which needs global coordination, while Poisson(1) per-row copy counts approximate the same multinomial with zero coordination — each row decides its own replicate weights, the trick every large-scale A/B platform runs): 100 replicates, row r's copy count in replicate b = the count of LITERAL cumulative-Poisson(1) ppm thresholds [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989] at or below the splitmix priority of (key*128 + b) mod 1e6 — capped at 8 copies (P(k>8) ~ 1.1e-6, documented truncation like the grid's <= 1 ppm quantization; mathematical constants, no runtime exp(), nothing to diverge). Replicate means on the 1e-2-cent grid (sum*10000 div count, DECIMAL(38,0)/HUGEINT-widened — an 8x-weighted cents sum times 1e4 brushes 1e21 at 1e9-order scale), an empty replicate (degenerate corpora only) pinned to the observed mean identically in both dialects; the 95% percentile CI reads ranks 3 and 98 of the (mean, rep) total order — ranks from a 100x100 inequality SELF-JOIN on the replicate table, NOT a global window (the a15 spine: the one partition-less-window shape that cannot scale stays out of the plan; 100 rows make the join constant-cost). Scale posture: one scan exploded x100 with map-side partial aggregation keyed by rep (the a18 shape — 100-row shuffle), then constant-size arithmetic; B is a constant so 100 TB cost is one fact pass with constant amplification",
+      "Poisson-bootstrap confidence interval for the mean, EXACT and retry-stable (a18 tests a hypothesis; this puts the ERROR BAR on the estimate — and the Poisson bootstrap is THE distributed form: classical resampling draws n times WITH replacement, which needs global coordination, while Poisson(1) per-row copy counts approximate the same multinomial with zero coordination — each row decides its own replicate weights, the trick every large-scale A/B platform runs): 100 replicates, row r's copy count in replicate b = the count of LITERAL cumulative-Poisson(1) ppm thresholds [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989] at or below the splitmix priority of (key*128 + b) mod 1e6 — capped at 8 copies (P(k>8) ~ 1.1e-6, documented truncation like the grid's <= 1 ppm quantization; mathematical constants, no runtime exp(), nothing to diverge). Replicate means on the 1e-2-cent grid (sum*10000 div count, DECIMAL(38,0)/HUGEINT-widened — an 8x-weighted cents sum times 1e4 brushes 1e21 at 1e9-order scale), an empty replicate (degenerate corpora only) pinned to the observed mean identically in both dialects, and the LONG hot-path sum carries a [0, 8*total] DECIMAL trip-wire on the 100-row replicate table — exact sums live inside that envelope by construction, so a 2^63 wrap (possible only beyond the ~4x expected-sum headroom at 1.5e11 orders) raises loudly instead of hash-mismatching the exact oracle; the 95% percentile CI reads ranks 3 and 98 of the (mean, rep) total order — ranks from a 100x100 inequality SELF-JOIN on the replicate table, NOT a global window (the a15 spine: the one partition-less-window shape that cannot scale stays out of the plan; 100 rows make the join constant-cost). Scale posture: one scan exploded x100 with map-side partial aggregation keyed by rep (the a18 shape — 100-row shuffle), then constant-size arithmetic; B is a constant so 100 TB cost is one fact pass with constant amplification",
       s"""WITH o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |           FROM orders),
         |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -695,7 +702,7 @@ object AggregateQueries {
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
       val obs = o.agg(count(lit(1)).cast("long").as("n"),
           sum("cents").cast("decimal(38,0)").as("sc"))
-        .select(col("n"),
+        .select(col("n"), col("sc"),
           expr("(sc * 10000) div n").cast("long").as("obs_mean_x100"))
       val reps = o.select(col("o_orderkey"), col("cents"),
           explode(expr("sequence(1L, 100L)")).as("rep"))
@@ -704,19 +711,32 @@ object AggregateQueries {
         .withColumn("cnt",
           thresholds.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
         .groupBy("rep")
-        // the weighted sum stays LONG in the hot path (cnt <= 8 x cents
-        // <= ~1.5e7 x 1e9 orders ~ 1.2e17 < 2^63 — the documented bound);
-        // only the x10000 mean step below needs the DECIMAL widening.
+        // the weighted sum stays LONG in the hot path. Bound at the
+        // ADVERTISED 100 TB scale (~1.5e11 orders): E[cnt] = 1, so the
+        // expected replicate sum is ~1.5e7 cents x 1.5e11 ~ 2.3e18 — ~4x
+        // headroom under 2^63 ~ 9.2e18 (the worst case 8x that CAN wrap,
+        // at probability ~8^-n); the [0, 8*total] trip-wire in `means`
+        // below turns any silent wrap into a loud raise_error instead of
+        // a quiet oracle hash-mismatch.
+        // Only the x10000 mean step below needs the DECIMAL widening.
         // A per-row DECIMAL multiply here measured 4.3 s cpu at sf0.1 vs
         // ~0.6 s for the identical-shape a18 — codegen'd long arithmetic
         // is the difference
         .agg(sum("cnt").cast("long").as("c"),
           coalesce(sum(col("cnt") * col("cents")), lit(0L))
             .cast("decimal(38,0)").as("s"))
+      // the wrap trip-wire the LONG hot path owes the exact oracle: every
+      // exact replicate sum lies in [0, 8*total] by construction (cnt <= 8),
+      // so a sum outside that envelope IS a silent 2^63 wrap — raise LOUDLY
+      // on the 100-row table (constant cost, DECIMAL compare, folded into a
+      // used column so pruning cannot drop it) instead of hash-mismatching
       val means = reps.crossJoin(broadcast(obs))
         .select(col("rep"),
-          when(col("c") === 0, col("obs_mean_x100"))
-            .otherwise(expr("(s * 10000) div c").cast("long")).as("m"))
+          when(col("s") < 0 || col("s") > expr("sc * 8"),
+            expr("raise_error('a19: replicate sum outside [0, 8*total] — " +
+              "LONG hot-path sum wrapped; widen to DECIMAL')").cast("long"))
+            .otherwise(when(col("c") === 0, col("obs_mean_x100"))
+              .otherwise(expr("(s * 10000) div c").cast("long"))).as("m"))
       val rk = means.as("a")
         .join(means.as("b"),
           col("b.m") < col("a.m") || (col("b.m") === col("a.m") && col("b.rep") <= col("a.rep")))
@@ -734,7 +754,7 @@ object AggregateQueries {
 
     sql(
       "a20_cusum_alarm",
-      "CUSUM sequential change-point detector (Page 1954 — the control chart that catches a SUSTAINED SMALL mean shift the per-point tests structurally miss: q85's 2-sigma flags single spikes, a15/q110 compare two closed windows, but a 5% drift spread over weeks never trips either, while its cumulative excess grows linearly and CUSUM integrates exactly that): upper one-sided S_n = max(0, S_{n-1} + x_n - (target + allowance)) over the DAY-grain order-revenue series, with the inherently sequential recursion made declarative by the SAME min-plus unrolling st16's streaming matcher machine-checks — S_n = max(0, max over prior days j (cum_n - cum_j - (idx_n - idx_j)*(target+allowance))), including the virtual origin (idx 0, cum 0) so day 1 scores against an empty prefix. Self-calibrated integer parameters (target = mean daily cents, allowance = target div 20, threshold h = target div 2 — derived broadcast scalars, no tuning floats); day index and cumulative revenue come from the q113 inequality-join day spine, NOT a global window (the partition-less WindowExec stays whitelisted out of data paths; the |days|^2 pair join is calendar-bounded 16 B metadata). Output: series length, the three parameters, max CUSUM, first alarm day (epoch-day, 0 = never — the audit reports silence), alarm-day count; everything exact cents. Scale posture: one day-keyed corpus rollup (map-side combinable) is the only data-sized pass; all CUSUM arithmetic lives on the |days|-row frame",
+      "CUSUM sequential change-point detector (Page 1954 — the control chart that catches a SUSTAINED SMALL mean shift the per-point tests structurally miss: q85's 2-sigma flags single spikes, a15/q110 compare two closed windows, but a 5% drift spread over weeks never trips either, while its cumulative excess grows linearly and CUSUM integrates exactly that): upper one-sided S_n = max(0, S_{n-1} + x_n - (target + allowance)) over the DAY-grain order-revenue series, with the inherently sequential recursion made declarative by the SAME min-plus unrolling st16's streaming matcher machine-checks — S_n = max(0, max over prior days j (cum_n - cum_j - (idx_n - idx_j)*(target+allowance))), including the virtual origin (idx 0, cum 0) so day 1 scores against an empty prefix. Self-calibrated integer parameters (target = mean daily cents, allowance = target div 20, threshold h = target div 2 — derived broadcast scalars, no tuning floats); day index and cumulative revenue come from the q113 inequality-join day spine, NOT a global window (the partition-less WindowExec stays whitelisted out of data paths; the |days|^2 pair join is calendar-bounded 16 B metadata). Output: series length, the three parameters, max CUSUM, first alarm day (epoch-day; -1 = never — epoch day 0 is a legitimate date, 1970-01-01, so silence gets a sentinel no real alarm can collide with), alarm-day count; everything exact cents. Scale posture: one day-keyed corpus rollup (map-side combinable) is the only data-sized pass; all CUSUM arithmetic lives on the |days|-row frame",
       """WITH d0 AS (SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
         |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |           FROM orders WHERE o_orderdate IS NOT NULL),
@@ -756,7 +776,7 @@ object AggregateQueries {
         |SELECT p.nd AS n_days, p.target AS target_cents, p.tk - p.target AS allowance_cents,
         |       p.h AS threshold_cents,
         |       CAST(max(s.s_n) AS BIGINT) AS max_cusum_cents,
-        |       CAST(coalesce(min(CASE WHEN s.s_n > p.h THEN s.day END), 0) AS BIGINT) AS first_alarm_day,
+        |       CAST(coalesce(min(CASE WHEN s.s_n > p.h THEN s.day END), -1) AS BIGINT) AS first_alarm_day,
         |       CAST(sum(CASE WHEN s.s_n > p.h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
         |FROM s CROSS JOIN parms p
         |GROUP BY p.nd, p.target, p.tk, p.h""") { (s, dir) =>
@@ -784,7 +804,8 @@ object AggregateQueries {
       sN.crossJoin(broadcast(parms))
         .groupBy("nd", "target", "tk", "h")
         .agg(max("s_n").cast("long").as("max_cusum_cents"),
-          coalesce(min(when(col("s_n") > col("h"), col("day"))), lit(0L))
+          // -1 = never alarmed: epoch day 0 is 1970-01-01, a real date
+          coalesce(min(when(col("s_n") > col("h"), col("day"))), lit(-1L))
             .cast("long").as("first_alarm_day"),
           sum(when(col("s_n") > col("h"), 1L).otherwise(0L)).cast("long").as("n_alarm_days"))
         .select(col("nd").as("n_days"), col("target").as("target_cents"),

@@ -868,7 +868,7 @@ object GraphQueries {
 
     sql(
       "g15_hits",
-      "HITS hubs-and-authorities ranking (Kleinberg's dual of g01's PageRank on the DIRECTED bipartite trade graph — PageRank scores one stationary walk, HITS mutually recurses two roles: a good buyer (hub) is one who buys from good suppliers (authorities), and a good supplier is one good buyers buy from; the supplier-quality signal a marketplace or curation pipeline reads when endorsement direction matters): two unrolled iterations over the distinct customer->supplier edge set, every step an edge-keyed join + destination-keyed sum with L1 NORMALIZATION back to the 1e12 integer grid (score*1e12 div total — the grid absorbs HITS's scale-invariance, so no float norm exists to diverge; per-node sums widen through HUGEINT/DECIMAL(38,0) because 1e9 edges x 1e12-grid scores brush 1e21). Output: top-20 authorities under the (auth_scaled DESC, node) total order with in-degree carried — the rank-vs-degree gap IS the signal (an authority beats its in-degree when GOOD hubs point at it). Scale posture: g01's exactly — the edge list derives once (one fact join + distinct) and persists compact, each half-iteration is one keyed join + one keyed aggregation, the three normalization totals are broadcast 1-row scalars; iteration count is a constant 2, so 100 TB cost is the edge build plus 3 edge-sized keyed passes",
+      "HITS hubs-and-authorities ranking (Kleinberg's dual of g01's PageRank on the DIRECTED bipartite trade graph — PageRank scores one stationary walk, HITS mutually recurses two roles: a good buyer (hub) is one who buys from good suppliers (authorities), and a good supplier is one good buyers buy from; the supplier-quality signal a marketplace or curation pipeline reads when endorsement direction matters): two unrolled iterations over the distinct customer->supplier edge set, every step an edge-keyed join + destination-keyed sum with L1 NORMALIZATION back to the 1e12 integer grid (score*1e12 div total — the grid absorbs HITS's scale-invariance, so no float norm exists to diverge; per-node sums widen through HUGEINT/DECIMAL(38,0) because 1e9 edges x 1e12-grid scores brush 1e21). Output: top-20 authorities under the (auth_scaled DESC, node) total order with in-degree carried — the rank-vs-degree gap IS the signal (an authority beats its in-degree when GOOD hubs point at it). Scale posture: the edge list derives once (one fact join + distinct) and persists compact; each half-iteration is one rank-join into the edges + one keyed aggregation; the three normalization TOTALS are broadcast 1-row scalars (g01's shape), while the NODE-sized rank tables join under the wired `broadcastRanks` knob — true (default, the bench plan) broadcasts them into the cached edges so only the map-side-combined destination agg shuffles, false runs the rank join shuffle-hash co-partitioned on the edge key, the 1e9-node plan where an O(V) broadcast would materialize on the driver; both positions are bit-identical (spec-pinned) because the knob moves the join STRATEGY, never the arithmetic",
       """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
         |                  CAST(l_suppkey + 1000000 AS BIGINT) AS s
         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -889,46 +889,62 @@ object GraphQueries {
         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY s)
         |SELECT a2.s AS node, deg.in_deg, a2.a AS auth_scaled
         |FROM a2 JOIN deg ON deg.s = a2.s
-        |ORDER BY auth_scaled DESC, node LIMIT 20""") { (s, dir) =>
-      val (e, _) = DedupQueries.persistCompact(
-        Tables.orders(s, dir)
-          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("c"),
-            (col("l_suppkey").cast("long") + 1000000L).as("s"))
-          .distinct())
-      def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
-        val t = raw.agg(sum("r").cast("decimal(38,0)").as("t"))
-        raw.crossJoin(broadcast(t))
-          .select(col(key), expr("(r * 1000000000000) div t").cast("long").as(out))
-      }
-      // the rank tables are node-sized (customers/suppliers with edges,
-      // ~16 B/row), far under the broadcast threshold at any SF this
-      // engine benches, so each half-iteration BROADCASTS the ranks into
-      // the cached compact edge list — zero edge shuffles per round, only
-      // the map-side-combined destination aggregation moves; without the
-      // hint SMJ sorted the 600k-edge side three times (bench: 7.9 s wall
-      // / 17.9 cpu — the fix is the plan, not the math). At a 1e9-node
-      // deployment the hint comes off and the rank join runs co-partitioned
-      // on the edge key, the same degradation path g01's scaladoc records
-      val nc = e.agg(countDistinct("c").cast("long").as("n"))
-      val h0 = e.select("c").distinct().crossJoin(broadcast(nc))
-        .select(col("c"), expr("1000000000000 div n").as("h"))
-      val a1 = normalize(
-        e.join(broadcast(h0), Seq("c")).groupBy("s")
-          .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
-      val h1 = normalize(
-        e.join(broadcast(a1), Seq("s")).groupBy("c")
-          .agg(sum(col("a").cast("decimal(38,0)")).as("r")), "c", "h")
-      val a2 = normalize(
-        e.join(broadcast(h1), Seq("c")).groupBy("s")
-          .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
-      val deg = e.groupBy("s").agg(count(lit(1)).cast("long").as("in_deg"))
-      a2.join(deg, Seq("s"))
-        .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
-        .orderBy(desc("auth_scaled"), col("node"))
-        .limit(20)
-    },
+        |ORDER BY auth_scaled DESC, node LIMIT 20""") { (s, dir) => hitsRanking(s, dir) },
   )
+
+  /** g15's body — see the registry doc for the semantics. `broadcastRanks`
+    * is the wired form of the plan choice the r15 bench measured: the rank
+    * tables (one ~16 B row per customer/supplier with edges) are NODE-sized,
+    * i.e. they grow with the corpus, so the broadcast that wins at bench
+    * scale (SMJ sorted the 600k-edge side three times without it — 7.9 s
+    * wall / 17.9 cpu vs 4.65 s with; the fix is the plan, not the math) is
+    * a forced O(V) driver materialization at a 1e9-node deployment. `true`
+    * (default) keeps the measured bench plan; `false` drops the hints and
+    * pins the rank joins shuffle-hash on the edge key instead (the
+    * co-partitioned degradation path, now selectable rather than an edit —
+    * the d04/s20/g12/g05 graduation). The 1-row normalization totals stay
+    * broadcast in both positions: they are scalars, not node tables.
+    */
+  private[graft] def hitsRanking(s: SparkSession, dir: String,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val (e, _) = DedupQueries.persistCompact(
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("s"))
+        .distinct())
+    // the knob moves the join strategy only — shuffle_hash in the false
+    // position keeps AQE from re-broadcasting a side that is only small
+    // at bench scale (g05's discipline)
+    def rankSide(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df.hint("shuffle_hash")
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val t = raw.agg(sum("r").cast("decimal(38,0)").as("t"))
+      raw.crossJoin(broadcast(t))
+        .select(col(key), expr("(r * 1000000000000) div t").cast("long").as(out))
+    }
+    val nc = e.agg(countDistinct("c").cast("long").as("n"))
+    val h0 = e.select("c").distinct().crossJoin(broadcast(nc))
+      .select(col("c"), expr("1000000000000 div n").as("h"))
+    val a1 = normalize(
+      e.join(rankSide(h0), Seq("c")).groupBy("s")
+        .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
+    val h1 = normalize(
+      e.join(rankSide(a1), Seq("s")).groupBy("c")
+        .agg(sum(col("a").cast("decimal(38,0)")).as("r")), "c", "h")
+    val a2 = normalize(
+      e.join(rankSide(h1), Seq("c")).groupBy("s")
+        .agg(sum(col("h").cast("decimal(38,0)")).as("r")), "s", "a")
+    val deg = e.groupBy("s").agg(count(lit(1)).cast("long").as("in_deg"))
+    // deg stays unhinted in the true position (AQE's call, the r15 bench
+    // plan verbatim); in the false position it is node-sized like the
+    // ranks, so it takes the same shuffle-hash pin
+    val degSide = if (broadcastRanks) deg else deg.hint("shuffle_hash")
+    a2.join(degSide, Seq("s"))
+      .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
+      .orderBy(desc("auth_scaled"), col("node"))
+      .limit(20)
+  }
 
   /** Symmetrized edge list (both directions of each u<v edge) — the wedge
     * join's base relation, shared by g05/g14 so the two entries cannot

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
+import graft.operators.GraphQueries
 import org.apache.spark.sql.functions._
 
 /** Invariants for the round-5 pipeline operators that the oracle compare
@@ -2049,6 +2050,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a2s1 > a2s23, "the shared authority must outrank the solo ones")
   }
 
+  test("g15 broadcastRanks knob: both positions bit-identical; false pins a BroadcastHashJoin-free co-partitioned plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g15knob").toString
+    // a less symmetric graph than the trace above so a strategy bug that
+    // reorders or drops a rank join cannot cancel out
+    val orders = (1L to 6L).map(k => (k, (k - 1) / 2 + 1)) // 3 customers, 2 orders each
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 3L), (4L, 2L),
+      (5L, 1L), (6L, 4L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val bcast = GraphQueries.hitsRanking(spark, dir, broadcastRanks = true)
+    val copart = GraphQueries.hitsRanking(spark, dir, broadcastRanks = false)
+    val a = bcast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = copart.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, s"knob changed the answer:\n true=$a\nfalse=$b")
+    assert(a.nonEmpty)
+    // the knob moves strategy only: false must not broadcast any RANK
+    // table. The edge BUILD (orders x lineitem) may broadcast — that join
+    // is unhinted, AQE's call at spec scale — and the 1-row normalization
+    // scalars ride BroadcastNestedLoopJoin (a scalar cross join, not a
+    // node-table materialization); so the pin is (a) every remaining
+    // BroadcastHashJoin keys on the fact build's o_orderkey/l_orderkey,
+    // never on the c/s rank keys, and (b) the four hinted joins (h0, a1,
+    // h1, deg) all run ShuffledHashJoin
+    val plan = copart.queryExecution.executedPlan.toString
+    val bhjKeys = """BroadcastHashJoin \[(\w+)#""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bhjKeys.forall(k => k == "o_orderkey" || k == "l_orderkey"),
+      s"broadcastRanks=false still broadcast a rank table (BHJ keys: $bhjKeys):\n$plan")
+    val shjCount = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shjCount >= 4,
+      s"expected 4 shuffle-hash rank joins, saw $shjCount:\n$plan")
+    val planTrue = bcast.queryExecution.executedPlan.toString
+    assert(planTrue.contains("BroadcastHashJoin"),
+      s"broadcastRanks=true lost the measured bench plan:\n$planTrue")
+    // and at sf0.001 — the oracle's own grain — the two positions stay
+    // bit-identical: the knob moves the join strategy, never the arithmetic
+    val sfTrue = GraphQueries.hitsRanking(spark, sf0001, broadcastRanks = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sfFalse = GraphQueries.hitsRanking(spark, sf0001, broadcastRanks = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sfTrue == sfFalse, s"knob changed the sf0.001 answer:\n true=$sfTrue\nfalse=$sfFalse")
+    assert(sfTrue.size == 10) // sf0.001 has 10 suppliers; LIMIT 20 keeps all
+  }
+
   test("st16 FIFO entry: arrival order decides — early demand is lost, late demand matches (hand trace)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("st16spec").toString
@@ -2095,6 +2142,16 @@ class PipelineOpsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(got == Seq((15L, 13333L, 666L, 6666L, 30005L, alarmDay, 4L)),
       got.mkString(", "))
+    // a perfectly flat series never alarms, and silence reports the -1
+    // sentinel — NOT 0, which is 1970-01-01, a day an alarm could land on
+    val flat = java.nio.file.Files.createTempDirectory("a20flat").toString
+    (1 to 15).map(k => (k.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-$k%02d 00:00:00"), 100.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$flat/orders.parquet")
+    val silent = SparkEntry.queries("a20_cusum_alarm")(spark, flat).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(silent == Seq((15L, 0L, -1L, 0L)), silent.mkString(", "))
   }
 
   test("m13 scene cuts: planted frame features — cut on the 64-delta, short final frame clamps, non-videos silent") {
