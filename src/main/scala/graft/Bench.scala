@@ -42,6 +42,44 @@ object Bench {
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Battery-level weather index (r15 advisory #2): the median
+    * wall-ratio vs the previous round's detail over the common
+    * above-floor entries. Per-query requalification cannot outrun a
+    * window where the whole HOST is contended (r15: 56 >2x movers on
+    * untouched code, identical-build totals swinging 201 -> 327 s, and
+    * even fresh-JVM takes read 24-50 s for a 1 s query) — but the
+    * MEDIAN ratio is exactly the signal a storm cannot hide: genuine
+    * plan changes move a handful of entries, a storm moves the middle
+    * of the distribution (r15 read 1.31 while clean-common cpu was
+    * 0.996). None = no comparable prior (missing/other-sf detail, or
+    * fewer than [[WeatherMinCommon]] common entries — too few for a
+    * median to mean anything).
+    */
+  private[graft] def weatherIndex(prevWalls: Map[String, Double],
+      now: Seq[(String, Double)], floorS: Double): Option[Double] = {
+    val ratios = now.flatMap { case (n, w) =>
+      prevWalls.get(n).collect {
+        case p if p > 0 && w > 0 && math.max(p, w) >= floorS => w / p
+      }
+    }
+    if (ratios.size < WeatherMinCommon) None
+    else Some(ratios.sorted.apply(ratios.size / 2))
+  }
+
+  /** Median wall ratio above which the battery is stamped
+    * weather-degraded: cpu_s (which host steal barely moves) becomes the
+    * round-over-round basis of record and requalification is skipped —
+    * fresh takes in the same window inherit the same storm, so "min of
+    * available takes" would still publish storm numbers as if clean
+    * (r15's t29: 13.16 s published against a 0.94-1.6 s warm norm).
+    * 1.25 sits well above calm-window jitter on this host (calm rounds
+    * read ~0.9-1.1) and well below the r15 storm's 1.31.
+    */
+  private[graft] val WeatherDegradedThreshold = 1.25
+
+  /** Minimum common above-floor entries for the median to be meaningful. */
+  private[graft] val WeatherMinCommon = 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -169,6 +207,36 @@ object Bench {
         n -> (if (extra.isEmpty) best else math.min(best, extra.min))
       } else n -> best
     }
+    // Previous round's per-query walls (same sf only): the baseline for
+    // both the weather index and the requalifier's mover filter.
+    val prevWalls: Option[Map[String, Double]] = try {
+      val prevFile = Paths.get("BENCH_DETAIL.json")
+      if (!Files.exists(prevFile)) None else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(Files.readString(prevFile))
+        val prevSf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        val prevQ = root.get("queries")
+        // a corpus/layout change (the partitioned-layout bench pass)
+        // makes round-over-round wall times incomparable — skip
+        if (prevSf != sfDir || prevQ == null) None else {
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          val it = prevQ.fieldNames()
+          while (it.hasNext) { val k = it.next(); m(k) = prevQ.get(k).asDouble }
+          Some(m.toMap)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-weather] prev detail unreadable: ${e.getMessage}")
+      None
+    }
+    // Weather stamp (r15 advisory #2): computed BEFORE requalification so
+    // a storm-degraded window skips the fresh-JVM passes entirely — they
+    // inherit the same storm and would publish contended numbers as clean.
+    val weather = prevWalls.flatMap(p => weatherIndex(p, results, floorS))
+    val weatherDegraded = weather.exists(_ > WeatherDegradedThreshold)
+    if (weatherDegraded) System.err.println(
+      f"[bench-weather] DEGRADED window: median wall ratio ${weather.get}%.3f > " +
+        f"$WeatherDegradedThreshold — requalification skipped, cpu_s is the basis of record")
     // Fresh-JVM requalifier (r9 verdict #3, mechanizing the round-9 memory
     // rule "only fresh-JVM warm takes settle a regression"): any query
     // whose in-bench best-of-2 moved >2× in either direction vs the
@@ -191,7 +259,12 @@ object Bench {
     // the full fresh record stays auditable in "requalified".
     val (requalified: String, requalPub: Map[String, (Double, Double)]) = {
       import scala.jdk.CollectionConverters._
-      val cap = 8       // bound the extra bench time; overflow noted on stderr
+      // r15 advisory #2: a flat cap of 8 under a 56-mover storm silently
+      // left 48 entries on contended numbers. Storms now skip requalify
+      // wholesale (the weather stamp above); in a CALM window movers are
+      // genuine plan/code changes and historically few (r14: 8), so the
+      // cap covers twice that before the stderr overflow note fires.
+      val cap = 16
       def freshTakes(name: String): Seq[(Double, Double, Double)] = {
         val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -214,17 +287,13 @@ object Bench {
           (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq
       }
       try {
-        val prevFile = Paths.get("BENCH_DETAIL.json")
-        if (!Files.exists(prevFile)) ("{}", Map.empty[String, (Double, Double)]) else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(Files.readString(prevFile))
-          val prevSf = Option(root.get("sf")).map(_.asText).getOrElse("")
-          val prevQ = root.get("queries")
-          // a corpus/layout change (the partitioned-layout bench pass)
-          // makes round-over-round wall times incomparable — skip
-          if (prevSf != sfDir || prevQ == null) ("{}", Map.empty[String, (Double, Double)]) else {
+        if (prevWalls.isEmpty || weatherDegraded)
+          ("{}", Map.empty[String, (Double, Double)])
+        else {
+          val prevQ: Map[String, Double] = prevWalls.get
+          locally {
             val movers = results.flatMap { case (n, now) =>
-              Option(prevQ.get(n)).map(_.asDouble).collect {
+              prevQ.get(n).collect {
                 case prev if math.max(prev, now) >= floorS && prev > 0 && now > 0 &&
                   math.max(now / prev, prev / now) > 2.0 =>
                   (n, prev, now, math.abs(math.log(now / prev)))
@@ -327,10 +396,22 @@ object Bench {
       "localDir" -> sys.props.getOrElse("spark.local.dir", "default"),
       "codeCache" -> sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m"))
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // Weather stamp, in BOTH artifacts (r15 advisory #2): index = median
+    // wall ratio vs prev detail over common above-floor entries (null =
+    // no comparable prior); degraded => cpu_s is the round-over-round
+    // basis of record and requalification was skipped for this window.
+    val nCommon = prevWalls.map(p => results.count { case (n, w) =>
+      p.get(n).exists(pv => pv > 0 && w > 0 && math.max(pv, w) >= floorS)
+    }).getOrElse(0)
+    val weatherJson =
+      s"""{"index":${weather.map(r3).getOrElse("null")},"n_common":$nCommon,""" +
+        s""""threshold":$WeatherDegradedThreshold,"degraded":$weatherDegraded,""" +
+        s""""basis":"${if (weatherDegraded) "cpu_s" else "wall"}",""" +
+        s""""requalify":"${if (weatherDegraded) "skipped_storm" else "normal"}"}"""
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_warm","n_queries":${results.size},"errors":$errJson,"queries":${json(resultsPub)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_warm","n_queries":${results.size},"errors":$errJson,"weather":$weatherJson,"queries":${json(resultsPub)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
     val head = resultsPub.filter { case (k, _) => Headline.contains(k) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"requalified":$nRequalified,"queries":${json(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"requalified":$nRequalified,"weather":${weather.map(r3).getOrElse("null")},"degraded":$weatherDegraded,"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

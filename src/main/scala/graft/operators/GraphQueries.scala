@@ -890,6 +890,112 @@ object GraphQueries {
         |SELECT a2.s AS node, deg.in_deg, a2.a AS auth_scaled
         |FROM a2 JOIN deg ON deg.s = a2.s
         |ORDER BY auth_scaled DESC, node LIMIT 20""") { (s, dir) => hitsRanking(s, dir) },
+
+    sql(
+      "g16_hyperball_anf",
+      "HyperBall approximate neighborhood function (Boldi/Vigna WWW'13 — the 100 TB form g10's scaladoc promised: g10 grows EXACT per-seed balls, O(rounds x frontier x degree) pair rows that at web scale become the graph's full transitive neighborhood, while HyperBall replaces each node's ball with one 512-register HyperLogLog COUNTER merged along edges — state O(V x 512) regardless of ball size, every round one edge-keyed join + register-keyed min): each node starts with its own splitmix hash in one register (the relational register grain is (node, idx, min w) — min w IS elementwise max-rho merge, a06's exact duplicate-insensitive semantics), h rounds of neighbor-merge give counters covering B(v,h), and a06's PROVEN-replayable fixed-order estimator (HUGEINT register sums, one double division chain, linear counting below 2.5m with empty registers) reads each node's ball size — so the whole loop, registers to estimates, replays bit-exact in DuckDB with machinery already behind the gate. Output: the h = 0..3 curve — node count, seed count (g10's node % 100 sample), Sigma-ball ANF estimate over ALL nodes AND over the seed sample (the column the error-envelope spec checks against g10's exact Sigma|B(s,h)|), mean ball ppm. Scale posture: register rows per node are min(512, |B(v,h)|), so each round shuffles O(V x min(512, ball)) 24 B rows keyed (node, idx) with map-side min-combine; the estimator is one register-keyed pass; no frontier, no pair explosion — THE neighborhood primitive that survives 1e9 nodes",
+      {
+        val mergeRounds = (1 to 3).map { h =>
+          val prev = s"r${h - 1}"
+          s"""r$h AS MATERIALIZED (
+             |  SELECT node, idx, min(w) AS w FROM (
+             |    SELECT node, idx, w FROM $prev
+             |    UNION ALL
+             |    SELECT s.src AS node, r.idx, r.w FROM sym s JOIN $prev r ON r.node = s.dst)
+             |  GROUP BY node, idx)""".stripMargin
+        }.mkString(",\n")
+        val estimators = (0 to 3).map { h =>
+          s"""rho$h AS (
+             |  SELECT node, idx, 54 - max(b) AS mj FROM r$h, bits
+             |  WHERE w > 0 AND (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) <= w GROUP BY node, idx
+             |  UNION ALL
+             |  SELECT node, idx, 55 AS mj FROM r$h WHERE w = 0),
+             |pres$h AS (SELECT node, CAST(count(*) AS BIGINT) AS np,
+             |                  sum(CAST(1 AS HUGEINT) << CAST(55 - mj AS INTEGER)) AS sp
+             |           FROM rho$h GROUP BY node),
+             |fin$h AS MATERIALIZED (
+             |  SELECT node, CAST(floor(CASE WHEN r <= 1280 AND vz > 0
+             |                               THEN 512 * ln(CAST(512 AS DOUBLE) / vz)
+             |                               ELSE r END + 0.5) AS BIGINT) AS est
+             |  FROM (SELECT node, 512 - np AS vz,
+             |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 512) * 512 * 512)
+             |               * CAST(36028797018963968 AS DOUBLE)
+             |               / CAST(sp + (512 - np) * (CAST(1 AS HUGEINT) << 55) AS DOUBLE) AS r
+             |        FROM pres$h))""".stripMargin
+        }.mkString(",\n")
+        val curve = (0 to 3).map { h =>
+          s"""SELECT CAST($h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_nodes,
+             |       CAST(sum(CASE WHEN node % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+             |       CAST(sum(est) AS BIGINT) AS anf_est,
+             |       CAST(sum(CASE WHEN node % 100 = 0 THEN est ELSE 0 END) AS BIGINT) AS seed_anf_est,
+             |       CAST((1000000 * CAST(sum(est) AS HUGEINT)) // count(*) AS BIGINT) AS avg_ball_ppm
+             |FROM fin$h""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $copurchasePairsSql,
+           |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+           |                     UNION ALL SELECT v, u FROM pairs),
+           |nodesrc AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS k FROM sym),
+           |${graft.functions.HashFunctions.priorityHashCtes("nodesrc", "k", 13L, "node")},
+           |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
+           |r0 AS MATERIALIZED (SELECT node, CAST(pri >> 54 AS BIGINT) AS idx,
+           |                           pri % 18014398509481984 AS w FROM ph4),
+           |$mergeRounds,
+           |$estimators
+           |$curve
+           |ORDER BY h"""
+      }) { (s, dir) =>
+      import graft.functions.HashFunctions
+      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      // one register per node to start: its own hash (idx = top 9 bits,
+      // w = low 54); merging balls = min(w) per (node, idx), a06's
+      // elementwise max-rho in the relational grain
+      var regs = sym.select(col("src").as("node")).distinct()
+        .withColumn("pri", HashFunctions.priorityHash(col("node"), 13L))
+        .select(col("node"), expr("shiftright(pri, 54)").as("idx"),
+          expr("pri % 18014398509481984").as("w"))
+        .coalesce(parts).localCheckpoint(true)
+      // a06's finish(), column-wise: mj from the integer-exact bin length
+      // (length(bin(w)) - 1 = floor(log2 w)), register sums in
+      // DECIMAL(38,0) (512 x 2^55 = 2^64 overflows LONG), then the same
+      // fixed-order double chain the oracle replays
+      def curveRow(h: Int, regsH: DataFrame): DataFrame =
+        regsH
+          .withColumn("mj",
+            when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
+          .groupBy("node")
+          .agg(count(lit(1)).cast("long").as("np"),
+            sum(expr("cast(shiftleft(cast(1 as bigint), cast(55 - mj as int)) as decimal(38,0))")).as("sp"))
+          .select(col("node"), (lit(512) - col("np")).as("vz"),
+            expr("cast(sp + (512 - np) * cast(shiftleft(cast(1 as bigint), 55) as decimal(38,0)) as double)").as("sd"))
+          .select(col("node"), col("vz"),
+            (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512)) * lit(512) * lit(512)
+              * lit(36028797018963968.0) / col("sd")).as("r"))
+          .select(col("node"),
+            floor(when(col("r") <= 1280.0 && col("vz") > 0,
+              lit(512) * log(lit(512.0) / col("vz"))).otherwise(col("r")) + 0.5)
+              .cast("long").as("est"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+            sum(when(col("node") % 100 === 0, 1L).otherwise(0L)).cast("long").as("n_seeds"),
+            sum("est").cast("long").as("anf_est"),
+            sum(when(col("node") % 100 === 0, col("est")).otherwise(0L)).cast("long").as("seed_anf_est"))
+          .select(lit(h.toLong).as("h"), col("n_nodes"), col("n_seeds"),
+            col("anf_est"), col("seed_anf_est"),
+            expr("(1000000 * cast(anf_est as decimal(38,0))) div n_nodes")
+              .cast("long").as("avg_ball_ppm"))
+      var out = curveRow(0, regs)
+      for (h <- 1 to 3) {
+        regs = regs.unionAll(
+            sym.join(regs.select(col("node").as("dst"), col("idx"), col("w"))
+              .hint("shuffle_hash"), Seq("dst"))
+              .select(col("src").as("node"), col("idx"), col("w")))
+          .groupBy("node", "idx").agg(min("w").as("w"))
+          .coalesce(parts).localCheckpoint(true)
+        out = out.unionAll(curveRow(h, regs))
+      }
+      out.orderBy("h")
+    },
   )
 
   /** g15's body — see the registry doc for the semantics. `broadcastRanks`

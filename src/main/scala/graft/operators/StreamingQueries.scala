@@ -520,6 +520,42 @@ object StreamingQueries {
             (col("demand_units") - col("matched_units")).as("lost_units"))
           .orderBy("user_id")
       }
+    },
+
+    sql(
+      "st17_stream_cusum",
+      "STREAMING one-sided CUSUM monitor (EventStreams.cusumAlarms) — a20's Page control chart run ONLINE per user, the drift-family's streaming representative beside st13's per-point prequential z-test (st13 flags single spikes against running moments; this integrates SUSTAINED small excess — a user whose values run persistently above target trips CUSUM while never tripping a z-test): S_n = max(0, S_{n-1} + (v_n - k)) on the 1e6 value grid with FIXED config parameters k = 60e6, h = 150e6 (unlike a20's self-calibrated batch form — an online monitor cannot know the mean of data it has not seen; shipping k/h as configuration IS the production control-chart deployment shape). Per-user state is two longs (S_n and the fold index) on transformWithState ValueState; within a batch events fold in µs-exact (ts, event_id) order and S_n carries ACROSS batches (MemoryStream spec pins the carry and the strict S > h alarm boundary), so the inherently sequential recursion replays declaratively through the SAME min-plus identity st16 machine-checks: S_n = cum_n - min(0, min_{j<=n} cum_j) over the running (v - k) sum — two user-partitioned windows, exact integers end to end; the bounded single-batch replay (st06's guard) makes emissions the exact batch answer. Output: per user n_events, max CUSUM, alarm count, first-alarm fold index (-1 = never, a20's sentinel discipline). Scale posture: 16 B per user in the state store, emissions per event, one keyed rollup",
+      """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vs
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |             AND user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT user_id, event_id, tts,
+        |             CAST(sum(vs - 60000000) OVER w AS BIGINT) AS cum,
+        |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY tts, event_id) AS BIGINT) AS rn
+        |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, rn,
+        |             cum - least(CAST(0 AS BIGINT), CAST(min(cum) OVER w2 AS BIGINT)) AS s_n
+        |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(s_n) AS BIGINT) AS max_cusum,
+        |       CAST(sum(CASE WHEN s_n > 150000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |       CAST(coalesce(min(CASE WHEN s_n > 150000000 THEN rn END), -1) AS BIGINT) AS first_alarm_rn
+        |FROM s GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        runToMemory(s,
+          EventStreams.cusumAlarms(s, eventStream(s, dir)).toDF(),
+          "st17_out", mode = "append", requireSingleBatch = true)
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            max("s_n").cast("long").as("max_cusum"),
+            sum("is_alarm").cast("long").as("n_alarms"),
+            coalesce(min(when(col("is_alarm") === 1, col("rn"))), lit(-1L))
+              .cast("long").as("first_alarm_rn"))
+          .orderBy("user_id")
+      }
     }
   )
 }

@@ -261,6 +261,73 @@ object EventStreams {
       .transformWithState(new PrequentialAnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-event CUSUM verdict; `rn` = the user's 1-based fold index (carried
+    * across batches — the cross-batch carry the MemoryStream spec pins).
+    */
+  final case class CusumFlag(user_id: Long, event_id: Long, rn: Long,
+      s_n: Long, is_alarm: Long)
+
+  /** Two longs: the running CUSUM statistic and the fold index. */
+  final case class CusumState(s: Long, n: Long)
+
+  /** ONLINE one-sided CUSUM (Page 1954) — a20's control chart as a
+    * monitor, the shape the st13 prequential precedent proved valuable
+    * online: S_n = max(0, S_{n-1} + (v_n − k)) per user on the 1e6 value
+    * grid, alarm when S_n > h. Unlike a20's batch form the drift
+    * parameters are FIXED configuration, not self-calibrated — an online
+    * monitor cannot know the mean of a corpus it has not seen yet, and
+    * shipping k/h as config IS the deployment shape of every production
+    * control chart. State is two longs (S_n and the fold index); within a
+    * batch events fold in µs-exact (ts, event_id) order (the st16
+    * contract) and S_n carries ACROSS batches, so the inherently
+    * sequential recursion replays declaratively via the SAME min-plus
+    * identity st16 machine-checks: S_n = cum_n − min(0, min_{j≤n} cum_j)
+    * over the running sum of (v − k). Scale posture: 16 B per user in the
+    * state store, emissions per event, the report one keyed rollup.
+    */
+  final class CusumProcessor(kGrid: Long, hGrid: Long)
+      extends StatefulProcessor[Long, VsEvent, CusumFlag] {
+    @transient private var st: ValueState[CusumState] = _
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[VsEvent],
+        timerValues: TimerValues): Iterator[CusumFlag] = {
+      val batch = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+      var (s, n) =
+        if (st.exists()) { val c = st.get(); (c.s, c.n) } else (0L, 0L)
+      val out = batch.map { r =>
+        s = math.max(0L, s + (r.vs - kGrid))
+        n += 1
+        CusumFlag(user, r.event_id, n, s, if (s > hGrid) 1L else 0L)
+      }
+      st.update(CusumState(s, n))
+      out.iterator
+    }
+  }
+
+  /** Streaming CUSUM flags via [[CusumProcessor]] over events with columns
+    * (user_id, event_id, ts, value); rows missing any of them are dropped
+    * (the st13/oracle filter). k/h ride the 1e6 grid.
+    */
+  def cusumAlarms(spark: SparkSession, events: DataFrame,
+      kGrid: Long = 60000000L, hGrid: Long = 150000000L): Dataset[CusumFlag] = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("event_id").isNotNull
+        && col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vs"))
+      .as[VsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(kGrid, hGrid),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One current-leaderboard row emitted by [[TopKProcessor]]. */
   final case class TopEntry(event_type: String, user_id: Long, n_events: Long, rnk: Long)
 

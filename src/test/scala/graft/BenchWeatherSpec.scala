@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench weather index (r15 advisory #2) on simulated windows: a calm
+  * window stays under the degraded threshold, a storm-grade window (the
+  * r15 shape — the MIDDLE of the wall distribution inflated, not a few
+  * movers) breaches it, and a few genuine plan regressions cannot breach
+  * it on their own — that is the property separating "requalify the
+  * movers" from "stamp the battery and fall back to cpu_s".
+  */
+class BenchWeatherSpec extends AnyFunSuite {
+  private val floorS = 0.5
+
+  private def battery(n: Int, wall: Int => Double): Seq[(String, Double)] =
+    (1 to n).map(i => f"q$i%03d" -> wall(i))
+
+  test("calm window: jittered walls read ~1.0 and stay under the threshold") {
+    val prev = battery(250, _ => 1.0).toMap
+    // ±10% deterministic jitter, centered: the calm-round shape
+    val now = battery(250, i => 1.0 + (if (i % 2 == 0) 0.1 else -0.1))
+    val idx = Bench.weatherIndex(prev, now, floorS)
+    assert(idx.isDefined)
+    assert(idx.get <= 1.1, s"calm median read ${idx.get}")
+    assert(idx.get < Bench.WeatherDegradedThreshold)
+  }
+
+  test("storm window: a uniform 1.4x host-steal inflation breaches the threshold") {
+    val prev = battery(250, _ => 1.0).toMap
+    val now = battery(250, _ => 1.4) // r15 read 1.31 battery-wide
+    val idx = Bench.weatherIndex(prev, now, floorS)
+    assert(idx.exists(_ > Bench.WeatherDegradedThreshold),
+      s"storm median read $idx — the degraded stamp would not fire")
+  }
+
+  test("a handful of genuine regressions cannot fake a storm: median is mover-robust") {
+    val prev = battery(250, _ => 1.0).toMap
+    // 20 real 5x regressions (more than r14's full mover set) on a calm host
+    val now = battery(250, i => if (i <= 20) 5.0 else 1.0)
+    val idx = Bench.weatherIndex(prev, now, floorS)
+    assert(idx.isDefined)
+    assert(idx.get < Bench.WeatherDegradedThreshold,
+      s"20/250 movers breached the battery-level stamp: ${idx.get}")
+  }
+
+  test("sub-floor entries are excluded: jitter on 0.1 s queries cannot move the index") {
+    // 200 sub-floor entries tripling (0.1 -> 0.3 s: pure scheduler noise)
+    // plus 30 above-floor flat entries: the median must read the flat set
+    val prev = (battery(200, _ => 0.1) ++
+      (201 to 230).map(i => f"q$i%03d" -> 2.0)).toMap
+    val now = battery(200, _ => 0.3) ++ (201 to 230).map(i => f"q$i%03d" -> 2.0)
+    val idx = Bench.weatherIndex(prev, now, floorS)
+    assert(idx.contains(1.0), s"sub-floor noise leaked into the index: $idx")
+  }
+
+  test("no comparable prior (or too few common entries) reports None, never a fake index") {
+    assert(Bench.weatherIndex(Map.empty, battery(250, _ => 1.0), floorS).isEmpty)
+    val few = battery(Bench.WeatherMinCommon - 1, _ => 2.0)
+    assert(Bench.weatherIndex(few.toMap, few, floorS).isEmpty)
+    val enough = battery(Bench.WeatherMinCommon, _ => 2.0)
+    assert(Bench.weatherIndex(enough.toMap, enough, floorS).isDefined)
+  }
+}

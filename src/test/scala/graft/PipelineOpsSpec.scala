@@ -2096,6 +2096,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sfTrue.size == 10) // sf0.001 has 10 suppliers; LIMIT 20 keeps all
   }
 
+  test("g16 HyperBall: register-merge estimates track g10's exact balls within the HLL envelope at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    // g16: (h, n_nodes, n_seeds, anf_est, seed_anf_est, avg_ball_ppm)
+    val hb = SparkEntry.queries("g16_hyperball_anf")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    // g10: (h, n_seeds, n_pairs, avg_ball_ppm, n_saturated) — exact balls
+    // on the SAME node % 100 seed sample
+    val exact = SparkEntry.queries("g10_neighborhood_anf")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hb.keySet == Set(0L, 1L, 2L, 3L))
+    // h=0 is exact by construction: one present register, linear counting
+    // reads floor(512 ln(512/511) + 0.5) = 1 per node
+    assert(hb(0L)._2 == hb(0L)._1, s"h=0 must estimate exactly 1 per seed: ${hb(0L)}")
+    (0L to 3L).foreach { h =>
+      val (nSeedsExact, exactSum) = exact(h)
+      val (nSeedsHb, estSum) = hb(h)
+      assert(nSeedsHb == nSeedsExact,
+        s"seed samples diverged at h=$h: $nSeedsHb vs $nSeedsExact")
+      val relErr = math.abs(estSum.toDouble - exactSum.toDouble) / exactSum.toDouble
+      // 512-register HLL in the linear-counting regime: per-node error is
+      // sub-1% at fixture ball sizes, and node errors partially cancel in
+      // the sum — 5% is a loose, regime-stable envelope
+      assert(relErr <= 0.05,
+        f"h=$h: Sigma-ball estimate $estSum vs exact $exactSum (rel err $relErr%.4f)")
+      info(f"h=$h seed-ANF est $estSum vs exact $exactSum (rel err $relErr%.4f)")
+    }
+  }
+
   test("st16 FIFO entry: arrival order decides — early demand is lost, late demand matches (hand trace)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("st16spec").toString

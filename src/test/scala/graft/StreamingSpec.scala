@@ -684,4 +684,40 @@ class StreamingSpec extends SparkSpec {
         (2L, 7L, 200L, 100L)), got.toString)
     }
   }
+
+  test("st17 CUSUM: S_n carries across the batch boundary, resets at 0, and S == h is NOT an alarm (strict boundary)") {
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, m: Int, u: Long, v: Double) =
+        EventStreams.Event(id, java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"), u, "view", v)
+      // k = 60e6, h = 150e6 on the 1e6 grid (the cusumAlarms defaults).
+      // user 1 batch 1: v=100 -> S=40e6; v=120 -> 100e6; v=10 -> 50e6
+      // user 2 batch 1: v=10 -> S=max(0, -50e6) = 0 (the reset pin)
+      ms.addData(Seq(
+        ev(1, 1, 1, 100.0), ev(2, 2, 1, 120.0), ev(3, 3, 1, 10.0),
+        ev(6, 1, 2, 10.0)))
+      val q = EventStreams.cusumAlarms(spark, ms.toDS().toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st17_spec").start()
+      q.processAllAvailable()
+      // user 1 batch 2 (S=50e6 CARRIED): v=160 -> S=150e6 == h exactly —
+      // must NOT alarm (strict >); v=61 -> 151e6 -> the first alarm, rn=5
+      // user 2 batch 2: v=200 -> 140e6 (no alarm), v=0 -> 80e6
+      ms.addData(Seq(
+        ev(4, 4, 1, 160.0), ev(5, 5, 1, 61.0),
+        ev(7, 2, 2, 200.0), ev(8, 3, 2, 0.0)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st17_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == Set(
+        (1L, 1L, 1L, 40000000L, 0L),
+        (1L, 2L, 2L, 100000000L, 0L),
+        (1L, 3L, 3L, 50000000L, 0L),
+        (1L, 4L, 4L, 150000000L, 0L),
+        (1L, 5L, 5L, 151000000L, 1L),
+        (2L, 6L, 1L, 0L, 0L),
+        (2L, 7L, 2L, 140000000L, 0L),
+        (2L, 8L, 3L, 80000000L, 0L)), got.toString)
+    }
+  }
 }
