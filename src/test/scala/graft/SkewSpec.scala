@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.{DedupQueries, GraphQueries, SimilarityQueries}
+import graft.operators.{DedupQueries, GraphQueries, RelationalQueries, SimilarityQueries}
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.functions._
 
@@ -293,5 +293,60 @@ class SkewSpec extends SparkSpec {
     info(s"wedge candidates: uncapped=${uncapped.size}, capped=${capped.size} " +
       s"(hub contribution ${hubWedges.size}); 50 output pairs kept, " +
       s"common -1 and aa -${w(60)} each, Jaccard on true degrees")
+  }
+
+  /** q120 long-history corpus: one part with 200 receipt lots and 200
+    * issues interleaved by arrival (the unbounded-history shape TPC-H's
+    * fixed lines-per-part contract forbids — exactly what the rectangle
+    * form's per-part cross product cannot survive), plus 10 background
+    * parts with contract-sized histories.
+    */
+  private lazy val fifoDir: String = {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.of(1992, 1, 1)
+    val hub = (1 to 400).map { i =>
+      (1L, if (i % 2 == 0) "N" else "R", 10.0, 10.00,
+        java.sql.Date.valueOf(d0.plusDays(i)), i.toLong, 1)
+    }
+    val bg = for {
+      p <- 10L to 19L
+      i <- 1 to 5
+    } yield (p, if (i <= 3) "N" else "R", 5.0, 5.00,
+      java.sql.Date.valueOf(d0.plusDays(i)), 1000 + p * 10 + i, 1)
+    val dir = Files.createTempDirectory("graft-skew-fifo").toString
+    (hub ++ bg).toDF("l_partkey", "l_returnflag", "l_quantity",
+      "l_extendedprice", "l_shipdate", "l_orderkey", "l_linenumber")
+      .repartition(8)
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q120 bucketUnits collapses a planted long-history part's evaluated pairs (output bit-identical)") {
+    val rect = RelationalQueries.fifoEvaluatedPairs(spark, fifoDir, bucketUnits = 0)
+    val strips = RelationalQueries.fifoEvaluatedPairs(spark, fifoDir, bucketUnits = 64)
+    // hand-traced rectangle: hub 200 lots x 200 issues + 10 background
+    // parts at 3 x 2 — the quadratic term is 99.9% of the volume
+    assert(rect === 200L * 200 + 10 * (3 * 2),
+      s"hand-traced rectangle volume 40060, got $rect")
+    // width-10 intervals span <= 2 width-64 buckets, so each strip holds
+    // ~64/10 intervals a side: the hub's quadratic term collapses to
+    // O(history x interval/bucket) — well over 10x here, and the ratio
+    // GROWS linearly with history length while the strips stay flat
+    assert(strips < rect / 10,
+      s"expected > 10x evaluated-pair collapse, got $rect -> $strips")
+    val rectOut = RelationalQueries.fifoMatching(spark, fifoDir, bucketUnits = 0)
+      .collect().map(_.toSeq).toSeq
+    val stripOut = RelationalQueries.fifoMatching(spark, fifoDir, bucketUnits = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(rectOut === stripOut, "bucketing must not change the FIFO answer")
+    // and on the real corpus: the knob is strategy, never arithmetic
+    val sfRect = RelationalQueries.fifoMatching(spark, "/root/testdata/sf0.001", bucketUnits = 0)
+      .collect().map(_.toSeq).toSeq
+    val sfStrip = RelationalQueries.fifoMatching(spark, "/root/testdata/sf0.001", bucketUnits = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(sfRect === sfStrip, "sf0.001 outputs diverged under bucketing")
+    info(s"evaluated pairs: rectangle=$rect, strips(W=64)=$strips " +
+      f"(${rect.toDouble / strips}%.1fx collapse); outputs bit-identical on " +
+      s"planted + sf0.001 corpora")
   }
 }
