@@ -811,6 +811,52 @@ object AggregateQueries {
         .select(col("nd").as("n_days"), col("target").as("target_cents"),
           (col("tk") - col("target")).as("allowance_cents"), col("h").as("threshold_cents"),
           col("max_cusum_cents"), col("first_alarm_day"), col("n_alarm_days"))
+    },
+
+    sql(
+      "a21_mann_kendall",
+      "Mann-Kendall trend test (Mann 1945 / Kendall's tau numerator — the monitoring family's TREND member, completing the triptych: a20 catches a level SHIFT, a15/q110 compare closed windows, q101 fits a PARAMETRIC slope that one outlier quarter drags, while MK asks the distribution-free question 'is the series monotonically drifting AT ALL' from nothing but pairwise orderings): over the day-grain order-revenue series, S = Sigma_{i<j} sign(x_j - x_i) counts concordant minus discordant day pairs, the tie-corrected variance numerator var18 = n(n-1)(2n+5) - Sigma_ties t(t-1)(2t+5) (= 18*Var(S), kept as the exact integer numerator), and the ~2-sigma verdict is EXACT WITHOUT SQRT by the q85/a15 squared-compare discipline: |z| > 2 iff 9*(|S|-1)^2 > 2*var18 (both sides exact integers widened through HUGEINT/DECIMAL(38,0) — S brushes n^2/2 and var18 brushes 2n^3, so the square needs the widening at 30-year histories). Output: day count, S, var18, trend sign, and the significance verdict; a flat series is the spec-pinned edge (S = 0 AND var18 = 0 when every day ties — the test correctly reports nothing rather than dividing by zero). Scale posture: one day-keyed corpus rollup is the only data-sized pass (a20's argument); the |days|^2 pair join is calendar-bounded 16 B metadata and the tie rollup is value-domain-sized",
+      """WITH d0 AS (SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderdate IS NOT NULL),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM d0 GROUP BY day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |s AS (SELECT CAST(coalesce(sum(CASE WHEN a.x > b.x THEN 1
+        |                                    WHEN a.x < b.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b ON b.day < a.day),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) tg),
+        |v AS (SELECT n.nd, n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tsum AS var18
+        |      FROM n CROSS JOIN ties)
+        |SELECT v.nd AS n_days, s.s_stat, CAST(v.var18 AS BIGINT) AS var18,
+        |       CAST(CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend,
+        |       CAST(CASE WHEN s.s_stat = 0 THEN 0
+        |                 WHEN 9 * (CAST(abs(s.s_stat) AS HUGEINT) - 1) * (abs(s.s_stat) - 1)
+        |                      > 2 * CAST(v.var18 AS HUGEINT) THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM s CROSS JOIN v""") { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").isNotNull)
+        .select(expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day").agg(sum("cents").cast("long").as("x"))
+      val n = daily.agg(count(lit(1)).cast("long").as("nd"))
+      val sStat = daily.as("a").join(daily.as("b"), col("b.day") < col("a.day"))
+        .agg(coalesce(sum(when(col("a.x") > col("b.x"), 1L)
+          .when(col("a.x") < col("b.x"), -1L).otherwise(0L)), lit(0L))
+          .cast("long").as("s_stat"))
+      val ties = daily.groupBy("x").agg(count(lit(1)).cast("long").as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).cast("long").as("tsum"))
+      n.crossJoin(broadcast(ties)).crossJoin(broadcast(sStat))
+        .select(col("nd").as("n_days"), col("s_stat"),
+          expr("nd * (nd - 1) * (2 * nd + 5) - tsum").cast("long").as("var18"),
+          when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L).otherwise(0L)
+            .cast("long").as("trend"),
+          when(col("s_stat") === 0, 0L)
+            .otherwise(when(
+              expr("9 * (cast(abs(s_stat) as decimal(38,0)) - 1) * (abs(s_stat) - 1)")
+                > expr("2 * cast(nd * (nd - 1) * (2 * nd + 5) - tsum as decimal(38,0))"), 1L)
+              .otherwise(0L))
+            .cast("long").as("significant"))
     }
   )
 }

@@ -996,6 +996,37 @@ object GraphQueries {
       }
       out.orderBy("h")
     },
+
+    sql(
+      "g17_weighted_pagerank",
+      "strength-weighted PageRank (2 unrolled iterations) over the customer<->supplier trade graph with edge weight = DISTINCT shared orders — the repeat-business-weighted authority g01 cannot express: g01's uniform 1/deg walk scores a supplier by HOW MANY customers touch it, this scores by how much RECURRING business flows through each edge (one 50-order relationship outweighs fifty 1-order drive-bys — the domain-trust weighting a curation pipeline wants when edge strength, not mere adjacency, is the signal). Same 1e12 integer grid and bit-identical-ranks contract as g01: per-edge contribution = rank * w div strength (the flooring division per edge, summed exactly), strength = each node's total edge weight (replacing g01's degree), restart term (15% div n) identical. Output: top-20 nodes under (rank_scaled DESC, node) with strength carried — rank-vs-strength divergence is the signal (a node outranks its raw volume when its partners are themselves authoritative). Scale posture: the weighted edge list derives once (one fact join + (cust, supp)-keyed distinct-order count) and persists compact WITH the loop-invariant strength pre-joined, so each half-iteration is ONE rank join + one dst-keyed sum; rank tables are node-sized and take g15's wired broadcastRanks knob (default true = the measured bench plan, false = shuffle-hash co-partitioned on the edge key — the 1e9-node plan); per-edge products widen through HUGEINT/DECIMAL(38,0) because rank * weight brushes 1e21 at web scale",
+      """WITH e0 AS (SELECT CAST(o.o_custkey AS BIGINT) AS c,
+        |                  CAST(l.l_suppkey AS BIGINT) + 1000000 AS s,
+        |                  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+        |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |           GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, s AS dst, w FROM e0 UNION ALL SELECT s, c, w FROM e0),
+        |str AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node,
+        |              CAST(sum(CAST(r.r AS HUGEINT) * e.w // t.wt) AS BIGINT) AS m
+        |       FROM edges e JOIN r0 r ON r.node = e.src JOIN str t ON t.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n0.node, (150000000000 // nn.n) + (85 * coalesce(c1.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c1 ON c1.node = n0.node),
+        |c2 AS (SELECT e.dst AS node,
+        |              CAST(sum(CAST(r.r AS HUGEINT) * e.w // t.wt) AS BIGINT) AS m
+        |       FROM edges e JOIN r1 r ON r.node = e.src JOIN str t ON t.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n0.node, (150000000000 // nn.n) + (85 * coalesce(c2.m, 0)) // 100 AS r
+        |       FROM nodes n0 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n0.node)
+        |SELECT r2.node, str.wt AS strength, CAST(r2.r AS BIGINT) AS rank_scaled
+        |FROM r2 JOIN str ON str.src = r2.node
+        |ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
+      weightedPageRank(s, dir)
+    },
   )
 
   /** g15's body — see the registry doc for the semantics. `broadcastRanks`
@@ -1049,6 +1080,50 @@ object GraphQueries {
     a2.join(degSide, Seq("s"))
       .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
       .orderBy(desc("auth_scaled"), col("node"))
+      .limit(20)
+  }
+
+  /** g17's body — g01's walk on the DISTINCT-shared-orders weighted edge
+    * list. The loop-invariant strength (each node's total edge weight)
+    * is pre-joined into the compact persisted edges so every iteration
+    * is exactly one rank join + one destination-keyed sum; the rank
+    * tables are node-sized, so they take the SAME wired `broadcastRanks`
+    * knob [[hitsRanking]] graduated to (true = broadcast, the bench
+    * plan; false = shuffle-hash co-partitioned on the edge key).
+    */
+  private[graft] def weightedPageRank(s: SparkSession, dir: String,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + 1000000L).as("sk"))
+      .agg(countDistinct("o_orderkey").cast("long").as("w"))
+    val sym = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
+      .unionAll(e0.select(col("sk").as("src"), col("c").as("dst"), col("w")))
+    val str = sym.groupBy("src").agg(sum("w").cast("long").as("wt"))
+    // strength is loop-invariant: bake it into the cached edge list so
+    // the per-round plan is one rank join + one keyed sum, nothing else
+    val (e, _) = DedupQueries.persistCompact(sym.join(str, Seq("src")))
+    def rankSide(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df.hint("shuffle_hash")
+    val nodes = e.select("src").distinct()
+    val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select(col("src"), expr("1000000000000 div n").as("r"))
+    def round(r: DataFrame): DataFrame = {
+      val contrib = e.join(rankSide(r), Seq("src"))
+        .groupBy(col("dst").as("src"))
+        .agg(sum(expr("(cast(r as decimal(38,0)) * w) div wt")).cast("long").as("m"))
+      nodes.crossJoin(broadcast(nn))
+        .join(rankSide(contrib), Seq("src"), "left")
+        .select(col("src"),
+          (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+    }
+    val r2 = round(round(r0))
+    r2.join(rankSide(str), Seq("src"))
+      .select(col("src").as("node"), col("wt").as("strength"),
+        col("r").cast("long").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("node"))
       .limit(20)
   }
 

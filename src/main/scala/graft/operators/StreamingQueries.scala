@@ -556,6 +556,44 @@ object StreamingQueries {
               .cast("long").as("first_alarm_rn"))
           .orderBy("user_id")
       }
+    },
+
+    sql(
+      "st18_stream_hll",
+      "STREAMING approximate distinct-count (EventStreams.hllUsers) — a06's deterministic 512-register HyperLogLog carried as per-event-type ValueState, the rolling-uniques sketch a monitoring dashboard keeps ONLINE (an exact per-key distinct set grows with history; the register array is 512 bytes per key FOREVER — the state-boundedness argument st12's dedup horizon and st13's four-long moments make, at the sketch grain): every arriving user folds through the IDENTICAL Aggregators.HllDistinct reduce the batch a06 runs — one shared implementation, so stream and batch cannot drift — and each batch emits the key's CURRENT estimate with its cumulative event count; registers are commutative duplicate-insensitive maxes, so this is the one stateful entry with NO in-batch sort contract (fold order provably cannot matter). The oracle replays registers AND the fixed-order double estimator bit-exactly in HUGEINT (a06's no-carve-out result, re-keyed by event type under seed 17); the bounded single-batch replay makes the one emission per key the exact batch sketch. MemoryStream spec pins the cross-batch register carry (streamed-in-two-batches == batch-aggregator-over-the-union) and duplicate insensitivity. Scale posture: 512 B + one long per key; emissions one row per key per batch; the report is a plain orderBy",
+      s"""WITH d AS (SELECT event_type AS g, CAST(user_id AS BIGINT) AS k FROM events
+        |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+        |${graft.functions.HashFunctions.priorityHashCtes("d", "k", 17L, "g, k")},
+        |regs0 AS (SELECT g, CAST(pri >> 54 AS BIGINT) AS idx, pri % 18014398509481984 AS w FROM ph4),
+        |buckets AS (SELECT g, idx, min(w) AS wmin FROM regs0 GROUP BY g, idx),
+        |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
+        |rhos AS (
+        |  SELECT g, idx, 54 - max(b) AS mj FROM buckets, bits
+        |  WHERE wmin > 0 AND (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) <= wmin GROUP BY g, idx
+        |  UNION ALL
+        |  SELECT g, idx, 55 AS mj FROM buckets WHERE wmin = 0),
+        |present AS (SELECT g, CAST(count(*) AS BIGINT) AS np,
+        |                   sum(CAST(1 AS HUGEINT) << CAST(55 - mj AS INTEGER)) AS sp
+        |            FROM rhos GROUP BY g),
+        |est AS (SELECT g, 512 - np AS vz,
+        |               CAST(sp + (512 - np) * (CAST(1 AS HUGEINT) << 55) AS DOUBLE) AS sd
+        |        FROM present),
+        |raw AS (SELECT g, vz,
+        |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 512) * 512 * 512)
+        |               * CAST(36028797018963968 AS DOUBLE) / sd AS r FROM est),
+        |fin AS (SELECT g,
+        |               CAST(floor(CASE WHEN r <= 1280 AND vz > 0 THEN 512 * ln(CAST(512 AS DOUBLE) / vz) ELSE r END + 0.5) AS BIGINT) AS hll_users
+        |        FROM raw),
+        |ev AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_events FROM events
+        |       WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1)
+        |SELECT f.g AS event_type, ev.n_events, f.hll_users
+        |FROM fin f JOIN ev ON ev.g = f.g ORDER BY event_type""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        runToMemory(s,
+          EventStreams.hllUsers(s, eventStream(s, dir)).toDF(),
+          "st18_out", mode = "update", requireSingleBatch = true)
+          .orderBy("event_type")
+      }
     }
   )
 }

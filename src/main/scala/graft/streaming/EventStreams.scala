@@ -328,6 +328,69 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One (type, user) pair for the distinct-user sketch. */
+  final case class TypeUser(event_type: String, user_id: Long)
+
+  /** Per-batch distinct-user sketch emission for one event type. */
+  final case class HllEmit(event_type: String, n_events: Long, hll_users: Long)
+
+  /** STREAMING approximate distinct-count — a06's deterministic 512-register
+    * HyperLogLog as per-key ValueState, the rolling-uniques sketch every
+    * monitoring dashboard keeps online (exact per-key distinct sets grow
+    * with history; the register state is 512 BYTES per key forever): each
+    * event type carries its register array, every arriving user folds in
+    * through the SAME [[graft.functions.Aggregators.HllDistinct]] reduce
+    * the batch aggregator runs (one shared implementation — the stream
+    * cannot drift from a06), and after each batch the CURRENT estimate is
+    * emitted with the cumulative event count. No in-batch sort: register
+    * max is commutative and duplicate-insensitive, so fold order cannot
+    * matter — the one stateful processor here with nothing to order.
+    * Across batches the registers carry, so the single-batch bounded
+    * replay equals the batch sketch over all events (spec pins the carry
+    * AND stream == batch-aggregator equality). Scale posture: 512 B + one
+    * long per key in the state store; emissions are one row per key per
+    * batch; at 1e9-key cardinality this is exactly the HLL-register
+    * rollup a06's scaladoc ships to 1000 executors.
+    */
+  final class HllDistinctProcessor(seed: Long)
+      extends StatefulProcessor[String, TypeUser, HllEmit] {
+    @transient private var regs: ValueState[Array[Byte]] = _
+    @transient private var nEv: ValueState[Long] = _
+    @transient private lazy val hll = new graft.functions.Aggregators.HllDistinct(seed)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      regs = getHandle.getValueState[Array[Byte]]("regs", Encoders.BINARY, TTLConfig.NONE)
+      nEv = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TypeUser],
+        timerValues: TimerValues): Iterator[HllEmit] = {
+      var r = if (regs.exists()) regs.get() else hll.zero
+      var n = if (nEv.exists()) nEv.get() else 0L
+      rows.foreach { tu => r = hll.reduce(r, tu.user_id); n += 1 }
+      regs.update(r)
+      nEv.update(n)
+      Iterator.single(HllEmit(key, n, hll.finish(r)))
+    }
+  }
+
+  /** Streaming per-type distinct-user estimates via [[HllDistinctProcessor]]
+    * over events with (event_type, user_id); rows missing either are
+    * dropped (the HllDistinct null contract — a typed processor would
+    * decode null user as 0L and register a phantom distinct).
+    */
+  def hllUsers(spark: SparkSession, events: DataFrame,
+      seed: Long = 17L): Dataset[HllEmit] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      .as[TypeUser]
+      .groupByKey(_.event_type)
+      .transformWithState(new HllDistinctProcessor(seed),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** One current-leaderboard row emitted by [[TopKProcessor]]. */
   final case class TopEntry(event_type: String, user_id: Long, n_events: Long, rnk: Long)
 

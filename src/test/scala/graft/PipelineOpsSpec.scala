@@ -2096,6 +2096,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sfTrue.size == 10) // sf0.001 has 10 suppliers; LIMIT 20 keeps all
   }
 
+  test("g17 weighted PageRank: hand-traced 4-node graph — repeat business outweighs drive-bys, duplicate lineitems don't inflate weights, knob positions agree") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g17spec").toString
+    // c1 -[w=3]- s1, c1 -[w=1]- s2, c2 -[w=1]- s1; order 1 carries TWO
+    // lineitems to s1 (distinct-order weight must stay 3, not 4)
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // n=4, r0=25e10 each; round 1: m(c1)=m(s1)=187.5e9+250e9, m(c2)=m(s2)=62.5e9
+    // r1 = 37.5e9 + 85%*m: 409375000000 / 90625000000
+    // round 2: m(c1)=m(s1)=307031250000+90625000000, m(c2)=m(s2)=102343750000
+    // r2: 375507812500 / 124492187500
+    val got = SparkEntry.queries("g17_weighted_pagerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 375507812500L),
+      (1000001L, 4L, 375507812500L),
+      (2L, 1L, 124492187500L),
+      (1000002L, 1L, 124492187500L)), got.mkString(", "))
+    val copart = GraphQueries.weightedPageRank(spark, dir, broadcastRanks = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(copart == got, s"knob changed the answer: $copart")
+  }
+
   test("g16 HyperBall: register-merge estimates track g10's exact balls within the HLL envelope at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     // g16: (h, n_nodes, n_seeds, anf_est, seed_anf_est, avg_ball_ppm)
@@ -2180,6 +2207,34 @@ class PipelineOpsSpec extends SparkSpec {
     val silent = SparkEntry.queries("a20_cusum_alarm")(spark, flat).collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(silent == Seq((15L, 0L, -1L, 0L)), silent.mkString(", "))
+  }
+
+  test("a21 Mann-Kendall: monotone series is significant, flat series reports S = 0 AND var18 = 0, one swap drops S by exactly 2") {
+    import spark.implicits._
+    def corpus(values: Seq[Double]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("a21spec").toString
+      values.zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), v) }
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def run(dir: String) = SparkEntry.queries("a21_mann_kendall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
+    // strictly increasing 15 days: S = C(15,2) = 105, no ties ->
+    // var18 = 15*14*35 = 7350; 9*(105-1)^2 = 97344 > 2*7350 = 14700 -> sig
+    assert(run(corpus((1 to 15).map(_ * 10.0))) == ((15L, 105L, 7350L, 1L, 1L)))
+    // flat: every pair ties -> S = 0, and the single 15-day tie group
+    // cancels var18 exactly (7350 - 7350 = 0): no verdict, no div-by-zero
+    assert(run(corpus(Seq.fill(15)(100.0))) == ((15L, 0L, 0L, 0L, 0L)))
+    // decreasing mirror: S = -105, same var, trend -1, still significant
+    assert(run(corpus((1 to 15).map(i => (16 - i) * 10.0))) == ((15L, -105L, 7350L, -1L, 1L)))
+    // swapping one adjacent pair in the monotone series flips exactly ONE
+    // concordant pair to discordant (+1 -> -1); every other pair keeps
+    // its order, so S = 105 - 2 = 103 — the statistic counts ORDERINGS,
+    // not magnitudes (the robustness q101's OLS slope does not have)
+    val swapped = (1 to 15).map(_ * 10.0).updated(6, 80.0).updated(7, 70.0)
+    assert(run(corpus(swapped)) == ((15L, 103L, 7350L, 1L, 1L)))
   }
 
   test("m13 scene cuts: planted frame features — cut on the 64-delta, short final frame clamps, non-videos silent") {

@@ -720,4 +720,40 @@ class StreamingSpec extends SparkSpec {
         (2L, 8L, 3L, 80000000L, 0L)), got.toString)
     }
   }
+
+  test("st18 HLL: registers carry across batches (stream == batch aggregator over the union), duplicates never move the sketch") {
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[EventStreams.Event](spark)
+      def ev(id: Long, u: Long, t: String) =
+        EventStreams.Event(id, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), u, t, 1.0)
+      // the batch-side mirror: fold the SAME aggregator over a user set
+      val hll = new graft.functions.Aggregators.HllDistinct(17L)
+      def batchEst(users: Seq[Long]): Long =
+        hll.finish(users.foldLeft(hll.zero)((r, u) => hll.reduce(r, u)))
+      // batch 1 — view: users {1, 2, 3} (3 repeated); click: {10}
+      ms.addData(Seq(ev(1, 1, "view"), ev(2, 2, "view"), ev(3, 3, "view"),
+        ev(4, 3, "view"), ev(5, 10, "click")))
+      val q = EventStreams.hllUsers(spark, ms.toDS().toDF()).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("st18_spec").start()
+      q.processAllAvailable()
+      val afterB1 = spark.table("st18_spec").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB1 == Set(
+        ("view", 4L, batchEst(Seq(1L, 2L, 3L))),
+        ("click", 1L, batchEst(Seq(10L)))), afterB1.toString)
+      // batch 2 — view: {2, 3} are REPEATS (the sketch must not move for
+      // them), {4, 5} are new; the carried registers make the emission
+      // equal the batch fold over the UNION {1..5}
+      ms.addData(Seq(ev(6, 2, "view"), ev(7, 4, "view"), ev(8, 5, "view"),
+        ev(9, 3, "view")))
+      q.processAllAvailable(); q.stop()
+      val perBatch = spark.table("st18_spec").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(perBatch.contains(("view", 8L, batchEst(Seq(1L, 2L, 3L, 4L, 5L)))),
+        s"union estimate missing after carry: $perBatch")
+      // and at tiny cardinalities linear counting is exact: est == truth
+      assert(batchEst(Seq(1L, 2L, 3L, 4L, 5L)) == 5L)
+    }
+  }
 }
