@@ -467,16 +467,9 @@ object GraphQueries {
         |FROM ns, (SELECT CAST(count(*) AS BIGINT) AS n FROM b3) c,
         |     (SELECT CAST(count(DISTINCT seed) AS BIGINT) AS n FROM f3) f
         |ORDER BY h""") { (s, dir) =>
-      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      val seeds = sym.select("src").distinct().filter(col("src") % 100 === 0)
-        .select(col("src").as("seed"))
+      val (seeds, b0, fs) = seedFrontiers(s, dir)
       val nSeeds = seeds.agg(count(lit(1)).cast("long").as("n_seeds"))
-      var ball = seeds.select(col("seed"), col("seed").as("node"))
-        .coalesce(parts).localCheckpoint(true)
-      var frontier = ball
-      def curveRow(h: Int, grew: DataFrame): DataFrame =
+      def curveRow(h: Int, ball: DataFrame, grew: DataFrame): DataFrame =
         ball.agg(count(lit(1)).cast("long").as("n_pairs"))
           .crossJoin(broadcast(nSeeds))
           .crossJoin(broadcast(grew))
@@ -484,17 +477,12 @@ object GraphQueries {
             expr("(1000000 * n_pairs) div n_seeds").as("avg_ball_ppm"),
             (col("n_seeds") - col("grew")).as("n_saturated"))
       val all0 = nSeeds.select(col("n_seeds").as("grew")) // h=0: every seed "grew"
-      var out = curveRow(0, all0)
+      var out = curveRow(0, b0, all0)
+      var ball = b0
       for (h <- 1 to 3) {
-        val nbrs = sym
-          .join(frontier.select(col("seed"), col("node").as("src")).hint("shuffle_hash"), Seq("src"))
-          .select(col("seed"), col("dst").as("node")).distinct()
-        frontier = nbrs
-          .join(ball.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
-          .coalesce(parts).localCheckpoint(true)
-        ball = ball.unionAll(frontier).coalesce(parts).localCheckpoint(true)
-        out = out.unionAll(
-          curveRow(h, frontier.agg(countDistinct("seed").cast("long").as("grew"))))
+        ball = ball.unionAll(fs(h - 1)) // checkpointed pieces: cheap re-union
+        out = out.unionAll(curveRow(h, ball,
+          fs(h - 1).agg(countDistinct("seed").cast("long").as("grew"))))
       }
       out.orderBy("h")
     },
@@ -1027,6 +1015,54 @@ object GraphQueries {
         |ORDER BY rank_scaled DESC, node LIMIT 20""") { (s, dir) =>
       weightedPageRank(s, dir)
     },
+
+    sql(
+      "g18_harmonic_centrality",
+      "sampled harmonic centrality over the co-purchase graph (Boldi/Vigna's axiomatic pick — the closeness variant that SURVIVES DISCONNECTION: classic closeness 1/Sigma d(s,v) is undefined when any node is unreachable, harmonic Sigma 1/d(s,v) just scores the unreachable term 0, which is why it is THE centrality reported off web-scale crawls beside the g16 ANF curve it shares machinery with): for g10's deterministic seed sample, C_H(s) = Sigma_{h=1..3} |shell_h(s)| / h over the exact per-seed frontiers (the g04 bounded-round contract — both engines run the same 3 rounds), integerized per shell as n_h * 1e6 div h then summed exactly (flooring per shell, order-independent BIGINT sum). Output: every seed with its three shell sizes and harmonic_ppm, seed-ordered — the rank-vs-1-hop-degree gap is the signal (a seed with modest degree outranks a hub when its 2-3-hop reach is deeper). Scale posture: rides the seedFrontiers machinery g10 already pays for (frontier-only joins, localCheckpoint rounds); the per-seed rollup is three seed-keyed counts + a seed-sample-sized join, and at 100 TB the exact frontiers hand off to g16's per-node HLL registers exactly as the ANF curve does",
+      s"""WITH $copurchasePairsSql,
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |                     UNION ALL SELECT v, u FROM pairs),
+        |seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM sym WHERE src % 100 = 0),
+        |b0 AS MATERIALIZED (SELECT seed, seed AS node FROM seeds),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN b0 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b0 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |b1 AS MATERIALIZED (SELECT seed, node FROM b0 UNION ALL SELECT seed, node FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f1 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b1 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |b2 AS MATERIALIZED (SELECT seed, node FROM b1 UNION ALL SELECT seed, node FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT p.seed, s.dst AS node FROM sym s JOIN f2 p ON p.node = s.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.seed = p.seed AND b.node = s.dst)),
+        |c1 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n1 FROM f1 GROUP BY seed),
+        |c2 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n2 FROM f2 GROUP BY seed),
+        |c3 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n3 FROM f3 GROUP BY seed)
+        |SELECT s.seed, CAST(coalesce(c1.n1, 0) AS BIGINT) AS n_1hop,
+        |       CAST(coalesce(c2.n2, 0) AS BIGINT) AS n_2hop,
+        |       CAST(coalesce(c3.n3, 0) AS BIGINT) AS n_3hop,
+        |       CAST(coalesce(c1.n1, 0) * 1000000
+        |            + (coalesce(c2.n2, 0) * 1000000) // 2
+        |            + (coalesce(c3.n3, 0) * 1000000) // 3 AS BIGINT) AS harmonic_ppm
+        |FROM seeds s LEFT JOIN c1 ON c1.seed = s.seed
+        |             LEFT JOIN c2 ON c2.seed = s.seed
+        |             LEFT JOIN c3 ON c3.seed = s.seed
+        |ORDER BY s.seed""") { (s, dir) =>
+      val (seeds, _, fs) = seedFrontiers(s, dir)
+      val shells = fs.zipWithIndex.map { case (f, i) =>
+        f.groupBy("seed").agg(count(lit(1)).cast("long").as(s"n${i + 1}"))
+      }
+      seeds
+        .join(shells(0), Seq("seed"), "left")
+        .join(shells(1), Seq("seed"), "left")
+        .join(shells(2), Seq("seed"), "left")
+        .na.fill(0L, Seq("n1", "n2", "n3"))
+        .select(col("seed"), col("n1").as("n_1hop"), col("n2").as("n_2hop"),
+          col("n3").as("n_3hop"),
+          expr("n1 * 1000000 + (n2 * 1000000) div 2 + (n3 * 1000000) div 3")
+            .cast("long").as("harmonic_ppm"))
+        .orderBy("seed")
+    },
   )
 
   /** g15's body — see the registry doc for the semantics. `broadcastRanks`
@@ -1081,6 +1117,38 @@ object GraphQueries {
       .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
       .orderBy(desc("auth_scaled"), col("node"))
       .limit(20)
+  }
+
+  /** Exact per-seed frontier expansion over the support-2 co-purchase
+    * graph — the ball machinery shared by g10 (ANF curve) and g18
+    * (harmonic centrality) so the two entries cannot drift on it: seeds
+    * are nodes ≡ 0 mod 100, and each round joins ONLY last round's new
+    * (seed, node) pairs against the cached symmetric edge list, anti-joins
+    * the ball, and localCheckpoints (g04's bounded-round contract,
+    * per-seed). Returns (seeds, the h = 0 ball, the h = 1..3 frontiers).
+    */
+  private def seedFrontiers(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (edges, parts) = persistCompact(copurchasePairs(s, dir))
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = sym.select("src").distinct().filter(col("src") % 100 === 0)
+      .select(col("src").as("seed"))
+    var ball = seeds.select(col("seed"), col("seed").as("node"))
+      .coalesce(parts).localCheckpoint(true)
+    val b0 = ball
+    var frontier = ball
+    val fs = (1 to 3).map { _ =>
+      val nbrs = sym
+        .join(frontier.select(col("seed"), col("node").as("src")).hint("shuffle_hash"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      frontier = nbrs
+        .join(ball.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
+        .coalesce(parts).localCheckpoint(true)
+      ball = ball.unionAll(frontier).coalesce(parts).localCheckpoint(true)
+      frontier
+    }
+    (seeds, b0, fs)
   }
 
   /** g17's body — g01's walk on the DISTINCT-shared-orders weighted edge

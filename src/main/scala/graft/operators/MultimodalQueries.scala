@@ -586,6 +586,63 @@ object MultimodalQueries {
         .select(col("doc_id"), col("n_frames"), col("n_cuts"),
           (col("n_cuts") + 1).as("n_shots"), col("longest_shot_frames"))
         .orderBy("doc_id")
+    },
+
+    sql(
+      "m14_aspect_buckets",
+      "aspect-ratio bucket batching (the SDXL-style bucketing every image-generation trainer runs — you cannot batch a 512x1024 portrait with a 1024x512 landscape, and naive center-crop-to-square destroys composition, so training assembles batches WITHIN aspect buckets): each well-formed image (m09's header parse — geometry without decoding a pixel) computes aspect_ppm = width * 1e6 div height (one flooring division, the <= 1 ppm quantization grain), snaps to the nearest of a FIXED 7-rung resolution ladder (1:2 .. 2:1, the SDXL shape) by exact integer |aspect - rung| with bucket-id tie-break, and batches of 8 assemble per bucket in doc_id order; the RAGGED TAIL per bucket is reported with batch_idx = slot = -1 (the a20 sentinel discipline — trainers DROP partial batches, and an audit that silently omitted them would hide exactly the images a data loader loses). Output: every image with its geometry, bucket, batch index and slot. Scale posture: the ladder is 7 broadcast literals; bucket pick and batching are doc-partitioned / bucket-partitioned windows (never partition-less); at 100 TB the bucket key IS the shuffle key a distributed loader groups on, and the per-bucket row_number hands off to the p08-style per-shard assembly",
+      """WITH ladder(bucket_id, bucket_w, bucket_h) AS (
+        |  VALUES (CAST(0 AS BIGINT), CAST(512 AS BIGINT), CAST(1024 AS BIGINT)),
+        |         (1, 576, 1024), (2, 768, 1024), (3, 1024, 1024),
+        |         (4, 1024, 768), (5, 1024, 576), (6, 1024, 512)),
+        |imgs AS (SELECT doc_id,
+        |                CAST(ascii(substring(text, 5, 1)) * 256 + ascii(substring(text, 6, 1)) AS BIGINT) AS width,
+        |                CAST(ascii(substring(text, 7, 1)) * 256 + ascii(substring(text, 8, 1)) AS BIGINT) AS height
+        |         FROM documents
+        |         WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= 8),
+        |a AS (SELECT doc_id, width, height, (width * 1000000) // height AS aspect_ppm
+        |      FROM imgs WHERE height > 0),
+        |pick AS (SELECT a.doc_id, a.width, a.height, a.aspect_ppm,
+        |                l.bucket_id, l.bucket_w, l.bucket_h,
+        |                row_number() OVER (PARTITION BY a.doc_id
+        |                                   ORDER BY abs(a.aspect_ppm - (l.bucket_w * 1000000) // l.bucket_h),
+        |                                            l.bucket_id) AS rk
+        |         FROM a CROSS JOIN ladder l),
+        |asg AS (SELECT doc_id, width, height, aspect_ppm, bucket_id, bucket_w, bucket_h,
+        |               row_number() OVER (PARTITION BY bucket_id ORDER BY doc_id) AS rn,
+        |               count(*) OVER (PARTITION BY bucket_id) AS bn
+        |        FROM pick WHERE rk = 1)
+        |SELECT doc_id, width, height, aspect_ppm, bucket_id, bucket_w, bucket_h,
+        |       CAST(CASE WHEN rn <= (bn // 8) * 8 THEN (rn - 1) // 8 ELSE -1 END AS BIGINT) AS batch_idx,
+        |       CAST(CASE WHEN rn <= (bn // 8) * 8 THEN (rn - 1) % 8 ELSE -1 END AS BIGINT) AS slot
+        |FROM asg ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ladder = Seq((0L, 512L, 1024L), (1L, 576L, 1024L), (2L, 768L, 1024L),
+        (3L, 1024L, 1024L), (4L, 1024L, 768L), (5L, 1024L, 576L), (6L, 1024L, 512L))
+        .toDF("bucket_id", "bucket_w", "bucket_h")
+      val imgs = Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir)))
+        .toDF()
+        .filter(col("media_type") === "image" && col("well_formed") === 1
+          && col("height") > 0)
+        .select(col("doc_id"), col("width"), col("height"),
+          expr("(width * 1000000) div height").as("aspect_ppm"))
+      val wPick = Window.partitionBy("doc_id")
+        .orderBy(abs(col("aspect_ppm") - expr("(bucket_w * 1000000) div bucket_h")),
+          col("bucket_id"))
+      val wBucket = Window.partitionBy("bucket_id").orderBy("doc_id")
+      val wSize = Window.partitionBy("bucket_id")
+      imgs.crossJoin(broadcast(ladder))
+        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .withColumn("rn", row_number().over(wBucket))
+        .withColumn("bn", count(lit(1)).over(wSize))
+        .select(col("doc_id"), col("width"), col("height"), col("aspect_ppm"),
+          col("bucket_id"), col("bucket_w"), col("bucket_h"),
+          when(col("rn") <= expr("(bn div 8) * 8"), expr("(rn - 1) div 8"))
+            .otherwise(lit(-1L)).cast("long").as("batch_idx"),
+          when(col("rn") <= expr("(bn div 8) * 8"), expr("(rn - 1) % 8"))
+            .otherwise(lit(-1L)).cast("long").as("slot"))
+        .orderBy("doc_id")
     }
   )
 }

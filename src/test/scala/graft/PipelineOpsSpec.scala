@@ -2237,6 +2237,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(corpus(swapped)) == ((15L, 103L, 7350L, 1L, 1L)))
   }
 
+  test("m14 aspect buckets: exact-ratio snap, batches of 8 per bucket in doc order, ragged tails report -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m14spec").toString
+    val square = "MMxx" + "AA" + "AA"   // w = h = 16705 -> bucket 3 (1:1)
+    val wide = "MMxx" + "B@" + "! "     // 16960 x 8480 = exactly 2:1 -> bucket 6
+    val tall = "MMxx" + "! " + "B@"     // 8480 x 16960 = exactly 1:2 -> bucket 0
+    val docs = (0 to 16).map(i => (i * 3L, square)) ++      // 17 squares: ids 0..48
+      Seq((51L, wide), (54L, wide), (57L, tall),
+        (60L, "ab"),                                        // truncated image: out
+        (1L, square))                                       // audio id: out
+    docs.map { case (id, t) => (id, t, "en", "spec") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m14_aspect_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(7), r.getLong(8))).toSeq
+    // squares: rn 1..16 fill batches 0 and 1; the 17th (doc 48) is the
+    // ragged tail; wide (2 < 8) and tall (1 < 8) buckets are ALL tail
+    val wantSquares = (0 to 15).map(i => (i * 3L, 3L, (i / 8).toLong, (i % 8).toLong))
+    val want = wantSquares ++ Seq((48L, 3L, -1L, -1L),
+      (51L, 6L, -1L, -1L), (54L, 6L, -1L, -1L), (57L, 0L, -1L, -1L))
+    assert(got == want, s"got: ${got.mkString(", ")}")
+  }
+
   test("m13 scene cuts: planted frame features — cut on the 64-delta, short final frame clamps, non-videos silent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m13spec").toString

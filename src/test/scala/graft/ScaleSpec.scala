@@ -504,6 +504,28 @@ class ScaleSpec extends SparkSpec {
       (3L, 2L, 6L, 3000000L, 1L)), rows.toString)
   }
 
+  test("g18 harmonic: a star center outranks an equal-reach path end — depth is discounted 1/h, disconnection scores 0") {
+    // seed 100 is a STAR center (3 spokes, all at h=1); seed 200 is a
+    // PATH end reaching 3 nodes at h=1,2,3; a disjoint edge 5–6 is
+    // unreachable from both and must contribute nothing.
+    // C_H(100) = 3e6; C_H(200) = 1e6 + 5e5 + 333333 = 1833333
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g18spec").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 7L), (7L, 8L), (8L, 9L), (5L, 6L)).zipWithIndex
+      .flatMap { case ((u, v), i) =>
+        Seq(10L * i -> u, 10L * i -> v, 10L * i + 1 -> u, 10L * i + 1 -> v)
+      }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("g18_harmonic_centrality")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(rows == List(
+      (100L, 3L, 0L, 0L, 3000000L),
+      (200L, 1L, 1L, 1L, 1833333L)), rows.toString)
+  }
+
   test("g11 3-truss: triangle edges survive with their support, pendant/path edges peel; k=3 fixes in one round") {
     // K4 on 1-4 (every edge in 2 triangles), a lone triangle 7-8-9 (every
     // edge support 1), a pendant edge (4,5) and a path edge (5,6): the
