@@ -857,6 +857,60 @@ object AggregateQueries {
                 > expr("2 * cast(nd * (nd - 1) * (2 * nd + 5) - tsum as decimal(38,0))"), 1L)
               .otherwise(0L))
             .cast("long").as("significant"))
+    },
+
+    sql(
+      "a22_autocorrelation",
+      "lag-1..7 autocorrelation profile of the day-grain revenue series (the MEMORY diagnostic completing the monitoring family — a20 asks 'did the level shift', a21 'is there a trend', q111 'is there a weekly index'; the ACF is what an analyst reads BEFORE trusting any of them, because autocorrelated residuals invalidate the iid assumptions every per-point test makes, and a lag-7 spike IS q111's seasonality read off the raw series): devs are the exact integer n*x_t - S (mean subtraction cross-multiplied through, the a13/a15 discipline — no fractional mean ever exists), lag pairs come from ONE equi-join on the gap-free row index (the q113 inequality-join spine; lag-k rides idx + k as a plain join key after a 7-way bounded explode, never 7 window passes), num_k = Sigma dev_t * dev_{t+k} and den = Sigma dev_t^2 are exact HUGEINT/DECIMAL(38,0) sums (dev^2 brushes 5e34 at 30-year 1000x-volume histories — inside DECIMAL(38,0) with ~3 decades headroom, documented), and acf is assembled as ONE sign-safe IEEE double division r4-rounded (the q100 rule: num straddles zero, so integer div's trunc-vs-floor divergence is structurally avoided), with den = 0 (flat series) and empty-lag rows pinned to exact 0.0 through the zero-filled 1..7 lag grid (the q83/q111 grid discipline). Scale posture: one day-keyed corpus rollup is the only data-sized pass; the spine join and the 7x explode live on the calendar-bounded day table",
+      """WITH d0 AS (SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderdate IS NOT NULL),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM d0 GROUP BY day),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |ix AS (SELECT a.day, CAST(count(*) AS BIGINT) AS idx, max(a.x) AS x
+        |       FROM daily a JOIN daily b ON b.day <= a.day GROUP BY a.day),
+        |dv AS (SELECT idx, CAST(st.n AS HUGEINT) * x - st.s AS dev FROM ix CROSS JOIN st),
+        |den AS (SELECT sum(dev * dev) AS den FROM dv),
+        |pr AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |              sum(a.dev * b.dev) AS num
+        |       FROM (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)) l
+        |       JOIN dv a ON true JOIN dv b ON b.idx = a.idx + l.lag
+        |       GROUP BY l.lag)
+        |SELECT g.lag, CAST(coalesce(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CASE WHEN den.den > 0 AND pr.num IS NOT NULL
+        |            THEN floor(CAST(pr.num AS DOUBLE) / CAST(den.den AS DOUBLE) * 10000 + 0.5) / 10000
+        |            ELSE 0.0 END AS acf
+        |FROM (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)) g
+        |LEFT JOIN pr ON pr.lag = g.lag CROSS JOIN den
+        |ORDER BY g.lag""") { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").isNotNull)
+        .select(expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day").agg(sum("cents").cast("long").as("x"))
+      val st = daily.agg(count(lit(1)).cast("long").as("n"), sum("x").cast("long").as("s"))
+      val ix = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).cast("long").as("idx"), max(col("a.x")).as("x"))
+      val dv = ix.crossJoin(broadcast(st))
+        .select(col("idx"), expr("cast(n as decimal(38,0)) * x - s").as("dev"))
+      val den = dv.agg(sum(expr("dev * dev")).as("den"))
+      val pr = dv.withColumn("lag", explode(expr("sequence(1L, 7L)")))
+        .select(col("lag"), col("dev"), (col("idx") + col("lag")).as("j"))
+        .join(dv.select(col("idx").as("j"), col("dev").as("dev2")), Seq("j"))
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(expr("dev * dev2")).as("num"))
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("lag")
+        .join(pr, Seq("lag"), "left")
+        .crossJoin(broadcast(den))
+        .select(col("lag"),
+          coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+          when(col("den") > 0 && col("num").isNotNull,
+            r4(col("num").cast("double") / col("den").cast("double")))
+            .otherwise(lit(0.0)).as("acf"))
+        .orderBy("lag")
     }
   )
 }

@@ -1158,6 +1158,47 @@ object DedupQueries {
         .orderBy(greatest(col("cont_a_ppm"), col("cont_b_ppm")).desc,
           col("id_a"), col("id_b"))
         .limit(20)
+    },
+
+    sql(
+      "d20_substring_duplication",
+      "exact-substring duplication coverage (the Lee et al. 2022 'Deduplicating Training Data' measurement — document-level dedup (d01/t05) and near-dup clustering (d04) both miss PARTIAL duplication: a doc that embeds a verbatim 500-char boilerplate block in otherwise-unique text is a dedup-policy decision the corpus card must surface, and the per-doc duplicated-substring share is THE number that policy reads): every WORD-ANCHORED 32-char window (window starts after each space — content-defined anchors make collision ALIGNMENT-ROBUST, the m06 CDC argument at character grain: two docs sharing a run at different byte offsets still produce identical windows, which fixed-stride windows structurally cannot guarantee) is counted corpus-wide; a window is DUPLICATED if its exact string occurs >= 2 times anywhere (within-doc repeats count — Lee et al. strip those too) and CROSS-DOC if >= 2 distinct docs carry it. Per doc: window count, both duplicated-window counts, and both coverage ppms (flooring; docs too short for one anchored window are out of the audit's domain, documented). Scale posture: the explode is O(total chars) rows pre-filter (~1/6 survive at English space density) — the same O(corpus) cost class as the suffix array the exact algorithm uses, but in three keyed passes: one window-keyed count (map-side combinable; a boilerplate window in 1e6 docs is ONE aggregation key, never a pair explosion), one window-keyed join back (doc-grain output), one doc-keyed rollup",
+      """WITH win AS (SELECT doc_id,
+        |                   unnest(list_filter(list_transform(generate_series(1, length(text) - 32),
+        |                     i -> CASE WHEN substring(text, i, 1) = ' '
+        |                               THEN substring(text, i + 1, 32) END),
+        |                     x -> x IS NOT NULL)) AS wd
+        |            FROM documents WHERE length(text) >= 33),
+        |occ AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_occ,
+        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |        FROM win GROUP BY wd),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |               CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_xdoc_windows
+        |        FROM win JOIN occ USING (wd) GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_dup_windows, n_xdoc_windows,
+        |       CAST(n_dup_windows * 1000000 // n_windows AS BIGINT) AS dup_ppm,
+        |       CAST(n_xdoc_windows * 1000000 // n_windows AS BIGINT) AS xdoc_ppm
+        |FROM per ORDER BY doc_id""") { (s, dir) =>
+      val win = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 33)
+        .select(col("doc_id"),
+          explode(expr(
+            "filter(transform(sequence(1, length(text) - 32), " +
+              "i -> CASE WHEN substring(text, i, 1) = ' ' " +
+              "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)")).as("wd"))
+      val occ = win.groupBy("wd")
+        .agg(count(lit(1)).cast("long").as("n_occ"),
+          countDistinct("doc_id").cast("long").as("n_docs"))
+      win.join(occ, Seq("wd"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_windows"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("long").as("n_xdoc_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_xdoc_windows"),
+          expr("(n_dup_windows * 1000000) div n_windows").as("dup_ppm"),
+          expr("(n_xdoc_windows * 1000000) div n_windows").as("xdoc_ppm"))
+        .orderBy("doc_id")
     }
   )
 
