@@ -987,7 +987,7 @@ object GraphQueries {
 
     sql(
       "g17_weighted_pagerank",
-      "strength-weighted PageRank (2 unrolled iterations) over the customer<->supplier trade graph with edge weight = DISTINCT shared orders — the repeat-business-weighted authority g01 cannot express: g01's uniform 1/deg walk scores a supplier by HOW MANY customers touch it, this scores by how much RECURRING business flows through each edge (one 50-order relationship outweighs fifty 1-order drive-bys — the domain-trust weighting a curation pipeline wants when edge strength, not mere adjacency, is the signal). Same 1e12 integer grid and bit-identical-ranks contract as g01: per-edge contribution = rank * w div strength (the flooring division per edge, summed exactly), strength = each node's total edge weight (replacing g01's degree), restart term (15% div n) identical. Output: top-20 nodes under (rank_scaled DESC, node) with strength carried — rank-vs-strength divergence is the signal (a node outranks its raw volume when its partners are themselves authoritative). Scale posture: the weighted edge list derives once (one fact join + (cust, supp)-keyed distinct-order count) and persists compact WITH the loop-invariant strength pre-joined, so each half-iteration is ONE rank join + one dst-keyed sum; rank tables are node-sized and take g15's wired broadcastRanks knob (default true = the measured bench plan, false = shuffle-hash co-partitioned on the edge key — the 1e9-node plan); per-edge products widen through HUGEINT/DECIMAL(38,0) because rank * weight brushes 1e21 at web scale",
+      "strength-weighted PageRank (2 unrolled iterations) over the customer<->supplier trade graph with edge weight = DISTINCT shared orders — the repeat-business-weighted authority g01 cannot express: g01's uniform 1/deg walk scores a supplier by HOW MANY customers touch it, this scores by how much RECURRING business flows through each edge (one 50-order relationship outweighs fifty 1-order drive-bys — the domain-trust weighting a curation pipeline wants when edge strength, not mere adjacency, is the signal). Same 1e12 integer grid and bit-identical-ranks contract as g01: per-edge contribution = rank * w div strength (the flooring division per edge, summed exactly), strength = each node's total edge weight (replacing g01's degree), restart term (15% div n) identical. Output: top-20 nodes under (rank_scaled DESC, node) with strength carried — rank-vs-strength divergence is the signal (a node outranks its raw volume when its partners are themselves authoritative). Scale posture: the weighted edge list derives once (one fact join + (cust, supp)-keyed distinct-order count) and persists compact WITH the loop-invariant strength pre-joined, so each half-iteration is ONE rank join + one dst-keyed sum; rank tables are node-sized and take g15's wired broadcastRanks knob (default true = the measured bench plan, false = shuffle-hash co-partitioned on the edge key — the 1e9-node plan); the per-edge product rank * w stays LONG in the hot path (a DECIMAL product measured +25-30% cpu) under an a19-style LOUD bound — exact while max edge weight <= 8e6 distinct shared orders per (customer, supplier) pair, asserted via raise_error inside the used rank column so an exceeded bound fails the query instead of silently wrapping against the HUGEINT oracle",
       """WITH e0 AS (SELECT CAST(o.o_custkey AS BIGINT) AS c,
         |                  CAST(l.l_suppkey AS BIGINT) + 1000000 AS s,
         |                  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
@@ -1175,13 +1175,27 @@ object GraphQueries {
     def rankSide(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df.hint("shuffle_hash")
     val nodes = e.select("src").distinct()
+    // the per-edge contribution r * w stays LONG in the hot path (a
+    // DECIMAL product here measured 23 s cpu vs 16-20 at sf0.1 — 25-30%
+    // of the whole query): r < 1.1e12 on the grid, so the product is
+    // exact while max(w) <= 8e6 — 8M distinct orders between ONE
+    // (customer, supplier) pair, orders of magnitude beyond any real
+    // corpus. The a19 discipline makes the bound LOUD instead of silent:
+    // it is asserted inside r0's rank column (used, so never pruned),
+    // and a corpus that exceeds it fails the query rather than
+    // hash-mismatching the HUGEINT oracle.
     val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(e.agg(max("w").cast("long").as("mw")))
     val r0 = nodes.crossJoin(broadcast(nn))
-      .select(col("src"), expr("1000000000000 div n").as("r"))
+      .select(col("src"),
+        when(col("mw") <= 8000000L, expr("1000000000000 div n"))
+          .otherwise(expr("raise_error('g17: max edge weight exceeds the " +
+            "LONG contribution bound — widen r * w to DECIMAL')").cast("long"))
+          .as("r"))
     def round(r: DataFrame): DataFrame = {
       val contrib = e.join(rankSide(r), Seq("src"))
         .groupBy(col("dst").as("src"))
-        .agg(sum(expr("(cast(r as decimal(38,0)) * w) div wt")).cast("long").as("m"))
+        .agg(sum(expr("(r * w) div wt")).cast("long").as("m"))
       nodes.crossJoin(broadcast(nn))
         .join(rankSide(contrib), Seq("src"), "left")
         .select(col("src"),
