@@ -1941,6 +1941,67 @@ object RelationalQueries {
           expr("(n_suppressed * 1000000) div n_customers").as("suppression_ppm"),
           col("k_anonymity"))
         .orderBy("nation")
+    },
+
+    sql(
+      "q122_stock_aging",
+      "stock-aging report over the FIFO ledger (the balance-sheet companion q120's matcher feeds — ERPs close the month with BOTH: FIFO costing says what consumed stock COST, aging says how stale the UNCONSUMED stock is, the slow-mover/write-down signal): q120's cumulative-quantity intervals give each lot's FIFO leftover in closed form WITHOUT the pair join — demand D consumes the first D units of supply, so lot [hi-q, hi) keeps exactly hi - min(hi, greatest(D, hi - q)) units (0 when fully consumed, q when untouched, the partial head split otherwise); leftover units age from the lot's shipdate against the CORPUS max shipdate (the report's as-of date, derived not configured), bucket into the standard 0-30/31-60/61-90/90+ ledger bands, and roll up with pro-rata value leftover * cents div q (q120's flooring grain). Output: the zero-filled 4-band grid (q83/q111 discipline — an empty band is a finding, not a missing row) with lot counts, units, and cents. Scale posture: the same two part-partitioned windows q120 pays + ONE part-keyed demand join (no interval pair join at all — the closed form needs only D) + a 4-key map-side rollup; the as-of scalar is a broadcast 1-row max",
+      """WITH l AS (SELECT l_partkey AS part, l_returnflag AS f,
+        |                  CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |                  l_shipdate, l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |lots AS (SELECT part, q, cents, l_shipdate,
+        |                CAST(sum(q) OVER (PARTITION BY part ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        |         FROM l WHERE f <> 'R'),
+        |dem AS (SELECT part, CAST(sum(q) AS BIGINT) AS d FROM l WHERE f = 'R' GROUP BY part),
+        |aod AS (SELECT max(l_shipdate) AS mx FROM l),
+        |lv AS (SELECT lo.part, lo.q, lo.cents, lo.hi,
+        |              lo.hi - least(lo.hi, greatest(coalesce(dem.d, 0), lo.hi - lo.q)) AS leftover,
+        |              CAST(date_diff('day', CAST(lo.l_shipdate AS DATE), CAST(aod.mx AS DATE)) AS BIGINT) AS age
+        |       FROM lots lo LEFT JOIN dem ON dem.part = lo.part CROSS JOIN aod),
+        |b AS (SELECT CASE WHEN age <= 30 THEN 0 WHEN age <= 60 THEN 1
+        |                  WHEN age <= 90 THEN 2 ELSE 3 END AS age_bucket,
+        |             leftover, CAST(leftover * cents // q AS BIGINT) AS val
+        |      FROM lv WHERE leftover > 0),
+        |agg AS (SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_lots,
+        |               CAST(sum(leftover) AS BIGINT) AS leftover_units,
+        |               CAST(sum(val) AS BIGINT) AS leftover_cents
+        |        FROM b GROUP BY age_bucket)
+        |SELECT g.age_bucket, CAST(coalesce(agg.n_lots, 0) AS BIGINT) AS n_lots,
+        |       CAST(coalesce(agg.leftover_units, 0) AS BIGINT) AS leftover_units,
+        |       CAST(coalesce(agg.leftover_cents, 0) AS BIGINT) AS leftover_cents
+        |FROM (SELECT CAST(range AS BIGINT) AS age_bucket FROM range(0, 4)) g
+        |LEFT JOIN agg ON agg.age_bucket = g.age_bucket
+        |ORDER BY g.age_bucket""") { (s, dir) =>
+      import s.implicits._
+      val (lots, iss) = fifoIntervals(s, dir)
+      val dem = iss.groupBy("part").agg(sum("q").cast("long").as("d"))
+      // the as-of date reads ALL lines (a return can be the newest event)
+      val asof = Tables.lineitem(s, dir).agg(max("l_shipdate").as("mx"))
+      val lv = lots.join(dem, Seq("part"), "left")
+        .crossJoin(broadcast(asof))
+        .select(col("part"), col("q"), col("cents"),
+          (col("hi") - least(col("hi"),
+            greatest(coalesce(col("d"), lit(0L)), col("hi") - col("q")))).as("leftover"),
+          datediff(col("mx").cast("date"), col("l_shipdate").cast("date"))
+            .cast("long").as("age"))
+      val agg = lv.filter(col("leftover") > 0)
+        .select(
+          when(col("age") <= 30, 0L).when(col("age") <= 60, 1L)
+            .when(col("age") <= 90, 2L).otherwise(3L).as("age_bucket"),
+          col("leftover"), expr("(leftover * cents) div q").as("val"))
+        .groupBy("age_bucket")
+        .agg(count(lit(1)).cast("long").as("n_lots"),
+          sum("leftover").cast("long").as("leftover_units"),
+          sum("val").cast("long").as("leftover_cents"))
+      Seq(0L, 1L, 2L, 3L).toDF("age_bucket")
+        .join(agg, Seq("age_bucket"), "left")
+        .na.fill(0L, Seq("n_lots", "leftover_units", "leftover_cents"))
+        .select(col("age_bucket"), col("n_lots"), col("leftover_units"),
+          col("leftover_cents"))
+        .orderBy("age_bucket")
     }
   )
 
@@ -1960,7 +2021,7 @@ object RelationalQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lots = l.filter(col("f") =!= "R")
       .withColumn("hi", sum("q").over(w).cast("long"))
-      .select(col("part"), col("q"), col("cents"), col("hi"))
+      .select(col("part"), col("q"), col("cents"), col("hi"), col("l_shipdate"))
     val iss = l.filter(col("f") === "R")
       .withColumn("hi", sum("q").over(w).cast("long"))
       .select(col("part"), col("q"), col("hi"))

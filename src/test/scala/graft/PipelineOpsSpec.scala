@@ -2237,6 +2237,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(corpus(swapped)) == ((15L, 103L, 7350L, 1L, 1L)))
   }
 
+  test("q122 stock aging: FIFO leftover in closed form — consumed lot vanishes, head-split partial, untouched lot; empty bands zero-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q122spec").toString
+    val d = java.sql.Date.valueOf(_: String)
+    // one part, demand 15 against lots of 10+10+10 (FIFO: lot1 fully
+    // consumed, lot2 keeps 5, lot3 keeps all 10); the as-of date comes
+    // from the RETURN line (2024-04-15) — the newest event
+    Seq(
+      (1L, "N", 10.0, 1.00, d("2024-01-01"), 1L, 1),  // age 105 -> band 3, leftover 0
+      (1L, "N", 10.0, 2.00, d("2024-02-20"), 2L, 1),  // age 55  -> band 1, leftover 5
+      (1L, "N", 10.0, 3.00, d("2024-04-10"), 3L, 1),  // age 5   -> band 0, leftover 10
+      (1L, "R", 15.0, 0.00, d("2024-04-15"), 4L, 1))
+      .toDF("l_partkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q122_stock_aging")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // lot2 pro-rata value: 5 * 200c div 10 = 100c; lot3: 10 * 300c div 10
+    assert(got == List(
+      (0L, 1L, 10L, 300L),
+      (1L, 1L, 5L, 100L),
+      (2L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L)), got.mkString(", "))
+  }
+
   test("a22 ACF: hand-traced alternating series — negative lag-1, positive lag-2; flat series pins acf 0.0; empty lags zero-fill") {
     import spark.implicits._
     def corpus(values: Seq[Double]): String = {
