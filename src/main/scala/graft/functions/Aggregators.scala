@@ -161,6 +161,33 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Elementwise-max merge of packed 512-byte HLL register blobs — the
+    * HyperBall edge-merge aggregator (g16): each node's counter is ONE
+    * 512-byte array (exactly [[HllDistinct]]'s buffer), neighbor blobs
+    * arrive as edge messages, and the merge is the same register max
+    * [[HllDistinct.merge]] runs — associative, commutative, duplicate-
+    * insensitive, so map-side partial aggregation applies and a round's
+    * shuffle carries ≤ one blob per (partition, node), never a row per
+    * register (the row-grain form measured ~100× cpu for 10× edges on
+    * the nonlinearity probe — the shuffle multiplied by registers-per-
+    * node; this is why Boldi/Vigna pack registers into words).
+    */
+  final class HllRegMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](512)
+
+    override def reduce(a: Array[Byte], b: Array[Byte]): Array[Byte] = merge(a, b)
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 512) { if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Bloom filter over long keys — the semi-join-reduction build side.
     * State is a fixed `numBits/64`-word bitset (e.g. 2 KB at 2^14 bits)
     * regardless of input size; merge is a word-wise OR, so partial

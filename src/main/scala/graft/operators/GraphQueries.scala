@@ -881,7 +881,7 @@ object GraphQueries {
 
     sql(
       "g16_hyperball_anf",
-      "HyperBall approximate neighborhood function (Boldi/Vigna WWW'13 — the 100 TB form g10's scaladoc promised: g10 grows EXACT per-seed balls, O(rounds x frontier x degree) pair rows that at web scale become the graph's full transitive neighborhood, while HyperBall replaces each node's ball with one 512-register HyperLogLog COUNTER merged along edges — state O(V x 512) regardless of ball size, every round one edge-keyed join + register-keyed min): each node starts with its own splitmix hash in one register (the relational register grain is (node, idx, min w) — min w IS elementwise max-rho merge, a06's exact duplicate-insensitive semantics), h rounds of neighbor-merge give counters covering B(v,h), and a06's PROVEN-replayable fixed-order estimator (HUGEINT register sums, one double division chain, linear counting below 2.5m with empty registers) reads each node's ball size — so the whole loop, registers to estimates, replays bit-exact in DuckDB with machinery already behind the gate. Output: the h = 0..3 curve — node count, seed count (g10's node % 100 sample), Sigma-ball ANF estimate over ALL nodes AND over the seed sample (the column the error-envelope spec checks against g10's exact Sigma|B(s,h)|), mean ball ppm. Scale posture: register rows per node are min(512, |B(v,h)|), so each round shuffles O(V x min(512, ball)) 24 B rows keyed (node, idx) with map-side min-combine; the estimator is one register-keyed pass; no frontier, no pair explosion — THE neighborhood primitive that survives 1e9 nodes",
+      "HyperBall approximate neighborhood function (Boldi/Vigna WWW'13 — the 100 TB form g10's scaladoc promised: g10 grows EXACT per-seed balls, O(rounds x frontier x degree) pair rows that at web scale become the graph's full transitive neighborhood, while HyperBall replaces each node's ball with one 512-register HyperLogLog COUNTER merged along edges — state O(V x 512) regardless of ball size, every round one edge-keyed join + register-keyed min): each node starts with its own splitmix hash in one register, h rounds of neighbor-merge give counters covering B(v,h), and a06's PROVEN-replayable fixed-order estimator (HUGEINT register sums, one double division chain, linear counting below 2.5m with empty registers) reads each node's ball size — so the whole loop, registers to estimates, replays bit-exact in DuckDB with machinery already behind the gate (the oracle replays the relational (node, idx, min w) register grain — min w IS elementwise max-rho, a06's duplicate-insensitive semantics; the Spark side runs Boldi/Vigna's PACKED layout — one 512-byte blob per node folding through the IDENTICAL HllDistinct reduce/merge/finish the batch a06 runs — because the row-per-register grain multiplies each round's shuffle by registers-per-node: the 10x probe measured it ~100x cpu for 10x edges, while packed blobs carry exactly one <= 520 B message per edge with map-side blob combine, O(E) per round). Output: the h = 0..3 curve — node count, seed count (g10's node % 100 sample), Sigma-ball ANF estimate over ALL nodes AND over the seed sample (the column the error-envelope spec checks against g10's exact Sigma|B(s,h)|), mean ball ppm. Scale posture: one edge-keyed join + one node-keyed blob merge per round, 512 B of state per node regardless of ball size; the estimator is one map-side pass; no frontier, no pair explosion — THE neighborhood primitive that survives 1e9 nodes",
       {
         val mergeRounds = (1 to 3).map { h =>
           val prev = s"r${h - 1}"
@@ -932,38 +932,30 @@ object GraphQueries {
            |$curve
            |ORDER BY h"""
       }) { (s, dir) =>
-      import graft.functions.HashFunctions
       val (edges, parts) = persistCompact(copurchasePairs(s, dir))
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      // one register per node to start: its own hash (idx = top 9 bits,
-      // w = low 54); merging balls = min(w) per (node, idx), a06's
-      // elementwise max-rho in the relational grain
+      // PACKED register representation (Boldi/Vigna's word layout): each
+      // node's counter is ONE 512-byte blob — HllDistinct's buffer,
+      // initialized with the node's own hash via the SAME reduce the
+      // batch a06 runs, merged along edges by HllRegMerge's elementwise
+      // max, and read by the SAME finish(). The relational row-per-
+      // register grain the ORACLE replays is semantically identical
+      // (min-w rows ⟺ max-rho bytes) but multiplies each round's shuffle
+      // by registers-per-node: the 10× nonlinearity probe measured it at
+      // ~100× cpu for 10× edges, while the packed form carries exactly
+      // one ≤520 B message per edge + map-side-combined blob merges —
+      // O(E) per round, the posture the registry doc claims.
+      val hll = new graft.functions.Aggregators.HllDistinct(13L)
+      val init = udf((node: Long) => hll.reduce(hll.zero, node))
+      val readEst = udf((blob: Array[Byte]) => hll.finish(blob))
+      val mergeRegs = udaf(new graft.functions.Aggregators.HllRegMerge)
       var regs = sym.select(col("src").as("node")).distinct()
-        .withColumn("pri", HashFunctions.priorityHash(col("node"), 13L))
-        .select(col("node"), expr("shiftright(pri, 54)").as("idx"),
-          expr("pri % 18014398509481984").as("w"))
+        .select(col("node"), init(col("node")).as("blob"))
         .coalesce(parts).localCheckpoint(true)
-      // a06's finish(), column-wise: mj from the integer-exact bin length
-      // (length(bin(w)) - 1 = floor(log2 w)), register sums in
-      // DECIMAL(38,0) (512 x 2^55 = 2^64 overflows LONG), then the same
-      // fixed-order double chain the oracle replays
       def curveRow(h: Int, regsH: DataFrame): DataFrame =
         regsH
-          .withColumn("mj",
-            when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
-          .groupBy("node")
-          .agg(count(lit(1)).cast("long").as("np"),
-            sum(expr("cast(shiftleft(cast(1 as bigint), cast(55 - mj as int)) as decimal(38,0))")).as("sp"))
-          .select(col("node"), (lit(512) - col("np")).as("vz"),
-            expr("cast(sp + (512 - np) * cast(shiftleft(cast(1 as bigint), 55) as decimal(38,0)) as double)").as("sd"))
-          .select(col("node"), col("vz"),
-            (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512)) * lit(512) * lit(512)
-              * lit(36028797018963968.0) / col("sd")).as("r"))
-          .select(col("node"),
-            floor(when(col("r") <= 1280.0 && col("vz") > 0,
-              lit(512) * log(lit(512.0) / col("vz"))).otherwise(col("r")) + 0.5)
-              .cast("long").as("est"))
+          .select(col("node"), readEst(col("blob")).as("est"))
           .agg(count(lit(1)).cast("long").as("n_nodes"),
             sum(when(col("node") % 100 === 0, 1L).otherwise(0L)).cast("long").as("n_seeds"),
             sum("est").cast("long").as("anf_est"),
@@ -975,10 +967,10 @@ object GraphQueries {
       var out = curveRow(0, regs)
       for (h <- 1 to 3) {
         regs = regs.unionAll(
-            sym.join(regs.select(col("node").as("dst"), col("idx"), col("w"))
+            sym.join(regs.select(col("node").as("dst"), col("blob"))
               .hint("shuffle_hash"), Seq("dst"))
-              .select(col("src").as("node"), col("idx"), col("w")))
-          .groupBy("node", "idx").agg(min("w").as("w"))
+              .select(col("src").as("node"), col("blob")))
+          .groupBy("node").agg(mergeRegs(col("blob")).as("blob"))
           .coalesce(parts).localCheckpoint(true)
         out = out.unionAll(curveRow(h, regs))
       }
