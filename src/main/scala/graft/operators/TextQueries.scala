@@ -2282,6 +2282,84 @@ object TextQueries {
           expr("(cast(factor as decimal(38,0)) * 1000000) div tf").cast("long").as("mixture_ppm"),
           expr("(cast(factor as decimal(38,0)) * tn) div tf").cast("long").as("token_target"))
         .orderBy("source")
+    },
+
+    sql(
+      "t35_heaps_law",
+      "Heaps'-law vocabulary-growth fit (V(N) ~ K * N^beta — the companion t26's Zipf profile implies and the scaling-law question every tokenizer/corpus decision hangs on: how fast does the vocabulary GROW as the corpus grows; beta ~ 0.5 is healthy natural text, beta near 1 flags id-like/noise token streams that will blow the vocab budget, beta near 0 flags a template corpus): 10 doc-id-decile checkpoints, each prefix's cumulative token total N_k and cumulative DISTINCT vocabulary V_k — the vocabulary prefix curve computed in ONE pass via first-occurrence attribution (a token's min doc_id decides which prefixes count it, so 10 cumulative distincts cost one token-keyed min + one 10-row grid filter, never 10 distinct scans — the q113 cumulative-uniques trick at token grain), then g13's exact-integer OLS of ln V on ln N (1e3 ln grid, BIGINT co-moments through HUGEINT/DECIMAL(38,0), slope/intercept/R^2 each one short IEEE chain r4-rounded, zero-variance short-circuited). Output: one dashboard row — checkpoints used, corpus totals, beta, ln-intercept in grid units, fit R^2. Scale posture: one token explode + token-keyed min (map-side combinable), one doc-keyed count, 10-row grid joins — the corpus is touched once; empty checkpoints (possible only on pathological id distributions) drop out of the fit, documented",
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |dt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM tok),
+        |tf AS (SELECT t AS token, CAST(min(doc_id) AS BIGINT) AS fd
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM tok) u GROUP BY t),
+        |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM dt),
+        |g AS (SELECT CAST(range AS BIGINT) AS k, (mx.m * range) // 10 AS thr
+        |      FROM range(1, 11), mx),
+        |vk AS (SELECT g.k, CAST(count(*) AS BIGINT) AS v FROM g JOIN tf ON tf.fd <= g.thr GROUP BY g.k),
+        |nk AS (SELECT g.k, CAST(sum(dt.nt) AS BIGINT) AS n FROM g JOIN dt ON dt.doc_id <= g.thr GROUP BY g.k),
+        |xy AS (SELECT CAST(floor(ln(n * 1.0) * 1000 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(v * 1.0) * 1000 + 0.5) AS BIGINT) AS y
+        |       FROM nk JOIN vk USING (k) WHERE n > 0 AND v > 0),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS c,
+        |               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |               CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+        |               CAST(sum(x*y) AS HUGEINT) AS sxy
+        |        FROM xy),
+        |fit AS (SELECT c, c * sxy - sx * sy AS cov, c * sxx - sx * sx AS vx,
+        |               c * syy - sy * sy AS vy, sy * sxx - sx * sxy AS icn
+        |        FROM mom)
+        |SELECT CAST(c AS BIGINT) AS n_checkpoints,
+        |       (SELECT CAST(sum(nt) AS BIGINT) FROM dt) AS total_tokens,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS vocab,
+        |       CASE WHEN vx = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)) * 10000 + 0.5) / 10000
+        |            END AS beta,
+        |       CASE WHEN vx = 0 THEN 0.0
+        |            ELSE floor((CAST(icn AS DOUBLE) / CAST(vx AS DOUBLE)) * 10000 + 0.5) / 10000
+        |            END AS ln_k_x1000,
+        |       CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+        |            ELSE floor((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+        |                        / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))) * 10000 + 0.5) / 10000
+        |            END AS fit_r2
+        |FROM fit""") { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+      val dt = tok.select(col("doc_id"), expr("cast(size(tk) as bigint)").as("nt"))
+      val tf = tok.select(col("doc_id"), explode(col("tk")).as("token"))
+        .groupBy("token").agg(min("doc_id").cast("long").as("fd"))
+      val mx = dt.agg(max("doc_id").cast("long").as("m"))
+      val g = (1L to 10L).toDF("k").crossJoin(broadcast(mx))
+        .select(col("k"), expr("(m * k) div 10").as("thr"))
+      val vk = tf.crossJoin(broadcast(g)).filter(col("fd") <= col("thr"))
+        .groupBy("k").agg(count(lit(1)).cast("long").as("v"))
+      val nk = dt.crossJoin(broadcast(g)).filter(col("doc_id") <= col("thr"))
+        .groupBy("k").agg(sum("nt").cast("long").as("n"))
+      val d38 = "decimal(38,0)"
+      val mom = nk.join(vk, Seq("k")).filter(col("n") > 0 && col("v") > 0)
+        .select(floor(log(col("n") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("x"),
+          floor(log(col("v") * lit(1.0)) * 1000 + lit(0.5)).cast("long").as("y"))
+        .agg(count(lit(1)).cast("long").as("c"),
+          sum("x").cast(d38).as("sx"), sum("y").cast(d38).as("sy"),
+          sum(col("x") * col("x")).cast(d38).as("sxx"),
+          sum(col("y") * col("y")).cast(d38).as("syy"),
+          sum(col("x") * col("y")).cast(d38).as("sxy"))
+      val fit = mom.select(col("c"),
+        (col("c").cast(d38) * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("c").cast(d38) * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("c").cast(d38) * col("syy") - col("sy") * col("sy")).as("vy"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icn"))
+      val tot = dt.agg(sum("nt").cast("long").as("total_tokens"))
+      val voc = tf.agg(count(lit(1)).cast("long").as("vocab"))
+      fit.crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+        .select(col("c").as("n_checkpoints"), col("total_tokens"), col("vocab"),
+          when(col("vx") === 0, lit(0.0))
+            .otherwise(r4(col("cov").cast("double") / col("vx").cast("double"))).as("beta"),
+          when(col("vx") === 0, lit(0.0))
+            .otherwise(r4(col("icn").cast("double") / col("vx").cast("double"))).as("ln_k_x1000"),
+          when(col("vx") === 0 || col("vy") === 0, lit(0.0))
+            .otherwise(r4(col("cov").cast("double") * col("cov").cast("double")
+              / (col("vx").cast("double") * col("vy").cast("double")))).as("fit_r2"))
     }
   )
 }

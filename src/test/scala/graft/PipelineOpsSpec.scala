@@ -2237,6 +2237,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(corpus(swapped)) == ((15L, 103L, 7350L, 1L, 1L)))
   }
 
+  test("t35 Heaps: planted 2-new-tokens-per-doc corpus — first-occurrence prefix curve and OLS match the BigInt mirror exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t35spec").toString
+    // doc i carries 2 fresh tokens + the constants (a, b): V_k = 2k + 2,
+    // N_k = 4k at every decile checkpoint (max doc_id 10 -> thr_k = k)
+    (1 to 10).map(i => (i.toLong, s"w${2 * i - 1} w${2 * i} a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent mirror of the integer OLS on the 1e3 ln grid
+    def grid(v: Long): BigInt = BigInt(math.floor(math.log(v.toDouble) * 1000 + 0.5).toLong)
+    val pts = (1 to 10).map(k => (grid(4L * k), grid(2L * k + 2)))
+    val c = BigInt(pts.size)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (cov, vx, vy, icn) =
+      (c * sxy - sx * sy, c * sxx - sx * sx, c * syy - sy * sy, sy * sxx - sx * sxy)
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val beta = r4d(cov.toDouble / vx.toDouble)
+    val lnk = r4d(icn.toDouble / vx.toDouble)
+    val r2 = r4d(cov.toDouble * cov.toDouble / (vx.toDouble * vy.toDouble))
+    val got = SparkEntry.queries("t35_heaps_law")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).head
+    assert(got == ((10L, 40L, 22L, beta, lnk, r2)), s"got $got, want beta=$beta lnk=$lnk r2=$r2")
+    // sanity on the mirror itself: sub-linear growth, strong fit
+    assert(beta > 0.3 && beta < 1.0 && r2 > 0.95, s"beta=$beta r2=$r2")
+  }
+
   test("q122 stock aging: FIFO leftover in closed form — consumed lot vanishes, head-split partial, untouched lot; empty bands zero-fill") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q122spec").toString
