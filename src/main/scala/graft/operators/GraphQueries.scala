@@ -1161,11 +1161,16 @@ object GraphQueries {
     val sym = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
       .unionAll(e0.select(col("sk").as("src"), col("c").as("dst"), col("w")))
     val str = sym.groupBy("src").agg(sum("w").cast("long").as("wt"))
-    // strength is loop-invariant: bake it into the cached edge list so
-    // the per-round plan is one rank join + one keyed sum, nothing else
-    val (e, _) = DedupQueries.persistCompact(sym.join(str, Seq("src")))
     def rankSide(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df.hint("shuffle_hash")
+    // strength is loop-invariant: bake it into the cached edge list so
+    // the per-round plan is one rank join + one keyed sum, nothing else.
+    // The pre-join's str side is node-sized like the ranks: in the true
+    // position it stays UNHINTED (AQE's call — the measured bench plan,
+    // the g15 degSide discipline), in the false position it takes the
+    // shuffle-hash pin so the plan is broadcast-free END TO END (spec)
+    val strSide = if (broadcastRanks) str else str.hint("shuffle_hash")
+    val (e, _) = DedupQueries.persistCompact(sym.join(strSide, Seq("src")))
     val nodes = e.select("src").distinct()
     // the per-edge contribution r * w stays LONG in the hot path (a
     // DECIMAL product here measured 23 s cpu vs 16-20 at sf0.1 — 25-30%

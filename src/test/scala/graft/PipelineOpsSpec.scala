@@ -2118,9 +2118,23 @@ class PipelineOpsSpec extends SparkSpec {
       (1000001L, 4L, 375507812500L),
       (2L, 1L, 124492187500L),
       (1000002L, 1L, 124492187500L)), got.mkString(", "))
-    val copart = GraphQueries.weightedPageRank(spark, dir, broadcastRanks = false)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // drop the true position's cached edge build first: Spark's cache
+    // matching is HINT-INSENSITIVE, so the false position would silently
+    // reuse the true build's broadcast pre-join subtree and the plan
+    // assert below would read the wrong plan
+    spark.catalog.clearCache()
+    val copartDf = GraphQueries.weightedPageRank(spark, dir, broadcastRanks = false)
+    val copart = copartDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(copart == got, s"knob changed the answer: $copart")
+    // g15's plan pin, inherited: false must not broadcast any RANK table —
+    // remaining BroadcastHashJoins may key only on the fact build's keys
+    val plan = copartDf.queryExecution.executedPlan.toString
+    val bhjKeys = """BroadcastHashJoin \[(\w+)#""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bhjKeys.forall(k => k == "o_orderkey" || k == "l_orderkey"),
+      s"broadcastRanks=false still broadcast a rank table (BHJ keys: $bhjKeys):\n$plan")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 4,
+      s"expected shuffle-hash rank rounds:\n$plan")
   }
 
   test("g16 HyperBall: register-merge estimates track g10's exact balls within the HLL envelope at sf0.01") {

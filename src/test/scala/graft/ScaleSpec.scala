@@ -169,7 +169,15 @@ class ScaleSpec extends SparkSpec {
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
       "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
-      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion")
+      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion",
+      // r16 representatives: packed-blob HLL edge merge, weighted rank
+      // rounds, anchored-window string keys, idx-spine lag join, ladder
+      // snap + bucket batching, first-occurrence vocab attribution,
+      // closed-form FIFO leftover, day-pair sign rollup, shell counts
+      "g16_hyperball_anf", "g17_weighted_pagerank",
+      "d20_substring_duplication", "a22_autocorrelation",
+      "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
+      "a21_mann_kendall", "g18_harmonic_centrality")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -236,7 +244,15 @@ class ScaleSpec extends SparkSpec {
       "t33_token_yield", "a15_ks_two_sample", "g14_adamic_adar",
       "q116_scd2_intervals", "a16_benford_audit", "q117_cohort_ltv",
       "t34_pii_scrub", "p19_epoch_materialize", "a17_mannwhitney_auc",
-      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion")
+      "q118_hhi_concentration", "q119_apriori_triples", "s22_rrf_fusion",
+      // r16 representatives: packed-blob HLL edge merge, weighted rank
+      // rounds, anchored-window string keys, idx-spine lag join, ladder
+      // snap + bucket batching, first-occurrence vocab attribution,
+      // closed-form FIFO leftover, day-pair sign rollup, shell counts
+      "g16_hyperball_anf", "g17_weighted_pagerank",
+      "d20_substring_duplication", "a22_autocorrelation",
+      "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
+      "a21_mann_kendall", "g18_harmonic_centrality")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq
