@@ -717,7 +717,10 @@ object AggregateQueries {
         // headroom under 2^63 ~ 9.2e18 (the worst case 8x that CAN wrap,
         // at probability ~8^-n); the [0, 8*total] trip-wire in `means`
         // below turns any silent wrap into a loud raise_error instead of
-        // a quiet oracle hash-mismatch.
+        // a quiet oracle hash-mismatch — and once 8*total itself exceeds
+        // LONG range (where a wrapped sum could land back inside the
+        // envelope) `means` refuses the whole regime loudly rather than
+        // certify it (r16 ADVICE #1).
         // Only the x10000 mean step below needs the DECIMAL widening.
         // A per-row DECIMAL multiply here measured 4.3 s cpu at sf0.1 vs
         // ~0.6 s for the identical-shape a18 — codegen'd long arithmetic
@@ -729,12 +732,24 @@ object AggregateQueries {
       // exact replicate sum lies in [0, 8*total] by construction (cnt <= 8),
       // so a sum outside that envelope IS a silent 2^63 wrap — raise LOUDLY
       // on the 100-row table (constant cost, DECIMAL compare, folded into a
-      // used column so pruning cannot drop it) instead of hash-mismatching
+      // used column so pruning cannot drop it) instead of hash-mismatching.
+      // COMPLETENESS boundary (r16 ADVICE #1): while 8*total <= 2^63-1 no
+      // LONG wrap is even possible, so the envelope check is vacuously
+      // complete; once 8*total exceeds LONG range a true sum in
+      // [2^64, 8*total] wraps back INSIDE the envelope and would pass
+      // silently — so the guard below refuses that regime outright (same
+      // loud raise_error, same used column), turning the blind spot into a
+      // hard contract: below the boundary exact-or-loud, at the boundary
+      // loud, never silent. The fix at that scale is widening the hot-path
+      // sum to DECIMAL, which the inner comment prices (~7x cpu).
       val means = reps.crossJoin(broadcast(obs))
         .select(col("rep"),
-          when(col("s") < 0 || col("s") > expr("sc * 8"),
-            expr("raise_error('a19: replicate sum outside [0, 8*total] — " +
-              "LONG hot-path sum wrapped; widen to DECIMAL')").cast("long"))
+          when(expr("sc * 8 > 9223372036854775807"),
+            expr("raise_error('a19: 8*total exceeds LONG range — the wrap " +
+              "trip-wire cannot certify the hot-path sum; widen it to DECIMAL')").cast("long"))
+            .when(col("s") < 0 || col("s") > expr("sc * 8"),
+              expr("raise_error('a19: replicate sum outside [0, 8*total] — " +
+                "LONG hot-path sum wrapped; widen to DECIMAL')").cast("long"))
             .otherwise(when(col("c") === 0, col("obs_mean_x100"))
               .otherwise(expr("(s * 10000) div c").cast("long"))).as("m"))
       val rk = means.as("a")

@@ -1180,27 +1180,54 @@ object DedupQueries {
         |       CAST(n_dup_windows * 1000000 // n_windows AS BIGINT) AS dup_ppm,
         |       CAST(n_xdoc_windows * 1000000 // n_windows AS BIGINT) AS xdoc_ppm
         |FROM per ORDER BY doc_id""") { (s, dir) =>
-      val win = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 33)
-        .select(col("doc_id"),
-          explode(expr(
-            "filter(transform(sequence(1, length(text) - 32), " +
-              "i -> CASE WHEN substring(text, i, 1) = ' ' " +
-              "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)")).as("wd"))
-      val occ = win.groupBy("wd")
-        .agg(count(lit(1)).cast("long").as("n_occ"),
-          countDistinct("doc_id").cast("long").as("n_docs"))
-      win.join(occ, Seq("wd"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_windows"),
-          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_windows"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("long").as("n_xdoc_windows"))
-        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_xdoc_windows"),
-          expr("(n_dup_windows * 1000000) div n_windows").as("dup_ppm"),
-          expr("(n_xdoc_windows * 1000000) div n_windows").as("xdoc_ppm"))
-        .orderBy("doc_id")
+      substringDupImpl(s, dir, materialize = true)
     }
   )
+
+  /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
+  private[graft] def substringDupPlan(s: SparkSession, dir: String): DataFrame =
+    substringDupImpl(s, dir, materialize = false)
+
+  /** d20's body — see the registry doc. Both the window-keyed occurrence
+    * count and the doc-grain join-back read the exploded `win` frame, so
+    * the eager form persists it and the O(total chars) explode — the
+    * query's dominant stage — runs ONCE per materialization, not once per
+    * leg (r16 advisory #2; the [[contaminationImpl]] discipline — Spark
+    * has no cross-branch common-subexpression reuse). Released after the
+    * result materializes, like d04/d10.
+    */
+  private def substringDupImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
+    val win0 = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 33)
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(transform(sequence(1, length(text) - 32), " +
+            "i -> CASE WHEN substring(text, i, 1) = ' ' " +
+            "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)")).as("wd"))
+    val win = if (materialize) win0.persist() else win0
+    // Materialization barrier (the g02 lesson): both leg stages submit
+    // concurrently and an unfilled cache would run the explode per leg.
+    if (materialize) win.count()
+    val occ = win.groupBy("wd")
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        countDistinct("doc_id").cast("long").as("n_docs"))
+    val out = win.join(occ, Seq("wd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("long").as("n_xdoc_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_xdoc_windows"),
+        expr("(n_dup_windows * 1000000) div n_windows").as("dup_ppm"),
+        expr("(n_xdoc_windows * 1000000) div n_windows").as("xdoc_ppm"))
+      .orderBy("doc_id")
+    if (!materialize) out
+    else {
+      val cached = out.persist()
+      cached.count()
+      win.unpersist()
+      cached
+    }
+  }
 
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def contaminationPlan(s: SparkSession, dir: String): DataFrame =

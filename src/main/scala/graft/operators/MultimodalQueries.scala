@@ -5,6 +5,7 @@ import graft.GraftQuery.{rowsOnly, sql}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: binary payload metadata, stubbed decode /
@@ -590,7 +591,7 @@ object MultimodalQueries {
 
     sql(
       "m14_aspect_buckets",
-      "aspect-ratio bucket batching (the SDXL-style bucketing every image-generation trainer runs — you cannot batch a 512x1024 portrait with a 1024x512 landscape, and naive center-crop-to-square destroys composition, so training assembles batches WITHIN aspect buckets): each well-formed image (m09's header parse — geometry without decoding a pixel) computes aspect_ppm = width * 1e6 div height (one flooring division, the <= 1 ppm quantization grain), snaps to the nearest of a FIXED 7-rung resolution ladder (1:2 .. 2:1, the SDXL shape) by exact integer |aspect - rung| with bucket-id tie-break, and batches of 8 assemble per bucket in doc_id order; the RAGGED TAIL per bucket is reported with batch_idx = slot = -1 (the a20 sentinel discipline — trainers DROP partial batches, and an audit that silently omitted them would hide exactly the images a data loader loses). Output: every image with its geometry, bucket, batch index and slot. Scale posture: the ladder is 7 broadcast literals; bucket pick and batching are doc-partitioned / bucket-partitioned windows (never partition-less); at 100 TB the bucket key IS the shuffle key a distributed loader groups on, and the per-bucket row_number hands off to the p08-style per-shard assembly",
+      "aspect-ratio bucket batching (the SDXL-style bucketing every image-generation trainer runs — you cannot batch a 512x1024 portrait with a 1024x512 landscape, and naive center-crop-to-square destroys composition, so training assembles batches WITHIN aspect buckets): each well-formed image (m09's header parse — geometry without decoding a pixel) computes aspect_ppm = width * 1e6 div height (one flooring division, the <= 1 ppm quantization grain), snaps to the nearest of a FIXED 7-rung resolution ladder (1:2 .. 2:1, the SDXL shape) by exact integer |aspect - rung| with bucket-id tie-break, and batches of 8 assemble per bucket in doc_id order; the RAGGED TAIL per bucket is reported with batch_idx = slot = -1 (the a20 sentinel discipline — trainers DROP partial batches, and an audit that silently omitted them would hide exactly the images a data loader loses). Output: every image with its geometry, bucket, batch index and slot. Scale posture: the ladder is 7 broadcast literals; bucket pick is a doc-partitioned window; batch assembly takes the WIRED batchShards knob (default 0 = this oracle-replayed global per-bucket form; S > 0 assembles within (bucket_id, splitmix(doc_id) mod S) shards — p08's retry-stable hash discipline, so the 7-value bucket key stops being the window partition key and each assembly partition carries ~corpus/(7*S) rows; per-shard ragged tails documented, SkewSpec pins the collapse and the batch invariants) — the d04/s20/g12/g05/g15/q120 documented-note-to-wired-parameter graduation",
       """WITH ladder(bucket_id, bucket_w, bucket_h) AS (
         |  VALUES (CAST(0 AS BIGINT), CAST(512 AS BIGINT), CAST(1024 AS BIGINT)),
         |         (1, 576, 1024), (2, 768, 1024), (3, 1024, 1024),
@@ -616,33 +617,104 @@ object MultimodalQueries {
         |       CAST(CASE WHEN rn <= (bn // 8) * 8 THEN (rn - 1) // 8 ELSE -1 END AS BIGINT) AS batch_idx,
         |       CAST(CASE WHEN rn <= (bn // 8) * 8 THEN (rn - 1) % 8 ELSE -1 END AS BIGINT) AS slot
         |FROM asg ORDER BY doc_id""") { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ladder = Seq((0L, 512L, 1024L), (1L, 576L, 1024L), (2L, 768L, 1024L),
-        (3L, 1024L, 1024L), (4L, 1024L, 768L), (5L, 1024L, 576L), (6L, 1024L, 512L))
-        .toDF("bucket_id", "bucket_w", "bucket_h")
-      val imgs = Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir)))
-        .toDF()
-        .filter(col("media_type") === "image" && col("well_formed") === 1
-          && col("height") > 0)
-        .select(col("doc_id"), col("width"), col("height"),
-          expr("(width * 1000000) div height").as("aspect_ppm"))
-      val wPick = Window.partitionBy("doc_id")
-        .orderBy(abs(col("aspect_ppm") - expr("(bucket_w * 1000000) div bucket_h")),
-          col("bucket_id"))
-      val wBucket = Window.partitionBy("bucket_id").orderBy("doc_id")
-      val wSize = Window.partitionBy("bucket_id")
-      imgs.crossJoin(broadcast(ladder))
-        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-        .withColumn("rn", row_number().over(wBucket))
-        .withColumn("bn", count(lit(1)).over(wSize))
-        .select(col("doc_id"), col("width"), col("height"), col("aspect_ppm"),
-          col("bucket_id"), col("bucket_w"), col("bucket_h"),
-          when(col("rn") <= expr("(bn div 8) * 8"), expr("(rn - 1) div 8"))
-            .otherwise(lit(-1L)).cast("long").as("batch_idx"),
-          when(col("rn") <= expr("(bn div 8) * 8"), expr("(rn - 1) % 8"))
-            .otherwise(lit(-1L)).cast("long").as("slot"))
-        .orderBy("doc_id")
+      aspectBuckets(s, dir)
     }
   )
+
+  /** m14's bucket assignment: every well-formed image snapped to its
+    * nearest ladder rung (exact integer |aspect − rung|, bucket-id
+    * tie-break). Shared by the production body and the SkewSpec
+    * partition-size probe so the assignment cannot drift between them.
+    */
+  private def aspectAssigned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ladder = Seq((0L, 512L, 1024L), (1L, 576L, 1024L), (2L, 768L, 1024L),
+      (3L, 1024L, 1024L), (4L, 1024L, 768L), (5L, 1024L, 576L), (6L, 1024L, 512L))
+      .toDF("bucket_id", "bucket_w", "bucket_h")
+    val imgs = Multimodal.parseHeaders(Multimodal.packBlobs(s, Tables.documents(s, dir)))
+      .toDF()
+      .filter(col("media_type") === "image" && col("well_formed") === 1
+        && col("height") > 0)
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("(width * 1000000) div height").as("aspect_ppm"))
+    val wPick = Window.partitionBy("doc_id")
+      .orderBy(abs(col("aspect_ppm") - expr("(bucket_w * 1000000) div bucket_h")),
+        col("bucket_id"))
+    imgs.crossJoin(broadcast(ladder))
+      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** m14's retry-stable shard assignment: splitmix priority of the doc_id
+    * (seed 23, non-negative by construction) mod the shard count — p08's
+    * discipline, so replicas and retries land every image in the same
+    * shard with no RNG or partition-layout dependence.
+    */
+  private def aspectShard(batchShards: Long) =
+    graft.functions.HashFunctions.priorityHash(col("doc_id"), 23L) % lit(batchShards)
+
+  /** m14's body — see the registry doc. `batchShards` is the wired scale
+    * knob (r16 verdict #1, the d04/s20/g12/g05/g15/q120 graduation):
+    *
+    *  - `batchShards <= 0` (default — the oracle replays this): batches
+    *    assemble per bucket globally. The row_number()/count() windows are
+    *    partitioned by the FIXED 7-value bucket_id, so ~corpus/7 images
+    *    funnel into each window partition — correct and hash-green at test
+    *    SFs, a single-reducer bottleneck at the 100 TB posture.
+    *  - `batchShards = S > 0`: batches assemble within (bucket_id, shard)
+    *    where shard = [[aspectShard]] — each assembly partition carries
+    *    ~corpus/(7·S) rows and S scales with the cluster. Sharded
+    *    batch_idx = shard·1e12 + per-shard index (globally unique per
+    *    bucket, deterministic, no cross-shard coordination); each shard
+    *    keeps its OWN ragged tail (batch_idx = slot = −1), so up to 7·S
+    *    partial batches drop instead of 7 — the documented cost of
+    *    distributed assembly (a trainer that must not lose them runs one
+    *    final compaction pass over the ≤ 7·S·7 leftover rows,
+    *    dimension-sized, off the hot path).
+    *
+    * SkewSpec plants a single-bucket corpus and pins: identical doc set
+    * and geometry under both positions, every sharded batch exactly 8
+    * slots 0..7 within one (bucket, shard), per-shard tail arithmetic
+    * exact, and the max assembly-partition row count collapsing by ~S.
+    */
+  private[graft] def aspectBuckets(s: SparkSession, dir: String,
+      batchShards: Long = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = aspectAssigned(s, dir)
+    val (keyed, partCols) =
+      if (batchShards <= 0) (asg, Seq("bucket_id"))
+      else (asg.withColumn("shard", aspectShard(batchShards)), Seq("bucket_id", "shard"))
+    val wBucket = Window.partitionBy(partCols.map(col): _*).orderBy("doc_id")
+    val wSize = Window.partitionBy(partCols.map(col): _*)
+    val idx = expr("(rn - 1) div 8")
+    val batchIdx =
+      if (batchShards <= 0) idx else col("shard") * lit(1000000000000L) + idx
+    keyed
+      .withColumn("rn", row_number().over(wBucket))
+      .withColumn("bn", count(lit(1)).over(wSize))
+      .select(col("doc_id"), col("width"), col("height"), col("aspect_ppm"),
+        col("bucket_id"), col("bucket_w"), col("bucket_h"),
+        when(col("rn") <= expr("(bn div 8) * 8"), batchIdx)
+          .otherwise(lit(-1L)).cast("long").as("batch_idx"),
+        when(col("rn") <= expr("(bn div 8) * 8"), expr("(rn - 1) % 8"))
+          .otherwise(lit(-1L)).cast("long").as("slot"))
+      .orderBy("doc_id")
+  }
+
+  /** Max rows funneled into a single batch-assembly window partition —
+    * the quantity `batchShards` bounds — computed WITHOUT running the
+    * window (the fifoEvaluatedPairs pattern, for SkewSpec's collapse
+    * measurement).
+    */
+  private[graft] def aspectBatchMaxPartition(s: SparkSession, dir: String,
+      batchShards: Long = 0): Long = {
+    val asg = aspectAssigned(s, dir)
+    val keyed =
+      if (batchShards <= 0) asg.groupBy("bucket_id")
+      else asg.withColumn("shard", aspectShard(batchShards)).groupBy("bucket_id", "shard")
+    keyed.agg(count(lit(1)).cast("long").as("n"))
+      .agg(coalesce(max("n"), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
 }

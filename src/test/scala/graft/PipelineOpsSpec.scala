@@ -2374,6 +2374,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!byId.contains(5L), "sub-window docs are out of the audit domain")
   }
 
+  test("d20 eager form runs the anchored-window explode once (both legs read the persisted frame)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // full-tree walk that descends through AQE wrappers but NOT through
+    // InMemoryTableScanExec leaves — each count sees exactly one cache
+    // boundary at a time
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
+      nodes(p).count(pf.isDefinedAt)
+    // the lazy PlanAudit twin (no persist) carries the explode on BOTH
+    // legs — the 2x shape r16 advisory #2 flagged
+    val lazyPlan = graft.operators.DedupQueries.substringDupPlan(spark, sf0001)
+      .queryExecution.executedPlan
+    assert(count(lazyPlan) { case _: GenerateExec => } === 2,
+      "un-persisted twin must show the per-leg explode")
+    // the eager registry form persists the exploded frame: the result's
+    // cached plan joins TWO InMemoryTableScans of that one frame and
+    // carries ZERO Generate nodes — the O(chars) explode ran exactly once,
+    // inside the cache fill
+    val out = SparkEntry.queries("d20_substring_duplication")(spark, sf0001)
+    try {
+      assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "eager d20 result must come back persisted (the d04/d10 convention)")
+      val topScan = nodes(out.queryExecution.executedPlan)
+        .collectFirst { case s: InMemoryTableScanExec => s }
+      assert(topScan.nonEmpty, "eager d20 must read its own cached result")
+      val inner = topScan.get.relation.cachedPlan
+      assert(count(inner) { case _: GenerateExec => } === 0,
+        "persisted form must not re-run the explode on any leg")
+      assert(count(inner) { case _: InMemoryTableScanExec => } === 2,
+        "both legs must read the one persisted window frame")
+    } finally out.unpersist(blocking = false)
+  }
+
   test("m14 aspect buckets: exact-ratio snap, batches of 8 per bucket in doc order, ragged tails report -1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m14spec").toString

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.{DedupQueries, GraphQueries, RelationalQueries, SimilarityQueries}
+import graft.operators.{DedupQueries, GraphQueries, MultimodalQueries, RelationalQueries, SimilarityQueries}
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.functions._
 
@@ -348,5 +348,77 @@ class SkewSpec extends SparkSpec {
     info(s"evaluated pairs: rectangle=$rect, strips(W=64)=$strips " +
       f"(${rect.toDouble / strips}%.1fx collapse); outputs bit-identical on " +
       s"planted + sf0.001 corpora")
+  }
+
+  /** m14 single-bucket corpus: 171 images (doc_id multiples of 3 — the
+    * packBlobs image lane) whose 8-byte headers all parse to the SAME
+    * square geometry, so every one snaps to ladder bucket 3 — the
+    * worst-case for the global per-bucket assembly window (one partition
+    * holds the whole corpus) and exactly the shape batchShards exists
+    * for. 171 = 21·8 + 3 exercises the ragged tail in both positions.
+    */
+  private lazy val m14Dir: String = {
+    import spark.implicits._
+    // header bytes: "PQ" magic, version, flags, width hi/lo, height hi/lo
+    // = 'A','A' twice → width = height = 16705 → aspect_ppm = 1e6 →
+    // bucket 3 (1024×1024, rung aspect exactly 1e6, |diff| = 0)
+    val imgs = (0 until 171).map(i => (3L * i, "PQvfAAAA padding-body"))
+    val dir = Files.createTempDirectory("graft-skew-m14").toString
+    imgs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("m14 batchShards collapses the per-bucket assembly window (batch invariants pinned)") {
+    val S = 8L
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val global = MultimodalQueries.aspectBuckets(spark, m14Dir).collect()
+    val sharded = MultimodalQueries.aspectBuckets(spark, m14Dir, batchShards = S).collect()
+    // identical doc set, geometry, and bucket assignment in both positions
+    // — the knob moves batch ASSEMBLY, never which images land where
+    assert(global.map(key).toSet === sharded.map(key).toSet)
+    assert(global.length === 171 && global.forall(_.getLong(4) == 3L),
+      "planted corpus must land every image in bucket 3")
+    // global form: 21 full batches of 8, tail of exactly 3
+    assert(global.count(_.getLong(7) == -1L) === 3)
+    assert(global.filter(_.getLong(7) >= 0).groupBy(_.getLong(7)).forall {
+      case (_, rows) => rows.length == 8 && rows.map(_.getLong(8)).sorted.toSeq == (0L to 7L)
+    })
+    // sharded form: per-shard batch + tail arithmetic exact, replayed from
+    // the same splitmix shard assignment the operator uses
+    val byShard = sharded.groupBy(r =>
+      graft.functions.HashOps.priorityHash(r.getLong(0), 23L) % S)
+    assert(byShard.keySet.subsetOf((0L until S).toSet))
+    for ((shard, rows) <- byShard) {
+      val tails = rows.count(_.getLong(7) == -1L)
+      assert(tails === rows.length % 8, s"shard $shard tail must be n mod 8")
+      val batches = rows.filter(_.getLong(7) >= 0).groupBy(_.getLong(7))
+      assert(batches.size === rows.length / 8)
+      for ((bIdx, members) <- batches) {
+        assert(bIdx / 1000000000000L === shard,
+          s"sharded batch_idx must encode its shard ($bIdx vs $shard)")
+        assert(members.length === 8 && members.map(_.getLong(8)).sorted.toSeq == (0L to 7L),
+          s"batch $bIdx must hold exactly slots 0..7")
+      }
+    }
+    // the measured collapse: the quantity batchShards bounds is max rows
+    // per assembly-window partition — corpus-sized global, ~corpus/S sharded
+    val maxGlobal = MultimodalQueries.aspectBatchMaxPartition(spark, m14Dir)
+    val maxSharded = MultimodalQueries.aspectBatchMaxPartition(spark, m14Dir, batchShards = S)
+    assert(maxGlobal === 171L, "global assembly funnels the whole bucket into one partition")
+    assert(maxSharded <= maxGlobal / 4,
+      s"expected >= 4x assembly-partition collapse at S=$S, got $maxGlobal -> $maxSharded")
+    // and on the real corpus: same doc set + geometry under both positions
+    val sfG = MultimodalQueries.aspectBuckets(spark, "/root/testdata/sf0.001").collect()
+    val sfS = MultimodalQueries.aspectBuckets(spark, "/root/testdata/sf0.001", batchShards = 4).collect()
+    assert(sfG.map(key).toSet === sfS.map(key).toSet, "sf0.001 geometry diverged under sharding")
+    assert(sfG.length === sfS.length)
+    info(s"assembly max partition: global=$maxGlobal, sharded(S=$S)=$maxSharded " +
+      f"(${maxGlobal.toDouble / maxSharded}%.1fx collapse); batch/tail invariants " +
+      s"hold per shard; doc set + geometry bit-identical on planted + sf0.001")
   }
 }
