@@ -54,16 +54,28 @@ object Bench {
     * 0.996). None = no comparable prior (missing/other-sf detail, or
     * fewer than [[WeatherMinCommon]] common entries — too few for a
     * median to mean anything).
+    *
+    * `exclude` (r16 ADVICE #3): entries requalified in the PREVIOUS round
+    * published fresh-JVM walls, while this round's side of the ratio is a
+    * raw in-bench take — mixing timing bases inflates those entries'
+    * ratios near the threshold, so the previous round's requalified set
+    * is dropped from the common set. Even-count ratio lists average the
+    * two middle elements (a true median, not the upper-biased pick).
     */
   private[graft] def weatherIndex(prevWalls: Map[String, Double],
-      now: Seq[(String, Double)], floorS: Double): Option[Double] = {
+      now: Seq[(String, Double)], floorS: Double,
+      exclude: Set[String] = Set.empty): Option[Double] = {
     val ratios = now.flatMap { case (n, w) =>
       prevWalls.get(n).collect {
-        case p if p > 0 && w > 0 && math.max(p, w) >= floorS => w / p
+        case p if !exclude(n) && p > 0 && w > 0 && math.max(p, w) >= floorS => w / p
       }
     }
     if (ratios.size < WeatherMinCommon) None
-    else Some(ratios.sorted.apply(ratios.size / 2))
+    else {
+      val s = ratios.sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+    }
   }
 
   /** Median wall ratio above which the battery is stamped
@@ -199,17 +211,36 @@ object Bench {
     // a published sub-floor min below both regular takes stays auditable
     // from BENCH_DETAIL.json alone (r13 advice).
     val stabilizerTakes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Take]]
+    // Streaming-entry wall stabilization (r16 verdict #7): st-family walls
+    // are trigger-cadence-dominated — under host load they swing 5-7x on
+    // FLAT cpu (r16: st03 published 16.98 s wall on 1.45 s cpu) and the
+    // headline total absorbs pure scheduler noise. When an st entry's best
+    // wall reads > 3x its best cpu (work the plan actually did), take up
+    // to 2 extra real takes and publish the min — more samples of the same
+    // measured quantity on the same best-of-warm basis, never a synthetic
+    // number; recorded in "stabilizer" so the published min stays
+    // auditable from BENCH_DETAIL.json alone.
     val results = takes.map { case (n, best, a, b) =>
-      if (Headline.contains(n) && (a.ok || b.ok) && best < floorS) {
-        val extraAll = (1 to 3).map(_ => timeOnce(byName(n)))
+      val bestCpu = Seq(a, b).filter(_.ok).map(_.cpu) match {
+        case Nil => 0.0
+        case cs => cs.min
+      }
+      val headlineSubFloor = Headline.contains(n) && (a.ok || b.ok) && best < floorS
+      val stTriggerNoise = n.startsWith("st") && (a.ok || b.ok) &&
+        best >= floorS && bestCpu > 0 && best > 3 * bestCpu
+      if (headlineSubFloor || stTriggerNoise) {
+        val extraAll = (1 to (if (headlineSubFloor) 3 else 2)).map(_ => timeOnce(byName(n)))
         stabilizerTakes(n) = extraAll
         val extra = extraAll.filter(_.ok).map(_.wall)
         n -> (if (extra.isEmpty) best else math.min(best, extra.min))
       } else n -> best
     }
-    // Previous round's per-query walls (same sf only): the baseline for
-    // both the weather index and the requalifier's mover filter.
-    val prevWalls: Option[Map[String, Double]] = try {
+    // Previous round's per-query walls + cpu + requalified set (same sf
+    // only): the baseline for the weather index, the requalifier's mover
+    // filter, and the tool-emitted cpu comparison (r16 advisory #4).
+    final case class PrevDetail(walls: Map[String, Double],
+        cpu: Map[String, Double], requalified: Set[String])
+    val prevDetail: Option[PrevDetail] = try {
       val prevFile = Paths.get("BENCH_DETAIL.json")
       if (!Files.exists(prevFile)) None else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -219,20 +250,38 @@ object Bench {
         // a corpus/layout change (the partitioned-layout bench pass)
         // makes round-over-round wall times incomparable — skip
         if (prevSf != sfDir || prevQ == null) None else {
-          val m = scala.collection.mutable.Map.empty[String, Double]
-          val it = prevQ.fieldNames()
-          while (it.hasNext) { val k = it.next(); m(k) = prevQ.get(k).asDouble }
-          Some(m.toMap)
+          def numMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+            if (node == null) Map.empty else {
+              val m = scala.collection.mutable.Map.empty[String, Double]
+              val it = node.fieldNames()
+              while (it.hasNext) { val k = it.next(); m(k) = node.get(k).asDouble }
+              m.toMap
+            }
+          }
+          def keySet(node: com.fasterxml.jackson.databind.JsonNode): Set[String] = {
+            if (node == null) Set.empty else {
+              val s = scala.collection.mutable.Set.empty[String]
+              val it = node.fieldNames()
+              while (it.hasNext) s += it.next()
+              s.toSet
+            }
+          }
+          Some(PrevDetail(numMap(prevQ), numMap(root.get("cpu_s")),
+            keySet(root.get("requalified"))))
         }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench-weather] prev detail unreadable: ${e.getMessage}")
       None
     }
+    val prevWalls: Option[Map[String, Double]] = prevDetail.map(_.walls)
     // Weather stamp (r15 advisory #2): computed BEFORE requalification so
     // a storm-degraded window skips the fresh-JVM passes entirely — they
     // inherit the same storm and would publish contended numbers as clean.
-    val weather = prevWalls.flatMap(p => weatherIndex(p, results, floorS))
+    // Entries requalified LAST round are excluded (r16 ADVICE #3): their
+    // prev walls are fresh-JVM takes, a different timing basis.
+    val weather = prevDetail.flatMap(pd =>
+      weatherIndex(pd.walls, results, floorS, exclude = pd.requalified))
     val weatherDegraded = weather.exists(_ > WeatherDegradedThreshold)
     if (weatherDegraded) System.err.println(
       f"[bench-weather] DEGRADED window: median wall ratio ${weather.get}%.3f > " +
@@ -400,18 +449,38 @@ object Bench {
     // wall ratio vs prev detail over common above-floor entries (null =
     // no comparable prior); degraded => cpu_s is the round-over-round
     // basis of record and requalification was skipped for this window.
-    val nCommon = prevWalls.map(p => results.count { case (n, w) =>
-      p.get(n).exists(pv => pv > 0 && w > 0 && math.max(pv, w) >= floorS)
+    val nCommon = prevDetail.map(pd => results.count { case (n, w) =>
+      !pd.requalified(n) &&
+        pd.walls.get(n).exists(pv => pv > 0 && w > 0 && math.max(pv, w) >= floorS)
     }).getOrElse(0)
+    // Tool-emitted round-over-round cpu basis (r16 advisory #4): the
+    // README's cpu claim must be derivable from the committed artifacts
+    // alone, so the comparison is computed HERE, over the common set of
+    // entries with positive cpu in both rounds that were requalified in
+    // NEITHER round (the judge's never-requalified basis), and lands in
+    // both BENCH_DETAIL.json and the driver's final line.
+    val cpuComparison = prevDetail.map { pd =>
+      val excl = pd.requalified ++ requalPub.keySet
+      val common = cpuBest.collect {
+        case (n, c) if c > 0 && !excl(n) && pd.cpu.get(n).exists(_ > 0) => (pd.cpu(n), c)
+      }
+      if (common.isEmpty) """{"common_set_size":0}"""
+      else {
+        val prevSum = common.map(_._1).sum
+        val nowSum = common.map(_._2).sum
+        s"""{"common_set_size":${common.size},"cpu_prev":${r3(prevSum)},""" +
+          s""""cpu_now":${r3(nowSum)},"ratio":${r3(nowSum / prevSum)}}"""
+      }
+    }.getOrElse("""{"common_set_size":0}""")
     val weatherJson =
       s"""{"index":${weather.map(r3).getOrElse("null")},"n_common":$nCommon,""" +
         s""""threshold":$WeatherDegradedThreshold,"degraded":$weatherDegraded,""" +
         s""""basis":"${if (weatherDegraded) "cpu_s" else "wall"}",""" +
         s""""requalify":"${if (weatherDegraded) "skipped_storm" else "normal"}"}"""
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_warm","n_queries":${results.size},"errors":$errJson,"weather":$weatherJson,"queries":${json(resultsPub)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_warm","n_queries":${results.size},"errors":$errJson,"weather":$weatherJson,"cpu_comparison":$cpuComparison,"queries":${json(resultsPub)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
     val head = resultsPub.filter { case (k, _) => Headline.contains(k) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"requalified":$nRequalified,"weather":${weather.map(r3).getOrElse("null")},"degraded":$weatherDegraded,"queries":${json(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"requalified":$nRequalified,"weather":${weather.map(r3).getOrElse("null")},"degraded":$weatherDegraded,"cpu_comparison":$cpuComparison,"queries":${json(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

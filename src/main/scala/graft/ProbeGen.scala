@@ -223,3 +223,45 @@ object HitsProbe {
     spark.stop()
   }
 }
+
+/** m14 `batchShards` A/B (r16 verdict #1): times [[graft.operators
+  * .MultimodalQueries.aspectBuckets]] in both knob positions — `0` is the
+  * oracle-replayed global per-bucket assembly (7-key windows), `S > 0`
+  * assembles within (bucket, splitmix-shard) partitions (the plan that
+  * survives a corpus where corpus/7 rows per window partition cannot).
+  * Also prints the max assembly-partition row count each position
+  * funnels (the quantity the knob bounds). Session/timing shape mirrors
+  * [[HitsProbe]].
+  *
+  * Usage: `runMain graft.AspectProbe <batchShards> [takes]`.
+  */
+object AspectProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AspectProbe <batchShards> [takes]")
+    val batchShards = args(0).toLong
+    val takes = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val maxPart = graft.operators.MultimodalQueries
+      .aspectBatchMaxPartition(spark, sfDir, batchShards)
+    println(s"[aspectprobe] m14 batchShards=$batchShards max assembly partition rows: $maxPart")
+    (1 to takes).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.MultimodalQueries.aspectBuckets(spark, sfDir, batchShards)
+        .write.format("noop").mode("overwrite").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[aspectprobe] m14 batchShards=$batchShards take $i: $elapsed%.2f s wall")
+    }
+    spark.stop()
+  }
+}

@@ -1184,6 +1184,18 @@ object DedupQueries {
     }
   )
 
+  /** d20/st19's shared word-anchored 32-char window kernel (requires the
+    * document column to be named `text`): a window starts after each
+    * space, so two docs sharing a run at different byte offsets still
+    * produce identical window strings — the alignment-robust property the
+    * d20 registry doc argues. One definition, used by the batch audit and
+    * the streaming monitor, so the window grammar cannot drift.
+    */
+  private[graft] val anchoredWindowsSql: String =
+    "filter(transform(sequence(1, length(text) - 32), " +
+      "i -> CASE WHEN substring(text, i, 1) = ' ' " +
+      "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)"
+
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def substringDupPlan(s: SparkSession, dir: String): DataFrame =
     substringDupImpl(s, dir, materialize = false)
@@ -1199,11 +1211,7 @@ object DedupQueries {
   private def substringDupImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
     val win0 = Tables.documents(s, dir)
       .filter(length(col("text")) >= 33)
-      .select(col("doc_id"),
-        explode(expr(
-          "filter(transform(sequence(1, length(text) - 32), " +
-            "i -> CASE WHEN substring(text, i, 1) = ' ' " +
-            "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)")).as("wd"))
+      .select(col("doc_id"), explode(expr(anchoredWindowsSql)).as("wd"))
     val win = if (materialize) win0.persist() else win0
     // Materialization barrier (the g02 lesson): both leg stages submit
     // concurrently and an unfilled cache would run the explode per leg.

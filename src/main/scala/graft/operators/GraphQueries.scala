@@ -64,6 +64,57 @@ object GraphQueries {
       .filter(col("sup") >= 2)
       .select("u", "v")
 
+  /** DuckDB side of the HyperBall loop, shared by the g16 ANF curve and
+    * the g19 harmonic centrality so the register machinery cannot drift
+    * between them (the copurchasePairsSql sharing discipline): sym edges,
+    * splitmix r0 registers at the relational (node, idx, min w) grain
+    * (min w ⟺ elementwise max-rho — a06's duplicate-insensitive
+    * semantics), three neighbor-merge rounds r1..r3, and the per-node
+    * estimator tables fin0..fin3 replaying a06's fixed-order HUGEINT
+    * estimator bit-exactly. Consumers add their own final SELECT over
+    * fin0..fin3.
+    */
+  private val hyperballCtesSql: String = {
+    val mergeRounds = (1 to 3).map { h =>
+      val prev = s"r${h - 1}"
+      s"""r$h AS MATERIALIZED (
+         |  SELECT node, idx, min(w) AS w FROM (
+         |    SELECT node, idx, w FROM $prev
+         |    UNION ALL
+         |    SELECT s.src AS node, r.idx, r.w FROM sym s JOIN $prev r ON r.node = s.dst)
+         |  GROUP BY node, idx)""".stripMargin
+    }.mkString(",\n")
+    val estimators = (0 to 3).map { h =>
+      s"""rho$h AS (
+         |  SELECT node, idx, 54 - max(b) AS mj FROM r$h, bits
+         |  WHERE w > 0 AND (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) <= w GROUP BY node, idx
+         |  UNION ALL
+         |  SELECT node, idx, 55 AS mj FROM r$h WHERE w = 0),
+         |pres$h AS (SELECT node, CAST(count(*) AS BIGINT) AS np,
+         |                  sum(CAST(1 AS HUGEINT) << CAST(55 - mj AS INTEGER)) AS sp
+         |           FROM rho$h GROUP BY node),
+         |fin$h AS MATERIALIZED (
+         |  SELECT node, CAST(floor(CASE WHEN r <= 1280 AND vz > 0
+         |                               THEN 512 * ln(CAST(512 AS DOUBLE) / vz)
+         |                               ELSE r END + 0.5) AS BIGINT) AS est
+         |  FROM (SELECT node, 512 - np AS vz,
+         |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 512) * 512 * 512)
+         |               * CAST(36028797018963968 AS DOUBLE)
+         |               / CAST(sp + (512 - np) * (CAST(1 AS HUGEINT) << 55) AS DOUBLE) AS r
+         |        FROM pres$h))""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchasePairsSql,
+       |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+       |                     UNION ALL SELECT v, u FROM pairs),
+       |nodesrc AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS k FROM sym),
+       |${graft.functions.HashFunctions.priorityHashCtes("nodesrc", "k", 13L, "node")},
+       |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
+       |r0 AS MATERIALIZED (SELECT node, CAST(pri >> 54 AS BIGINT) AS idx,
+       |                           pri % 18014398509481984 AS w FROM ph4),
+       |$mergeRounds,
+       |$estimators""".stripMargin
+  }
+
   /** DuckDB side of the customer↔supplier bipartite trade graph (suppliers
     * offset by 1e6 into a disjoint id space): `e0`/`edges`/`nodes`/`deg`
     * CTEs shared by the g01 (global PageRank) and g09 (personalized
@@ -883,34 +934,6 @@ object GraphQueries {
       "g16_hyperball_anf",
       "HyperBall approximate neighborhood function (Boldi/Vigna WWW'13 — the 100 TB form g10's scaladoc promised: g10 grows EXACT per-seed balls, O(rounds x frontier x degree) pair rows that at web scale become the graph's full transitive neighborhood, while HyperBall replaces each node's ball with one 512-register HyperLogLog COUNTER merged along edges — state O(V x 512) regardless of ball size, every round one edge-keyed join + register-keyed min): each node starts with its own splitmix hash in one register, h rounds of neighbor-merge give counters covering B(v,h), and a06's PROVEN-replayable fixed-order estimator (HUGEINT register sums, one double division chain, linear counting below 2.5m with empty registers) reads each node's ball size — so the whole loop, registers to estimates, replays bit-exact in DuckDB with machinery already behind the gate (the oracle replays the relational (node, idx, min w) register grain — min w IS elementwise max-rho, a06's duplicate-insensitive semantics; the Spark side runs Boldi/Vigna's PACKED layout — one 512-byte blob per node folding through the IDENTICAL HllDistinct reduce/merge/finish the batch a06 runs — because the row-per-register grain multiplies each round's shuffle by registers-per-node: the 10x probe measured it ~100x cpu for 10x edges, while packed blobs carry exactly one <= 520 B message per edge with map-side blob combine, O(E) per round). Output: the h = 0..3 curve — node count, seed count (g10's node % 100 sample), Sigma-ball ANF estimate over ALL nodes AND over the seed sample (the column the error-envelope spec checks against g10's exact Sigma|B(s,h)|), mean ball ppm. Scale posture: one edge-keyed join + one node-keyed blob merge per round, 512 B of state per node regardless of ball size; the estimator is one map-side pass; no frontier, no pair explosion — THE neighborhood primitive that survives 1e9 nodes",
       {
-        val mergeRounds = (1 to 3).map { h =>
-          val prev = s"r${h - 1}"
-          s"""r$h AS MATERIALIZED (
-             |  SELECT node, idx, min(w) AS w FROM (
-             |    SELECT node, idx, w FROM $prev
-             |    UNION ALL
-             |    SELECT s.src AS node, r.idx, r.w FROM sym s JOIN $prev r ON r.node = s.dst)
-             |  GROUP BY node, idx)""".stripMargin
-        }.mkString(",\n")
-        val estimators = (0 to 3).map { h =>
-          s"""rho$h AS (
-             |  SELECT node, idx, 54 - max(b) AS mj FROM r$h, bits
-             |  WHERE w > 0 AND (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) <= w GROUP BY node, idx
-             |  UNION ALL
-             |  SELECT node, idx, 55 AS mj FROM r$h WHERE w = 0),
-             |pres$h AS (SELECT node, CAST(count(*) AS BIGINT) AS np,
-             |                  sum(CAST(1 AS HUGEINT) << CAST(55 - mj AS INTEGER)) AS sp
-             |           FROM rho$h GROUP BY node),
-             |fin$h AS MATERIALIZED (
-             |  SELECT node, CAST(floor(CASE WHEN r <= 1280 AND vz > 0
-             |                               THEN 512 * ln(CAST(512 AS DOUBLE) / vz)
-             |                               ELSE r END + 0.5) AS BIGINT) AS est
-             |  FROM (SELECT node, 512 - np AS vz,
-             |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 512) * 512 * 512)
-             |               * CAST(36028797018963968 AS DOUBLE)
-             |               / CAST(sp + (512 - np) * (CAST(1 AS HUGEINT) << 55) AS DOUBLE) AS r
-             |        FROM pres$h))""".stripMargin
-        }.mkString(",\n")
         val curve = (0 to 3).map { h =>
           s"""SELECT CAST($h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_nodes,
              |       CAST(sum(CASE WHEN node % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
@@ -919,40 +942,11 @@ object GraphQueries {
              |       CAST((1000000 * CAST(sum(est) AS HUGEINT)) // count(*) AS BIGINT) AS avg_ball_ppm
              |FROM fin$h""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH $copurchasePairsSql,
-           |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
-           |                     UNION ALL SELECT v, u FROM pairs),
-           |nodesrc AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS k FROM sym),
-           |${graft.functions.HashFunctions.priorityHashCtes("nodesrc", "k", 13L, "node")},
-           |bits AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 54)),
-           |r0 AS MATERIALIZED (SELECT node, CAST(pri >> 54 AS BIGINT) AS idx,
-           |                           pri % 18014398509481984 AS w FROM ph4),
-           |$mergeRounds,
-           |$estimators
+        s"""WITH $hyperballCtesSql
            |$curve
            |ORDER BY h"""
       }) { (s, dir) =>
-      val (edges, parts) = persistCompact(copurchasePairs(s, dir))
-      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      // PACKED register representation (Boldi/Vigna's word layout): each
-      // node's counter is ONE 512-byte blob — HllDistinct's buffer,
-      // initialized with the node's own hash via the SAME reduce the
-      // batch a06 runs, merged along edges by HllRegMerge's elementwise
-      // max, and read by the SAME finish(). The relational row-per-
-      // register grain the ORACLE replays is semantically identical
-      // (min-w rows ⟺ max-rho bytes) but multiplies each round's shuffle
-      // by registers-per-node: the 10× nonlinearity probe measured it at
-      // ~100× cpu for 10× edges, while the packed form carries exactly
-      // one ≤520 B message per edge + map-side-combined blob merges —
-      // O(E) per round, the posture the registry doc claims.
-      val hll = new graft.functions.Aggregators.HllDistinct(13L)
-      val init = udf((node: Long) => hll.reduce(hll.zero, node))
-      val readEst = udf((blob: Array[Byte]) => hll.finish(blob))
-      val mergeRegs = udaf(new graft.functions.Aggregators.HllRegMerge)
-      var regs = sym.select(col("src").as("node")).distinct()
-        .select(col("node"), init(col("node")).as("blob"))
-        .coalesce(parts).localCheckpoint(true)
+      val (rounds, readEst) = hyperballRounds(s, dir)
       def curveRow(h: Int, regsH: DataFrame): DataFrame =
         regsH
           .select(col("node"), readEst(col("blob")).as("est"))
@@ -964,17 +958,9 @@ object GraphQueries {
             col("anf_est"), col("seed_anf_est"),
             expr("(1000000 * cast(anf_est as decimal(38,0))) div n_nodes")
               .cast("long").as("avg_ball_ppm"))
-      var out = curveRow(0, regs)
-      for (h <- 1 to 3) {
-        regs = regs.unionAll(
-            sym.join(regs.select(col("node").as("dst"), col("blob"))
-              .hint("shuffle_hash"), Seq("dst"))
-              .select(col("src").as("node"), col("blob")))
-          .groupBy("node").agg(mergeRegs(col("blob")).as("blob"))
-          .coalesce(parts).localCheckpoint(true)
-        out = out.unionAll(curveRow(h, regs))
-      }
-      out.orderBy("h")
+      rounds.zipWithIndex.map { case (r, h) => curveRow(h, r) }
+        .reduce(_ unionAll _)
+        .orderBy("h")
     },
 
     sql(
@@ -1055,7 +1041,76 @@ object GraphQueries {
             .cast("long").as("harmonic_ppm"))
         .orderBy("seed")
     },
+
+    sql(
+      "g19_hyperball_harmonic",
+      "HyperBall-estimated harmonic centrality (Boldi/Vigna's actual use-case for HyperBall, and g18's promissory note made real — g18's scaladoc says the exact frontiers hand off to g16's per-node HLL registers at 100 TB; this IS that hand-off, closing the r16 verdict's ask #5): C_H(v) = Sigma_h (|B(v,h)| - |B(v,h-1)|)/h read ENTIRELY from the SAME packed 512-byte blobs the g16 ANF loop already carries (one shared hyperballRounds loop and one shared register-grain oracle CTE block, the seedFrontiers sharing discipline — the ball machinery cannot drift between the curve and the centrality), with per-shell estimates differenced as greatest(est_h - est_{h-1}, 0): register merges are monotone but the a06 estimator's linear-counting switchover is not STRICTLY so, and a negative estimated shell is noise, clamped identically in both dialects. Shells integerize as shell*1e6 div h, summed exactly (g18's flooring-per-shell contract). Output: g10/g18's deterministic seed sample (node % 100) with the four estimated ball sizes and harmonic_est_ppm; the error-envelope spec reads it against g18's exact shells on the shared seed set. Scale posture: identical to g16 — O(E) packed-blob messages per round, 512 B state per node, and the centrality read is a seed-filtered map over the ALREADY-checkpointed round frames plus three node-sized joins on the seed sample; no frontier, no pair explosion — the per-node centrality that survives 1e9 nodes, which g18's exact form cannot",
+      s"""WITH $hyperballCtesSql
+        |SELECT f0.node, f0.est AS ball_h0, f1.est AS ball_h1,
+        |       f2.est AS ball_h2, f3.est AS ball_h3,
+        |       CAST(greatest(f1.est - f0.est, 0) * 1000000
+        |            + (greatest(f2.est - f1.est, 0) * 1000000) // 2
+        |            + (greatest(f3.est - f2.est, 0) * 1000000) // 3 AS BIGINT) AS harmonic_est_ppm
+        |FROM fin0 f0
+        |JOIN fin1 f1 ON f1.node = f0.node
+        |JOIN fin2 f2 ON f2.node = f0.node
+        |JOIN fin3 f3 ON f3.node = f0.node
+        |WHERE f0.node % 100 = 0
+        |ORDER BY f0.node""") { (s, dir) =>
+      val (rounds, readEst) = hyperballRounds(s, dir)
+      val perRound = rounds.zipWithIndex.map { case (r, h) =>
+        r.filter(col("node") % 100 === 0)
+          .select(col("node"), readEst(col("blob")).as(s"ball_h$h"))
+      }
+      perRound.reduce((a, b) => a.join(b, Seq("node")))
+        .select(col("node"), col("ball_h0"), col("ball_h1"), col("ball_h2"), col("ball_h3"),
+          (greatest(col("ball_h1") - col("ball_h0"), lit(0L)) * 1000000L
+            + expr("(greatest(ball_h2 - ball_h1, 0L) * 1000000) div 2")
+            + expr("(greatest(ball_h3 - ball_h2, 0L) * 1000000) div 3"))
+            .cast("long").as("harmonic_est_ppm"))
+        .orderBy("node")
+    },
   )
+
+  /** g16/g19's shared packed-register HyperBall loop (Boldi/Vigna's word
+    * layout): each node's counter is ONE 512-byte blob — HllDistinct's
+    * buffer, initialized with the node's own hash via the SAME reduce the
+    * batch a06 runs, merged along edges by HllRegMerge's elementwise max,
+    * and read by the SAME finish(). The relational row-per-register grain
+    * the ORACLE replays is semantically identical (min-w rows ⟺ max-rho
+    * bytes) but multiplies each round's shuffle by registers-per-node: the
+    * 10× nonlinearity probe measured it at ~100× cpu for 10× edges, while
+    * the packed form carries exactly one ≤520 B message per edge +
+    * map-side-combined blob merges — O(E) per round, the posture both
+    * registry docs claim. Returns the four per-round register frames
+    * (h = 0..3, each localCheckpointed so downstream readers never re-run
+    * the loop) plus the estimate-reading udf.
+    */
+  private def hyperballRounds(s: SparkSession, dir: String):
+      (Seq[DataFrame], org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val (edges, parts) = persistCompact(copurchasePairs(s, dir))
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val hll = new graft.functions.Aggregators.HllDistinct(13L)
+    val init = udf((node: Long) => hll.reduce(hll.zero, node))
+    val readEst = udf((blob: Array[Byte]) => hll.finish(blob))
+    val mergeRegs = udaf(new graft.functions.Aggregators.HllRegMerge)
+    var regs = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), init(col("node")).as("blob"))
+      .coalesce(parts).localCheckpoint(true)
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += regs
+    for (_ <- 1 to 3) {
+      regs = regs.unionAll(
+          sym.join(regs.select(col("node").as("dst"), col("blob"))
+            .hint("shuffle_hash"), Seq("dst"))
+            .select(col("src").as("node"), col("blob")))
+        .groupBy("node").agg(mergeRegs(col("blob")).as("blob"))
+        .coalesce(parts).localCheckpoint(true)
+      rounds += regs
+    }
+    (rounds.result(), readEst)
+  }
 
   /** g15's body — see the registry doc for the semantics. `broadcastRanks`
     * is the wired form of the plan choice the r15 bench measured: the rank

@@ -594,6 +594,43 @@ object StreamingQueries {
           "st18_out", mode = "update", requireSingleBatch = true)
           .orderBy("event_type")
       }
+    },
+
+    sql(
+      "st19_stream_substring_dup",
+      "STREAMING exact-substring duplication monitor (DocStreams.substringDupMonitor — r16 verdict #6, d20's window-keyed counting as the d13/d15 incremental shape): batch d20 counts every word-anchored 32-char window corpus-wide, but an INGESTION pipeline needs the question answered per arriving document — 'does this doc embed verbatim runs the corpus already holds?' — so the corpus window index lives AS STATE: each window STRING (the same anchoredWindowsSql kernel d20 compiles, one grammar for batch and stream; raw strings, not hashes — a fingerprint collision would flag an innocent doc and be unreplayable) owns one transformWithState cell remembering the smallest doc_id carrying it, an arriving doc emits one evidence row per distinct window a smaller doc already holds, and the single armed event-time timer evicts the key once the watermark passes (newest occurrence + 30 min — the st12 horizon contract at substring grain). The bounded single-batch replay (st06's guard) makes each state minimum the GLOBAL minimum per window, so the oracle is d20's window-keyed inverted index with the predicate mindoc < doc_id: per doc its distinct-window count, how many of those windows a smaller doc holds, and the stale-coverage ppm. Documents carry no event time, so the stream assigns the st12 deterministic synthetic one (epoch + doc_id seconds). Scale posture: one long per distinct in-horizon corpus window in RocksDB (the d20 inverted index held incrementally, timer-bounded); window keys shuffle-partition like any high-cardinality key; per-batch cost is O(new docs' chars) — d20's corpus pass amortized to the arrival rate",
+      """WITH win0 AS (SELECT doc_id,
+        |                    unnest(list_filter(list_transform(generate_series(1, length(text) - 32),
+        |                      i -> CASE WHEN substring(text, i, 1) = ' '
+        |                                THEN substring(text, i + 1, 32) END),
+        |                      x -> x IS NOT NULL)) AS wd
+        |             FROM documents WHERE length(text) >= 33),
+        |win AS (SELECT DISTINCT doc_id, wd FROM win0),
+        |mind AS (SELECT wd, CAST(min(doc_id) AS BIGINT) AS mindoc FROM win GROUP BY wd),
+        |per AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |               CAST(sum(CASE WHEN m.mindoc < w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_windows
+        |        FROM win w JOIN mind m USING (wd) GROUP BY w.doc_id)
+        |SELECT doc_id, n_windows, n_stale_windows,
+        |       CAST(n_stale_windows * 1000000 // n_windows AS BIGINT) AS stale_ppm
+        |FROM per ORDER BY doc_id""") { (s, dir) =>
+      EventStreams.withRocksDBStateStore(s) {
+        val out = runToMemory(s,
+          DocStreams.substringDupMonitor(s, docStream(s, dir)).toDF(),
+          "st19_out", mode = "append", requireSingleBatch = true)
+        val stale = out.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_stale_windows"))
+        Tables.documents(s, dir)
+          .filter(length(col("text")) >= 33)
+          .select(col("doc_id"),
+            explode(expr(DedupQueries.anchoredWindowsSql)).as("wd"))
+          .groupBy("doc_id")
+          .agg(countDistinct("wd").cast("long").as("n_windows"))
+          .join(stale, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_stale_windows"), lit(0L)).as("n_stale_windows"),
+            expr("(coalesce(n_stale_windows, 0) * 1000000) div n_windows").as("stale_ppm"))
+          .orderBy("doc_id")
+      }
     }
   )
 }

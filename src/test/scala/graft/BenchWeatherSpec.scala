@@ -53,6 +53,31 @@ class BenchWeatherSpec extends AnyFunSuite {
     assert(idx.contains(1.0), s"sub-floor noise leaked into the index: $idx")
   }
 
+  test("even-count ratio lists average the two middle elements (r16 advice: no upper-median bias)") {
+    // exactly WeatherMinCommon entries, half at ratio 1.0 and half at 1.5:
+    // the upper-median pick would read 1.5; the true median reads 1.25
+    val n = Bench.WeatherMinCommon
+    val prev = battery(n, _ => 1.0).toMap
+    val now = battery(n, i => if (i * 2 <= n) 1.0 else 1.5)
+    val idx = Bench.weatherIndex(prev, now, floorS)
+    assert(idx.contains(1.25), s"even-count median must average the middle pair, got $idx")
+  }
+
+  test("entries requalified last round are excluded: fresh-JVM prev walls cannot inflate the index") {
+    // 30 entries whose prev walls were requalified fresh-JVM takes (so
+    // this round's raw in-bench walls read 2x against them) + 220 flat
+    // entries: with the exclusion the index reads the flat set
+    val requalified = (1 to 30).map(i => f"q$i%03d").toSet
+    val prev = battery(250, _ => 1.0).toMap
+    val now = battery(250, i => if (i <= 30) 2.0 else 1.0)
+    val withExcl = Bench.weatherIndex(prev, now, floorS, exclude = requalified)
+    assert(withExcl.contains(1.0), s"excluded entries leaked into the index: $withExcl")
+    // and the exclusion cannot fake a pass when the storm is real
+    val storm = battery(250, _ => 1.4)
+    assert(Bench.weatherIndex(prev, storm, floorS, exclude = requalified)
+      .exists(_ > Bench.WeatherDegradedThreshold))
+  }
+
   test("no comparable prior (or too few common entries) reports None, never a fake index") {
     assert(Bench.weatherIndex(Map.empty, battery(250, _ => 1.0), floorS).isEmpty)
     val few = battery(Bench.WeatherMinCommon - 1, _ => 2.0)

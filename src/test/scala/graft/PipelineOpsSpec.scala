@@ -2165,6 +2165,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("g19 HyperBall harmonic: per-seed estimates track g18's exact shells within the HLL envelope at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    // g19: (node, ball_h0..ball_h3, harmonic_est_ppm) off g16's registers
+    val est = SparkEntry.queries("g19_hyperball_harmonic")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // g18: (seed, n_1hop, n_2hop, n_3hop, harmonic_ppm) — exact shells on
+    // the SAME node % 100 seed sample
+    val exact = SparkEntry.queries("g18_harmonic_centrality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(est.keySet == exact.keySet,
+      s"seed samples diverged: ${est.keySet.size} vs ${exact.keySet.size}")
+    assert(est.nonEmpty)
+    // h=0 is exact by construction (one present register → linear
+    // counting reads exactly 1), so every estimated ball starts at 1
+    assert(est.values.forall(_._1 == 1L), "ball_h0 must read exactly 1 per seed")
+    var sumEst = 0.0
+    var sumExact = 0.0
+    var worst = 0.0
+    for ((seed, (_, _, _, _, hEst)) <- est) {
+      val hExact = exact(seed)._4
+      sumEst += hEst.toDouble
+      sumExact += hExact.toDouble
+      worst = math.max(worst, math.abs(hEst.toDouble - hExact.toDouble) / hExact.toDouble)
+    }
+    val aggErr = math.abs(sumEst - sumExact) / sumExact
+    // same envelope argument as the g16 spec: 512-register HLL in the
+    // linear-counting regime is sub-1% per ball at fixture sizes, and the
+    // per-seed harmonic is a ball-difference sum, so per-seed error stays
+    // a few counts while errors cancel further in the aggregate
+    assert(aggErr <= 0.05,
+      f"Sigma harmonic estimate $sumEst%.0f vs exact $sumExact%.0f (rel err $aggErr%.4f)")
+    assert(worst <= 0.25,
+      f"worst per-seed harmonic deviation $worst%.4f exceeds the 25%% envelope")
+    info(f"Sigma harmonic est $sumEst%.0f vs exact $sumExact%.0f " +
+      f"(agg rel err $aggErr%.4f, worst per-seed $worst%.4f over ${est.size} seeds)")
+  }
+
   test("st16 FIFO entry: arrival order decides — early demand is lost, late demand matches (hand trace)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("st16spec").toString

@@ -177,7 +177,9 @@ class ScaleSpec extends SparkSpec {
       "g16_hyperball_anf", "g17_weighted_pagerank",
       "d20_substring_duplication", "a22_autocorrelation",
       "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
-      "a21_mann_kendall", "g18_harmonic_centrality")
+      "a21_mann_kendall", "g18_harmonic_centrality",
+      // r17 representative: shared-register per-node harmonic read
+      "g19_hyperball_harmonic")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -252,7 +254,9 @@ class ScaleSpec extends SparkSpec {
       "g16_hyperball_anf", "g17_weighted_pagerank",
       "d20_substring_duplication", "a22_autocorrelation",
       "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
-      "a21_mann_kendall", "g18_harmonic_centrality")
+      "a21_mann_kendall", "g18_harmonic_centrality",
+      // r17 representative: shared-register per-node harmonic read
+      "g19_hyperball_harmonic")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq

@@ -567,6 +567,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st19 substring monitor: window keys carry across batches; offset-shifted embeds flag; smaller late docs pass") {
+    // independent Scala mirror of the anchored-window grammar (the d20
+    // spec's helper): windows start after each space
+    def windows(t: String): Set[String] =
+      (1 to t.length - 32).filter(i => t.charAt(i - 1) == ' ')
+        .map(i => t.substring(i, i + 32)).toSet
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d10 = "doc ten leads with " + boiler + " then a unique tail"
+    val d20 = "zz " + boiler + " entirely different ending text here"   // shifted offset
+    val d30 = "completely unrelated content with no shared verbatim runs at all"
+    val d05 = "prefix words " + boiler + " another unique suffix body"  // SMALLER id, arrives last
+    val sharedWith = (t: String) => (windows(t) intersect windows(d10)).size
+    assert(sharedWith(d20) > 0, "fixture must share anchored windows across the offset shift")
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[DocStreams.Doc](spark)
+      ms.addData(Seq(doc(10, d10, "2026-01-01 10:00:00")))
+      val q = DocStreams.substringDupMonitor(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st19_spec").start()
+      q.processAllAvailable()
+      // batch 2 rides batch 1's carried window index
+      ms.addData(Seq(
+        doc(20, d20, "2026-01-01 10:01:00"),
+        doc(30, d30, "2026-01-01 10:01:30")))
+      q.processAllAvailable()
+      // batch 3: a SMALLER doc carrying the same boilerplate becomes the
+      // new minimum for those keys instead of evidence (the st12 monotone
+      // contract at window grain)
+      ms.addData(Seq(doc(5, d05, "2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("st19_spec").collect().map(_.getLong(0))
+      assert(hits.count(_ == 20L) == sharedWith(d20),
+        s"doc 20 must flag once per shared window (${sharedWith(d20)}): ${hits.toSeq}")
+      assert(!hits.contains(30L), s"unrelated doc must pass: ${hits.toSeq}")
+      assert(!hits.contains(10L), s"the window minimum must pass: ${hits.toSeq}")
+      assert(!hits.contains(5L), s"a smaller late doc must pass: ${hits.toSeq}")
+    }
+  }
+
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
     val k = KinesisStreamIO()
     assert(k.sourceOptions("kinesis.streamName") == "java-test-stream")
