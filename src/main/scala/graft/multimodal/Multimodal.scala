@@ -215,6 +215,64 @@ object Multimodal {
     }
   }
 
+  /** Per-image 64-bit average-hash, carried as four 16-bit band keys. */
+  final case class ImageHash(doc_id: Long, h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Average-hash (aHash) STUB over image payloads: the perceptual-hash
+    * shape image dedup pipelines run — resize to 8×8, threshold each cell
+    * against the global mean, read the 64 bits — with the pixel decode
+    * stubbed to byte arithmetic like [[decodeFeatures]]: the payload
+    * (bytes after the 8-byte [[parseHeaders]] header) splits into 64
+    * PROPORTIONAL blocks (block of byte i = (i−1)·64 div L — the resize
+    * analog, so two payloads of different lengths still compare
+    * position-for-position), and bit b = 1 iff block b's mean exceeds the
+    * global mean, decided by the EXACT integer cross-multiply
+    * sum_b·L > total·len_b — no division, no float, so the DuckDB oracle
+    * replays every bit. The 64 bits ship as four 16-bit band keys
+    * (blocks 16k..16k+15 → key k, bit j = block 16k+j) — the d04 banding
+    * grain m15 joins on, and small positive ints that never touch the
+    * BIGINT sign bit in either engine. Payloads under 64 bytes (after
+    * the header) are out of the audit's domain — every block must own at
+    * least one byte. Swapping the byte loop for a real decoder + resize
+    * changes no plan.
+    */
+  def imageBandHashes(blobs: Dataset[MediaBlob]): Dataset[ImageHash] = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .filter(b => b.media_type == "image" && b.data != null && b.data.length >= 72)
+      .mapPartitions { it =>
+        // per-partition decoder/resizer init would go here
+        it.map { b =>
+          val bytes = b.data
+          val l = bytes.length - 8
+          val sums = new Array[Long](64)
+          val lens = new Array[Long](64)
+          var total = 0L
+          var i = 1
+          while (i <= l) {
+            val v = (bytes(7 + i) & 0xff).toLong
+            val blk = ((i - 1).toLong * 64 / l).toInt
+            sums(blk) += v
+            lens(blk) += 1
+            total += v
+            i += 1
+          }
+          def band(k: Int): Long = {
+            var h = 0L
+            var j = 0
+            while (j < 16) {
+              val blk = 16 * k + j
+              // mean_blk > mean_global ⟺ sum_blk·L > total·len_blk
+              if (sums(blk) * l > total * lens(blk)) h |= (1L << j)
+              j += 1
+            }
+            h
+          }
+          ImageHash(b.doc_id, band(0), band(1), band(2), band(3))
+        }
+      }
+  }
+
   /** Frame sampling STUB: slices the payload into `stride`-byte "frames"
     * and keeps every `every`-th one — the explode shape of real video
     * frame sampling.

@@ -926,6 +926,81 @@ object AggregateQueries {
             r4(col("num").cast("double") / col("den").cast("double")))
             .otherwise(lit(0.0)).as("acf"))
         .orderBy("lag")
+    },
+
+    sql(
+      "a23_dow_anova",
+      "weekday variance decomposition of the day-grain revenue series (one-way ANOVA eta-squared — the DESEASONALIZE-FIRST screen the monitoring family reads before trusting its own verdicts: q111 profiles COUNTS per weekday, but a20's CUSUM and a21's MK trend run on revenue, and a strong weekly revenue cycle inflates both tests' variance or masquerades as drift — eta2 = SS_between/SS_total says what share of daily-revenue variance the weekday alone explains, THE number that decides whether the a20-a22 inputs need a seasonal adjustment pass): all sums exact integers with fractional means cross-multiplied away (the a13/a15 devs discipline) — SST*N^2 = Sigma (N*x - S)^2, SSB*N^2 = Sigma_g (N*S_g - n_g*S)^2 / n_g with the per-group division FLOORED identically in both dialects (7 flooring ops on ~1e26-magnitude terms — sub-ppm and bit-identical), eta2_ppm one final flooring division with the zero-variance corpus pinned to 0 (the a21 flat-series discipline: a constant series has no variance to decompose, the audit reports nothing rather than dividing by zero); per weekday the exact day count, revenue sum, floored mean_x100, and the q111-style revenue seasonal index (S_g*N*1e6) div (n_g*S) on the zero-filled 7-row grid (epoch-day (day+4) % 7, Sunday=0 — q111's engine-independent convention, never locale dayofweek()). DECIMAL(38,0)/HUGEINT widening holds to 30-year 1000x-volume histories (dev^2 ~ 5e28, summed ~ 5e31 — three decades inside 1e38, documented). Scale posture: ONE day-keyed corpus rollup (map-side combinable) is the only data-sized pass — the a20/a21/a22 argument; everything downstream lives on the calendar-bounded |days| table and a 7-row grid",
+      """WITH d0 AS (SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderdate IS NOT NULL),
+        |daily AS (SELECT day, CAST((day + 4) % 7 AS BIGINT) AS dow, CAST(sum(cents) AS BIGINT) AS x
+        |          FROM d0 GROUP BY day),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |sst AS (SELECT CAST(sum((CAST(t.n AS HUGEINT) * d.x - t.s)
+        |                      * (CAST(t.n AS HUGEINT) * d.x - t.s)) AS HUGEINT) AS sst_n
+        |        FROM daily d CROSS JOIN tot t),
+        |grp AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(x) AS BIGINT) AS s_g
+        |        FROM daily GROUP BY dow),
+        |ssb AS (SELECT CAST(sum((CAST(t.n AS HUGEINT) * g.s_g - g.n_days * t.s)
+        |                      * (CAST(t.n AS HUGEINT) * g.s_g - g.n_days * t.s) // g.n_days) AS HUGEINT) AS ssb_n
+        |        FROM grp g CROSS JOIN tot t),
+        |eta AS (SELECT CASE WHEN sst.sst_n = 0 THEN 0
+        |               ELSE CAST(ssb.ssb_n * 1000000 // sst.sst_n AS BIGINT) END AS eta2_ppm
+        |        FROM ssb CROSS JOIN sst)
+        |SELECT CAST(gg.dow AS BIGINT) AS dow,
+        |       CAST(coalesce(g.n_days, 0) AS BIGINT) AS n_days,
+        |       CAST(coalesce(g.s_g, 0) AS BIGINT) AS sum_cents,
+        |       CAST(CASE WHEN coalesce(g.n_days, 0) = 0 THEN 0
+        |            ELSE g.s_g * 100 // g.n_days END AS BIGINT) AS mean_x100,
+        |       CAST(CASE WHEN coalesce(g.n_days, 0) = 0 OR t.s = 0 THEN 0
+        |            ELSE (CAST(g.s_g AS HUGEINT) * t.n * 1000000) // (g.n_days * CAST(t.s AS HUGEINT)) END AS BIGINT) AS rev_index_ppm,
+        |       CAST(e.eta2_ppm AS BIGINT) AS eta2_ppm
+        |FROM generate_series(0, 6) gg(dow)
+        |LEFT JOIN grp g ON g.dow = gg.dow
+        |CROSS JOIN tot t CROSS JOIN eta e
+        |ORDER BY dow""") { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").isNotNull)
+        .select(expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day").agg(sum("cents").cast("long").as("x"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val tot = daily.agg(count(lit(1)).cast("long").as("n"), sum("x").cast("long").as("s"))
+      val sst = daily.crossJoin(broadcast(tot))
+        .select(expr("cast(n as decimal(38,0)) * x - s").as("dev"))
+        .agg(sum(expr("dev * dev")).cast("decimal(38,0)").as("sst_n"))
+      val grp = daily.groupBy("dow")
+        .agg(count(lit(1)).cast("long").as("n_days"), sum("x").cast("long").as("s_g"))
+      // NOT `(b*b) div n_days`: Spark's IntegralDivide always RETURNS LONG,
+      // and the per-group quotient brushes 1e26 — ARITHMETIC_OVERFLOW under
+      // ANSI. Subtract the remainder first, then the decimal division is
+      // exact (an integer value, so the result scale cannot round it) and
+      // stays decimal end to end — bit-identical to DuckDB's HUGEINT `//`
+      // on these non-negative operands.
+      val ssb = grp.crossJoin(broadcast(tot))
+        .select(expr("cast(n as decimal(38,0)) * s_g - cast(n_days as decimal(38,0)) * s").as("b"),
+          col("n_days"))
+        .select(expr("cast((b * b - (b * b) % n_days) / n_days as decimal(38,0))").as("q"))
+        .agg(sum(col("q")).cast("decimal(38,0)").as("ssb_n"))
+      val eta = ssb.crossJoin(broadcast(sst))
+        .select(when(col("sst_n") === 0, 0L)
+          .otherwise(expr("(ssb_n * 1000000) div sst_n").cast("long")).as("eta2_ppm"))
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("dow")
+        .join(grp, Seq("dow"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(eta))
+        .select(col("dow"),
+          coalesce(col("n_days"), lit(0L)).cast("long").as("n_days"),
+          coalesce(col("s_g"), lit(0L)).cast("long").as("sum_cents"),
+          when(coalesce(col("n_days"), lit(0L)) === 0, 0L)
+            .otherwise(expr("(s_g * 100) div n_days")).cast("long").as("mean_x100"),
+          when(coalesce(col("n_days"), lit(0L)) === 0 || col("s") === 0, 0L)
+            .otherwise(expr("(cast(s_g as decimal(38,0)) * n * 1000000) " +
+              "div (cast(n_days as decimal(38,0)) * s)").cast("long")).as("rev_index_ppm"),
+          col("eta2_ppm"))
+        .orderBy("dow")
     }
   )
 }

@@ -618,8 +618,119 @@ object MultimodalQueries {
         |       CAST(CASE WHEN rn <= (bn // 8) * 8 THEN (rn - 1) % 8 ELSE -1 END AS BIGINT) AS slot
         |FROM asg ORDER BY doc_id""") { (s, dir) =>
       aspectBuckets(s, dir)
+    },
+
+    sql(
+      "m15_image_neardup",
+      "perceptual-hash image near-dup detection (aHash + Hamming banding — the IMAGE member the dedup family lacked: d01/d04/d20 dedupe text, but a multimodal corpus dedupes images by PERCEPTUAL similarity, and byte-identity (m01's sha) misses every re-encode; aHash is the canonical cheap perceptual hash — resize to 8x8, threshold each cell against the global mean, compare by Hamming distance): each image's 64-bit aHash comes from Multimodal.imageBandHashes (the decode-stub discipline — PROPORTIONAL 64-block byte means standing in for the pixel resize, every bit decided by the exact integer cross-multiply sum_b*L > total*len_b, so the oracle replays the full hash), carried as four 16-bit band keys; candidates pair on ANY equal (band, key) — d04's banding shape at Hamming grain with the pigeonhole guarantee that Hamming <= 3 ALWAYS collides on some band (4 bands, 3 flips cannot dirty all) and misses beyond are the documented LSH trade; exact Hamming = sum of per-band bit_count(xor) reranks candidates, near-dup at <= 6 of 64 bits. Output is the per-IMAGE ledger (every in-domain image reports, the d19/st12 rollup grain): distinct band-collision partners, best neighbor under the (hamming, neighbor) total order, its distance, and the near-dup flag — collision-free images report -1 sentinels rather than vanish (the a20 discipline; at the test SFs most images are unrelated word-salad, and an audit that only printed matches would read empty while the machinery idles). Scale posture: hashing is one map-side pass fused with the scan; the only shuffles are the (band, key) equi-join and a doc-keyed window over candidate rows; 16-bit keys bound the key space, so at web scale the bands widen (a 128-bit pHash in 4x32-bit bands), and the flood defence is WIRED from day one — imageNearDup(bucketCap) drops over-cap buckets with a keyed count + anti-join before the self-join, d04's discipline (default 0 so this oracle replays the uncapped join; SkewSpec plants a 64-blank-image flood, measures the quadratic candidate collapse, and pins non-flood rows bit-identical)",
+      """WITH img AS (SELECT doc_id, substring(text, 9) AS payload, CAST(length(text) - 8 AS BIGINT) AS L
+        |             FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 72),
+        |by0 AS (SELECT doc_id, L, payload, unnest(generate_series(1, L)) AS i FROM img),
+        |byt AS (SELECT doc_id, L, ((i - 1) * 64) // L AS blk,
+        |               CAST(ascii(substring(payload, CAST(i AS INT), 1)) AS BIGINT) AS v FROM by0),
+        |blocks AS (SELECT doc_id, L, blk, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |           FROM byt GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM blocks GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.blk, CASE WHEN b.s * b.L > t.total * b.c THEN 1 ELSE 0 END AS bit
+        |         FROM blocks b JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, blk // 16 AS band, CAST(sum(bit << CAST(blk % 16 AS INT)) AS BIGINT) AS key
+        |          FROM bits GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |             CAST(coalesce(max(CASE WHEN band = 0 THEN key END), 0) AS BIGINT) AS h0,
+        |             CAST(coalesce(max(CASE WHEN band = 1 THEN key END), 0) AS BIGINT) AS h1,
+        |             CAST(coalesce(max(CASE WHEN band = 2 THEN key END), 0) AS BIGINT) AS h2,
+        |             CAST(coalesce(max(CASE WHEN band = 3 THEN key END), 0) AS BIGINT) AS h3
+        |      FROM bands GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS nbr
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+        |scored AS (SELECT c.id, c.nbr,
+        |                  CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+        |                     + bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) AS BIGINT) AS hamming,
+        |                  row_number() OVER (PARTITION BY c.id ORDER BY
+        |                    bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+        |                    + bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)), c.nbr) AS rk
+        |           FROM cand c JOIN h x ON x.doc_id = c.id JOIN h y ON y.doc_id = c.nbr),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates FROM scored GROUP BY id),
+        |best AS (SELECT id, nbr, hamming FROM scored WHERE rk = 1)
+        |SELECT i.doc_id,
+        |       CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |       CAST(coalesce(b.nbr, -1) AS BIGINT) AS best_neighbor,
+        |       CAST(coalesce(b.hamming, -1) AS BIGINT) AS best_hamming,
+        |       CAST(CASE WHEN b.hamming <= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup
+        |FROM img i LEFT JOIN agg a ON a.id = i.doc_id LEFT JOIN best b ON b.id = i.doc_id
+        |ORDER BY i.doc_id""") { (s, dir) =>
+      imageNearDup(s, dir)
     }
   )
+
+  /** m15's band rows: one (doc_id, band, key) per image per band. */
+  private def imageBands(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageBandHashes(Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
+      .select(col("doc_id"),
+        posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))).as(Seq("band", "key")))
+
+  /** m15's body — see the registry doc. `bucketCap` is d04's wired flood
+    * defence at aHash grain: a corpus of near-blank images (every bit 0)
+    * collides in EVERY band and the candidate join goes quadratic in the
+    * flood size. `0` (default — the oracle replays this) keeps every
+    * bucket; `cap > 0` drops (band, key) buckets holding more than `cap`
+    * images with a keyed count + anti-join BEFORE the self-join — flood
+    * members then report the −1 sentinels (a bucket past the cap is a
+    * boilerplate/blank-asset class to route to d01-style exact grouping,
+    * not a pairwise question), while every non-flood row is bit-identical
+    * to the uncapped form (SkewSpec plants the flood and pins both).
+    */
+  private[graft] def imageNearDup(s: SparkSession, dir: String,
+      bucketCap: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Multimodal.imageBandHashes(Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
+    val bands0 = imageBands(s, dir)
+    val bands =
+      if (bucketCap <= 0) bands0
+      else bands0.join(
+        bands0.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > bucketCap).select("band", "key"),
+        Seq("band", "key"), "left_anti")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id"), col("b.doc_id").as("nbr"))
+      .distinct()
+    val hammingCol = Seq("h0", "h1", "h2", "h3")
+      .map(f => bit_count(col(s"x.$f").bitwiseXOR(col(s"y.$f"))).cast("long"))
+      .reduce(_ + _)
+    val scored = cand
+      .join(h.as("x"), col("id") === col("x.doc_id"))
+      .join(h.as("y"), col("nbr") === col("y.doc_id"))
+      .select(col("id"), col("nbr"), hammingCol.as("hamming"))
+    val wBest = Window.partitionBy("id").orderBy("hamming", "nbr")
+    val best = scored.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("id"), col("nbr"), col("hamming"))
+    val agg = scored.groupBy("id").agg(count(lit(1)).cast("long").as("n_candidates"))
+    h.select(col("doc_id"))
+      .join(agg, col("doc_id") === agg("id"), "left").drop("id")
+      .join(best, col("doc_id") === best("id"), "left").drop("id")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("nbr"), lit(-1L)).as("best_neighbor"),
+        coalesce(col("hamming"), lit(-1L)).as("best_hamming"),
+        when(col("hamming") <= 6, 1L).otherwise(0L).as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Directed candidate-pair volume the (band, key) equi-join would
+    * evaluate — the quantity `bucketCap` bounds, computed WITHOUT running
+    * the join (the fifoEvaluatedPairs pattern, for SkewSpec's flood
+    * measurement).
+    */
+  private[graft] def imageCandidateVolume(s: SparkSession, dir: String,
+      bucketCap: Int = 0): Long = {
+    val counts = imageBands(s, dir).groupBy("band", "key").agg(count(lit(1)).as("n"))
+    val kept = if (bucketCap <= 0) counts else counts.filter(col("n") <= bucketCap)
+    kept.agg(coalesce(sum(expr("n * (n - 1)")), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
 
   /** m14's bucket assignment: every well-formed image snapped to its
     * nearest ladder rung (exact integer |aspect − rung|, bucket-id

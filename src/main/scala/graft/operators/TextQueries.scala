@@ -5,6 +5,7 @@ import graft.GraftQuery.sql
 import graft.functions.{HashFunctions, TextFunctions}
 import graft.sources.Tables
 import graft.operators.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2360,6 +2361,89 @@ object TextQueries {
           when(col("vx") === 0 || col("vy") === 0, lit(0.0))
             .otherwise(r4(col("cov").cast("double") * col("cov").cast("double")
               / (col("vx").cast("double") * col("vy").cast("double")))).as("fit_r2"))
+    },
+
+    sql(
+      "p22_context_packing",
+      "context-window packing audit (GPT-style concatenate-and-chunk — the materialization step between p19's epoch manifest and the actual training batches: pretraining consumes FIXED 512-token windows, documents concatenate in a stable order and SPLIT at window boundaries, and the three numbers a data engineer reads off the plan are how many windows the corpus yields, how many documents straddle a boundary (the attention-contamination / truncation proxy — a straddling doc's tokens attend across a reset), and the fill efficiency vs the 512-token budget): per source, docs concatenate in doc_id order (retry-stable, no RNG — the p08 discipline at sequence grain), token counts on the t02 whitespace grid, window arithmetic in exact flooring integers — doc occupying cumulative span [cum-nt, cum) crosses a boundary iff (cum-nt) div 512 <> (cum-1) div 512. Output per source: docs, tokens, windows = ceil(tokens/512), boundary-crossing docs, boundary_ppm, fill_ppm = tokens*1e6 div (windows*512). Scale posture: the cumulative sum takes the WIRED packShards knob (default 0 = this oracle-replayed per-source stream — a window partitioned by the FIXED ~20-value source key, corpus/|sources| rows per partition, exactly m14's graduated weakness; S > 0 packs within (source, splitmix(doc_id) mod S) shards — each shard packs independently exactly as a distributed loader does, at the documented cost of <= S partial tail windows per source, which fill_ppm then honestly reports; SkewSpec pins totals invariant, the window-partition collapse, and the <= S excess-window bound)",
+      """WITH dt AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |            FROM documents),
+        |cum AS (SELECT doc_id, source, nt,
+        |               CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM dt),
+        |b AS (SELECT source, nt,
+        |             CASE WHEN (cum - nt) // 512 <> (cum - 1) // 512 THEN 1 ELSE 0 END AS crosses
+        |      FROM cum),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |               CAST((sum(nt) + 511) // 512 AS BIGINT) AS n_windows,
+        |               CAST(sum(crosses) AS BIGINT) AS n_boundary_docs
+        |        FROM b GROUP BY source)
+        |SELECT source, n_docs, total_tokens, n_windows, n_boundary_docs,
+        |       CAST(n_boundary_docs * 1000000 // n_docs AS BIGINT) AS boundary_ppm,
+        |       CAST(total_tokens * 1000000 // (n_windows * 512) AS BIGINT) AS fill_ppm
+        |FROM per ORDER BY source""") { (s, dir) =>
+      contextPacking(s, dir)
     }
   )
+
+  /** p22's body — see the registry doc. `packShards` mirrors m14's
+    * graduated `batchShards` exactly: 0 (default, oracle-replayed) streams
+    * each source's documents through ONE cumulative-sum window partition;
+    * `S > 0` packs within (source, splitmix(doc_id, seed 29) mod S) shards
+    * — retry-stable, layout-independent, each shard a self-contained
+    * packing stream the way every distributed loader actually shards, with
+    * ≤ S partial tail windows per source as the documented cost (visible
+    * in fill_ppm, never hidden). Totals (docs, tokens) are knob-invariant;
+    * windows and boundary counts legitimately differ per shard layout.
+    */
+  private[graft] def contextPacking(s: SparkSession, dir: String,
+      packShards: Long = 0): DataFrame = {
+    val dt0 = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val (dt, partCols) =
+      if (packShards <= 0) (dt0, Seq("source"))
+      else (dt0.withColumn("shard",
+        HashFunctions.priorityHash(col("doc_id"), 29L) % lit(packShards)),
+        Seq("source", "shard"))
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dt.withColumn("cum", sum("nt").over(w).cast("long"))
+      .withColumn("crosses",
+        when(expr("(cum - nt) div 512") =!= expr("(cum - 1) div 512"), 1L).otherwise(0L))
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nt").cast("long").as("total_tokens"),
+        expr("(sum(nt) + 511) div 512").cast("long").as("n_windows"),
+        sum("crosses").cast("long").as("n_boundary_docs"))
+      .groupBy("source")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_tokens").cast("long").as("total_tokens"),
+        sum("n_windows").cast("long").as("n_windows"),
+        sum("n_boundary_docs").cast("long").as("n_boundary_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_windows"),
+        col("n_boundary_docs"),
+        expr("(n_boundary_docs * 1000000) div n_docs").as("boundary_ppm"),
+        expr("(total_tokens * 1000000) div (n_windows * 512)").as("fill_ppm"))
+      .orderBy("source")
+  }
+
+  /** Max rows through a single packing cumulative-sum window partition —
+    * the quantity `packShards` bounds (the aspectBatchMaxPartition
+    * pattern, for SkewSpec's collapse measurement).
+    */
+  private[graft] def packMaxPartition(s: SparkSession, dir: String,
+      packShards: Long = 0): Long = {
+    val dt = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val keyed =
+      if (packShards <= 0) dt.groupBy("source")
+      else dt.withColumn("shard",
+        HashFunctions.priorityHash(col("doc_id"), 29L) % lit(packShards))
+        .groupBy("source", "shard")
+    keyed.agg(count(lit(1)).cast("long").as("n"))
+      .agg(coalesce(max("n"), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
 }

@@ -2290,6 +2290,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(corpus(swapped)) == ((15L, 103L, 7350L, 1L, 1L)))
   }
 
+  test("a23 dow ANOVA: weekday-determined revenue reads eta2 exactly 1e6; flat series pins the zero-variance guard; sparse grid zero-fills") {
+    import spark.implicits._
+    def corpus(days: Seq[(Int, Double)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("a23spec").toString
+      days.zipWithIndex.map { case ((d, v), i) =>
+        (i.toLong + 1, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), v) }
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def run(dir: String) = SparkEntry.queries("a23_dow_anova")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // 14 consecutive days from Mon 2024-01-01 (dow 1 under the (day+4)%7
+    // Sunday=0 convention): revenue = (dow+1)*100.00, so the weekday FULLY
+    // determines the series — within-group variance 0 ⟹ SSB = SST ⟹
+    // eta2 exactly 1e6 (the per-group flooring is exact here: every B_g is
+    // even and n_g = 2). Hand trace: S_g = 20000(d+1) cents, S = 560000,
+    // mean_x100 = 1e6(d+1), rev_index = 250000(d+1) exactly.
+    // dow(2024-01-d) = d % 7 (epoch day 19722+d, and 19726 ≡ 0 mod 7)
+    val det = run(corpus((1 to 14).map(d => (d, ((d % 7) + 1) * 100.0))))
+    assert(det === (0 to 6).map(d =>
+      (d.toLong, 2L, 20000L * (d + 1), 1000000L * (d + 1), 250000L * (d + 1), 1000000L)),
+      det.mkString(", "))
+    // flat 14 days: SST = 0 — the audit reports eta2 = 0 through the
+    // zero-variance guard (nothing to decompose, nothing divided) and
+    // every weekday indexes exactly 1e6
+    val flat = run(corpus((1 to 14).map(d => (d, 100.0))))
+    assert(flat === (0 to 6).map(d => (d.toLong, 2L, 20000L, 1000000L, 1000000L, 0L)),
+      flat.mkString(", "))
+    // 3 observed days (Mon-Wed): the 7-row grid still emits, absent
+    // weekdays zero-filled (an empty cell is a finding, not a missing row)
+    val sparse = run(corpus(Seq((1, 100.0), (2, 100.0), (3, 100.0))))
+    assert(sparse.count(_._2 == 0L) === 4 &&
+      sparse.filter(_._2 == 0L).forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L),
+      sparse.mkString(", "))
+  }
+
   test("t35 Heaps: planted 2-new-tokens-per-doc corpus — first-occurrence prefix curve and OLS match the BigInt mirror exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t35spec").toString
@@ -2474,6 +2512,42 @@ class PipelineOpsSpec extends SparkSpec {
     val want = wantSquares ++ Seq((48L, 3L, -1L, -1L),
       (51L, 6L, -1L, -1L), (54L, 6L, -1L, -1L), (57L, 0L, -1L, -1L))
     assert(got == want, s"got: ${got.mkString(", ")}")
+  }
+
+  test("m15 image near-dup: exact dup at hamming 0, 2-block perturbation at hamming 2, phase-shifted pattern isolated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m15spec").toString
+    val header = "HDvfAAAA"
+    // 64 proportional blocks of 3 bytes each (L = 192): even blocks 'zzz'
+    // (122 > mean), odd 'aaa' (97 < mean) -> band keys 0x5555 each
+    def payload(block: Int => String): String =
+      (0 until 64).map(block).mkString
+    val p = payload(b => if (b % 2 == 0) "zzz" else "aaa")
+    // blocks 0 and 2 flipped to 'aaa': exactly bits 0,2 of band 0 flip
+    // (means stay strictly separated), bands 1-3 untouched -> a guaranteed
+    // band collision with p and hamming exactly 2
+    val pPerturbed = payload(b => if (b % 2 == 0 && b > 2) "zzz" else "aaa")
+    // the complement phase: every bit flips -> no shared band key
+    val q = payload(b => if (b % 2 == 0) "aaa" else "zzz")
+    val docs = Seq(
+      (0L, header + p),          // image lane
+      (3L, header + p),          // exact dup of doc 0
+      (6L, header + pPerturbed), // 2-bit perturbation
+      (9L, header + q),          // complement pattern: isolated
+      (12L, header + "short"),   // payload < 64 bytes: out of domain
+      (1L, header + p))          // audio lane: out of domain
+    docs.map { case (id, t) => (id, t, "en", "spec") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m15_image_neardup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set(0L, 3L, 6L, 9L),
+      s"short payloads and non-images must be out of domain: ${got.keySet}")
+    assert(got(0L) === ((2L, 3L, 0L, 1L)), s"doc 0: ${got(0L)}")   // best = exact dup
+    assert(got(3L) === ((2L, 0L, 0L, 1L)), s"doc 3: ${got(3L)}")
+    assert(got(6L) === ((2L, 0L, 2L, 1L)), s"doc 6 must read hamming exactly 2: ${got(6L)}")
+    assert(got(9L) === ((0L, -1L, -1L, 0L)),
+      s"the complement pattern must report the -1 sentinels: ${got(9L)}")
   }
 
   test("m13 scene cuts: planted frame features — cut on the 64-delta, short final frame clamps, non-videos silent") {

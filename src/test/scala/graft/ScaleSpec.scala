@@ -178,8 +178,9 @@ class ScaleSpec extends SparkSpec {
       "d20_substring_duplication", "a22_autocorrelation",
       "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
       "a21_mann_kendall", "g18_harmonic_centrality",
-      // r17 representative: shared-register per-node harmonic read
-      "g19_hyperball_harmonic")
+      // r17 representatives: shared-register per-node harmonic read,
+      // aHash banding + per-image rollup, day-grain ANOVA decomposition
+      "g19_hyperball_harmonic", "m15_image_neardup", "a23_dow_anova")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -255,8 +256,9 @@ class ScaleSpec extends SparkSpec {
       "d20_substring_duplication", "a22_autocorrelation",
       "m14_aspect_buckets", "t35_heaps_law", "q122_stock_aging",
       "a21_mann_kendall", "g18_harmonic_centrality",
-      // r17 representative: shared-register per-node harmonic read
-      "g19_hyperball_harmonic")
+      // r17 representatives: shared-register per-node harmonic read,
+      // aHash banding + per-image rollup, day-grain ANOVA decomposition
+      "g19_hyperball_harmonic", "m15_image_neardup", "a23_dow_anova")
     def canonical(n: String, dir: String): Seq[String] = {
       val df = SparkEntry.queries(n)(spark, dir)
       val cs = df.columns.sorted.toSeq

@@ -421,4 +421,123 @@ class SkewSpec extends SparkSpec {
       f"(${maxGlobal.toDouble / maxSharded}%.1fx collapse); batch/tail invariants " +
       s"hold per shard; doc set + geometry bit-identical on planted + sf0.001")
   }
+
+  /** m15 flood corpus: 64 identical "blank" images (one byte value →
+    * every aHash bit 0 → collision in EVERY band, the worst case for the
+    * banding join), plus one true near-dup image pair and distinct
+    * background images outside the flood.
+    */
+  private lazy val m15FloodDir: String = {
+    import spark.implicits._
+    val header = "HDvfAAAA"
+    def pay(block: Int => String) = (0 until 64).map(block).mkString
+    val base = pay(b => if (b % 2 == 0) "zzz" else "aaa")
+    // blocks 0,2 flipped: hamming exactly 2 vs base (the m15spec trace)
+    val near = pay(b => if (b % 2 == 0 && b > 2) "zzz" else "aaa")
+    val flood = (0 until 64).map(i => (3000L + 3 * i, header + "m" * 192))
+    // backgrounds with HAND-KNOWN band keys (0xAAAA / 0x1111 / 0x0F0F per
+    // band — never 0, the flood's key, and never each other's), so no
+    // accidental bucket sharing can perturb the exact asserts below
+    val backgrounds = Seq(
+      (6000L, header + pay(b => if (b % 2 == 0) "aaa" else "zzz")),
+      (6003L, header + pay(b => if (b % 4 == 0) "zzz" else "aaa")),
+      (6006L, header + pay(b => if (b % 8 < 4) "zzz" else "aaa")))
+    val docs = Seq((300L, header + base), (303L, header + near)) ++ flood ++ backgrounds
+    val dir = Files.createTempDirectory("graft-skew-m15").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("m15 bucketCap drops exactly the blank-image flood buckets (non-flood rows bit-identical)") {
+    import graft.operators.MultimodalQueries
+    val floodIds = (0 until 64).map(i => 3000L + 3 * i).toSet
+    // a uniform payload hashes to all-zero bits: every flood image shares
+    // all 4 band keys -> 64*63 directed pairs per band class
+    val uncappedVol = MultimodalQueries.imageCandidateVolume(spark, m15FloodDir)
+    val cappedVol = MultimodalQueries.imageCandidateVolume(spark, m15FloodDir, bucketCap = 32)
+    assert(uncappedVol >= 4L * 64 * 63,
+      s"flood must dominate the uncapped candidate volume: $uncappedVol")
+    assert(cappedVol < uncappedVol / 10,
+      s"expected > 10x candidate collapse, got $uncappedVol -> $cappedVol")
+    def rows(cap: Int) = MultimodalQueries.imageNearDup(spark, m15FloodDir, bucketCap = cap)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val uncapped = rows(0)
+    val capped = rows(32)
+    assert(uncapped.keySet === capped.keySet, "the cap must not change the audit domain")
+    // flood members: 63 partners and hamming 0 uncapped; sentinels capped
+    for (id <- floodIds) {
+      assert(uncapped(id)._1 === 63L && uncapped(id)._3 === 0L && uncapped(id)._4 === 1L,
+        s"flood member $id uncapped: ${uncapped(id)}")
+      assert(capped(id) === ((0L, -1L, -1L, 0L)),
+        s"flood member $id must report sentinels under the cap: ${capped(id)}")
+    }
+    // every non-flood row is bit-identical in both positions, and the
+    // planted near-dup pair survives the cap with its exact distance
+    val nonFlood = uncapped.keySet -- floodIds
+    assert(nonFlood.forall(id => uncapped(id) === capped(id)),
+      "the cap changed a non-flood row")
+    assert(capped(300L)._2 === 303L && capped(300L)._3 === 2L && capped(300L)._4 === 1L,
+      s"near-dup pair lost under the cap: ${capped(300L)}")
+    info(s"directed candidate volume: uncapped=$uncappedVol, capped(32)=$cappedVol " +
+      f"(${uncappedVol.toDouble / math.max(cappedVol, 1)}%.1fx collapse); " +
+      s"64 flood members -> sentinels, ${nonFlood.size} non-flood rows bit-identical")
+  }
+
+  /** p22 single-source corpus: 160 docs of exactly 100 tokens each, all
+    * in ONE source — the whole corpus flows through one packing
+    * cumulative-sum window partition in the default position.
+    */
+  private lazy val packDir: String = {
+    import spark.implicits._
+    val docs = (0 until 160).map(i =>
+      (i.toLong, (0 until 100).map(j => s"t$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-skew-p22").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("p22 packShards collapses the per-source packing window (totals invariant, bounded excess windows)") {
+    import graft.operators.TextQueries
+    val S = 8L
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    val global = row(TextQueries.contextPacking(spark, packDir))
+    val sharded = row(TextQueries.contextPacking(spark, packDir, packShards = S))
+    assert(global.size === 1 && sharded.size === 1)
+    // hand trace: 160 docs x 100 tokens = 16000 tokens -> 32 windows of
+    // 512 (31 full + a 128-token tail), fill 16000e6/(32*512) = 976562
+    assert(global.head._2 === 160L && global.head._3 === 16000L)
+    assert(global.head._4 === 32L && global.head._7 === 976562L)
+    // the knob moves WHERE packing streams run, never what is packed:
+    // docs and tokens are invariant; windows grow by at most one partial
+    // tail per shard, and fill honestly drops with the extra tails
+    assert(sharded.head._2 === 160L && sharded.head._3 === 16000L)
+    assert(sharded.head._4 >= global.head._4 && sharded.head._4 <= global.head._4 + S,
+      s"sharded windows ${sharded.head._4} outside [${global.head._4}, ${global.head._4 + S}]")
+    assert(sharded.head._7 <= global.head._7)
+    // the measured collapse of the quantity the knob bounds
+    val maxGlobal = TextQueries.packMaxPartition(spark, packDir)
+    val maxSharded = TextQueries.packMaxPartition(spark, packDir, packShards = S)
+    assert(maxGlobal === 160L)
+    assert(maxSharded <= maxGlobal / 4,
+      s"expected >= 4x packing-partition collapse at S=$S, got $maxGlobal -> $maxSharded")
+    // real corpus: totals invariant under the knob at sf0.001
+    val sfG = row(TextQueries.contextPacking(spark, "/root/testdata/sf0.001"))
+    val sfS = row(TextQueries.contextPacking(spark, "/root/testdata/sf0.001", packShards = 4))
+    assert(sfG.map(r => (r._1, r._2, r._3)) === sfS.map(r => (r._1, r._2, r._3)),
+      "sf0.001 per-source doc/token totals diverged under sharding")
+    info(s"packing max partition: global=$maxGlobal, sharded(S=$S)=$maxSharded; " +
+      s"windows ${global.head._4} -> ${sharded.head._4} (tail excess " +
+      s"${sharded.head._4 - global.head._4} <= $S), fill ${global.head._7} -> ${sharded.head._7} ppm")
+  }
 }
