@@ -92,6 +92,74 @@ object Bench {
   /** Minimum common above-floor entries for the median to be meaningful. */
   private[graft] val WeatherMinCommon = 20
 
+  /** Round-stamped baseline files: `BENCH_DETAIL_r<N>.json` is the
+    * IMMUTABLE copy of round N's driver-committed `BENCH_DETAIL.json`
+    * (snapshotted from the driver's round commit at the next round's
+    * start and committed alongside the code).
+    */
+  private[graft] val BaselineFilePattern = """BENCH_DETAIL_r(\d+)\.json""".r
+
+  /** Baseline-selection rule (r17 advisory #1): the round-over-round
+    * comparison (weather index, requalifier mover filter, and the
+    * tool-emitted `cpu_comparison`) must read against an IMMUTABLE,
+    * identity-stamped artifact — never the mutable `BENCH_DETAIL.json`,
+    * which in the driver's window holds the builder's SAME-round calm
+    * take, so the r17 `cpu_comparison` published builder-calm vs
+    * driver-warm window weather (ratio 1.214) for a round whose committed
+    * round-over-round bases read 0.988. Selection order:
+    *
+    *  1. `SPARK_GRAFT_BENCH_BASELINE` (explicit override — the builder's
+    *     local take-chaining during iteration);
+    *  2. the highest-round `BENCH_DETAIL_r<N>.json` present (the driver
+    *     path: round N's bench baselines on round N−1's committed run —
+    *     driver-to-driver, the judge's round-over-round basis);
+    *  3. `BENCH_DETAIL.json` (legacy fallback when no stamped snapshot
+    *     exists).
+    *
+    * Whichever file wins, its identity (name, parsed round, its own
+    * weather index and timing tag) is stamped into the emitted
+    * `cpu_comparison`/`weather` fields so the basis can never silently
+    * change meaning again.
+    */
+  private[graft] def selectBaseline(candidates: Seq[String],
+      envOverride: Option[String]): Option[String] =
+    envOverride.orElse {
+      val stamped = candidates.collect { case n @ BaselineFilePattern(r) => (r.toInt, n) }
+      if (stamped.nonEmpty) Some(stamped.maxBy(_._1)._2)
+      else candidates.find(_ == "BENCH_DETAIL.json")
+    }
+
+  /** One-line code-cache occupancy summary (r17 advisory #2 forensics):
+    * the reserved size actually in force (from the JVM args — proves
+    * `SPARK_GRAFT_CODECACHE` reached this JVM), per-CodeHeap used/max,
+    * and the sweeper's `full_count` from the `Compiler.codecache` dcmd
+    * (non-zero = the JIT stopped compiling at least once — the r5-r7
+    * storm signature where no-table queries run interpreted at 80-200 s
+    * cpu). Printed by QueryTime after its takes and captured into the
+    * requalified record, so a driver-env fresh-JVM storm carries its own
+    * root-cause evidence.
+    */
+  private[graft] def codeCacheSummary(): String = {
+    import scala.jdk.CollectionConverters._
+    val reserved = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .find(_.startsWith("-XX:ReservedCodeCacheSize")).getOrElse("unset")
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map { p =>
+        val u = p.getUsage
+        s"${p.getName.replace(' ', '_').replace('\'', '_')}=${u.getUsed >> 20}M/${u.getMax >> 20}M"
+      }
+    val fullCount = try {
+      val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      val on = new javax.management.ObjectName("com.sun.management:type=DiagnosticCommand")
+      val txt = server.invoke(on, "compilerCodecache",
+        Array[AnyRef](null), Array("[Ljava.lang.String;")).asInstanceOf[String]
+      """full_count=(\d+)""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
+    } catch { case _: Throwable => "?" }
+    s"$reserved ${pools.mkString(" ")} full_count=$fullCount"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -238,11 +306,18 @@ object Bench {
     // Previous round's per-query walls + cpu + requalified set (same sf
     // only): the baseline for the weather index, the requalifier's mover
     // filter, and the tool-emitted cpu comparison (r16 advisory #4).
+    // Resolved via [[selectBaseline]] (r17 advisory #1) and identity-
+    // stamped into both emitted artifacts.
     final case class PrevDetail(walls: Map[String, Double],
-        cpu: Map[String, Double], requalified: Set[String])
+        cpu: Map[String, Double], requalified: Set[String],
+        file: String, round: Option[Int], weather: Option[Double], timing: String)
+    val baselineFile: Option[String] = selectBaseline(
+      Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getName),
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
     val prevDetail: Option[PrevDetail] = try {
-      val prevFile = Paths.get("BENCH_DETAIL.json")
-      if (!Files.exists(prevFile)) None else {
+      val prevFile = Paths.get(baselineFile.getOrElse("BENCH_DETAIL.json"))
+      if (baselineFile.isEmpty || !Files.exists(prevFile)) None else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(Files.readString(prevFile))
         val prevSf = Option(root.get("sf")).map(_.asText).getOrElse("")
@@ -267,7 +342,15 @@ object Bench {
             }
           }
           Some(PrevDetail(numMap(prevQ), numMap(root.get("cpu_s")),
-            keySet(root.get("requalified"))))
+            keySet(root.get("requalified")),
+            prevFile.getFileName.toString,
+            prevFile.getFileName.toString match {
+              case BaselineFilePattern(r) => Some(r.toInt)
+              case _ => None
+            },
+            Option(root.get("weather")).flatMap(w => Option(w.get("index")))
+              .filter(!_.isNull).map(_.asDouble),
+            Option(root.get("timing")).map(_.asText).getOrElse("unknown")))
         }
       }
     } catch { case e: Throwable =>
@@ -314,7 +397,10 @@ object Bench {
       // genuine plan/code changes and historically few (r14: 8), so the
       // cap covers twice that before the stderr overflow note fires.
       val cap = 16
-      def freshTakes(name: String): Seq[(Double, Double, Double)] = {
+      // Also returns the child's one-line code-cache summary (r17 advisory
+      // #2): the requalified record proves whether the reserved size
+      // reached the fresh JVM and whether its sweeper ever hit full_count.
+      def freshTakes(name: String): (Seq[(Double, Double, Double)], String) = {
         val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
@@ -332,8 +418,10 @@ object Bench {
         val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { p.destroyForcibly(); System.err.println(s"[bench-requalify] $name: timed out") }
         val take = ("""\[querytime\] \S+ take \d+: ([0-9.]+) s wall, ([0-9.]+) s executor, ([0-9.]+) s cpu""").r
-        take.findAllMatchIn(out).map(m =>
-          (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq
+        val cc = """\[querytime\] codecache: (.*)""".r
+          .findFirstMatchIn(out).map(_.group(1).trim).getOrElse("unreported")
+        (take.findAllMatchIn(out).map(m =>
+          (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq, cc)
       }
       try {
         if (prevWalls.isEmpty || weatherDegraded)
@@ -352,7 +440,7 @@ object Bench {
               s"[bench-requalify] cap $cap: dropped ${movers.drop(cap).map(_._1).mkString(",")}")
             val recs = movers.take(cap).map { case (n, prev, now, _) =>
               System.err.println(f"[bench-requalify] $n: ${prev}%.2f -> ${now}%.2f s, fresh-JVM takes...")
-              val fresh = freshTakes(n)
+              val (fresh, childCc) = freshTakes(n)
               val warm = if (fresh.size > 1) fresh.drop(1) else fresh
               val pubWall = (now +: warm.map(_._1)).min
               val pubCpu = warm.map(_._3) match {
@@ -363,7 +451,8 @@ object Bench {
                 .map { case (w, e, c) => s"[${r3(w)},${r3(e)},${r3(c)}]" }
                 .mkString("[", ",", "]")
               val rec = "\"" + n + "\":{\"prev\":" + r3(prev) + ",\"best2\":" + r3(now) +
-                ",\"fresh\":" + freshJson + ",\"published\":" + r3(pubWall) + "}"
+                ",\"fresh\":" + freshJson + ",\"published\":" + r3(pubWall) +
+                ",\"codecache\":\"" + childCc.replace("\"", "'") + "\"}"
               (rec, n -> (pubWall, pubCpu))
             }
             (recs.map(_._1).mkString("{", ",", "}"), recs.map(_._2).toMap)
@@ -443,7 +532,11 @@ object Bench {
       "cpus" -> cpus,
       "driverMem" -> sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"),
       "localDir" -> sys.props.getOrElse("spark.local.dir", "default"),
-      "codeCache" -> sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m"))
+      "codeCache" -> sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "768m"),
+      // end-of-battery occupancy of THIS bench JVM (r17 advisory #2):
+      // proves the reserved size was in force and whether the sweeper
+      // ever stopped compilation during the registry pass
+      "codeCacheObserved" -> codeCacheSummary().replace("\"", "'"))
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // Weather stamp, in BOTH artifacts (r15 advisory #2): index = median
     // wall ratio vs prev detail over common above-floor entries (null =
@@ -459,24 +552,37 @@ object Bench {
     // entries with positive cpu in both rounds that were requalified in
     // NEITHER round (the judge's never-requalified basis), and lands in
     // both BENCH_DETAIL.json and the driver's final line.
+    // Baseline identity stamp (r17 advisory #1): the comparison's meaning
+    // travels WITH the number — file, parsed round, the baseline run's own
+    // weather index and timing tag — so an auditor reading BENCH_r{N}.json
+    // alone knows whether the ratio is round-over-round (a stamped
+    // BENCH_DETAIL_r{N-1} baseline) or a local take-chain.
+    val baselineJson = prevDetail match {
+      case Some(pd) =>
+        s""""baseline":{"file":"${pd.file}","prev_round":${pd.round.getOrElse("null")},""" +
+          s""""prev_weather":${pd.weather.map(r3).getOrElse("null")},"prev_timing":"${pd.timing}"}"""
+      case None =>
+        s""""baseline":{"file":${baselineFile.map("\"" + _ + "\"").getOrElse("null")},""" +
+          """"prev_round":null,"prev_weather":null,"prev_timing":"incomparable_or_missing"}"""
+    }
     val cpuComparison = prevDetail.map { pd =>
       val excl = pd.requalified ++ requalPub.keySet
       val common = cpuBest.collect {
         case (n, c) if c > 0 && !excl(n) && pd.cpu.get(n).exists(_ > 0) => (pd.cpu(n), c)
       }
-      if (common.isEmpty) """{"common_set_size":0}"""
+      if (common.isEmpty) s"""{"common_set_size":0,$baselineJson}"""
       else {
         val prevSum = common.map(_._1).sum
         val nowSum = common.map(_._2).sum
         s"""{"common_set_size":${common.size},"cpu_prev":${r3(prevSum)},""" +
-          s""""cpu_now":${r3(nowSum)},"ratio":${r3(nowSum / prevSum)}}"""
+          s""""cpu_now":${r3(nowSum)},"ratio":${r3(nowSum / prevSum)},$baselineJson}"""
       }
-    }.getOrElse("""{"common_set_size":0}""")
+    }.getOrElse(s"""{"common_set_size":0,$baselineJson}""")
     val weatherJson =
       s"""{"index":${weather.map(r3).getOrElse("null")},"n_common":$nCommon,""" +
         s""""threshold":$WeatherDegradedThreshold,"degraded":$weatherDegraded,""" +
         s""""basis":"${if (weatherDegraded) "cpu_s" else "wall"}",""" +
-        s""""requalify":"${if (weatherDegraded) "skipped_storm" else "normal"}"}"""
+        s""""requalify":"${if (weatherDegraded) "skipped_storm" else "normal"}",$baselineJson}"""
     Files.writeString(Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"best_of_warm","n_queries":${results.size},"errors":$errJson,"weather":$weatherJson,"cpu_comparison":$cpuComparison,"queries":${json(resultsPub)},"cpu_s":${json(cpuBest)},"takes":$detailTakes,"stabilizer":$stabilizerJson,"standalone":$standalone,"requalified":$requalified,"env":$envJson,"sf":"$sfDir"}""")
     val head = resultsPub.filter { case (k, _) => Headline.contains(k) }

@@ -74,6 +74,12 @@ object QueryTime {
       }
       println(f"[querytime] $name take $i: $elapsed%.2f s wall, ${execMs / 1e3}%.2f s executor, ${cpuNs / 1e9}%.2f s cpu")
     }
+    // Code-cache forensics line (r17 advisory #2): captured by the bench
+    // requalifier into the published record, so a fresh-JVM cpu storm
+    // carries evidence of whether the reserved size reached this JVM and
+    // whether the sweeper ever stopped compilation (full_count > 0 — the
+    // no-table-query-at-80s interpreted-execution signature).
+    println(s"[querytime] codecache: ${Bench.codeCacheSummary()}")
     spark.stop()
   }
 }

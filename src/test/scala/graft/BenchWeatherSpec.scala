@@ -85,4 +85,38 @@ class BenchWeatherSpec extends AnyFunSuite {
     val enough = battery(Bench.WeatherMinCommon, _ => 2.0)
     assert(Bench.weatherIndex(enough.toMap, enough, floorS).isDefined)
   }
+
+  // --- baseline-selection rule (r17 advisory #1 / r18 ask #1) ---
+
+  test("baseline: the highest-round stamped snapshot wins over the mutable detail") {
+    val files = Seq("BENCH_DETAIL.json", "BENCH_DETAIL_r16.json",
+      "BENCH_DETAIL_r17.json", "BENCH_r17.json", "BENCH_CANONICAL_r17.json")
+    // BENCH_DETAIL.json (the builder's same-round calm take in the driver
+    // window — the r17 aliasing) must NOT be picked while any stamped
+    // round snapshot exists; among snapshots the newest round wins
+    assert(Bench.selectBaseline(files, None).contains("BENCH_DETAIL_r17.json"))
+    // non-baseline bench artifacts (BENCH_r17, canonical copies) never match
+    assert(Bench.selectBaseline(
+      Seq("BENCH_r17.json", "BENCH_CANONICAL_r17.json"), None).isEmpty)
+  }
+
+  test("baseline: explicit env override beats the stamped rule (builder take-chaining)") {
+    val files = Seq("BENCH_DETAIL.json", "BENCH_DETAIL_r17.json")
+    assert(Bench.selectBaseline(files, Some("BENCH_DETAIL.json"))
+      .contains("BENCH_DETAIL.json"))
+  }
+
+  test("baseline: with no stamped snapshot the legacy mutable detail is the fallback") {
+    assert(Bench.selectBaseline(Seq("BENCH_DETAIL.json", "README.md"), None)
+      .contains("BENCH_DETAIL.json"))
+    assert(Bench.selectBaseline(Seq("README.md"), None).isEmpty)
+  }
+
+  test("code-cache summary reports reserved size, CodeHeap pools, and full_count") {
+    val s = Bench.codeCacheSummary()
+    // in-force reserved flag or 'unset', at least one CodeHeap pool on a
+    // segmented-cache JDK 17, and a parseable full_count field
+    assert(s.contains("full_count="), s)
+    assert(s.contains("CodeHeap") || s.contains("Code_Cache"), s)
+  }
 }
