@@ -1181,20 +1181,80 @@ object DedupQueries {
         |       CAST(n_xdoc_windows * 1000000 // n_windows AS BIGINT) AS xdoc_ppm
         |FROM per ORDER BY doc_id""") { (s, dir) =>
       substringDupImpl(s, dir, materialize = true)
+    },
+
+    sql(
+      "d21_span_removal",
+      "duplicated-span REMOVAL (the action half of d20's measurement — Lee et al. 2022 dedups by REMOVING the duplicated spans, not just scoring them): every non-first occurrence of a duplicated word-anchored 32-char window (first occurrence = global minimum under (doc_id, position) — d12's first-occurrence-wins discipline at anchored-window grain; within-doc repeats count, matching d20's n_occ >= 2 predicate) marks its character range [p+1, p+32] for removal; per doc the marked ranges MERGE (overlapping-or-adjacent intervals union into maximal dropped runs — overlapping windows of one embedded run collapse to one span, so removal is span-at-a-time, not 32-chars-at-a-time) and the doc is rebuilt from the surviving character segments, byte-exact: the oracle rebuilds the same string and both engines report md5(text_clean). Docs too short for a window, and first occurrences themselves, pass through byte-identical; a doc that was entirely duplicated text rebuilds to the empty string rather than vanishing (the corpus keeps its row — dropping rows is d01's policy, not span removal's). Per doc: char mass, merged-span count, dropped/kept char mass, and the clean md5. Scale posture: first-occurrence selection is groupBy(window).agg(min(struct(doc_id, pos))) — a map-side-combinable min, NOT a row_number window over the window key, so a boilerplate window in 1e6 docs is one aggregation key with partial aggregation upstream (the flood-safe form; the join back on the window key is AQE-skew-splittable like d20's); interval merge and rebuild are doc-keyed windows over marked rows only (O(doc length / 6) rows per doc, gaps-and-islands with a running max) — never doc x doc, never a global sort",
+      """WITH pos0 AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-32)) AS i
+        |  FROM documents WHERE length(text) >= 33),
+        |win AS (
+        |  SELECT doc_id, CAST(i+1 AS BIGINT) AS s, CAST(i+32 AS BIGINT) AS e,
+        |         substring(text, CAST(i+1 AS INT), 32) AS wd
+        |  FROM pos0 WHERE substring(text, CAST(i AS INT), 1) = ' '),
+        |rk AS (
+        |  SELECT doc_id, s, e, row_number() OVER (PARTITION BY wd ORDER BY doc_id, s) AS rn FROM win),
+        |marked AS (SELECT doc_id, s, e FROM rk WHERE rn >= 2),
+        |ord AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM marked),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl_id
+        |  FROM ord),
+        |spans AS (
+        |  SELECT doc_id, isl_id, min(s) AS istart, max(e) AS iend FROM isl GROUP BY 1, 2),
+        |kseg AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(iend) OVER (PARTITION BY doc_id ORDER BY istart), 0) + 1 AS ks,
+        |         istart - 1 AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(iend) + 1 AS ks, NULL AS ke FROM spans GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT k.doc_id,
+        |         string_agg(substring(d.text, CAST(k.ks AS INT),
+        |                    CAST(coalesce(k.ke, length(d.text)) - k.ks + 1 AS INT)), '' ORDER BY k.ks) AS text_clean
+        |  FROM kseg k JOIN documents d USING (doc_id)
+        |  GROUP BY k.doc_id),
+        |mass AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(iend - istart + 1) AS BIGINT) AS n_dropped
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |       CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(m.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |       CAST(length(d.text) - coalesce(m.n_dropped, 0) AS BIGINT) AS n_kept,
+        |       md5(coalesce(r.text_clean, d.text)) AS clean_md5
+        |FROM documents d LEFT JOIN mass m USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      spanRemovalImpl(s, dir, materialize = true)
     }
   )
 
-  /** d20/st19's shared word-anchored 32-char window kernel (requires the
-    * document column to be named `text`): a window starts after each
-    * space, so two docs sharing a run at different byte offsets still
-    * produce identical window strings — the alignment-robust property the
-    * d20 registry doc argues. One definition, used by the batch audit and
-    * the streaming monitor, so the window grammar cannot drift.
+  /** d20/st19/d21's shared word-anchored 32-char window kernel (requires
+    * the document column to be named `text`): element i−1 (0-based) of the
+    * array is the window anchored at character position i — the 32 chars
+    * at positions i+1..i+32 when text[i] is a space, NULL otherwise. Two
+    * docs sharing a run at different byte offsets still produce identical
+    * window strings — the alignment-robust property the d20 registry doc
+    * argues. One definition for the grammar: d20/st19 consume the
+    * null-filtered window list ([[anchoredWindowsSql]]); d21 consumes this
+    * raw positional form (posexplode index p ⇒ span start p+2, end p+33,
+    * 1-based) because removal needs the character ranges back.
     */
-  private[graft] val anchoredWindowsSql: String =
-    "filter(transform(sequence(1, length(text) - 32), " +
+  private[graft] val anchoredWindowsRawSql: String =
+    "transform(sequence(1, length(text) - 32), " +
       "i -> CASE WHEN substring(text, i, 1) = ' ' " +
-      "THEN substring(text, i + 1, 32) END), x -> x IS NOT NULL)"
+      "THEN substring(text, i + 1, 32) END)"
+
+  /** Null-filtered window list — see [[anchoredWindowsRawSql]]. */
+  private[graft] val anchoredWindowsSql: String =
+    s"filter($anchoredWindowsRawSql, x -> x IS NOT NULL)"
 
   /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
   private[graft] def substringDupPlan(s: SparkSession, dir: String): DataFrame =
@@ -1227,6 +1287,89 @@ object DedupQueries {
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_xdoc_windows"),
         expr("(n_dup_windows * 1000000) div n_windows").as("dup_ppm"),
         expr("(n_xdoc_windows * 1000000) div n_windows").as("xdoc_ppm"))
+      .orderBy("doc_id")
+    if (!materialize) out
+    else {
+      val cached = out.persist()
+      cached.count()
+      win.unpersist()
+      cached
+    }
+  }
+
+  /** Lazy twin for plan auditing (see [[lshNearDupsPlan]]). */
+  private[graft] def spanRemovalPlan(s: SparkSession, dir: String): DataFrame =
+    spanRemovalImpl(s, dir, materialize = false)
+
+  /** d21's body — see the registry doc. The Spark side picks each
+    * window's first occurrence with `groupBy(wd).agg(min(struct(doc_id,
+    * s)))` — a map-side-combinable min — where the oracle uses a
+    * `row_number() OVER (PARTITION BY wd)` window: same semantics (the
+    * global (doc_id, position) minimum per window string), different
+    * mechanism, because a row_number over the window key funnels a
+    * boilerplate window's every occurrence into ONE window partition —
+    * the m15-flood shape — while the min aggregates partially upstream
+    * (DuckDB at fixture scale has no such exposure). The positioned
+    * explode feeds both the first-occurrence min and the join back, so
+    * the eager form persists it (the [[substringDupImpl]] discipline)
+    * and releases it after the result materializes.
+    */
+  private def spanRemovalImpl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val win0 = docs
+      .filter(length(col("text")) >= 33)
+      .select(col("doc_id"),
+        posexplode(expr(anchoredWindowsRawSql)).as(Seq("p0", "wd")))
+      .filter(col("wd").isNotNull)
+      .select(col("doc_id"), (col("p0") + lit(2L)).cast("long").as("s"),
+        (col("p0") + lit(33L)).cast("long").as("e"), col("wd"))
+    val win = if (materialize) win0.persist() else win0
+    // Materialization barrier (the g02 lesson): the first-occurrence agg
+    // and the join back both read this frame.
+    if (materialize) win.count()
+    val firsts = win.groupBy("wd")
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+    val marked = win.join(firsts, Seq("wd"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
+      .select("doc_id", "s", "e")
+    // gaps-and-islands interval merge per doc: a marked range starts a new
+    // dropped run unless it overlaps-or-abuts the running max end
+    val wDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val spans = marked
+      .withColumn("pmax", max("e").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl_id",
+        sum(when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl_id")
+      .agg(min("s").as("istart"), max("e").as("iend"))
+    // kept segments: the gap before each dropped run + the tail after the
+    // last one (the first gap may be empty when a run starts at char 1 —
+    // substring(text, 1, 0) = '' in both engines)
+    val wSpan = Window.partitionBy("doc_id").orderBy("istart")
+    val kseg = spans
+      .withColumn("ks", coalesce(lag("iend", 1).over(wSpan), lit(0L)) + 1)
+      .select(col("doc_id"), col("ks"), (col("istart") - 1).as("ke"))
+      .unionByName(spans.groupBy("doc_id")
+        .agg((max("iend") + 1).as("ks"))
+        .withColumn("ke", lit(null).cast("long")))
+    val rebuilt = kseg.join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("ks"),
+        expr("substring(text, cast(ks as int), cast(coalesce(ke, length(text)) - ks + 1 as int))").as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ks, seg))), x -> x.seg)"),
+        "").as("text_clean"))
+    val mass = spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("iend") - col("istart") + 1).cast("long").as("n_dropped"))
+    val out = docs.select("doc_id", "text")
+      .join(mass, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (length(col("text")).cast("long") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        md5(coalesce(col("text_clean"), col("text")).cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
     if (!materialize) out
     else {

@@ -156,6 +156,87 @@ class PipelineOpsSpec extends SparkSpec {
       s"kept $totalKept segments but corpus has $distinctSegs distinct ones")
   }
 
+  test("d21 span removal: byte-exact on a planted embedded-run corpus (first occurrence wins, spans merge)") {
+    import java.nio.file.Files
+    // Planted corpus: doc 1 carries the boilerplate run first; doc 2 embeds
+    // the SAME run at a different offset; doc 3 is a full copy of doc 1;
+    // doc 4 is below the window domain; doc 5 shares nothing.
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      1L -> s"alpha bravo charlie $run delta echo",
+      2L -> s"zulu yankee xray whiskey victor uniform $run tango sierra",
+      3L -> s"alpha bravo charlie $run delta echo",
+      4L -> "tiny doc",
+      5L -> "completely unrelated words nothing shared here at all okay")
+    val dir = Files.createTempDirectory("graft-d21").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+
+    // Independent reference implementation (test-only, quadratic-friendly):
+    // window occurrences -> global first by (doc_id, pos) -> merge marked
+    // intervals -> rebuild. The d16-style exactness arbiter.
+    val occ = for {
+      (did, text) <- docs
+      l = text.length
+      if l >= 33
+      i <- 1 to (l - 32)
+      if text.charAt(i - 1) == ' '
+    } yield (text.substring(i, i + 32), did, (i + 1).toLong)
+    val first = occ.sortBy { case (_, d, s) => (d, s) }
+      .foldLeft(Map.empty[String, (Long, Long)]) { case (m, (wd, d, s)) =>
+        if (m.contains(wd)) m else m + (wd -> ((d, s)))
+      }
+    val markedByDoc = occ.collect { case (wd, d, s) if first(wd) != ((d, s)) => (d, s, s + 31) }
+      .groupBy(_._1).map { case (d, ts) => d -> ts.map(t => (t._2, t._3)).sorted }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref: Map[Long, (Long, Long, String)] = docs.map { case (did, text) =>
+      val merged = markedByDoc.getOrElse(did, Seq.empty)
+        .foldLeft(List.empty[(Long, Long)]) { case (acc, (s, e)) => acc match {
+          case (ps, pe) :: tail if s <= pe + 1 => (ps, math.max(pe, e)) :: tail
+          case _ => (s, e) :: acc
+        }}.reverse
+      val sb = new StringBuilder
+      var pos = 1L
+      merged.foreach { case (s, e) =>
+        sb.append(text.substring(pos.toInt - 1, s.toInt - 1)); pos = e + 1 }
+      sb.append(text.substring(pos.toInt - 1))
+      did -> ((merged.size.toLong, merged.map { case (s, e) => e - s + 1 }.sum, sb.toString))
+    }.toMap
+
+    val out = SparkEntry.queries("d21_span_removal")(spark, dir)
+      .select("doc_id", "n_chars", "n_spans", "n_dropped", "n_kept", "clean_md5")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (did, text) =>
+      val (rSpans, rDropped, rClean) = ref(did)
+      val (nChars, nSpans, nDropped, nKept, md5) = out(did)
+      assert(nChars == text.length.toLong)
+      assert(nSpans == rSpans, s"doc $did spans: got $nSpans want $rSpans")
+      assert(nDropped == rDropped, s"doc $did dropped: got $nDropped want $rDropped")
+      assert(nKept == text.length - rDropped)
+      assert(md5 == md5hex(rClean), s"doc $did clean text diverges from the reference rebuild")
+    }
+    // first-occurrence-wins: doc 1 (smallest doc_id carrying every window
+    // first) is byte-identical in and out
+    assert(out(1L)._5 == md5hex(docs.head._2) && out(1L)._3 == 0L)
+    // span merging: doc 3's every window is a duplicate of doc 1's, so all
+    // marked ranges merge into ONE dropped run (not one per window)
+    assert(out(3L)._2 == 1L, s"doc 3 spans: ${out(3L)._2}")
+    assert(out(3L)._4 < out(3L)._1, "doc 3 must actually lose chars")
+    // the embedded run is removed from doc 2 (reference clean text no
+    // longer contains the run's interior), while its unique prefix stays
+    assert(!ref(2L)._3.contains(run.substring(4)))
+    assert(ref(2L)._3.startsWith("zulu yankee xray whiskey victor uniform"))
+    // out-of-domain and unshared docs pass through byte-identical
+    assert(out(4L)._5 == md5hex("tiny doc") && out(4L)._3 == 0L)
+    assert(out(5L)._3 == 0L)
+  }
+
   test("u03 incremental fold == direct aggregation for multiple cutoffs") {
     val orders = graft.sources.Tables.orders(spark, sf0001)
     val direct = orders.groupBy("o_orderstatus")
