@@ -39,7 +39,7 @@ object PlanAudit {
       "s14_kmeans_grid", // Lloyd rounds collect the codebook at construction
       "p06_cluster_representative", // runs d08's label-propagation loop at construction
       "d04_lsh_near_dups", "d10_contamination", "d20_substring_duplication",
-      "d21_span_removal",
+      "d21_span_removal", "m15_image_neardup",
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup",
       "st07_stream_static_enrich", "st08_stream_sliding")
@@ -47,7 +47,8 @@ object PlanAudit {
       "d04_lsh_near_dups" -> graft.operators.DedupQueries.lshNearDupsPlan(spark, sfDir),
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir),
       "d20_substring_duplication" -> graft.operators.DedupQueries.substringDupPlan(spark, sfDir),
-      "d21_span_removal" -> graft.operators.DedupQueries.spanRemovalPlan(spark, sfDir))
+      "d21_span_removal" -> graft.operators.DedupQueries.spanRemovalPlan(spark, sfDir),
+      "m15_image_neardup" -> graft.operators.MultimodalQueries.imageNearDupPlan(spark, sfDir))
     // plan every audited query exactly once — planning is the expensive
     // step; the target flag lines and the global-window sweep below both
     // read from this map

