@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** m15/st20's shared aHash band-key oracle block (the bandKeySql
+    * convention): replays [[graft.multimodal.Multimodal.imageBandHashes]]
+    * bit-exactly — image domain (doc_id % 3, payload ≥ 64 bytes after the
+    * 8-byte header), proportional 64-block byte means, the exact integer
+    * cross-multiply threshold, four 16-bit band keys. Ends with the
+    * `bands(doc_id, band, key)` CTE; pre-stripped, callers append. One
+    * definition for batch (m15) and stream (st20), so the hash grammar
+    * cannot drift between the twins.
+    */
+  private[operators] val imageBandSql: String =
+    """WITH img AS (SELECT doc_id, substring(text, 9) AS payload, CAST(length(text) - 8 AS BIGINT) AS L
+      |             FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 72),
+      |by0 AS (SELECT doc_id, L, payload, unnest(generate_series(1, L)) AS i FROM img),
+      |byt AS (SELECT doc_id, L, ((i - 1) * 64) // L AS blk,
+      |               CAST(ascii(substring(payload, CAST(i AS INT), 1)) AS BIGINT) AS v FROM by0),
+      |blocks AS (SELECT doc_id, L, blk, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |           FROM byt GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM blocks GROUP BY 1),
+      |bits AS (SELECT b.doc_id, b.blk, CASE WHEN b.s * b.L > t.total * b.c THEN 1 ELSE 0 END AS bit
+      |         FROM blocks b JOIN tot t USING (doc_id)),
+      |bands AS (SELECT doc_id, blk // 16 AS band, CAST(sum(bit << CAST(blk % 16 AS INT)) AS BIGINT) AS key
+      |          FROM bits GROUP BY 1, 2)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     sql(
       "m01_binary_metadata",
@@ -623,18 +646,7 @@ object MultimodalQueries {
     sql(
       "m15_image_neardup",
       "perceptual-hash image near-dup detection (aHash + Hamming banding — the IMAGE member the dedup family lacked: d01/d04/d20 dedupe text, but a multimodal corpus dedupes images by PERCEPTUAL similarity, and byte-identity (m01's sha) misses every re-encode; aHash is the canonical cheap perceptual hash — resize to 8x8, threshold each cell against the global mean, compare by Hamming distance): each image's 64-bit aHash comes from Multimodal.imageBandHashes (the decode-stub discipline — PROPORTIONAL 64-block byte means standing in for the pixel resize, every bit decided by the exact integer cross-multiply sum_b*L > total*len_b, so the oracle replays the full hash), carried as four 16-bit band keys; candidates pair on ANY equal (band, key) — d04's banding shape at Hamming grain with the pigeonhole guarantee that Hamming <= 3 ALWAYS collides on some band (4 bands, 3 flips cannot dirty all) and misses beyond are the documented LSH trade; exact Hamming = sum of per-band bit_count(xor) reranks candidates, near-dup at <= 6 of 64 bits. Output is the per-IMAGE ledger (every in-domain image reports, the d19/st12 rollup grain): distinct band-collision partners, best neighbor under the (hamming, neighbor) total order, its distance, and the near-dup flag — collision-free images report -1 sentinels rather than vanish (the a20 discipline; at the test SFs most images are unrelated word-salad, and an audit that only printed matches would read empty while the machinery idles). Scale posture: hashing is one map-side pass fused with the scan; the only shuffles are the (band, key) equi-join and a doc-keyed window over candidate rows; 16-bit keys bound the key space, so at web scale the bands widen (a 128-bit pHash in 4x32-bit bands), and the flood defence is WIRED from day one — imageNearDup(bucketCap) drops over-cap buckets with a keyed count + anti-join before the self-join, d04's discipline (default 0 so this oracle replays the uncapped join; SkewSpec plants a 64-blank-image flood, measures the quadratic candidate collapse, and pins non-flood rows bit-identical)",
-      """WITH img AS (SELECT doc_id, substring(text, 9) AS payload, CAST(length(text) - 8 AS BIGINT) AS L
-        |             FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 72),
-        |by0 AS (SELECT doc_id, L, payload, unnest(generate_series(1, L)) AS i FROM img),
-        |byt AS (SELECT doc_id, L, ((i - 1) * 64) // L AS blk,
-        |               CAST(ascii(substring(payload, CAST(i AS INT), 1)) AS BIGINT) AS v FROM by0),
-        |blocks AS (SELECT doc_id, L, blk, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
-        |           FROM byt GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM blocks GROUP BY 1),
-        |bits AS (SELECT b.doc_id, b.blk, CASE WHEN b.s * b.L > t.total * b.c THEN 1 ELSE 0 END AS bit
-        |         FROM blocks b JOIN tot t USING (doc_id)),
-        |bands AS (SELECT doc_id, blk // 16 AS band, CAST(sum(bit << CAST(blk % 16 AS INT)) AS BIGINT) AS key
-        |          FROM bits GROUP BY 1, 2),
+      s"""$imageBandSql,
         |h AS (SELECT doc_id,
         |             CAST(coalesce(max(CASE WHEN band = 0 THEN key END), 0) AS BIGINT) AS h0,
         |             CAST(coalesce(max(CASE WHEN band = 1 THEN key END), 0) AS BIGINT) AS h1,

@@ -567,6 +567,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st20 image stream: band keys carry across batches; horizon eviction re-admits a repeat image") {
+    // Three distinct synthetic images (8-byte header + >= 64 payload
+    // bytes, doc_ids % 3 == 0 so packBlobs types them image; event time
+    // re-derives as epoch + doc_id seconds inside the monitor).
+    val imgA = "HDRAhdra" + ("the payload bytes of image A repeating " * 2)
+    val imgB = "HDRBhdrb" + ("a thoroughly different second payload bb " * 2)
+    val imgC = "HDRChdrc" + ("and a third unrelated anchor payload cc " * 2)
+    // Fixture precondition: the three images share NO band key, so every
+    // flag below is attributable (16-bit keys can coincide in principle —
+    // assert disjointness with the same batch kernel the monitor uses).
+    locally {
+      val blobs = graft.multimodal.Multimodal.packBlobs(spark,
+        Seq((3L, imgA), (6L, imgB), (9L, imgC)).toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("planted")))
+      val hs = graft.multimodal.Multimodal.imageBandHashes(blobs).collect()
+      assert(hs.length == 3)
+      val keys = hs.map(h => Set((0, h.h0), (1, h.h1), (2, h.h2), (3, h.h3)))
+      assert((keys(0) & keys(1)).isEmpty && (keys(0) & keys(2)).isEmpty
+        && (keys(1) & keys(2)).isEmpty, "fixture images must be band-disjoint")
+    }
+    EventStreams.withRocksDBStateStore(spark) {
+      val ms = MemoryStream[DocStreams.Doc](spark)
+      ms.addData(Seq(doc(3, imgA, "2026-01-01 10:00:00")))
+      val q = DocStreams.imageBandDedup(spark, ms.toDF()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st20_spec").start()
+      q.processAllAvailable()
+      // batch 2 rides batch 1's carried band index: the imgA repeat flags
+      // on all 4 bands; imgB's first carrier passes
+      ms.addData(Seq(doc(6, imgA, "2026-01-01 10:00:06"),
+        doc(300, imgB, "2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      // anchor: event time epoch+9006 s advances the watermark (10 min
+      // delay) past every earlier key's eviction timer (maxTs + 30 min),
+      // so the no-data batch clears their state
+      ms.addData(Seq(doc(9006, imgC, "2026-01-01 12:30:06")))
+      q.processAllAvailable()
+      // post-eviction re-admission: the repeat arrives to EMPTY band
+      // state and becomes the new minimum instead of a duplicate
+      ms.addData(Seq(doc(9009, imgA, "2026-01-01 12:30:09")))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("st20_spec").collect().map(_.getLong(0))
+      assert(hits.count(_ == 6L) == 4, s"in-horizon repeat must flag all 4 bands: ${hits.toSeq}")
+      assert(!hits.contains(3L) && !hits.contains(300L) && !hits.contains(9006L),
+        s"band minima must pass: ${hits.toSeq}")
+      assert(!hits.contains(9009L), s"post-eviction repeat must NOT flag: ${hits.toSeq}")
+    }
+  }
+
   test("st19 substring monitor: window keys carry across batches; offset-shifted embeds flag; smaller late docs pass") {
     // independent Scala mirror of the anchored-window grammar (the d20
     // spec's helper): windows start after each space
@@ -605,6 +655,67 @@ class StreamingSpec extends SparkSpec {
       assert(!hits.contains(10L), s"the window minimum must pass: ${hits.toSeq}")
       assert(!hits.contains(5L), s"a smaller late doc must pass: ${hits.toSeq}")
     }
+  }
+
+  test("st19 fingerprint keys: flag sets identical to raw-string keys at fixture SF; verify pass re-derives exact counts") {
+    // The knob contract (r17 ask #2): fp mode's per-doc evidence multiset
+    // equals raw-string mode's on the real fixture corpus (collision
+    // probability ~3e-11 at its ~25k distinct windows), and the
+    // verify-on-collision batch pass re-derives the SAME exact counts
+    // from d20's raw-string index — so the fp path stays oracle-exact
+    // even when a collision ever does over-flag.
+    EventStreams.withRocksDBStateStore(spark) {
+      val path = s"$sf0001/documents.parquet"
+      val schema = spark.read.parquet(path).schema
+      def stream() = spark.readStream.schema(schema).parquet(s"$path*")
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      def run(fp: Boolean, name: String): Map[Long, Long] = {
+        val q = DocStreams.substringDupMonitor(spark, stream(), fingerprintKeys = fp)
+          .toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).groupBy("doc_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val raw = run(fp = false, "st19_knob_raw")
+      val fpm = run(fp = true, "st19_knob_fp")
+      assert(raw == fpm,
+        s"knob positions diverge: raw-only=${(raw.keySet -- fpm.keySet).toSeq.sorted}, " +
+          s"fp-only=${(fpm.keySet -- raw.keySet).toSeq.sorted}")
+      assert(raw.nonEmpty, "fixture must produce evidence rows")
+      val verified = DocStreams.verifyStaleFlags(spark,
+          spark.table("st19_knob_fp").select("doc_id").distinct(),
+          spark.read.parquet(path))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(verified == raw,
+        "verify pass must re-derive exactly the raw-key evidence counts")
+    }
+  }
+
+  test("st19 fingerprint keys: a planted fingerprint-style over-flag is removed by the verify pass") {
+    // Soundness direction the fixture cannot exercise (no real collisions
+    // at 2^-64): plant a flagged set CONTAINING an innocent doc and assert
+    // verifyStaleFlags reranks it to zero (drops it) while preserving the
+    // guilty doc's exact count.
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = Seq(
+      (1L, "first doc carries " + boiler + " with a unique tail"),
+      (2L, "second doc also has " + boiler + " plus other words"),
+      (3L, "an innocent doc sharing no verbatim runs with anything else"))
+      .toDF("doc_id", "text")
+    val flagged = Seq(2L, 3L).toDF("doc_id") // 3 = the simulated collision victim
+    val v = DocStreams.verifyStaleFlags(spark, flagged, corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!v.contains(3L), s"innocent doc must drop out: $v")
+    def windows(t: String): Set[String] =
+      (1 to t.length - 32).filter(i => t.charAt(i - 1) == ' ')
+        .map(i => t.substring(i, i + 32)).toSet
+    val d1 = "first doc carries " + boiler + " with a unique tail"
+    val d2 = "second doc also has " + boiler + " plus other words"
+    val shared = (windows(d1) intersect windows(d2)).size.toLong
+    assert(shared > 0 && v.get(2L).contains(shared),
+      s"guilty doc must keep its exact stale count ($shared): $v")
   }
 
   test("Kinesis transport declares its wiring but refuses to run without the connector") {
