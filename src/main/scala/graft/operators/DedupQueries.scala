@@ -1185,7 +1185,7 @@ object DedupQueries {
 
     sql(
       "d21_span_removal",
-      "duplicated-span REMOVAL (the action half of d20's measurement — Lee et al. 2022 dedups by REMOVING the duplicated spans, not just scoring them): every non-first occurrence of a duplicated word-anchored 32-char window (first occurrence = global minimum under (doc_id, position) — d12's first-occurrence-wins discipline at anchored-window grain; within-doc repeats count, matching d20's n_occ >= 2 predicate) marks its character range [p+1, p+32] for removal; per doc the marked ranges MERGE (overlapping-or-adjacent intervals union into maximal dropped runs — overlapping windows of one embedded run collapse to one span, so removal is span-at-a-time, not 32-chars-at-a-time) and the doc is rebuilt from the surviving character segments, byte-exact: the oracle rebuilds the same string and both engines report md5(text_clean). Docs too short for a window, and first occurrences themselves, pass through byte-identical; a doc that was entirely duplicated text rebuilds to the empty string rather than vanishing (the corpus keeps its row — dropping rows is d01's policy, not span removal's). Per doc: char mass, merged-span count, dropped/kept char mass, and the clean md5. Scale posture: first-occurrence selection is groupBy(window).agg(min(struct(doc_id, pos))) — a map-side-combinable min, NOT a row_number window over the window key, so a boilerplate window in 1e6 docs is one aggregation key with partial aggregation upstream (the flood-safe form; the join back on the window key is AQE-skew-splittable like d20's); interval merge and rebuild are doc-keyed windows over marked rows only (O(doc length / 6) rows per doc, gaps-and-islands with a running max) — never doc x doc, never a global sort",
+      "duplicated-span REMOVAL (the action half of d20's measurement — Lee et al. 2022 dedups by REMOVING the duplicated spans, not just scoring them): every non-first occurrence of a duplicated word-anchored 32-char window (first occurrence = global minimum under (doc_id, position) — d12's first-occurrence-wins discipline at anchored-window grain; within-doc repeats count, matching d20's n_occ >= 2 predicate) marks its character range [p+1, p+32] for removal; per doc the marked ranges MERGE (overlapping-or-adjacent intervals union into maximal dropped runs — overlapping windows of one embedded run collapse to one span, so removal is span-at-a-time, not 32-chars-at-a-time) and the doc is rebuilt from the surviving character segments, byte-exact: the oracle rebuilds the same string and both engines report md5(text_clean). Docs too short for a window, and first occurrences themselves, pass through byte-identical; a doc that was entirely duplicated text rebuilds to the empty string rather than vanishing (the corpus keeps its row — dropping rows is d01's policy, not span removal's). Per doc: char mass, merged-span count, dropped/kept char mass, and the clean md5. Scale posture: first-occurrence selection is groupBy(window).agg(min(struct(doc_id, pos))) — a map-side-combinable min, NOT a row_number window over the window key, so a boilerplate window in 1e6 docs is one aggregation key with partial aggregation upstream (the flood-safe form); the join back's build side pre-filters to DUPLICATED windows only (n_occ >= 2 — a unique window's sole occurrence IS its first, so it cannot mark), shrinking it ~21x at sf0.1 (227k distinct -> 10.8k dup keys) to a broadcastable dup-set index — in that plan the corpus-side occurrence frame never shuffles at all, and past broadcast size the equi-join stays AQE-skew-splittable like d20's; interval merge and rebuild are doc-keyed windows over marked rows only (O(doc length / 6) rows per doc, gaps-and-islands with a running max) — never doc x doc, never a global sort",
       """WITH pos0 AS (
         |  SELECT doc_id, text, unnest(generate_series(1, length(text)-32)) AS i
         |  FROM documents WHERE length(text) >= 33),
@@ -1327,8 +1327,17 @@ object DedupQueries {
     // Materialization barrier (the g02 lesson): the first-occurrence agg
     // and the join back both read this frame.
     if (materialize) win.count()
+    // Only DUPLICATED windows (n_occ >= 2) can mark anything — a unique
+    // window's sole occurrence IS its first. Filtering the join's build
+    // side to them shrinks it from |distinct windows| to the (typically
+    // small) duplicated set, which both cuts the shuffle and lets AQE
+    // broadcast the build side when the dup set is dimension-sized —
+    // the win-side shuffle disappears entirely in that plan.
     val firsts = win.groupBy("wd")
-      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("wd", "f")
     val marked = win.join(firsts, Seq("wd"))
       .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
       .select("doc_id", "s", "e")
