@@ -51,6 +51,41 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
 
+  /** Bottom-k smallest longs per group — [[TopK]]'s exact-integer mirror
+    * (t15's posting heads: the k smallest doc_ids per term). O(k) state,
+    * associative/commutative merge (the k smallest of a union are
+    * computable from each side's k smallest), so map-side combine applies
+    * and a flood key costs one k-slot combiner cell per map task instead
+    * of funneling every occurrence into one window partition. Buffer is a
+    * sorted ascending array of at most k elements; finish returns it
+    * ascending.
+    */
+  final class BottomKLong(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.empty
+
+    override def reduce(buf: Array[Long], v: Long): Array[Long] =
+      if (buf.length < k || v < buf(buf.length - 1)) {
+        val search = java.util.Arrays.binarySearch(buf, v)
+        val pos = if (search >= 0) search else -(search + 1)
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, math.min(pos, n))
+        if (pos < n) {
+          out(pos) = v
+          System.arraycopy(buf, pos, out, pos + 1, n - pos - 1)
+        }
+        out
+      } else buf
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      (a ++ b).sorted.take(k)
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Seeded uniform sample of k longs per group, implemented as **bottom-k
     * priority sampling**: every value gets a deterministic pseudo-random
     * priority, and the sample is the k values with the smallest

@@ -761,7 +761,7 @@ object DedupQueries {
 
     sql(
       "d12_paragraph_dedup",
-      "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: one segment-keyed shuffle for the first-occurrence window (never doc×doc), one doc_id-keyed rebuild aggregation; at 100 TB the window becomes groupBy(seg).agg(min(doc_id, seg_idx)) + semi-join, the same keyed shape",
+      "paragraph-level exact dedup (C4/RefinedWeb-style duplicated-span removal): documents are chunked into fixed 10-token segments, every segment repeated anywhere in the corpus keeps only its first occurrence (ordered by doc_id, seg_idx), and each document is rebuilt from its surviving segments — docs whose every segment was seen earlier vanish entirely. Deterministic and byte-exact: the oracle rebuilds the same cleaned text. Scale posture: first-occurrence selection IS the groupBy(seg).agg(min(struct(doc_id, seg_idx))) + join-back this entry's note always promised (r18, graduated from a row_number window over the segment key — the window funneled a boilerplate segment's every occurrence into one unsplittable partition; the keyed min partially aggregates upstream and the join back is AQE-skew-splittable; the oracle keeps its row_number form, same semantics), then one doc_id-keyed rebuild aggregation — never doc×doc",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sized AS (SELECT doc_id, ts, CAST(ceil(len(ts)/10.0) AS BIGINT) AS n_segs FROM toks),
         |segs AS (SELECT doc_id, n_segs, CAST(unnest(range(n_segs)) AS BIGINT) AS seg_idx, ts FROM sized),
@@ -783,8 +783,19 @@ object DedupQueries {
             " i -> array_join(slice(ts, cast(i*10+1 as int), 10), ' '))"))
           .as(Seq("seg_idx", "seg")))
         .withColumn("seg_idx", col("seg_idx").cast("long"))
-      val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-      segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // First-occurrence selection as a map-side-combinable min + equality
+      // filter (the d21 discipline, and the form this entry's own scale
+      // note always promised): a row_number window over the segment key
+      // funnels a boilerplate segment's every occurrence into ONE window
+      // partition — the m14-flood shape AQE cannot split — while the min
+      // aggregates partially upstream and the join back is skew-splittable.
+      // Semantics identical: kept occurrence ⟺ (doc_id, seg_idx) equals
+      // the segment's global minimum (the oracle keeps its row_number
+      // form — same semantics, mechanism divergence documented here).
+      val firsts = segs.groupBy("seg")
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      segs.join(firsts, Seq("seg"))
+        .filter(col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))
         .groupBy("doc_id")
         .agg(min("n_segs").as("n_segs"),
           count(lit(1)).cast("long").as("n_kept"),

@@ -651,7 +651,7 @@ object TextQueries {
 
     sql(
       "t15_posting_lists",
-      "inverted-index construction statistics (the search/retrieval-side primitive the tf-idf family feeds): per term, document frequency, total term frequency, and the head of the ascending-doc_id posting list — the top-30 terms by df (term tie-broken). The posting head comes from a row_number window over (term, doc_id) rows, NOT from collecting whole posting lists — per-group state is bounded at 5 rows regardless of df, which is the difference between an index build that survives a 100 TB corpus (df can reach |corpus|) and one that OOMs on the first stopword. All outputs are integers/strings — engine-exact",
+      "inverted-index construction statistics (the search/retrieval-side primitive the tf-idf family feeds): per term, document frequency, total term frequency, and the head of the ascending-doc_id posting list — the top-30 terms by df (term tie-broken). The posting head comes from the bounded BottomKLong(5) aggregator folded into the SAME term-keyed groupBy as df/tf_total (r18, graduated from a row_number window: the window bounded OUTPUT at 5 but still funneled a stop-term's every posting into one unsplittable window partition; the aggregator's 5-slot sorted buffer map-side-combines, so per-group state is truly O(5) regardless of df) — the difference between an index build that survives a 100 TB corpus (df can reach |corpus|) and one that concentrates on the first stopword; the oracle keeps its window form, same semantics. All outputs are integers/strings — engine-exact",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
         |       FROM tok GROUP BY 1, 2),
@@ -669,16 +669,20 @@ object TextQueries {
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"))
-      val stats = tf.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
-      val heads = tf
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("term").orderBy("doc_id")))
-        .filter(col("rn") <= 5)
-        .groupBy("term")
-        .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
-          .as("posting_head"))
-      stats.join(heads, "term")
+      // Posting heads via the bounded BottomKLong aggregator (r18, the
+      // d21/d12/t21 graduation — the O(5)-state-per-term claim made real):
+      // the previous row_number window funneled a stop-term's every
+      // posting into ONE window partition; the aggregator keeps a 5-slot
+      // sorted buffer with map-side combine, so df-per-term never
+      // concentrates anywhere. Folded into the SAME groupBy as df/tf_total
+      // — one term-keyed aggregation total, no join between legs (the
+      // oracle keeps its window form; same semantics).
+      val bottom5 = udaf(new graft.functions.Aggregators.BottomKLong(5))
+      tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+          bottom5(col("doc_id")).as("head_ids"))
+        .withColumn("posting_head",
+          expr("array_join(transform(head_ids, x -> CAST(x AS STRING)), ',')"))
         .orderBy(desc("df"), col("term"))
         .limit(30)
         .select("term", "df", "tf_total", "posting_head")
@@ -1150,7 +1154,7 @@ object TextQueries {
 
     sql(
       "t21_novelty_score",
-      "per-document n-gram novelty — the incremental-contribution signal dedup thresholds miss (a doc can be <50% similar to every single predecessor yet contribute almost nothing new to the corpus; novelty measures its distinct 3-grams whose FIRST corpus occurrence, by doc_id ingest order, is this document): per doc the distinct-gram count, first-occurrence count, and novelty rate in ppm (exact integer division). One gram-keyed shuffle: the first-occurrence owner is min(doc_id) over a gram-partitioned window, not a groupBy + join-back (halves the gram traffic). Docs too short to shingle carry no grams and are absent in both engines. Scale posture: at 100 TB grams move as 64-bit fingerprints (the d14 note) and ingest order generalizes to any total order on (shard, doc) — the same single keyed pass",
+      "per-document n-gram novelty — the incremental-contribution signal dedup thresholds miss (a doc can be <50% similar to every single predecessor yet contribute almost nothing new to the corpus; novelty measures its distinct 3-grams whose FIRST corpus occurrence, by doc_id ingest order, is this document): per doc the distinct-gram count, first-occurrence count, and novelty rate in ppm (exact integer division). The first-occurrence owner is a map-side-combinable groupBy(gram).min + join-back (r18, graduated from a gram-partitioned window: the window funneled a stop-gram's every occurrence into ONE unsplittable partition, while the keyed min costs a combiner cell per gram upstream and the join back is AQE-skew-splittable — the d21/d12 flood-safe discipline; the oracle keeps its window form, same semantics). Docs too short to shingle carry no grams and are absent in both engines. Scale posture: at 100 TB grams move as 64-bit fingerprints (the d14 note) and ingest order generalizes to any total order on (shard, doc) — the same single keyed pass",
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, length(t) - 2),
         |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
@@ -1169,7 +1173,14 @@ object TextQueries {
       val g = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(HashFunctions.shingleStrings(TextFunctions.tokens(col("text")), 3)).as("gram"))
-      g.withColumn("first_doc", min("doc_id").over(Window.partitionBy("gram")))
+      // First-owner selection as a map-side-combinable keyed min + join
+      // back (r18, the d21/d12 graduation): the previous gram-partitioned
+      // window funneled a stop-gram's every occurrence into ONE window
+      // partition — the flood shape AQE cannot split — while the min
+      // partially aggregates upstream (a 1e9-occurrence gram costs one
+      // combiner cell) and the join back is AQE-skew-splittable.
+      val firsts = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      g.join(firsts, Seq("gram"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).cast("long").as("n_novel"))

@@ -22,6 +22,34 @@ class AggregatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("BottomKLong == window-function bottom-k; partition-layout independent; state bounded") {
+    // distributed equivalence on real data: 5 smallest orderkeys per
+    // custkey via the aggregator == via a row_number window
+    val bottom5 = udaf(new Aggregators.BottomKLong(5))
+    val got = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(bottom5(col("o_orderkey")).as("heads"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val want = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderkey")).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("o_custkey").agg(sort_array(collect_list("o_orderkey")).as("heads"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == want)
+    // unit invariants: fold order cannot matter, buffer never exceeds k,
+    // duplicates and boundary ties behave like multiset bottom-k
+    val agg = new Aggregators.BottomKLong(3)
+    val vals = Seq(9L, 1L, 7L, 1L, 5L, 3L, 9L, 2L)
+    val foldA = vals.foldLeft(agg.zero)(agg.reduce)
+    val foldB = vals.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(foldA.toList == List(1L, 1L, 2L) && foldB.toList == foldA.toList)
+    val (l, r2) = vals.splitAt(3)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toList == foldA.toList)
+    assert(vals.scanLeft(agg.zero)(agg.reduce).forall(_.length <= 3))
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     val df = Tables.lineitem(spark, sf0001)
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
