@@ -40,6 +40,7 @@ object PlanAudit {
       "p06_cluster_representative", // runs d08's label-propagation loop at construction
       "d04_lsh_near_dups", "d10_contamination", "d20_substring_duplication",
       "d21_span_removal", "m15_image_neardup",
+      "g15_hits", "g17_weighted_pagerank", // r18: per-level rank materialization
       "st01_stream_tumbling", "st02_stream_sessions", "st03_stream_stream_join",
       "st04_stream_tws_counts", "st05_stream_fmgws_sessions", "st06_stream_dedup",
       "st07_stream_static_enrich", "st08_stream_sliding")
@@ -48,7 +49,9 @@ object PlanAudit {
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan(spark, sfDir),
       "d20_substring_duplication" -> graft.operators.DedupQueries.substringDupPlan(spark, sfDir),
       "d21_span_removal" -> graft.operators.DedupQueries.spanRemovalPlan(spark, sfDir),
-      "m15_image_neardup" -> graft.operators.MultimodalQueries.imageNearDupPlan(spark, sfDir))
+      "m15_image_neardup" -> graft.operators.MultimodalQueries.imageNearDupPlan(spark, sfDir),
+      "g15_hits" -> graft.operators.GraphQueries.hitsRankingPlan(spark, sfDir),
+      "g17_weighted_pagerank" -> graft.operators.GraphQueries.weightedPageRankPlan(spark, sfDir))
     // plan every audited query exactly once — planning is the expensive
     // step; the target flag lines and the global-window sweep below both
     // read from this map

@@ -42,7 +42,11 @@ object PlanDump {
       "d10_contamination" -> graft.operators.DedupQueries.contaminationPlan _,
       "d20_substring_duplication" -> graft.operators.DedupQueries.substringDupPlan _,
       "d21_span_removal" -> graft.operators.DedupQueries.spanRemovalPlan _,
-      "m15_image_neardup" -> graft.operators.MultimodalQueries.imageNearDupPlan _)
+      "m15_image_neardup" -> graft.operators.MultimodalQueries.imageNearDupPlan _,
+      "g15_hits" ->
+        ((s: SparkSession, d: String) => graft.operators.GraphQueries.hitsRankingPlan(s, d)),
+      "g17_weighted_pagerank" ->
+        ((s: SparkSession, d: String) => graft.operators.GraphQueries.weightedPageRankPlan(s, d)))
     names.foreach { name =>
       val df = lazyTwins.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       // queryExecution.explainString is what .explain("formatted") prints

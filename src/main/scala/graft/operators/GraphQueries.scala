@@ -1148,9 +1148,18 @@ object GraphQueries {
     * the d04/s20/g12/g05 graduation). The 1-row normalization totals stay
     * broadcast in both positions: they are scalars, not node tables.
     */
+  /** Lazy twin of [[hitsRanking]] for plan auditing (the lshNearDupsPlan
+    * convention): same dataflow, no materialization barriers, so PlanAudit
+    * and the knob spec read the real join strategies instead of
+    * InMemoryTableScan leaves.
+    */
+  private[graft] def hitsRankingPlan(s: SparkSession, dir: String,
+      broadcastRanks: Boolean = true): DataFrame =
+    hitsRanking(s, dir, broadcastRanks, materialize = false)
+
   private[graft] def hitsRanking(s: SparkSession, dir: String,
-      broadcastRanks: Boolean = true): DataFrame = {
-    val (e, _) = DedupQueries.persistCompact(
+      broadcastRanks: Boolean = true, materialize: Boolean = true): DataFrame = {
+    val (e, eParts) = DedupQueries.persistCompact(
       Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").cast("long").as("c"),
@@ -1161,7 +1170,25 @@ object GraphQueries {
     // at bench scale (g05's discipline)
     def rankSide(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df.hint("shuffle_hash")
-    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+    // Per-level materialization (r18 optimization): every rank table is
+    // node-sized, but un-materialized each level's NORMALIZATION reads its
+    // raw sum twice (total + quotient) and each next level re-expands the
+    // whole chain — the final g15 plan re-ran the e-join aggregation ~12×
+    // (282 HashAggregate / 376 Exchange nodes in the audited before-plan,
+    // plans/r18/g15_hits_before.txt). A persist + count barrier per level
+    // (the g02/persistCompact fill discipline) makes each half-iteration
+    // run exactly once; caches release after the result materializes.
+    val levelCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def matLevel(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else {
+        val c = df.coalesce(eParts).persist()
+        c.count()
+        levelCaches += c
+        c
+      }
+    def normalize(raw0: DataFrame, key: String, out: String): DataFrame = {
+      val raw = matLevel(raw0)
       val t = raw.agg(sum("r").cast("decimal(38,0)").as("t"))
       raw.crossJoin(broadcast(t))
         .select(col(key), expr("(r * 1000000000000) div t").cast("long").as(out))
@@ -1183,10 +1210,20 @@ object GraphQueries {
     // plan verbatim); in the false position it is node-sized like the
     // ranks, so it takes the same shuffle-hash pin
     val degSide = if (broadcastRanks) deg else deg.hint("shuffle_hash")
-    a2.join(degSide, Seq("s"))
+    val result = a2.join(degSide, Seq("s"))
       .select(col("s").as("node"), col("in_deg"), col("a").as("auth_scaled"))
       .orderBy(desc("auth_scaled"), col("node"))
       .limit(20)
+    if (!materialize) result
+    else {
+      // g01's lifecycle: materialize the (20-row) result, then release the
+      // level caches and the edge cache — no reader remains
+      val out = result.persist()
+      out.count()
+      levelCaches.foreach(_.unpersist(blocking = false))
+      e.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Exact per-seed frontier expansion over the support-2 co-purchase
@@ -1229,13 +1266,29 @@ object GraphQueries {
     * knob [[hitsRanking]] graduated to (true = broadcast, the bench
     * plan; false = shuffle-hash co-partitioned on the edge key).
     */
+  /** Lazy twin of [[weightedPageRank]] for plan auditing (the
+    * lshNearDupsPlan convention).
+    */
+  private[graft] def weightedPageRankPlan(s: SparkSession, dir: String,
+      broadcastRanks: Boolean = true): DataFrame =
+    weightedPageRank(s, dir, broadcastRanks, materialize = false)
+
   private[graft] def weightedPageRank(s: SparkSession, dir: String,
-      broadcastRanks: Boolean = true): DataFrame = {
-    val e0 = Tables.orders(s, dir)
+      broadcastRanks: Boolean = true, materialize: Boolean = true): DataFrame = {
+    val e00 = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").cast("long").as("c"),
         (col("l_suppkey").cast("long") + 1000000L).as("sk"))
       .agg(countDistinct("o_orderkey").cast("long").as("w"))
+    // One fact pass (r18 optimization): e0 feeds sym TWICE (the two edge
+    // directions) and str once more — un-cached, the persistCompact fill
+    // below re-ran the orders⋈lineitem aggregation per consumer and every
+    // later nodes/nn evaluation re-expanded it again (282 parquet scans in
+    // the audited before-plan, plans/r18/g17_weighted_pagerank_before.txt).
+    // e0 is (customer, supplier)-pair-sized; released once e fills.
+    val e0 = if (!materialize) e00 else {
+      val c = e00.persist(); c.count(); c
+    }
     val sym = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
       .unionAll(e0.select(col("sk").as("src"), col("c").as("dst"), col("w")))
     val str = sym.groupBy("src").agg(sum("w").cast("long").as("wt"))
@@ -1248,8 +1301,23 @@ object GraphQueries {
     // the g15 degSide discipline), in the false position it takes the
     // shuffle-hash pin so the plan is broadcast-free END TO END (spec)
     val strSide = if (broadcastRanks) str else str.hint("shuffle_hash")
-    val (e, _) = DedupQueries.persistCompact(sym.join(strSide, Seq("src")))
-    val nodes = e.select("src").distinct()
+    val (e, eParts) = DedupQueries.persistCompact(sym.join(strSide, Seq("src")))
+    if (materialize) e0.unpersist(blocking = false)
+    // Per-level materialization (r18 optimization, the hitsRanking
+    // discipline): nodes and each round's rank table are node-sized;
+    // un-materialized, every broadcast/round consumer re-expanded their
+    // full lineage. persist + count barrier per frame, released after the
+    // result materializes.
+    val levelCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def matLevel(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else {
+        val c = df.coalesce(eParts).persist()
+        c.count()
+        levelCaches += c
+        c
+      }
+    val nodes = matLevel(e.select("src").distinct())
     // the per-edge contribution r * w stays LONG in the hot path (a
     // DECIMAL product here measured 23 s cpu vs 16-20 at sf0.1 — 25-30%
     // of the whole query): r < 1.1e12 on the grid, so the product is
@@ -1276,12 +1344,29 @@ object GraphQueries {
         .select(col("src"),
           (expr("150000000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
     }
-    val r2 = round(round(r0))
-    r2.join(rankSide(str), Seq("src"))
+    // round 1 materializes so round 2's plan starts from the cached rank
+    // table instead of re-expanding the whole first round; round 2 feeds
+    // only the final join, so it stays lazy
+    val r2 = round(matLevel(round(r0)))
+    // final strength column: in materialize mode read (src, wt) off the
+    // CACHED edge list (wt is functionally determined by src there — it was
+    // joined in per src), instead of re-deriving str from the raw fact pass
+    val strOut =
+      if (!materialize) str
+      else e.groupBy("src").agg(max("wt").cast("long").as("wt"))
+    val result = r2.join(rankSide(strOut), Seq("src"))
       .select(col("src").as("node"), col("wt").as("strength"),
         col("r").cast("long").as("rank_scaled"))
       .orderBy(desc("rank_scaled"), col("node"))
       .limit(20)
+    if (!materialize) result
+    else {
+      val out = result.persist()
+      out.count()
+      levelCaches.foreach(_.unpersist(blocking = false))
+      e.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Symmetrized edge list (both directions of each u<v edge) — the wedge

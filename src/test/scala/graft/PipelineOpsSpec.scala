@@ -2155,8 +2155,14 @@ class PipelineOpsSpec extends SparkSpec {
     // node-table materialization); so the pin is (a) every remaining
     // BroadcastHashJoin keys on the fact build's o_orderkey/l_orderkey,
     // never on the c/s rank keys, and (b) the four hinted joins (h0, a1,
-    // h1, deg) all run ShuffledHashJoin
-    val plan = copart.queryExecution.executedPlan.toString
+    // h1, deg) all run ShuffledHashJoin.
+    // Plan shape reads off the LAZY twin (r18: the eager registry form
+    // materializes per level, so its final plan is cache reads); clear the
+    // eager runs' caches first or CacheManager's hint-insensitive matching
+    // would substitute them into the twin's plan.
+    spark.catalog.clearCache()
+    val plan = GraphQueries.hitsRankingPlan(spark, dir, broadcastRanks = false)
+      .queryExecution.executedPlan.toString
     val bhjKeys = """BroadcastHashJoin \[(\w+)#""".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(bhjKeys.forall(k => k == "o_orderkey" || k == "l_orderkey"),
@@ -2164,7 +2170,8 @@ class PipelineOpsSpec extends SparkSpec {
     val shjCount = "ShuffledHashJoin".r.findAllIn(plan).size
     assert(shjCount >= 4,
       s"expected 4 shuffle-hash rank joins, saw $shjCount:\n$plan")
-    val planTrue = bcast.queryExecution.executedPlan.toString
+    val planTrue = GraphQueries.hitsRankingPlan(spark, dir, broadcastRanks = true)
+      .queryExecution.executedPlan.toString
     assert(planTrue.contains("BroadcastHashJoin"),
       s"broadcastRanks=true lost the measured bench plan:\n$planTrue")
     // and at sf0.001 — the oracle's own grain — the two positions stay
@@ -2208,8 +2215,13 @@ class PipelineOpsSpec extends SparkSpec {
     val copart = copartDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(copart == got, s"knob changed the answer: $copart")
     // g15's plan pin, inherited: false must not broadcast any RANK table —
-    // remaining BroadcastHashJoins may key only on the fact build's keys
-    val plan = copartDf.queryExecution.executedPlan.toString
+    // remaining BroadcastHashJoins may key only on the fact build's keys.
+    // Plan shape reads off the LAZY twin (r18: the eager form materializes
+    // per level); clear the eager runs' caches first (hint-insensitive
+    // cache matching, as above).
+    spark.catalog.clearCache()
+    val plan = GraphQueries.weightedPageRankPlan(spark, dir, broadcastRanks = false)
+      .queryExecution.executedPlan.toString
     val bhjKeys = """BroadcastHashJoin \[(\w+)#""".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(bhjKeys.forall(k => k == "o_orderkey" || k == "l_orderkey"),
