@@ -1344,24 +1344,50 @@ object DedupQueries {
     // small) duplicated set, which both cuts the shuffle and lets AQE
     // broadcast the build side when the dup set is dimension-sized —
     // the win-side shuffle disappears entirely in that plan.
+    // First occurrence per window as a PACKED long min (r18 optimization):
+    // min(struct(doc_id, s)) plans as SortAggregate — a full sort of every
+    // exploded window row around the wd exchange, twice (partial + final).
+    // doc_id * 2^31 + s preserves the (doc_id, s) lexicographic order
+    // because 2 <= s < 2^31 (s is a 1-based char offset; Spark strings are
+    // < 2 GiB by engine limit), so min(packed) is the same first
+    // occurrence and plans as a map-side-combinable HashAggregate. Exact
+    // while doc_id < 2^32 — the a19/g17 discipline makes the bound LOUD:
+    // it is asserted inside the aggregated column itself (used, never
+    // pruned), so a corpus beyond 4.3e9 docs fails the query instead of
+    // silently mis-packing against the oracle's window form.
+    val PackBits = 31
+    val packed = when(
+      col("doc_id") >= 0 && col("doc_id") < lit(1L << 32) &&
+        col("s") >= 0 && col("s") < lit(1L << PackBits),
+      shiftleft(col("doc_id"), PackBits) + col("s"))
+      .otherwise(expr("raise_error('d21: doc_id/s exceed the packed " +
+        "first-occurrence bound — widen to struct min')").cast("long"))
     val firsts = win.groupBy("wd")
-      .agg(min(struct(col("doc_id"), col("s"))).as("f"),
-        count(lit(1)).as("n_occ"))
+      .agg(min(packed).as("fmin"), count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-      .select("wd", "f")
+      .select(col("wd"), shiftright(col("fmin"), PackBits).as("f_doc"),
+        (col("fmin") % lit(1L << PackBits)).as("f_s"))
     val marked = win.join(firsts, Seq("wd"))
-      .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
+      .filter(!(col("doc_id") === col("f_doc") && col("s") === col("f_s")))
       .select("doc_id", "s", "e")
     // gaps-and-islands interval merge per doc: a marked range starts a new
     // dropped run unless it overlaps-or-abuts the running max end
     val wDoc = Window.partitionBy("doc_id").orderBy("s", "e")
-    val spans = marked
+    val spans0 = marked
       .withColumn("pmax", max("e").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("isl_id",
         sum(when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
           .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "isl_id")
       .agg(min("s").as("istart"), max("e").as("iend"))
+    // spans feeds THREE consumers (the kept-segment lag window, the tail
+    // row, and the dropped-mass rollup) — un-persisted, each re-ran the
+    // join-back + island windows (r18 optimization; the g02 fill
+    // discipline). Dropped-run-sized; released after the result
+    // materializes.
+    val spans = if (!materialize) spans0 else {
+      val c = spans0.persist(); c.count(); c
+    }
     // kept segments: the gap before each dropped run + the tail after the
     // last one (the first gap may be empty when a run starts at char 1 —
     // substring(text, 1, 0) = '' in both engines)
@@ -1396,6 +1422,7 @@ object DedupQueries {
       val cached = out.persist()
       cached.count()
       win.unpersist()
+      spans.unpersist(blocking = false)
       cached
     }
   }

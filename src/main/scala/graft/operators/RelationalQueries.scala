@@ -729,6 +729,13 @@ object RelationalQueries {
         .withColumn("file_id", pmod(col("l_orderkey"), lit(16)).cast("int"))
         .withColumn("pos", row_number().over(w).cast("long"))
         .persist()
+      // Materialization barrier (r18 optimization; the g02 lesson): the
+      // anti-join probe stage and the two broadcast builds (dv, dvAgg)
+      // submit concurrently, and an unfilled cache ran the 16-partition
+      // window sort once PER LEG (measured executor 11.5-26 s on 7.5 s
+      // cpu). One count fills it; the plan is unchanged (persist was
+      // already here).
+      base.count()
       val dv = base
         .filter(col("l_returnflag") === "R" &&
           col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-01-01'"))
